@@ -1,0 +1,60 @@
+"""Shared helpers for operator query builders.
+
+Determinism conventions (FIXTURES.md §5, SURVEY.md §2B preamble):
+
+- **Exact-decimal aggregation.** All testdata money/price columns are
+  2-decimal doubles. Summing doubles directly is summation-order-dependent
+  (Spark's partial aggregation order varies with partitioning; DuckDB's with
+  its own morsel order), so instead cast to ``DECIMAL`` first: the decimal sum
+  is exact in both engines, and casting the exact result to double yields a
+  bit-identical value on both sides. This also scales: decimal sum is still a
+  single-pass partial+final hash aggregate, no extra shuffle.
+- **Double division only after exact sums** (avg = exact-sum / count).
+- **UTC + aliased columns** everywhere (driver hash-matches by column name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iot_data_pipeline_spark.session import prepare
+from iot_data_pipeline_spark.sources.readers import load_table
+
+DEC = "decimal(18,4)"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table with session conventions pinned."""
+    prepare(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Exact decimal sum of a ≤4-decimal double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Deterministic average: exact decimal sum (as double) / count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias(alias)
+
+
+def dec(col: Column | str) -> Column:
+    """Cast to the shared exact-decimal type."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+# The matching DuckDB SQL fragments (keep in sync with dsum/davg above).
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )

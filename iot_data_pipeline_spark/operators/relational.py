@@ -1,0 +1,725 @@
+"""Relational core: scans, projections, filters, joins, aggregations,
+windows, sorts, set ops — every operator is declarative DataFrame API so
+Catalyst picks the physical strategy (broadcast vs shuffle join, partial
+aggregation, TakeOrderedAndProject, AQE re-planning at runtime).
+
+Each query is a pure ``(spark, sf_dir) -> DataFrame``; the matching DuckDB
+oracle SQL lives in ``ORACLES`` under the same key (SURVEY.md §2B ids).
+
+Scale notes are inline per operator: at 100 TB the same plans hold because
+every join/agg keys on high-cardinality uniformly-distributed columns, small
+dimension tables are broadcast explicitly, and nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from iot_data_pipeline_spark.functions.transforms import (
+    blank_to_null,
+    normalize_columns,
+)
+from iot_data_pipeline_spark.operators._util import (
+    davg,
+    dec,
+    dsum,
+    sql_davg,
+    sql_dsum,
+    table,
+)
+
+# ---------------------------------------------------------------------------
+# Scans / sinks (reference S1/S2/S5; SURVEY.md §2B "Scans / sources / sinks")
+# ---------------------------------------------------------------------------
+
+
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain parquet scan of ``supplier`` (full projection). Column pruning /
+    predicate pushdown are exercised by the filter queries below."""
+    return table(spark, sf_dir, "supplier")
+
+
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference S2: ``write.mode('overwrite').parquet`` then read back.
+    The oracle checks the round trip is lossless (== source table)."""
+    df = table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="sink_parquet_") + "/nation"
+    df.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters (reference P1/P2, F4-F6)
+# ---------------------------------------------------------------------------
+
+
+def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename-all projection (reference P1): dotted/hyphenated names →
+    underscores, then a column subset. Metadata-only — no job until action."""
+    df = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("c.custkey"),
+        F.col("c_name").alias("c-name"),
+        F.col("c_mktsegment").alias("c.mkt-segment"),
+    )
+    return normalize_columns(df)
+
+
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate: ``=``, ``<``, ``IN``, ``LIKE``, ``AND/OR/NOT``.
+    All of it reaches the parquet scan as PushedFilters."""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_totalprice") < 150000.0)
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_orderpriority").like("%H%")
+        & ~F.col("o_orderstatus").isNull()
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+def filter_null_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-string→NULL normalization then null-predicate filter
+    (reference F6 pattern on the ``events.event_type`` analog)."""
+    e = table(spark, sf_dir, "events")
+    normed = e.withColumn("event_type", blank_to_null(F.col("event_type")))
+    return normed.filter(F.col("event_type").isNotNull()).select(
+        "event_id", "event_type", "user_id"
+    )
+
+
+def project_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested CASE WHEN including a no-otherwise branch (→ NULL), the
+    reference's F4 conditional shape."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debtor")
+        .when(
+            F.col("c_acctbal") < 5000,
+            F.when(F.col("c_mktsegment") == "BUILDING", "building-small").otherwise(
+                "small"
+            ),
+        )
+        .otherwise("large")
+        .alias("tier"),
+        # when-without-otherwise → NULL for non-matches (quirk-faithful F4).
+        F.when(F.col("c_acctbal") > 9000, F.lit("vip")).alias("vip_flag"),
+    )
+
+
+def project_cast_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts + arithmetic (the duration-seconds computation shape, F2-F3):
+    charge = extendedprice * (1 - discount) * (1 + tax), decimal-exact."""
+    li = table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,4)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        (dec("l_extendedprice") * (one - dec("l_discount")))
+        .cast("double")
+        .alias("disc_price"),
+        (dec("l_extendedprice") * (one - dec("l_discount")) * (one + dec("l_tax")))
+        .cast("double")
+        .alias("charge"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins. Catalyst chooses broadcast-hash for the small sides automatically
+# under AQE; the explicit broadcast() hint is exercised by join_broadcast.
+# ---------------------------------------------------------------------------
+
+
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer on custkey. At scale: shuffle-hash/sort-merge on the
+    uniformly distributed key; at these SFs AQE converts to broadcast."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ broadcast(part): explicit hint — part is a dimension table
+    that fits in every executor, so the fact side never shuffles."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_brand", "p_type", "l_quantity"
+    )
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer LEFT JOIN orders — preserves customers with no orders
+    (null o_orderkey)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_orderstatus"
+    )
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation FULL OUTER supplier on nationkey: unmatched rows on both sides
+    survive with nulls."""
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "full").select(
+        "n_nationkey", "n_name", "s_suppkey", "s_name"
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having ≥1 order (left_semi: no row multiplication, the
+    probe side streams — cheapest existence join at scale)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no high-value order (left_anti against a filtered
+    build side — the filter is pushed below the join)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band join: same-brand part pairs whose retail prices are
+    within 5.0 of each other. The brand equality keeps it an equi-join with a
+    range residual — Catalyst plans hash join on p_brand with the band as a
+    post-join filter, NOT a cartesian product; that is the scalable shape for
+    band joins (equi-bucket + residual)."""
+    p1 = table(spark, sf_dir, "part").alias("p1")
+    p2 = table(spark, sf_dir, "part").alias("p2")
+    return (
+        p1.join(
+            p2,
+            (F.col("p1.p_brand") == F.col("p2.p_brand"))
+            & (F.col("p1.p_partkey") < F.col("p2.p_partkey"))
+            & (
+                F.abs(dec("p1.p_retailprice") - dec("p2.p_retailprice"))
+                <= F.lit(5.0).cast("decimal(18,4)")
+            ),
+        )
+        .select(
+            F.col("p1.p_partkey").alias("partkey_a"),
+            F.col("p2.p_partkey").alias("partkey_b"),
+            F.col("p1.p_brand").alias("p_brand"),
+        )
+    )
+
+
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way chain region→nation→customer→orders→lineitem with group-by
+    revenue per region (TPC-H Q5 shape). Dimension sides broadcast; the two
+    fact tables join on their natural keys. Revenue is decimal-exact."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest event at-or-before each order's date for the
+    order's customer (events.user_id ≡ o_custkey).
+
+    Spark has no native as-of join, and the naive range join explodes. The
+    scalable formulation is union-and-scan: tag both streams, sort within
+    user partitions by (ts, tag, event_id), and carry the last event id
+    forward with last_value(ignorenulls) — ONE shuffle on user_id, linear
+    scan, no row multiplication. This holds at 100 TB because state per
+    partition is one value.
+    """
+    o = table(spark, sf_dir, "orders")
+    e = table(spark, sf_dir, "events")
+    orders_side = o.select(
+        F.col("o_orderkey"),
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(None).cast("long").alias("ev_id"),
+        F.lit(1).alias("is_order"),
+    )
+    events_side = e.select(
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.col("user_id").alias("uid"),
+        F.col("ts"),
+        F.col("event_id").alias("ev_id"),
+        F.lit(0).alias("is_order"),
+    )
+    u = orders_side.unionByName(events_side)
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("ts", "is_order", "ev_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        "last_event_id",
+        F.last(F.when(F.col("is_order") == 0, F.col("ev_id")), ignorenulls=True).over(
+            w
+        ),
+    )
+    return carried.filter(F.col("is_order") == 1).select(
+        "o_orderkey",
+        F.col("uid").alias("o_custkey"),
+        F.col("ts").alias("o_orderdate"),
+        "last_event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (partial+final hash agg with codegen — planner-chosen)
+# ---------------------------------------------------------------------------
+
+
+def agg_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Q1: SELECT count(*). Parquet aggregate pushdown answers this
+    from footer metadata without scanning data pages."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def agg_groupby_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the reference's label-taxonomy group-by analog
+    (README.md:64-80): per (returnflag, linestatus) counts/sums/avgs.
+    Map-side partial aggregation makes the shuffle tiny (|groups| rows)."""
+    li = table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """countDistinct over two keys (expand + two-phase distinct agg)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("d_part"),
+        F.countDistinct("l_suppkey").alias("d_supp"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (rows-only oracle: probabilistic). At 100 TB
+    this is the only sane distinct-count — fixed-size sketch, no shuffle of
+    raw keys. Engine test asserts ≤2% relative error vs exact."""
+    e = table(spark, sf_dir, "events")
+    return e.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotal + grand-total rows with
+    NULL group keys — one Expand node feeding the same hash aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("l_quantity", "sum_qty")
+    )
+
+
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group + post-aggregation filter (HAVING)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_cnt"), dsum("o_totalprice", "total_spend"))
+        .filter(F.col("order_cnt") > 5)
+    )
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution stats over part prices. stddev/variance are computed from
+    exact decimal Σx and Σx² so both engines derive them from bit-identical
+    doubles (single-pass, still one aggregate); median uses exact
+    percentile (Spark) ≡ quantile_cont (DuckDB), rounded."""
+    p = table(spark, sf_dir, "part")
+    sum_x = F.sum(dec("p_retailprice") * F.lit(1).cast("decimal(18,4)")).cast("double")
+    sum_x2 = F.sum(dec("p_retailprice") * dec("p_retailprice")).cast("double")
+    n = F.count("p_retailprice").cast("double")
+    var = (sum_x2 - sum_x * sum_x / n) / (n - F.lit(1.0))
+    return p.agg(
+        F.round(var, 4).alias("var_price"),
+        F.round(F.sqrt(var), 4).alias("stddev_price"),
+        F.round(F.expr("percentile(p_retailprice, 0.5)"), 4).alias("median_price"),
+        n.cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number per customer ordered by totalprice desc
+    with the unique orderkey as tiebreak (determinism convention)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer in (orderdate, orderkey) order,
+    rowsBetween(unboundedPreceding, currentRow). Decimal-exact prefix sums
+    are order-insensitive to engine internals because the frame order is
+    total (unique tiebreak key)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gaps via lag(ts): delta in exact integer
+    microseconds (unix_micros), so no float drift between engines."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    nxt = F.lead(F.col("ts")).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev)).alias("gap_us"),
+        (F.unix_micros(nxt) - F.unix_micros(F.col("ts"))).alias("lead_us"),
+    )
+
+
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice (row_number ≤ 3). At scale
+    this is the rank-then-filter pattern: one shuffle on the group key; AQE
+    handles group skew."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / set ops
+# ---------------------------------------------------------------------------
+
+
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY … LIMIT k → TakeOrderedAndProject: each partition
+    keeps its local top-k, driver merges k·partitions rows — no global sort
+    ever materializes, which is why this survives 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two overlapping filtered slices (duplicates preserved —
+    the hash compare is a multiset, so ALL semantics are verified)."""
+    c = table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 8000).select("c_custkey", "c_name")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_name")
+    return a.unionByName(b)
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of customer keys vs ordering-customer keys."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.intersect(o)
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customer keys minus urgent-order customer keys."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return c.subtract(o)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "scan_parquet": scan_parquet,
+    "sink_parquet_roundtrip": sink_parquet_roundtrip,
+    "project_rename": project_rename,
+    "filter_pred": filter_pred,
+    "filter_null_norm": filter_null_norm,
+    "project_case": project_case,
+    "project_cast_arith": project_cast_arith,
+    "join_inner_equi": join_inner_equi,
+    "join_broadcast": join_broadcast,
+    "join_left_outer": join_left_outer,
+    "join_full_outer": join_full_outer,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_theta_range": join_theta_range,
+    "join_multiway": join_multiway,
+    "join_asof_event": join_asof_event,
+    "agg_count_star": agg_count_star,
+    "agg_groupby_label": agg_groupby_label,
+    "agg_distinct": agg_distinct,
+    "agg_approx_distinct": agg_approx_distinct,
+    "agg_grouping_sets": agg_grouping_sets,
+    "agg_having": agg_having,
+    "agg_stats": agg_stats,
+    "win_rank": win_rank,
+    "win_running_sum": win_running_sum,
+    "win_lag_lead": win_lag_lead,
+    "win_topk_per_group": win_topk_per_group,
+    "sort_limit": sort_limit,
+    "set_union_all": set_union_all,
+    "set_intersect": set_intersect,
+    "set_except": set_except,
+}
+
+ORACLES = {
+    "scan_parquet": "SELECT * FROM supplier",
+    "sink_parquet_roundtrip": "SELECT * FROM nation",
+    "project_rename": (
+        "SELECT c_custkey AS c_custkey, c_name AS c_name,"
+        " c_mktsegment AS c_mkt_segment FROM customer"
+    ),
+    "filter_pred": (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders"
+        " WHERE o_orderstatus = 'F' AND o_totalprice < 150000.0"
+        " AND o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        " AND o_orderpriority LIKE '%H%' AND o_orderstatus IS NOT NULL"
+    ),
+    "filter_null_norm": (
+        "SELECT event_id, NULLIF(event_type, '') AS event_type, user_id"
+        " FROM events WHERE NULLIF(event_type, '') IS NOT NULL"
+    ),
+    "project_case": (
+        "SELECT c_custkey,"
+        " CASE WHEN c_acctbal < 0 THEN 'debtor'"
+        "      WHEN c_acctbal < 5000 THEN"
+        "        (CASE WHEN c_mktsegment = 'BUILDING' THEN 'building-small'"
+        "              ELSE 'small' END)"
+        "      ELSE 'large' END AS tier,"
+        " CASE WHEN c_acctbal > 9000 THEN 'vip' END AS vip_flag"
+        " FROM customer"
+    ),
+    "project_cast_arith": (
+        "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS qty_int,"
+        " CAST(CAST(l_extendedprice AS DECIMAL(18,4))"
+        "      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+        "      AS DOUBLE) AS disc_price,"
+        " CAST(CAST(l_extendedprice AS DECIMAL(18,4))"
+        "      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+        "      * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))"
+        "      AS DOUBLE) AS charge"
+        " FROM lineitem"
+    ),
+    "join_inner_equi": (
+        "SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice"
+        " FROM orders JOIN customer ON o_custkey = c_custkey"
+    ),
+    "join_broadcast": (
+        "SELECT l_orderkey, l_linenumber, p_brand, p_type, l_quantity"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+    ),
+    "join_left_outer": (
+        "SELECT c_custkey, c_name, o_orderkey, o_orderstatus"
+        " FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+    ),
+    "join_full_outer": (
+        "SELECT n_nationkey, n_name, s_suppkey, s_name"
+        " FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey"
+    ),
+    "join_semi": (
+        "SELECT c_custkey, c_name FROM customer c"
+        " WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ),
+    "join_anti": (
+        "SELECT c_custkey, c_name, c_acctbal FROM customer c"
+        " WHERE NOT EXISTS (SELECT 1 FROM orders o"
+        " WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)"
+    ),
+    "join_theta_range": (
+        "SELECT p1.p_partkey AS partkey_a, p2.p_partkey AS partkey_b,"
+        " p1.p_brand AS p_brand"
+        " FROM part p1 JOIN part p2 ON p1.p_brand = p2.p_brand"
+        " AND p1.p_partkey < p2.p_partkey"
+        " AND ABS(CAST(p1.p_retailprice AS DECIMAL(18,4))"
+        "         - CAST(p2.p_retailprice AS DECIMAL(18,4)))"
+        "     <= CAST(5.0 AS DECIMAL(18,4))"
+    ),
+    "join_multiway": (
+        "SELECT r_name,"
+        " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+        "          * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
+        "      AS DOUBLE) AS revenue,"
+        " COUNT(*) AS n_items"
+        " FROM lineitem"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " JOIN nation ON c_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey"
+        " GROUP BY r_name"
+    ),
+    "join_asof_event": (
+        "WITH u AS ("
+        "  SELECT o_orderkey, o_custkey AS uid, o_orderdate AS ts,"
+        "         CAST(NULL AS BIGINT) AS ev_id, 1 AS is_order FROM orders"
+        "  UNION ALL"
+        "  SELECT CAST(NULL AS BIGINT), user_id, CAST(ts AS TIMESTAMP),"
+        "         event_id, 0 FROM events"
+        "), w AS ("
+        "  SELECT *, LAST_VALUE(CASE WHEN is_order = 0 THEN ev_id END IGNORE NULLS)"
+        "    OVER (PARTITION BY uid ORDER BY ts, is_order, ev_id"
+        "          ROWS UNBOUNDED PRECEDING) AS last_event_id"
+        "  FROM u)"
+        " SELECT o_orderkey, uid AS o_custkey, ts AS o_orderdate, last_event_id"
+        " FROM w WHERE is_order = 1"
+    ),
+    "agg_count_star": "SELECT COUNT(*) AS cnt FROM lineitem",
+    "agg_groupby_label": (
+        "SELECT l_returnflag, l_linestatus,"
+        f" {sql_dsum('l_quantity', 'sum_qty')},"
+        f" {sql_dsum('l_extendedprice', 'sum_base_price')},"
+        " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+        "          * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
+        "      AS DOUBLE) AS sum_disc_price,"
+        f" {sql_davg('l_quantity', 'avg_qty')},"
+        f" {sql_davg('l_extendedprice', 'avg_price')},"
+        " COUNT(*) AS count_order"
+        " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "agg_distinct": (
+        "SELECT COUNT(DISTINCT l_partkey) AS d_part,"
+        " COUNT(DISTINCT l_suppkey) AS d_supp, COUNT(*) AS cnt FROM lineitem"
+    ),
+    "agg_grouping_sets": (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,"
+        f" {sql_dsum('l_quantity', 'sum_qty')}"
+        " FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    ),
+    "agg_having": (
+        "SELECT o_custkey, COUNT(*) AS order_cnt,"
+        f" {sql_dsum('o_totalprice', 'total_spend')}"
+        " FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5"
+    ),
+    "agg_stats": (
+        "WITH s AS (SELECT"
+        "  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))"
+        "           * CAST(1 AS DECIMAL(18,4))) AS DOUBLE) AS sum_x,"
+        "  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))"
+        "           * CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_x2,"
+        "  CAST(COUNT(p_retailprice) AS DOUBLE) AS n,"
+        "  quantile_cont(p_retailprice, 0.5) AS med"
+        " FROM part)"
+        " SELECT ROUND((sum_x2 - sum_x * sum_x / n) / (n - 1.0), 4) AS var_price,"
+        " ROUND(SQRT((sum_x2 - sum_x * sum_x / n) / (n - 1.0)), 4) AS stddev_price,"
+        " ROUND(med, 4) AS median_price, CAST(n AS BIGINT) AS n FROM s"
+    ),
+    "win_rank": (
+        "SELECT o_orderkey, o_custkey, o_totalprice,"
+        " RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,"
+        " ROW_NUMBER() OVER w AS rn FROM orders"
+        " WINDOW w AS (PARTITION BY o_custkey"
+        "              ORDER BY o_totalprice DESC, o_orderkey)"
+    ),
+    "win_running_sum": (
+        "SELECT o_orderkey, o_custkey, o_orderdate,"
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))"
+        "      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+        "            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend"
+        " FROM orders"
+    ),
+    "win_lag_lead": (
+        "SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,"
+        " epoch_us(CAST(ts AS TIMESTAMP))"
+        "   - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us,"
+        " LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER w"
+        "   - epoch_us(CAST(ts AS TIMESTAMP)) AS lead_us"
+        " FROM events WINDOW w AS (PARTITION BY user_id"
+        " ORDER BY CAST(ts AS TIMESTAMP), event_id)"
+    ),
+    "win_topk_per_group": (
+        "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+        "  SELECT o_custkey, o_orderkey, o_totalprice,"
+        "  ROW_NUMBER() OVER (PARTITION BY o_custkey"
+        "                     ORDER BY o_totalprice DESC, o_orderkey) AS rn"
+        "  FROM orders) WHERE rn <= 3"
+    ),
+    "sort_limit": (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+        " ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ),
+    "set_union_all": (
+        "SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 8000"
+        " UNION ALL"
+        " SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'"
+    ),
+    "set_intersect": (
+        "SELECT c_custkey AS custkey FROM customer"
+        " INTERSECT SELECT o_custkey AS custkey FROM orders"
+    ),
+    "set_except": (
+        "SELECT c_custkey AS custkey FROM customer"
+        " EXCEPT SELECT o_custkey AS custkey FROM orders"
+        " WHERE o_orderpriority = '1-URGENT'"
+    ),
+}

@@ -1,0 +1,72 @@
+"""SparkSession construction.
+
+Replicates the reference's session semantics (app name / master / driver
+memory / AQE flag / generic ``spark.*`` passthrough from a config dict —
+``/root/reference/src/jobs/process_iot_data.py:40-76``) and layers on the
+engine's own scale-oriented defaults: AQE with skew-join handling, Arrow
+exchange for Pandas UDFs, UTC session timezone for deterministic timestamps.
+
+On a real cluster only ``master`` changes; every operator in this package is
+partition-aware, so the same plans run on 1000 executors.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import SparkSession
+
+# Engine defaults. These are chosen for correctness-at-scale first:
+# - AQE on (coalesce post-shuffle partitions, switch join strategies at
+#   runtime, split skewed partitions) — the reference also enables AQE.
+# - Arrow on so any pandas_udf exchange is columnar-batched, not pickled rows.
+# - UTC so timestamp semantics are stable across driver/executors/oracles.
+ENGINE_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet scans: vectorized reader + aggregate pushdown where possible.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def build_session(
+    app_name: str = "iot_data_pipeline_spark",
+    master: str | None = None,
+    conf: Mapping[str, Any] | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession.
+
+    ``conf`` mirrors the reference's generic passthrough: every key starting
+    with ``spark.`` is applied verbatim (reference ``process_iot_data.py:56-65``);
+    the AQE toggle is just another conf key. Explicit args win over defaults,
+    user conf wins over engine defaults.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    merged: dict[str, str] = dict(ENGINE_DEFAULTS)
+    for key, value in (conf or {}).items():
+        if str(key).startswith("spark."):
+            merged[str(key)] = str(value)
+    if shuffle_partitions is not None:
+        merged["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    for key, value in merged.items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conventions to an externally-built session.
+
+    The driver hands ``queries()`` a session we did not build; determinism
+    conventions (UTC, Arrow) are runtime-settable confs, so pin them here at
+    query entry. Safe to call repeatedly.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark

@@ -1,0 +1,145 @@
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Runs every ``queries()`` entry on Spark and, where ``oracle_sql()`` has a
+matching key, the oracle on DuckDB over the same parquet tables; compares
+row count, sorted column names, and an order-insensitive multiset of
+stringified rows. Usage::
+
+    python verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+
+from iot_data_pipeline_spark.sources.readers import TABLES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # collapse -0.0/0.0 and use repr for full precision
+        if v == 0.0:
+            return "0.0"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v)
+    try:
+        import datetime
+
+        if isinstance(v, datetime.datetime):
+            return v.replace(tzinfo=None).isoformat()
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+    except Exception:
+        pass
+    try:
+        from decimal import Decimal
+
+        if isinstance(v, Decimal):
+            return repr(float(v))
+    except Exception:
+        pass
+    return str(v)
+
+
+def _rows_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out)
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = SF_DIR
+    if args and "/" in args[0]:
+        sf_dir, args = args[0], args[1:]
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("verify_local")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    selected = args or list(qs)
+
+    n_pass = n_fail = n_rows_only = 0
+    for name in selected:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception:
+            print(f"FAIL {name}: spark error")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"rows-only {name}: {len(srows)} rows  ({dt:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            drows = rel.fetchall()
+        except Exception:
+            print(f"FAIL {name}: duckdb error")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
+            problems.append(f"schema spark={sorted(scols)} duck={sorted(dcols)}")
+        if not problems:
+            sm = _rows_multiset(scols, [tuple(r) for r in srows])
+            dm = _rows_multiset(dcols, drows)
+            if sm != dm:
+                diffs = [(a, b) for a, b in zip(sm, dm) if a != b]
+                problems.append(
+                    f"values differ ({len(diffs)} of {len(sm)} rows);"
+                    f" first: spark={diffs[0][0]} duck={diffs[0][1]}"
+                )
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(srows)} rows  ({dt:.1f}s)")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
