@@ -20,7 +20,8 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-from iot_data_pipeline_spark.operators import relational  # noqa: E402
+from iot_data_pipeline_spark.functions import scalar_suites  # noqa: E402
+from iot_data_pipeline_spark.operators import llm, relational, udfs  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.join_multiway(spark, "/root/testdata/sf0.001")
 
 
-_MODULES = [relational]
+_MODULES = [relational, scalar_suites, udfs, llm]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,319 @@
+"""Scalar-function suite queries (SURVEY.md §2B "Scalar functions") plus the
+reference's CSV-scan contract exercised end-to-end on a quirk fixture.
+
+Everything stays inside whole-stage codegen — built-in ``pyspark.sql.functions``
+only, no Python in the hot path. Oracle parity notes inline; where Spark and
+DuckDB dialects could drift (round-half behavior, libm last-ulp), computed
+values are rounded AFTER transcendental functions and tie-prone roundings are
+avoided (FIXTURES.md §5, SURVEY.md §7 risk 1).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from iot_data_pipeline_spark.functions.transforms import (
+    duration_to_seconds,
+    normalize_columns,
+    transform_iot,
+)
+from iot_data_pipeline_spark.operators._util import table
+from iot_data_pipeline_spark.session import prepare
+from iot_data_pipeline_spark.sources.readers import IOT_SCHEMA, read_iot_csv
+
+# Duration quirk fixture (FIXTURES.md §1): id → raw Zeek duration string.
+# Expected values under reference semantics (quirks 1-2, float32 casts),
+# rounded to 6 decimals — computed once and pinned as oracle literals.
+DURATION_FIXTURE: list[tuple[int, str | None]] = [
+    (1, "0 days 00:00:03.000123"),
+    (2, "1 days 02:03:04.500000"),
+    (3, "0 days 00:00:03"),  # no fractional dot → NULL (quirk 2)
+    (4, "0 days 00:00:03.5"),  # ".5" ÷ 1e6 → 3.000005 (quirk 1)
+    (5, "3.12"),  # plain numeric fallback
+    (6, "2 days 10:20:30.123456"),
+    (7, None),  # '-' at scan time → NULL
+]
+
+DURATION_ORACLE_SQL = (
+    "SELECT * FROM (VALUES"
+    " (1, CAST(3.000123 AS DOUBLE)),"
+    " (2, CAST(93784.5 AS DOUBLE)),"
+    " (3, CAST(NULL AS DOUBLE)),"
+    " (4, CAST(3.000005 AS DOUBLE)),"
+    " (5, CAST(3.12 AS DOUBLE)),"
+    " (6, CAST(210030.123456 AS DOUBLE)),"
+    " (7, CAST(NULL AS DOUBLE))"
+    ") t(id, duration_sec)"
+)
+
+
+def _duration_fixture_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [Row(id=i, duration=d) for i, d in DURATION_FIXTURE],
+        "id INT, duration STRING",
+    )
+
+
+def fn_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference F1-F3: the 6×regexp_extract duration parse with exact quirk
+    semantics, as a pure Catalyst expression. Oracle = pinned golden values."""
+    prepare(spark)
+    df = _duration_fixture_df(spark)
+    return df.select(
+        "id",
+        F.round(duration_to_seconds(F.col("duration")).cast("double"), 6).alias(
+            "duration_sec"
+        ),
+    )
+
+
+# CSV fixture exercising the full scan contract: '-' null sentinel, header,
+# recursive directory lookup, enforced schema, plus the downstream transforms.
+_CSV_ROWS = [
+    # uid, orig_h, orig_p, resp_h, resp_p, proto, service, duration,
+    # orig_bytes, resp_bytes, conn_state, local_orig, local_resp,
+    # missed_bytes, history, orig_pkts, orig_ip_bytes, resp_pkts,
+    # resp_ip_bytes, tunnel_parents, label, detailed-label
+    ["u1", "10.0.0.1", "443", "10.0.0.2", "51000", "tcp", "http",
+     "0 days 00:00:03.000123", "100", "200", "SF", "T", "F", "0", "ShADad",
+     "3", "300", "2", "250", "-", "Benign", "-"],
+    ["u2", "10.0.0.3", "53", "10.0.0.4", "51001", "udp", "dns",
+     "3.12", "-", "80", "S0", "F", "-", "0", "D", "1", "60", "1", "90",
+     "-", "Malicious", "PartOfAHorizontalPortScan"],
+    ["u3", "10.0.0.5", "22", "10.0.0.6", "51002", "tcp", "",
+     "0 days 00:00:03", "55", "-", "OTH", "-", "T", "5", "-", "2", "110",
+     "0", "0", "-", "Malicious", "C&C"],
+    ["u4", "10.0.0.7", "80", "10.0.0.8", "51003", "icmp", "-",
+     "-", "-", "-", "REJ", "", "", "-", "-", "0", "0", "0", "0", "-",
+     "Benign", "-"],
+]
+
+
+def _write_csv_fixture() -> str:
+    """Write the fixture under a nested subdir so recursiveFileLookup is
+    actually exercised."""
+    root = tempfile.mkdtemp(prefix="iot_csv_fixture_")
+    sub = os.path.join(root, "capture-1", "bro")
+    os.makedirs(sub, exist_ok=True)
+    with open(os.path.join(sub, "conn.log.labeled.csv"), "w", newline="") as f:
+        w = csv.writer(f, quoting=csv.QUOTE_MINIMAL)
+        w.writerow([fld.name for fld in IOT_SCHEMA.fields])
+        w.writerows(_CSV_ROWS)
+    return root
+
+
+def scan_csv_opts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference S1→P1→F1-F7 end-to-end: schema-enforced recursive CSV scan
+    ('-'→NULL), name normalization, full IoT transform. Oracle = pinned
+    golden rows."""
+    prepare(spark)
+    raw = read_iot_csv(spark, _write_csv_fixture())
+    out = transform_iot(normalize_columns(raw))
+    return out.select(
+        "uid",
+        "id_orig_h",
+        "id_orig_p",
+        "proto",
+        "service",
+        "orig_bytes",
+        "label",
+        "detailed_label",
+        F.round(F.col("duration_sec").cast("double"), 6).alias("duration_sec"),
+        "local_orig_bool",
+        "local_resp_bool",
+    )
+
+
+SCAN_CSV_ORACLE_SQL = (
+    "SELECT * FROM (VALUES"
+    " ('u1', '10.0.0.1', 443, 'tcp', 'http', CAST(100 AS BIGINT), 'Benign',"
+    "  CAST(NULL AS VARCHAR), CAST(3.000123 AS DOUBLE), true, true),"
+    " ('u2', '10.0.0.3', 53, 'udp', 'dns', CAST(NULL AS BIGINT), 'Malicious',"
+    "  'PartOfAHorizontalPortScan', CAST(3.12 AS DOUBLE), true, false),"
+    " ('u3', '10.0.0.5', 22, 'tcp', CAST(NULL AS VARCHAR), CAST(55 AS BIGINT),"
+    "  'Malicious', 'C&C', CAST(NULL AS DOUBLE), false, true),"
+    " ('u4', '10.0.0.7', 80, 'icmp', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),"
+    "  'Benign', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), false, false)"
+    ") t(uid, id_orig_h, id_orig_p, proto, service, orig_bytes, label,"
+    "    detailed_label, duration_sec, local_orig_bool, local_resp_bool)"
+)
+
+
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/trim/substring/concat/split/length/replace over part."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias(
+            "brand_trim"
+        ),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+    )
+
+
+def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/date_trunc/datediff/last_day over l_shipdate."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        F.dayofmonth("l_shipdate").alias("ship_day"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("ship_month_start"),
+        F.datediff(F.col("l_shipdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.last_day(F.col("l_shipdate")).alias("ship_month_end"),
+        F.to_date(F.col("l_shipdate")).alias("ship_date"),
+    )
+
+
+def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/ln/sqrt/pow over part prices. Transcendentals are
+    rounded to 4 AFTER evaluation (libm last-ulp absorption); ceil/floor cast
+    to BIGINT on both sides (DuckDB returns double, Spark returns long)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1500.0).alias("abs_diff"),
+        F.ceil("p_retailprice").cast("long").alias("price_ceil"),
+        F.floor("p_retailprice").cast("long").alias("price_floor"),
+        F.round(F.log("p_retailprice"), 4).alias("price_ln"),
+        F.round(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
+        F.pow(F.col("p_size").cast("double"), F.lit(2.0)).alias("size_sq"),
+    )
+
+
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the events.props JSON string — both the
+    path-based get_json_object and schema-based from_json routes."""
+    e = table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_path"),
+        parsed.getField("k").cast("long").alias("k_typed"),
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod"),
+    )
+
+
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over embeddings: size, element access,
+    fold (aggregate), filter, min/max. All JVM-side — no UDF; at 100 TB this
+    is the cheap path for vector math on array columns."""
+    e = table(spark, sf_dir, "embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(emb_d, 1), 4).alias("first_val"),
+        F.round(
+            F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("emb_sum"),
+        F.round(F.array_min(emb_d), 4).alias("emb_min"),
+        F.round(F.array_max(emb_d), 4).alias("emb_max"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+def fn_map_from_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a word→length map from p_type tokens, then probe it. Output is
+    scalar (map internals never surface), so the oracle can express the same
+    lookups with list functions; map iteration order never matters."""
+    prepare(spark)
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    p = table(spark, sf_dir, "part")
+    words = F.split("p_type", " ")
+    m = F.map_from_entries(
+        F.transform(words, lambda w: F.struct(w.alias("key"), F.length(w).alias("value")))
+    )
+    return p.select(
+        "p_partkey",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, F.element_at(words, 1)).alias("first_word_len"),
+        F.array_contains(F.map_keys(m), "PLATED").alias("has_plated"),
+    )
+
+
+QUERIES = {
+    "scan_csv_opts": scan_csv_opts,
+    "fn_regexp_extract": fn_regexp_extract,
+    "fn_string_suite": fn_string_suite,
+    "fn_date_suite": fn_date_suite,
+    "fn_math_suite": fn_math_suite,
+    "fn_json_extract": fn_json_extract,
+    "fn_array_suite": fn_array_suite,
+    "fn_map_from_entries": fn_map_from_entries,
+}
+
+ORACLES = {
+    "scan_csv_opts": SCAN_CSV_ORACLE_SQL,
+    "fn_regexp_extract": DURATION_ORACLE_SQL,
+    "fn_string_suite": (
+        "SELECT p_partkey, UPPER(p_name) AS name_upper,"
+        " LOWER(p_brand) AS brand_lower, LENGTH(p_name) AS name_len,"
+        " SUBSTRING(p_name, 1, 5) AS name_pfx,"
+        " CONCAT_WS('|', p_brand, p_type) AS brand_type,"
+        " TRIM(CONCAT('  ', p_brand, ' ')) AS brand_trim,"
+        " REPLACE(p_type, ' ', '_') AS type_snake,"
+        " LEN(STRING_SPLIT(p_name, ' ')) AS n_words"
+        " FROM part"
+    ),
+    "fn_date_suite": (
+        "SELECT l_orderkey, l_linenumber,"
+        " YEAR(l_shipdate) AS ship_year, MONTH(l_shipdate) AS ship_month,"
+        " DAY(l_shipdate) AS ship_day,"
+        " CAST(DATE_TRUNC('month', l_shipdate) AS TIMESTAMP) AS ship_month_start,"
+        " DATEDIFF('day', DATE '1995-01-01', l_shipdate) AS days_since_95,"
+        " LAST_DAY(l_shipdate) AS ship_month_end,"
+        " CAST(l_shipdate AS DATE) AS ship_date"
+        " FROM lineitem"
+    ),
+    "fn_math_suite": (
+        "SELECT p_partkey, ABS(p_retailprice - 1500.0) AS abs_diff,"
+        " CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,"
+        " CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,"
+        " ROUND(LN(p_retailprice), 4) AS price_ln,"
+        " ROUND(SQRT(p_retailprice), 4) AS price_sqrt,"
+        " POW(CAST(p_size AS DOUBLE), 2.0) AS size_sq"
+        " FROM part"
+    ),
+    "fn_json_extract": (
+        "SELECT event_id,"
+        " CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,"
+        " CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,"
+        " CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod"
+        " FROM events"
+    ),
+    "fn_array_suite": (
+        "SELECT vec_id, len(embedding) AS dim,"
+        " ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,"
+        " ROUND(list_aggregate(list_transform(embedding,"
+        "   x -> CAST(x AS DOUBLE)), 'sum'), 4) AS emb_sum,"
+        " ROUND(list_aggregate(list_transform(embedding,"
+        "   x -> CAST(x AS DOUBLE)), 'min'), 4) AS emb_min,"
+        " ROUND(list_aggregate(list_transform(embedding,"
+        "   x -> CAST(x AS DOUBLE)), 'max'), 4) AS emb_max,"
+        " len(list_filter(embedding, x -> x > 0)) AS n_pos"
+        " FROM embeddings"
+    ),
+    "fn_map_from_entries": (
+        "SELECT p_partkey,"
+        " len(list_distinct(string_split(p_type, ' '))) AS n_keys,"
+        " length(string_split(p_type, ' ')[1]) AS first_word_len,"
+        " list_contains(string_split(p_type, ' '), 'PLATED') AS has_plated"
+        " FROM part"
+    ),
+}

@@ -42,16 +42,19 @@ def duration_to_seconds(duration: Column) -> Column:
     regexp_extracts (empty match → ``""`` → float cast NULL → NULL-poisoned
     sum), then the contains-"days"-guarded numeric fallback.
     """
+    # try_cast, not cast: the reference ran Spark 3.5 non-ANSI where a failed
+    # numeric cast yields NULL; under Spark 4's default ANSI mode a plain cast
+    # of the empty no-match regexp result would throw instead.
     parsed = (
-        F.regexp_extract(duration, r"(\d+)\s+days", 1).cast("float") * 86400.0
-        + F.regexp_extract(duration, r"days\s+(\d{2}):", 1).cast("float") * 3600.0
-        + F.regexp_extract(duration, r":(\d{2}):", 1).cast("float") * 60.0
-        + F.regexp_extract(duration, r":(\d{2})\.", 1).cast("float")
+        F.regexp_extract(duration, r"(\d+)\s+days", 1).try_cast("float") * 86400.0
+        + F.regexp_extract(duration, r"days\s+(\d{2}):", 1).try_cast("float") * 3600.0
+        + F.regexp_extract(duration, r":(\d{2}):", 1).try_cast("float") * 60.0
+        + F.regexp_extract(duration, r":(\d{2})\.", 1).try_cast("float")
         # quirk 1: fixed 1e6 divisor, digit count ignored.
-        + F.regexp_extract(duration, r"\.(\d+)", 1).cast("float") / 1000000.0
+        + F.regexp_extract(duration, r"\.(\d+)", 1).try_cast("float") / 1000000.0
     )
     fallback = F.when(duration.contains("days"), F.lit(None)).otherwise(
-        duration.cast("float")
+        duration.try_cast("float")
     )
     return F.when(parsed.isNull(), fallback).otherwise(parsed)
 
@@ -61,16 +64,19 @@ def duration_to_seconds_strict(duration: Column) -> Column:
     fractions and scales the fraction by its digit count."""
     frac_digits = F.regexp_extract(duration, r"\.(\d+)$", 1)
     parsed = (
-        F.regexp_extract(duration, r"(\d+)\s+days", 1).cast("double") * 86400.0
-        + F.regexp_extract(duration, r"days\s+(\d{2}):", 1).cast("double") * 3600.0
-        + F.regexp_extract(duration, r":(\d{2}):", 1).cast("double") * 60.0
-        + F.regexp_extract(duration, r":(\d{2})(?:\.|$)", 1).cast("double")
+        F.regexp_extract(duration, r"(\d+)\s+days", 1).try_cast("double") * 86400.0
+        + F.regexp_extract(duration, r"days\s+(\d{2}):", 1).try_cast("double")
+        * 3600.0
+        + F.regexp_extract(duration, r":(\d{2}):", 1).try_cast("double") * 60.0
+        + F.regexp_extract(duration, r":(\d{2})(?:\.|$)", 1).try_cast("double")
         + F.coalesce(
-            frac_digits.cast("double") / F.pow(10.0, F.length(frac_digits)),
+            frac_digits.try_cast("double") / F.pow(10.0, F.length(frac_digits)),
             F.lit(0.0),
         )
     )
-    return F.when(duration.contains("days"), parsed).otherwise(duration.cast("double"))
+    return F.when(duration.contains("days"), parsed).otherwise(
+        duration.try_cast("double")
+    )
 
 
 def flag_to_bool(flag: Column) -> Column:

@@ -1,0 +1,561 @@
+"""LLM-training-data pipeline operators over ``documents`` / ``embeddings``.
+
+These are first-class engine components (north star): at 100 TB the dedup and
+similarity operators dominate cost, so each one is built around the pattern
+that scales, not the one that is shortest:
+
+- exact dedup:    hash + window keep-first — one shuffle on the 256-bit hash,
+                  never on raw text.
+- near dedup:     MinHash signatures computed per-row (narrow), LSH banding →
+                  candidate pairs via equi-join on (band, signature) buckets —
+                  the join key is tiny and uniformly distributed; the
+                  quadratic verify only touches candidates.
+- n-gram jaccard: shingle-explode + equi-join on shingle; exact, oracle-checkable.
+- similarity:     brute-force cosine = broadcast(queries) ⋈ all vectors — no
+                  shuffle of the big side; the LSH-bucketed ANN variant cuts
+                  the candidate set for web-scale corpora.
+- text analysis:  pure Catalyst expressions (split/regexp/aggregate) — no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from iot_data_pipeline_spark.operators._util import table
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(col=None):
+    """Shared normalization for dedup keys: lower + trim."""
+    return F.lower(F.trim(col if col is not None else F.col("text")))
+
+
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text hash, keep lowest doc_id.
+
+    Partitioning by sha2 (not raw text) keeps shuffle rows small and
+    uniformly distributed regardless of document size skew."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2(normalized_text(), 256)).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def _word_shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → exploded distinct word n-gram shingles (Catalyst-only).
+
+    sequence+transform builds the shingle array per row (narrow), explode
+    streams it out — no Python, no quadratic blowup."""
+    toks = F.split(normalized_text(), " ")
+    shingle = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        df.where(F.size(toks) >= n)
+        .select("doc_id", F.explode(F.array_distinct(shingle)).alias("shingle"))
+        .distinct()
+    )
+
+
+def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.5), fully
+    oracle-checkable: |A∩B| via shingle equi-join, |A∪B| = nA + nB − |A∩B|.
+    This is the ground truth the MinHash variant approximates."""
+    d = table(spark, sf_dir, "documents")
+    sh = _word_shingles(d, 3).cache()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# MinHash parameters: 32 permutations in 8 bands of 4 rows → catches
+# jaccard ≳ 0.5 with high probability.
+_MINHASH_SEEDS = list(range(32))
+_LSH_BANDS = 8
+_LSH_ROWS = 4
+
+
+def minhash_signature(shingle_col) -> list:
+    """32 deterministic min-hashes: xxhash64(shingle, seed) minimized over
+    the document's shingles. Computed as aggregate expressions — one pass."""
+    return [
+        F.min(F.xxhash64(shingle_col, F.lit(seed))).alias(f"mh_{seed}")
+        for seed in _MINHASH_SEEDS
+    ]
+
+
+def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs, verified by exact Jaccard.
+
+    Pipeline: shingle → 32 min-hashes per doc (one aggregation) → band the
+    signature (8×4) → equi-join docs sharing any band bucket → verify exact
+    jaccard ≥ 0.5 on the candidates only. Deterministic (xxhash64 is seeded),
+    but not SQL-expressible → rows-only oracle; tests assert it finds
+    exactly the llm_dedup_ngram pairs on this corpus."""
+    d = table(spark, sf_dir, "documents")
+    sh = _word_shingles(d, 3).cache()
+    sig = sh.groupBy("doc_id").agg(*minhash_signature(F.col("shingle")))
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"mh_{b * _LSH_ROWS + r}") for r in range(_LSH_ROWS)]
+        ).alias(f"band_{b}")
+        for b in range(_LSH_BANDS)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    # candidate pairs: same bucket in ANY band. One posexplode + one
+    # self-equi-join on (band_idx, bucket) — single shuffle, and bucket ids
+    # are 64-bit hashes so the join keys are uniform at any scale.
+    buckets = banded.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(_LSH_BANDS)])).alias(
+            "band_idx", "bucket"
+        ),
+    )
+    l = buckets.select(F.col("doc_id").alias("doc_a"), "band_idx", "bucket")
+    r = buckets.select(F.col("doc_id").alias("doc_b"), "band_idx", "bucket")
+    cands = (
+        l.join(r, ["band_idx", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify candidates with exact jaccard (small set → cheap join back).
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_ = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b_, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints: per-token xxhash64, each bit votes ±1,
+    fingerprint bit = sign of the vote sum. Pure aggregation — one shuffle on
+    doc_id-sized data. rows-only oracle (hash function not portable to SQL);
+    unit tests assert near-identical docs land within small Hamming distance."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v_{bit}")
+            for bit in range(64)
+        ]
+    )
+    fp = None
+    for bit in range(64):
+        term = F.when(F.col(f"v_{bit}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(2**bit).cast("long") if bit < 63 else F.when(
+            F.col(f"v_{bit}") > 0, F.lit(-(2**63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.35 — calibrated to this
+    synthetic corpus where same-label cosines top out ≈0.47) among same-label
+    vectors. The label equality keeps the pair join bucketed (the general
+    release uses LSH buckets from llm_sim_ann); cosine is computed with
+    JVM higher-order functions in double precision."""
+    e = table(spark, sf_dir, "embeddings")
+    embd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = e.select("vec_id", "label", embd.alias("emb")).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label"),
+        F.col("emb").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("emb_a"), F.col("emb_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cos, 4))
+        .filter(F.col("cosine") >= 0.35)
+        .select("vec_a", "vec_b", "label", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _cosine(emb_a, emb_b):
+    """Double-precision cosine via JVM higher-order fns (no UDF)."""
+    da = F.transform(emb_a, lambda x: x.cast("double"))
+    db = F.transform(emb_b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda a, x: a + x * x))
+    nb = F.sqrt(F.aggregate(db, F.lit(0.0), lambda a, x: a + x * x))
+    return dot / (na * nb)
+
+
+def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 per query vector (queries = vec_id < 5).
+
+    broadcast(queries) ⋈ corpus: the 100 TB side is never shuffled — each
+    partition scores its vectors against the in-memory queries and the
+    window top-k reduces locally before the final merge."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_cosine(F.col("q_emb"), F.col("embedding")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
+def llm_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN: 8 random-hyperplane sign bits (planes
+    derived deterministically from xxhash64 of (dim index, plane index)) →
+    16-bucket partition of the corpus; queries only score their own bucket.
+    rows-only oracle (probabilistic recall); the test asserts ≥0.6 recall@10
+    vs llm_sim_topk while scoring ~1/16th of the corpus per query."""
+    e = table(spark, sf_dir, "embeddings")
+    embd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    # plane weight for (dim i, plane p): deterministic pseudo-random ±values
+    # from a hash — no RNG state, reproducible on any cluster.
+    def plane_dot(emb_col, p: int):
+        return F.aggregate(
+            F.zip_with(
+                emb_col,
+                F.sequence(F.lit(0), F.size(emb_col) - 1),
+                lambda x, i: x
+                * ((F.pmod(F.xxhash64(i, F.lit(p)), F.lit(2001)) - 1000.0) / 1000.0),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    def bucket(emb_col):
+        b = F.lit(0)
+        for p in range(4):
+            b = b * 2 + F.when(plane_dot(emb_col, p) > 0, 1).otherwise(0)
+        return b
+
+    v = e.select("vec_id", embd.alias("emb")).withColumn("bkt", bucket(F.col("emb")))
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("bkt").alias("q_bkt"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_emb"), F.col("emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    na = F.sqrt(
+        F.aggregate(F.col("q_emb"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    nb = F.sqrt(F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x))
+    scored = (
+        v.join(F.broadcast(q), v.bkt == q.q_bkt)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dot / (na * nb), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+# Tokenization contract shared with every oracle: split on single space.
+_WS = " "
+
+
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per (lang, source): doc count, token/char sums,
+    average tokens. Token counts are exact ints → sums deterministic."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), _WS))
+    return (
+        d.select("lang", "source", n_tokens.alias("n_tok"), F.length("text").alias("n_ch"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.sum("n_ch").alias("sum_chars"),
+            F.round(F.sum("n_tok") / F.count(F.lit(1)), 4).alias("avg_tokens"),
+            F.max("n_ch").alias("max_chars"),
+        )
+    )
+
+
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single punctuation) — the pre-tokenizer
+    shape real BPE vocabularies use."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), _WS)).alias("ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")
+        ).alias("bpe_tokens"),
+    )
+
+
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality gate: length band, minimum token count, alphabetic
+    ratio. All predicates are scan-pushable or cheap row expressions."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), _WS))
+    alpha_ratio = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.length(
+        "text"
+    )
+    return (
+        d.withColumn("n_tokens", n_tokens)
+        .withColumn("alpha_ratio", F.round(alpha_ratio, 4))
+        .filter(
+            (F.length("text") >= 100)
+            & (F.length("text") <= 5000)
+            & (n_tokens >= 20)
+            & (alpha_ratio > 0.6)
+        )
+        .select("doc_id", "lang", "n_tokens", "alpha_ratio")
+    )
+
+
+_LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-count language heuristic: per-doc counts of language-marker
+    tokens, argmax with deterministic tie order en > es > de > unknown."""
+    d = table(spark, sf_dir, "documents")
+    tok = F.split(normalized_text(), _WS)
+    counts = {
+        lang: F.size(F.filter(tok, lambda t: t.isin(*words)))
+        for lang, words in _LANG_STOPWORDS.items()
+    }
+    en, es, de = counts["en"], counts["es"], counts["de"]
+    guess = (
+        F.when((en >= es) & (en >= de) & (en > 0), "en")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("unknown")
+    )
+    return d.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact content hash (md5 of normalized text)
+    and a token-order-invariant hash (md5 of sorted distinct tokens) that
+    survives shuffling/duplicating words."""
+    d = table(spark, sf_dir, "documents")
+    bag = F.array_join(
+        F.array_sort(F.array_distinct(F.split(normalized_text(), _WS))), _WS
+    )
+    return d.select(
+        "doc_id",
+        F.md5(normalized_text()).alias("content_fp"),
+        F.md5(bag).alias("bag_fp"),
+    )
+
+
+QUERIES = {
+    "llm_dedup_exact": llm_dedup_exact,
+    "llm_dedup_ngram": llm_dedup_ngram,
+    "llm_dedup_near": llm_dedup_near,
+    "llm_dedup_simhash": llm_dedup_simhash,
+    "llm_dedup_embed": llm_dedup_embed,
+    "llm_sim_topk": llm_sim_topk,
+    "llm_sim_ann": llm_sim_ann,
+    "llm_text_stats": llm_text_stats,
+    "llm_token_count": llm_token_count,
+    "llm_quality_filter": llm_quality_filter,
+    "llm_lang_id": llm_lang_id,
+    "llm_fingerprint": llm_fingerprint,
+}
+
+_SH_CTE = (
+    "WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t"
+    "              FROM documents),"
+    " sh AS (SELECT DISTINCT doc_id,"
+    "        unnest(list_transform(generate_series(1, len(t) - 2),"
+    "               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s"
+    "        FROM toks WHERE len(t) >= 3),"
+    " cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),"
+    " inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i"
+    "           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id"
+    "           GROUP BY 1, 2)"
+    " SELECT doc_a, doc_b,"
+    " ROUND(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard"
+    " FROM inter"
+    " JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b"
+    " WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5"
+)
+
+ORACLES = {
+    "llm_dedup_exact": (
+        "SELECT doc_id, lang, source, n_chars FROM documents"
+        " WHERE doc_id IN (SELECT MIN(doc_id) FROM documents"
+        "                  GROUP BY lower(trim(text)))"
+    ),
+    "llm_dedup_ngram": _SH_CTE,
+    # llm_dedup_near / llm_dedup_simhash / llm_sim_ann: rows-only (seeded
+    # hashes / probabilistic recall are not SQL-portable); unit tests pin
+    # their behavior against the exact variants.
+    # list_cosine_similarity on FLOAT lists computes in float32; cast the
+    # vectors to double so both engines do double-precision math.
+    "llm_dedup_embed": (
+        "WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
+        " a.label AS label,"
+        " ROUND(list_cosine_similarity("
+        "   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),"
+        "   list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cosine"
+        " FROM embeddings a JOIN embeddings b"
+        " ON a.label = b.label AND a.vec_id < b.vec_id)"
+        " SELECT vec_a, vec_b, label, cosine FROM p WHERE cosine >= 0.35"
+    ),
+    "llm_sim_topk": (
+        "WITH scored AS ("
+        " SELECT q.vec_id AS query_id, e.vec_id AS vec_id,"
+        " ROUND(list_cosine_similarity("
+        "   list_transform(q.embedding, x -> CAST(x AS DOUBLE)),"
+        "   list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 4) AS cosine"
+        " FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id"
+        " WHERE q.vec_id < 5)"
+        " SELECT query_id, vec_id, cosine, rk FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id"
+        "    ORDER BY cosine DESC, vec_id) AS rk FROM scored)"
+        " WHERE rk <= 10"
+    ),
+    "llm_text_stats": (
+        "SELECT lang, source, COUNT(*) AS n_docs,"
+        " SUM(len(string_split(text, ' '))) AS sum_tokens,"
+        " SUM(length(text)) AS sum_chars,"
+        " ROUND(SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*), 4)"
+        "   AS avg_tokens,"
+        " MAX(length(text)) AS max_chars"
+        " FROM documents GROUP BY lang, source"
+    ),
+    "llm_token_count": (
+        "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,"
+        " len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))"
+        "   AS bpe_tokens"
+        " FROM documents"
+    ),
+    "llm_quality_filter": (
+        "SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,"
+        " ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+        "       * 1.0 / length(text), 4) AS alpha_ratio"
+        " FROM documents"
+        " WHERE length(text) BETWEEN 100 AND 5000"
+        " AND len(string_split(text, ' ')) >= 20"
+        " AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+        "     * 1.0 / length(text) > 0.6"
+    ),
+    "llm_lang_id": (
+        "WITH c AS (SELECT doc_id, lang,"
+        " len(list_filter(string_split(lower(trim(text)), ' '),"
+        "     t -> t IN ('the','and','of','to','is'))) AS en,"
+        " len(list_filter(string_split(lower(trim(text)), ' '),"
+        "     t -> t IN ('el','la','de','que','y'))) AS es,"
+        " len(list_filter(string_split(lower(trim(text)), ' '),"
+        "     t -> t IN ('der','die','und','das','ist'))) AS de"
+        " FROM documents)"
+        " SELECT doc_id, lang,"
+        " CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'"
+        "      WHEN es >= de AND es > 0 THEN 'es'"
+        "      WHEN de > 0 THEN 'de' ELSE 'unknown' END AS lang_guess"
+        " FROM c"
+    ),
+    "llm_fingerprint": (
+        "SELECT doc_id, md5(lower(trim(text))) AS content_fp,"
+        " md5(array_to_string(list_sort(list_distinct("
+        "   string_split(lower(trim(text)), ' '))), ' ')) AS bag_fp"
+        " FROM documents"
+    ),
+}
