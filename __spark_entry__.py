@@ -21,7 +21,13 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 from iot_data_pipeline_spark.functions import scalar_suites  # noqa: E402
-from iot_data_pipeline_spark.operators import llm, relational, udfs  # noqa: E402
+from iot_data_pipeline_spark.operators import (  # noqa: E402
+    llm,
+    multimodal,
+    relational,
+    udfs,
+)
+from iot_data_pipeline_spark.streaming import streams  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -31,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.join_multiway(spark, "/root/testdata/sf0.001")
 
 
-_MODULES = [relational, scalar_suites, udfs, llm]
+_MODULES = [relational, scalar_suites, udfs, llm, multimodal, streams]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,348 @@
+"""Structured Streaming operators (SURVEY.md §2B "Streaming").
+
+The ``events`` table is replayed as a file-source stream (parquet chunks in a
+temp dir, ``trigger(availableNow=True)``), per FIXTURES.md §4. Every query
+runs the stream to completion inside the callable and returns the final
+result as a DataFrame, so the driver's batch-oriented harness can verify it;
+oracles are the batch-equivalent SQL (streaming ≡ batch on bounded input is
+the correctness contract for every operator here).
+
+Scale design: these exact plans run unbounded on a real cluster — the
+file source becomes Kafka/MQTT, ``availableNow`` becomes a continuous
+trigger, and watermarks bound the state store exactly as exercised here.
+The memory sink is test-only; the foreachBatch query shows the production
+sink pattern (idempotent overwrite per epoch, the reference's
+TRUNCATE-then-load, ``dags/iot_processing_dag.py:55-75``).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iot_data_pipeline_spark.operators._util import table
+
+EVENTS_SCHEMA = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+    " value DOUBLE, props STRING"
+)
+
+
+def _stage_event_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    by_time: bool = False,
+    replay_order: list[int] | None = None,
+) -> str:
+    """Materialize events as ordered parquet chunk files for stream replay.
+
+    ``by_time=False``: chunks split by event_id hash (arrival ≈ random).
+    ``by_time=True``: chunk i holds the i-th time range; ``replay_order``
+    permutes the staged arrival order (names + mtimes), which is how the
+    watermark test injects genuinely late data.
+    """
+    e = table(spark, sf_dir, "events")
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    if by_time:
+        bounds = list(
+            e.select(
+                F.percentile_approx(
+                    "ts", [i / n_chunks for i in range(1, n_chunks)], 10000
+                )
+            ).first()[0]
+        )
+        preds = []
+        lo = None
+        for b in bounds + [None]:
+            preds.append((lo, b))
+            lo = b
+        splits = [
+            e.filter(
+                (F.lit(True) if lo is None else (F.col("ts") >= F.lit(lo)))
+                & (F.lit(True) if hi is None else (F.col("ts") < F.lit(hi)))
+            )
+            for lo, hi in preds
+        ]
+    else:
+        splits = [
+            e.filter(F.pmod(F.col("event_id"), F.lit(n_chunks)) == i)
+            for i in range(n_chunks)
+        ]
+    import shutil
+
+    order = replay_order or list(range(len(splits)))
+    for slot, chunk_idx in enumerate(order):
+        tmp_out = os.path.join(stream_dir, f"_stage_{chunk_idx}")
+        splits[chunk_idx].coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = next(f for f in os.listdir(tmp_out) if f.endswith(".parquet"))
+        dest = os.path.join(stream_dir, f"{slot:05d}.parquet")
+        os.rename(os.path.join(tmp_out, part), dest)
+        # strictly increasing mtimes → deterministic replay order.
+        os.utime(dest, (1_700_000_000 + slot, 1_700_000_000 + slot))
+        shutil.rmtree(tmp_out)
+    return stream_dir
+
+
+def _read_stream(spark: SparkSession, stream_dir: str, max_files: int | None = None):
+    reader = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+    )
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files))
+    return reader.load(stream_dir)
+
+
+def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+    """Run a streaming frame to completion into a memory sink, return it."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def stream_ingest_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source ingestion: replayed stream of event chunks, appended to a
+    sink. Batch-equivalence contract: output == the batch table."""
+    stream = _read_stream(spark, _stage_event_chunks(spark, sf_dir), max_files=1)
+    return _run_to_memory(
+        stream.select("event_id", "ts", "user_id", "event_type", "value", "props"),
+        "append",
+    )
+
+
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-5-minute tumbling window counts/sums by event type. Sum is
+    decimal-exact (2-decimal inputs) for oracle determinism."""
+    stream = _read_stream(spark, _stage_event_chunks(spark, sf_dir))
+    agg = (
+        stream.groupBy(F.window("ts", "5 minutes"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min, slide 5): every event lands in exactly two
+    overlapping windows."""
+    stream = _read_stream(spark, _stage_event_chunks(spark, sf_dir))
+    agg = (
+        stream.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "cnt",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def stream_session_win(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (session_window + watermark; state is merged across micro-batches).
+
+    With a 0-second watermark delay the final watermark is the global max
+    event time, so exactly the sessions whose (last event + gap) end at or
+    before it are emitted — expressible in batch SQL (gap-and-islands)."""
+    stream = _read_stream(spark, _stage_event_chunks(spark, sf_dir))
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "append")
+
+
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + late-data drop: 4 time-ranged chunks replayed in order
+    [0, 2, 1, 3] (one file per micro-batch), so chunk 1's entire time range
+    arrives AFTER chunk 2 advanced the watermark past it — those rows are
+    genuinely late and dropped; append mode emits only finalized windows.
+    Rows-only oracle: emission timing is streaming semantics, not batch SQL;
+    the unit test asserts the late-exclusion behavior exactly."""
+    stream_dir = _stage_event_chunks(
+        spark, sf_dir, n_chunks=4, by_time=True, replay_order=[0, 2, 1, 3]
+    )
+    stream = _read_stream(spark, stream_dir, max_files=1)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("window_start"), "cnt")
+    )
+    return _run_to_memory(agg, "append")
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on event_id within a 1-hour watermark: the
+    stream directory holds every chunk TWICE (duplicated files), and the
+    dedup state filters the second copies."""
+    stream_dir = _stage_event_chunks(spark, sf_dir)
+    # duplicate every chunk file → exact duplicate rows in the stream.
+    import shutil
+
+    for f in sorted(os.listdir(stream_dir)):
+        if f.endswith(".parquet"):
+            dup = os.path.join(stream_dir, "dup_" + f)
+            shutil.copy(os.path.join(stream_dir, f), dup)
+            os.utime(dup, (1_700_000_100, 1_700_000_100))
+    stream = _read_stream(spark, stream_dir)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return _run_to_memory(
+        deduped.select("event_id", "ts", "user_id", "event_type", "value"), "append"
+    )
+
+
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch idempotent sink — the reference's TRUNCATE-then-bulk-load
+    pattern (S6): every epoch fully overwrites its own partition directory,
+    so replays are idempotent; the final table is the union of epochs."""
+    stream_dir = _stage_event_chunks(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="feb_sink_") + "/events"
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"epoch={epoch_id}")
+            )
+        )
+
+    stream = _read_stream(spark, stream_dir)
+    q = (
+        stream.writeStream.foreachBatch(write_epoch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="feb_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir + "/epoch=*").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event counts and value totals held in explicit GroupState — the escape
+    hatch for operators Spark's built-in streaming aggregates can't express."""
+    import pandas as pd
+
+    stream_dir = _stage_event_chunks(spark, sf_dir)
+    stream = _read_stream(spark, stream_dir)
+
+    def update(key, pdfs, state):
+        total, cnt = state.get() if state.exists else (0, 0)
+        total, cnt = int(total), int(cnt)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            # 2-decimal inputs summed in integer cents → exact.
+            total += int(round(pdf["value"].mul(100).sum()))
+        state.update((total, cnt))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [cnt],
+                "total_cents": [int(total)],
+            }
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id LONG, n_events LONG, total_cents LONG",
+        stateStructType="total LONG, cnt LONG",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    return _run_to_memory(out, "update")
+
+
+QUERIES = {
+    "stream_ingest_files": stream_ingest_files,
+    "stream_tumbling_agg": stream_tumbling_agg,
+    "stream_sliding_agg": stream_sliding_agg,
+    "stream_session_win": stream_session_win,
+    "stream_watermark_late": stream_watermark_late,
+    "stream_dedup": stream_dedup,
+    "stream_foreachbatch_sink": stream_foreachbatch_sink,
+    "stream_stateful_count": stream_stateful_count,
+}
+
+_EVENTS_US = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
+
+ORACLES = {
+    "stream_ingest_files": _EVENTS_US,
+    "stream_tumbling_agg": (
+        "SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))"
+        "   AS window_start,"
+        " time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))"
+        "   + INTERVAL '5 minutes' AS window_end,"
+        " event_type, COUNT(*) AS cnt,"
+        " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value"
+        " FROM events GROUP BY 1, 2, 3"
+    ),
+    "stream_sliding_agg": (
+        "SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))"
+        "   - to_minutes(5 * u.i) AS window_start,"
+        " time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))"
+        "   - to_minutes(5 * u.i) + INTERVAL '10 minutes' AS window_end,"
+        " COUNT(*) AS cnt"
+        " FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) u"
+        " GROUP BY 1, 2"
+    ),
+    "stream_session_win": (
+        "WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),"
+        " l AS (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts"
+        "       FROM e),"
+        " g AS (SELECT *, SUM(CASE WHEN pts IS NULL"
+        "         OR ts - pts >= INTERVAL '30 minutes' THEN 1 ELSE 0 END)"
+        "       OVER (PARTITION BY user_id ORDER BY ts"
+        "             ROWS UNBOUNDED PRECEDING) AS sid FROM l),"
+        " s AS (SELECT user_id, MIN(ts) AS session_start,"
+        "        MAX(ts) + INTERVAL '30 minutes' AS session_end,"
+        "        COUNT(*) AS n_events FROM g GROUP BY user_id, sid)"
+        " SELECT session_start, session_end, user_id, n_events FROM s"
+        " WHERE session_end <= (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events)"
+    ),
+    # stream_watermark_late: rows-only (emission timing is stream semantics).
+    "stream_dedup": (
+        "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,"
+        " value FROM events"
+    ),
+    "stream_foreachbatch_sink": _EVENTS_US,
+    "stream_stateful_count": (
+        "SELECT user_id, COUNT(*) AS n_events,"
+        " CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS total_cents"
+        " FROM events GROUP BY user_id"
+    ),
+}
