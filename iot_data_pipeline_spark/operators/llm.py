@@ -54,17 +54,24 @@ def _word_shingles(df: DataFrame, n: int = 3) -> DataFrame:
 
     sequence+transform builds the shingle array per row (narrow), explode
     streams it out — no Python, no quadratic blowup."""
-    toks = F.split(normalized_text(), " ")
+    # Materialize the token array as a real column FIRST: referencing an
+    # inline split(...) expression from inside the transform lambda defeats
+    # common-subexpression elimination and re-splits the text per token —
+    # O(tokens²) per document. A bound column reference keeps it O(tokens).
+    toked = df.select(
+        "doc_id", F.split(normalized_text(), " ").alias("toks")
+    ).where(F.size("toks") >= n)
+    toks = F.col("toks")
     shingle = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
         ),
     )
-    return (
-        df.where(F.size(toks) >= n)
-        .select("doc_id", F.explode(F.array_distinct(shingle)).alias("shingle"))
-        .distinct()
+    # array_distinct already de-duplicates within the row, and doc_id is
+    # unique per row — (doc_id, shingle) is distinct with NO shuffle.
+    return toked.select(
+        "doc_id", F.explode(F.array_distinct(shingle)).alias("shingle")
     )
 
 
@@ -97,17 +104,25 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # MinHash parameters: 32 permutations in 8 bands of 4 rows → catches
 # jaccard ≳ 0.5 with high probability.
-_MINHASH_SEEDS = list(range(32))
+_N_MINHASH = 32
 _LSH_BANDS = 8
 _LSH_ROWS = 4
+_M32 = 1 << 32
 
 
 def minhash_signature(shingle_col) -> list:
-    """32 deterministic min-hashes: xxhash64(shingle, seed) minimized over
-    the document's shingles. Computed as aggregate expressions — one pass."""
+    """32 deterministic min-hashes per document via double hashing: only TWO
+    xxhash64 evaluations per shingle; permutation i is the classic
+    ``(h1 + i·h2) mod 2^32`` family. 16× cheaper than hashing the string 32
+    times, same LSH guarantees — this is what makes the signature pass a
+    single cheap scan at corpus scale."""
+    h1 = F.pmod(F.xxhash64(shingle_col), F.lit(_M32))
+    h2 = F.pmod(F.xxhash64(shingle_col, F.lit(1)), F.lit(_M32)).bitwiseOR(
+        F.lit(1).cast("long")
+    )
     return [
-        F.min(F.xxhash64(shingle_col, F.lit(seed))).alias(f"mh_{seed}")
-        for seed in _MINHASH_SEEDS
+        F.min(F.pmod(h1 + F.lit(i) * h2, F.lit(_M32))).alias(f"mh_{i}")
+        for i in range(_N_MINHASH)
     ]
 
 
@@ -257,22 +272,41 @@ def _cosine(emb_a, emb_b):
 def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 per query vector (queries = vec_id < 5).
 
-    broadcast(queries) ⋈ corpus: the 100 TB side is never shuffled — each
-    partition scores its vectors against the in-memory queries and the
-    window top-k reduces locally before the final merge."""
+    Scale shape: the corpus side is never shuffled — the tiny query matrix
+    ships to every task (closure broadcast) and each Arrow batch is scored
+    with one numpy matmul (batch×dim @ dim×queries), ~10× the throughput of
+    per-element codegen lambdas; the window top-k then reduces locally
+    before the final merge. (_cosine keeps the pure-JVM variant for plans
+    that must stay UDF-free.)"""
+    import numpy as np
+    import pandas as pd
+
     e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    q_rows = sorted(
+        e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
     )
-    scored = (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(_cosine(F.col("q_emb"), F.col("embedding")), 4).alias("cosine"),
-        )
-    )
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            v_norm = np.sqrt((v * v).sum(axis=1))
+            cos = (v @ q_mat.T) / np.outer(v_norm, q_norm)
+            n, k = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, n),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                    "cosine": np.round(cos.ravel(), 4),
+                }
+            )
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        score, "query_id LONG, vec_id LONG, cosine DOUBLE"
+    ).filter(F.col("vec_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -281,17 +315,21 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_TABLES = 4
+_ANN_PLANES = 4
+
+
 def llm_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate NN: 8 random-hyperplane sign bits (planes
-    derived deterministically from xxhash64 of (dim index, plane index)) →
-    16-bucket partition of the corpus; queries only score their own bucket.
-    rows-only oracle (probabilistic recall); the test asserts ≥0.6 recall@10
-    vs llm_sim_topk while scoring ~1/16th of the corpus per query."""
+    """Multi-table hyperplane-LSH approximate NN: 4 hash tables × 4
+    random-hyperplane sign bits (plane weights derived deterministically from
+    xxhash64(dim, plane) — no RNG state, reproducible on any cluster). A
+    query scores only vectors sharing its bucket in ≥1 table — ~25% of this
+    corpus instead of 100%, and the fraction shrinks with more planes as the
+    corpus grows. rows-only oracle (probabilistic recall); the unit test
+    asserts a recall floor vs the exact llm_sim_topk."""
     e = table(spark, sf_dir, "embeddings")
     embd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
 
-    # plane weight for (dim i, plane p): deterministic pseudo-random ±values
-    # from a hash — no RNG state, reproducible on any cluster.
     def plane_dot(emb_col, p: int):
         return F.aggregate(
             F.zip_with(
@@ -304,35 +342,46 @@ def llm_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x,
         )
 
-    def bucket(emb_col):
+    def bucket(emb_col, t: int):
         b = F.lit(0)
-        for p in range(4):
-            b = b * 2 + F.when(plane_dot(emb_col, p) > 0, 1).otherwise(0)
+        for p in range(_ANN_PLANES):
+            b = b * 2 + F.when(
+                plane_dot(emb_col, t * _ANN_PLANES + p) > 0, 1
+            ).otherwise(0)
         return b
 
-    v = e.select("vec_id", embd.alias("emb")).withColumn("bkt", bucket(F.col("emb")))
-    q = v.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("bkt").alias("q_bkt"),
+    v = e.select("vec_id", embd.alias("emb"))
+    v_buckets = v.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[bucket(F.col("emb"), t) for t in range(_ANN_TABLES)])
+        ).alias("tbl", "bkt"),
     )
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    q_buckets = q.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[bucket(F.col("q_emb"), t) for t in range(_ANN_TABLES)])
+        ).alias("tbl", "bkt"),
+    )
+    cands = (
+        v_buckets.join(F.broadcast(q_buckets), ["tbl", "bkt"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = cands.join(v, "vec_id").join(F.broadcast(q), "query_id")
     dot = F.aggregate(
         F.zip_with(F.col("q_emb"), F.col("emb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    na = F.sqrt(
-        F.aggregate(F.col("q_emb"), F.lit(0.0), lambda a, x: a + x * x)
-    )
+    na = F.sqrt(F.aggregate(F.col("q_emb"), F.lit(0.0), lambda a, x: a + x * x))
     nb = F.sqrt(F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x))
-    scored = (
-        v.join(F.broadcast(q), v.bkt == q.q_bkt)
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(dot / (na * nb), 4).alias("cosine"),
-        )
+    scored = scored.select(
+        "query_id", "vec_id", F.round(dot / (na * nb), 4).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (

@@ -98,18 +98,32 @@ def _read_stream(spark: SparkSession, stream_dir: str, max_files: int | None = N
     return reader.load(stream_dir)
 
 
+_STREAM_STATE_PARTITIONS = "8"
+
+
 def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
-    """Run a streaming frame to completion into a memory sink, return it."""
+    """Run a streaming frame to completion into a memory sink, return it.
+
+    Stateful-operator partition count is pinned low for these bounded
+    replays: every state partition pays a per-batch store-commit cost, so
+    state partitioning should track state SIZE (keys), not core count —
+    on an unbounded production stream this is the knob to raise."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = "s" + uuid.uuid4().hex[:12]
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", _STREAM_STATE_PARTITIONS)
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def stream_ingest_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,7 +139,7 @@ def stream_ingest_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-5-minute tumbling window counts/sums by event type. Sum is
     decimal-exact (2-decimal inputs) for oracle determinism."""
-    stream = _read_stream(spark, _stage_event_chunks(spark, sf_dir))
+    stream = _read_stream(spark, _stage_event_chunks(spark, sf_dir, n_chunks=1))
     agg = (
         stream.groupBy(F.window("ts", "5 minutes"), F.col("event_type"))
         .agg(
@@ -148,7 +162,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (10 min, slide 5): every event lands in exactly two
     overlapping windows."""
-    stream = _read_stream(spark, _stage_event_chunks(spark, sf_dir))
+    stream = _read_stream(spark, _stage_event_chunks(spark, sf_dir, n_chunks=1))
     agg = (
         stream.groupBy(F.window("ts", "10 minutes", "5 minutes"))
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -168,7 +182,7 @@ def stream_session_win(spark: SparkSession, sf_dir: str) -> DataFrame:
     With a 0-second watermark delay the final watermark is the global max
     event time, so exactly the sessions whose (last event + gap) end at or
     before it are emitted — expressible in batch SQL (gap-and-islands)."""
-    stream = _read_stream(spark, _stage_event_chunks(spark, sf_dir))
+    stream = _read_stream(spark, _stage_event_chunks(spark, sf_dir, n_chunks=1))
     agg = (
         stream.withWatermark("ts", "0 seconds")
         .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
@@ -229,7 +243,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch idempotent sink — the reference's TRUNCATE-then-bulk-load
     pattern (S6): every epoch fully overwrites its own partition directory,
     so replays are idempotent; the final table is the union of epochs."""
-    stream_dir = _stage_event_chunks(spark, sf_dir)
+    stream_dir = _stage_event_chunks(spark, sf_dir, n_chunks=2)
     out_dir = tempfile.mkdtemp(prefix="feb_sink_") + "/events"
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -258,7 +272,7 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     hatch for operators Spark's built-in streaming aggregates can't express."""
     import pandas as pd
 
-    stream_dir = _stage_event_chunks(spark, sf_dir)
+    stream_dir = _stage_event_chunks(spark, sf_dir, n_chunks=1)
     stream = _read_stream(spark, stream_dir)
 
     def update(key, pdfs, state):

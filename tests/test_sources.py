@@ -1,0 +1,56 @@
+"""Reader/sink contract tests: CSV scan options, parquet round trip,
+sorted-write path, multimodal stubs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from iot_data_pipeline_spark.functions.scalar_suites import _write_csv_fixture
+from iot_data_pipeline_spark.operators import multimodal
+from iot_data_pipeline_spark.operators._util import table
+from iot_data_pipeline_spark.sources.readers import IOT_SCHEMA, read_iot_csv
+from iot_data_pipeline_spark.sources.sinks import write_parquet
+
+
+def test_csv_contract(spark):
+    root = _write_csv_fixture()
+    df = read_iot_csv(spark, root)
+    rows = {r["uid"]: r for r in df.collect()}
+    assert len(rows) == 4  # recursive lookup found the nested file
+    assert df.schema == IOT_SCHEMA  # enforced, not inferred
+    # '-' sentinel → NULL (both string and long columns)
+    assert rows["u4"]["duration"] is None
+    assert rows["u2"]["orig_bytes"] is None
+    assert rows["u4"][21] is None  # detailed-label
+
+
+def test_parquet_roundtrip_sorted(spark, sf_dir, tmp_path):
+    src = table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_sorted")
+    write_parquet(src, out, sort_within_partitions=["n_nationkey"])
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_decode_media_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x89PNG", "image/png")
+
+
+def test_feature_extract_known_payload(spark, tmp_path):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="abc", lang="en", source="s", n_chars=3)]
+    )
+    tdir = str(tmp_path / "mm")
+    os.makedirs(tdir, exist_ok=True)
+    df.write.mode("overwrite").parquet(tdir + "/documents.parquet")
+    r = multimodal.mm_feature_extract(spark, tdir).first()
+    # bytes of "abc" = 97,98,99
+    assert r["feat_dim"] == 4
+    assert r["f_len"] == 3.0
+    assert r["f_mean"] == 98.0
+    assert r["f_min"] == 97.0 and r["f_max"] == 99.0
