@@ -497,6 +497,39 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SQL-string entry point (reference entry point 3: ad-hoc SQL on the serving
+# store, SURVEY.md §3 — here it's spark.sql over registered temp views, the
+# same Catalyst lifecycle as the DataFrame path)
+# ---------------------------------------------------------------------------
+
+_SQL_Q3 = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+            AS DOUBLE) AS revenue,
+       o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND l_shipdate > o_orderdate
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 20
+"""
+
+
+def sql_entry_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped query submitted as a SQL STRING over temp views —
+    proves the SQL surface resolves through the same catalog/optimizer as
+    the DataFrame API (identical physical plans either way)."""
+    for name in ("customer", "orders", "lineitem"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SQL_Q3)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -532,6 +565,7 @@ QUERIES = {
     "set_union_all": set_union_all,
     "set_intersect": set_intersect,
     "set_except": set_except,
+    "sql_entry_tpch_q3": sql_entry_tpch_q3,
 }
 
 ORACLES = {
@@ -721,5 +755,18 @@ ORACLES = {
         "SELECT c_custkey AS custkey FROM customer"
         " EXCEPT SELECT o_custkey AS custkey FROM orders"
         " WHERE o_orderpriority = '1-URGENT'"
+    ),
+    "sql_entry_tpch_q3": (
+        "SELECT l_orderkey,"
+        " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+        "          * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
+        "      AS DOUBLE) AS revenue,"
+        " o_orderdate, o_orderpriority"
+        " FROM customer"
+        " JOIN orders ON c_custkey = o_custkey"
+        " JOIN lineitem ON l_orderkey = o_orderkey"
+        " WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate"
+        " GROUP BY l_orderkey, o_orderdate, o_orderpriority"
+        " ORDER BY revenue DESC, l_orderkey LIMIT 20"
     ),
 }

@@ -1,0 +1,56 @@
+"""Plan-shape assertions: the scale-survival properties, executable."""
+
+from __future__ import annotations
+
+from iot_data_pipeline_spark.operators import relational
+from iot_data_pipeline_spark.plans import (
+    has_broadcast_join,
+    has_take_ordered,
+    pushed_filters,
+    scan_columns,
+)
+
+
+def test_filters_reach_scan(spark, sf_dir):
+    df = relational.filter_pred(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "o_orderstatus" in pf and "o_totalprice" in pf
+
+
+def test_scan_pruned_to_projection(spark, sf_dir):
+    df = relational.project_cast_arith(spark, sf_dir)
+    (cols,) = scan_columns(df)
+    # 11-column lineitem pruned to exactly the referenced 6
+    assert set(cols) == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    }
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    assert has_broadcast_join(relational.join_multiway(spark, sf_dir))
+
+
+def test_theta_join_not_cartesian(spark, sf_dir):
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(relational.join_theta_range(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # brand equality is the hash key, band residual
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    assert has_take_ordered(relational.sort_limit(spark, sf_dir))
+
+
+def test_asof_is_single_shuffle(spark, sf_dir):
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(relational.join_asof_event(spark, sf_dir))
+    # union-and-scan formulation: exactly one exchange (the window shuffle),
+    # never a range-join row explosion.
+    assert plan.count("Exchange") == 1
