@@ -25,6 +25,7 @@ from iot_data_pipeline_spark.operators import (  # noqa: E402
     llm,
     multimodal,
     relational,
+    reshape,
     udfs,
 )
 from iot_data_pipeline_spark.streaming import streams  # noqa: E402
@@ -37,7 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.join_multiway(spark, "/root/testdata/sf0.001")
 
 
-_MODULES = [relational, scalar_suites, udfs, llm, multimodal, streams]
+_MODULES = [relational, reshape, scalar_suites, udfs, llm, multimodal, streams]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

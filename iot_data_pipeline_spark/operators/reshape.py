@@ -1,0 +1,182 @@
+"""Reshaping + additional source/sink coverage: pivot/unpivot, range-frame
+windows, CSV/JSON round trips, partitioned writes, schema introspection.
+
+These extend SURVEY.md §2B beyond the minimum inventory — operators a user
+of the reference's ClickHouse serving layer would reach for next, each with
+a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from iot_data_pipeline_spark.operators._util import dec, table
+
+# ---------------------------------------------------------------------------
+# Reshaping
+# ---------------------------------------------------------------------------
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts: priorities × fixed status values. The explicit
+    value list keeps the schema static (no extra distinct-scan job, and a
+    stable contract at any scale); absent combinations coalesce to 0 to
+    match SQL's COUNT FILTER semantics."""
+    o = table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+def set_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) lineitem measures into (metric, value) long form —
+    the inverse reshape, one narrow pass (no shuffle)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice"],
+        "metric",
+        "value",
+    )
+
+
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per customer, rolling 30-day spend ending at each
+    order (value-based frame, not row-count) — ordered by epoch seconds so
+    the frame bound is numeric and identical in both engines."""
+    o = table(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ (parquet ms, no tz); route through an
+    # LTZ cast (identity wall-clock under the pinned UTC session) to get
+    # epoch seconds — matching DuckDB's epoch().
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+    )
+
+
+def meta_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema introspection (reference Q2: printSchema / DESCRIBE TABLE):
+    column name + Spark SQL type of the lineitem table as rows."""
+    li = table(spark, sf_dir, "lineitem")
+    return spark.createDataFrame(
+        [(i, n, t) for i, (n, t) in enumerate(li.dtypes)],
+        "ordinal INT, col_name STRING, data_type STRING",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Additional sinks / round trips
+# ---------------------------------------------------------------------------
+
+
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema-enforced read-back (lossless for these types)."""
+    n = table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="sink_csv_") + "/nation"
+    n.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.csv(
+        out,
+        header=True,
+        schema="n_nationkey INT, n_name STRING, n_regionkey INT",
+        enforceSchema=True,
+    )
+
+
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema-enforced read-back (doubles serialize with
+    full precision, so the trip is exact)."""
+    s = table(spark, sf_dir, "supplier")
+    out = tempfile.mkdtemp(prefix="sink_json_") + "/supplier"
+    s.write.mode("overwrite").json(out)
+    return spark.read.json(
+        out,
+        schema="s_suppkey BIGINT, s_name STRING, s_nationkey INT,"
+        " s_acctbal DOUBLE",
+    )
+
+
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet write + partition-pruned read: the filter on
+    the partition column prunes directories at planning time (PartitionFilters,
+    asserted in tests) — at 100 TB this is the difference between scanning
+    one status and scanning the lake."""
+    o = table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="sink_part_") + "/orders"
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    return back.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+
+
+QUERIES = {
+    "agg_pivot": agg_pivot,
+    "set_unpivot": set_unpivot,
+    "win_range_frame": win_range_frame,
+    "meta_describe": meta_describe,
+    "sink_csv_roundtrip": sink_csv_roundtrip,
+    "sink_json_roundtrip": sink_json_roundtrip,
+    "sink_parquet_partitioned": sink_parquet_partitioned,
+}
+
+ORACLES = {
+    "agg_pivot": (
+        "SELECT o_orderpriority,"
+        " COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,"
+        " COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,"
+        " COUNT(*) FILTER (o_orderstatus = 'P') AS n_p"
+        " FROM orders GROUP BY o_orderpriority"
+    ),
+    "set_unpivot": (
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,"
+        " l_quantity AS value FROM lineitem"
+        " UNION ALL"
+        " SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric,"
+        " l_extendedprice AS value FROM lineitem"
+    ),
+    "win_range_frame": (
+        "SELECT o_orderkey, o_custkey, o_orderdate,"
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER ("
+        "   PARTITION BY o_custkey ORDER BY epoch(o_orderdate)"
+        "   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)"
+        "   AS spend_30d"
+        " FROM orders"
+    ),
+    "meta_describe": (
+        "SELECT * FROM (VALUES"
+        " (0, 'l_orderkey', 'bigint'), (1, 'l_partkey', 'bigint'),"
+        " (2, 'l_suppkey', 'bigint'), (3, 'l_linenumber', 'int'),"
+        " (4, 'l_quantity', 'double'), (5, 'l_extendedprice', 'double'),"
+        " (6, 'l_discount', 'double'), (7, 'l_tax', 'double'),"
+        " (8, 'l_returnflag', 'string'), (9, 'l_linestatus', 'string'),"
+        " (10, 'l_shipdate', 'timestamp_ntz')"
+        ") t(ordinal, col_name, data_type)"
+    ),
+    "sink_csv_roundtrip": "SELECT * FROM nation",
+    "sink_json_roundtrip": "SELECT * FROM supplier",
+    "sink_parquet_partitioned": (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
+        " o_orderdate FROM orders WHERE o_orderstatus = 'F'"
+    ),
+}

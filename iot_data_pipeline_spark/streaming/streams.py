@@ -301,6 +301,56 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, "update")
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (events.user_id ≡ c_custkey). The static side is a
+    broadcast per micro-batch — the canonical streaming-enrichment shape."""
+    stream = _read_stream(spark, _stage_event_chunks(spark, sf_dir, n_chunks=1))
+    customers = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_name"), F.col("c_mktsegment")
+    )
+    joined = stream.join(
+        customers, stream.user_id == customers.c_custkey, "inner"
+    ).select("event_id", "user_id", "event_type", "c_name", "c_mktsegment")
+    return _run_to_memory(joined, "append")
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchase events matched to the same
+    user's error events within the following 10 minutes. Both sides carry
+    watermarks so the join state is bounded; on bounded replay the result
+    equals the batch interval join (the oracle)."""
+    sdir = _stage_event_chunks(spark, sf_dir, n_chunks=1)
+    purchases = (
+        _read_stream(spark, sdir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    errors = (
+        _read_stream(spark, sdir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("e_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("p_id", "e_id", "p_user", "p_ts", "e_ts")
+    return _run_to_memory(joined, "append")
+
+
 QUERIES = {
     "stream_ingest_files": stream_ingest_files,
     "stream_tumbling_agg": stream_tumbling_agg,
@@ -310,6 +360,8 @@ QUERIES = {
     "stream_dedup": stream_dedup,
     "stream_foreachbatch_sink": stream_foreachbatch_sink,
     "stream_stateful_count": stream_stateful_count,
+    "stream_static_join": stream_static_join,
+    "stream_stream_join": stream_stream_join,
 }
 
 _EVENTS_US = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
@@ -358,5 +410,20 @@ ORACLES = {
         "SELECT user_id, COUNT(*) AS n_events,"
         " CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS total_cents"
         " FROM events GROUP BY user_id"
+    ),
+    "stream_static_join": (
+        "SELECT event_id, user_id, event_type, c_name, c_mktsegment"
+        " FROM events JOIN customer ON user_id = c_custkey"
+    ),
+    "stream_stream_join": (
+        "SELECT p.event_id AS p_id, e.event_id AS e_id,"
+        " p.user_id AS p_user, CAST(p.ts AS TIMESTAMP) AS p_ts,"
+        " CAST(e.ts AS TIMESTAMP) AS e_ts"
+        " FROM events p JOIN events e"
+        " ON p.event_type = 'purchase' AND e.event_type = 'error'"
+        " AND p.user_id = e.user_id"
+        " AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)"
+        " AND CAST(e.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)"
+        "     + INTERVAL '10 minutes'"
     ),
 }

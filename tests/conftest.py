@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 from pyspark.sql import SparkSession
 
@@ -16,6 +18,9 @@ def spark():
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="spark_warehouse_")
+        )
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")

@@ -47,6 +47,18 @@ def test_global_topk_is_take_ordered(spark, sf_dir):
     assert has_take_ordered(relational.sort_limit(spark, sf_dir))
 
 
+def test_partitioned_write_prunes(spark, sf_dir):
+    from iot_data_pipeline_spark.operators import reshape
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(reshape.sink_parquet_partitioned(spark, sf_dir))
+    # the status filter must prune partition DIRECTORIES at plan time,
+    # not filter rows post-scan.
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or (
+        "PartitionFilters: [" in plan and "o_orderstatus" in plan
+    )
+
+
 def test_asof_is_single_shuffle(spark, sf_dir):
     from iot_data_pipeline_spark.plans import executed_plan
 
