@@ -22,6 +22,7 @@ if _REPO_ROOT not in sys.path:
 
 from iot_data_pipeline_spark.functions import scalar_suites  # noqa: E402
 from iot_data_pipeline_spark.operators import (  # noqa: E402
+    analytics,
     llm,
     multimodal,
     relational,
@@ -38,7 +39,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.join_multiway(spark, "/root/testdata/sf0.001")
 
 
-_MODULES = [relational, reshape, scalar_suites, udfs, llm, multimodal, streams]
+_MODULES = [
+    relational,
+    reshape,
+    analytics,
+    scalar_suites,
+    udfs,
+    llm,
+    multimodal,
+    streams,
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -247,8 +247,45 @@ def fn_map_from_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalars: coalesce/nullif/greatest/least/isnull over the
+    left-joined customer→orders frame (real NULLs from the outer join)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        "o_orderkey",
+        F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("price_or_zero"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_not_open"),
+        F.greatest(F.col("c_acctbal"), F.coalesce(F.col("o_totalprice"), F.lit(0.0)))
+        .alias("max_val"),
+        F.least(F.col("c_acctbal"), F.coalesce(F.col("o_totalprice"), F.lit(0.0)))
+        .alias("min_val"),
+        F.col("o_orderkey").isNull().alias("no_big_order"),
+    )
+
+
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: fixed-interval shifts, month addition with
+    end-of-month clamping (identical in both engines), quarter/week fields."""
+    o = table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("plus_30d"),
+        F.date_sub(d, 7).alias("minus_7d"),
+        F.add_months(d, 2).alias("plus_2mo"),
+        F.quarter("o_orderdate").alias("q"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.dayofyear("o_orderdate").alias("doy"),
+    )
+
+
 QUERIES = {
     "scan_csv_opts": scan_csv_opts,
+    "fn_null_suite": fn_null_suite,
+    "fn_date_arith": fn_date_arith,
     "fn_regexp_extract": fn_regexp_extract,
     "fn_string_suite": fn_string_suite,
     "fn_date_suite": fn_date_suite,
@@ -260,6 +297,27 @@ QUERIES = {
 
 ORACLES = {
     "scan_csv_opts": SCAN_CSV_ORACLE_SQL,
+    "fn_null_suite": (
+        "SELECT c_custkey, o_orderkey,"
+        " COALESCE(o_totalprice, 0.0) AS price_or_zero,"
+        " NULLIF(o_orderstatus, 'O') AS status_not_open,"
+        " GREATEST(c_acctbal, COALESCE(o_totalprice, 0.0)) AS max_val,"
+        " LEAST(c_acctbal, COALESCE(o_totalprice, 0.0)) AS min_val,"
+        " o_orderkey IS NULL AS no_big_order"
+        " FROM customer LEFT JOIN (SELECT * FROM orders"
+        "   WHERE o_totalprice > 300000.0) o ON c_custkey = o_custkey"
+    ),
+    "fn_date_arith": (
+        "SELECT o_orderkey,"
+        " CAST(o_orderdate AS DATE) + 30 AS plus_30d,"
+        " CAST(o_orderdate AS DATE) - 7 AS minus_7d,"
+        " CAST(CAST(o_orderdate AS DATE) + INTERVAL '2 months' AS DATE)"
+        "   AS plus_2mo,"
+        " QUARTER(o_orderdate) AS q,"
+        " WEEKOFYEAR(o_orderdate) AS iso_week,"
+        " DAYOFYEAR(o_orderdate) AS doy"
+        " FROM orders"
+    ),
     "fn_regexp_extract": DURATION_ORACLE_SQL,
     "fn_string_suite": (
         "SELECT p_partkey, UPPER(p_name) AS name_upper,"

