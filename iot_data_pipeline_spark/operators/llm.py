@@ -478,6 +478,52 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", guess.alias("lang_guess"))
 
 
+def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization for training corpora: lowercase, strip
+    non-alphanumerics (keep spaces), collapse whitespace runs, trim. Pure
+    regexp_replace chain — one narrow pass."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("len_raw"),
+        F.length(norm).alias("len_norm"),
+        F.md5(norm).alias("norm_fp"),
+    )
+
+
+def llm_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction: deterministic synthetic contact lines are added
+    to each document (the corpus has none), then email and phone patterns
+    are masked — verifying the redaction actually fires, not just no-ops."""
+    d = table(spark, sf_dir, "documents")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-000-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            enriched, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"
+        ),
+        "\\+?[0-9][0-9()\\-]{7,}[0-9]",
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.length(redacted).alias("len_redacted"),
+        redacted.contains("<EMAIL>").alias("email_masked"),
+        redacted.contains("<PHONE>").alias("phone_masked"),
+        (~redacted.contains("@")).alias("no_email_left"),
+    )
+
+
 def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: exact content hash (md5 of normalized text)
     and a token-order-invariant hash (md5 of sorted distinct tokens) that
@@ -506,6 +552,8 @@ QUERIES = {
     "llm_quality_filter": llm_quality_filter,
     "llm_lang_id": llm_lang_id,
     "llm_fingerprint": llm_fingerprint,
+    "llm_text_normalize": llm_text_normalize,
+    "llm_redact": llm_redact,
 }
 
 _SH_CTE = (
@@ -606,5 +654,26 @@ ORACLES = {
         " md5(array_to_string(list_sort(list_distinct("
         "   string_split(lower(trim(text)), ' '))), ' ')) AS bag_fp"
         " FROM documents"
+    ),
+    "llm_text_normalize": (
+        "WITH n AS (SELECT doc_id, text,"
+        " trim(regexp_replace(regexp_replace(lower(text),"
+        "   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm"
+        " FROM documents)"
+        " SELECT doc_id, length(text) AS len_raw, length(norm) AS len_norm,"
+        " md5(norm) AS norm_fp FROM n"
+    ),
+    "llm_redact": (
+        "WITH e AS (SELECT doc_id, text || ' contact user' || doc_id"
+        "   || '@example.com or +1-555-000-'"
+        "   || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS enriched"
+        "   FROM documents),"
+        " r AS (SELECT doc_id, regexp_replace(regexp_replace(enriched,"
+        "   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+        "   '\\+?[0-9][0-9()\\-]{7,}[0-9]', '<PHONE>', 'g') AS red FROM e)"
+        " SELECT doc_id, length(red) AS len_redacted,"
+        " contains(red, '<EMAIL>') AS email_masked,"
+        " contains(red, '<PHONE>') AS phone_masked,"
+        " NOT contains(red, '@') AS no_email_left FROM r"
     ),
 }

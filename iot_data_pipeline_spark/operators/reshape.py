@@ -85,6 +85,27 @@ def meta_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two small dimensions (region × nation)
+    — the one join shape that must stay confined to broadcastable inputs."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_regionkey", "r_name", "n_nationkey", "n_name")
+
+
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles (approx_percentile / Greenwald-Khanna): the
+    fixed-memory path for percentiles at 100 TB. rows-only oracle
+    (approximation is engine-specific); the test bounds the error vs the
+    exact median."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99"),
+    )
+
+
 def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value / last_value / nth_value over a full-partition frame:
     each order row sees its customer's cheapest, priciest, and 2nd order."""
@@ -201,6 +222,8 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "join_cross": join_cross,
+    "agg_approx_quantiles": agg_approx_quantiles,
     "win_first_last": win_first_last,
     "win_ntile_dist": win_ntile_dist,
     "agg_conditional": agg_conditional,
@@ -216,6 +239,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_cross": (
+        "SELECT r_regionkey, r_name, n_nationkey, n_name"
+        " FROM region CROSS JOIN nation"
+    ),
+    # agg_approx_quantiles: rows-only (sketch is engine-specific).
     "win_first_last": (
         "SELECT o_orderkey, o_custkey,"
         " FIRST_VALUE(o_orderkey) OVER w AS cheapest_order,"

@@ -98,6 +98,27 @@ def test_approx_distinct_tolerance(spark, sf_dir):
     assert abs(approx - exact) / exact <= 0.05
 
 
+def test_approx_quantiles_bounded(spark, sf_dir):
+    from iot_data_pipeline_spark.operators import reshape
+    from iot_data_pipeline_spark.operators._util import table
+
+    approx = reshape.agg_approx_quantiles(spark, sf_dir).first()
+    exact = (
+        table(spark, sf_dir, "lineitem")
+        .selectExpr("percentile(l_extendedprice, 0.5) AS p50")
+        .first()["p50"]
+    )
+    assert abs(approx["p50"] - exact) / exact < 0.02
+
+
+def test_redaction_fires(spark, sf_dir):
+    from iot_data_pipeline_spark.operators import llm
+
+    rows = llm.llm_redact(spark, sf_dir).collect()
+    assert all(r["email_masked"] and r["phone_masked"] for r in rows)
+    assert all(r["no_email_left"] for r in rows)
+
+
 def test_broadcast_join_plan(spark, sf_dir):
     plan = relational.join_broadcast(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
