@@ -77,6 +77,8 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    etl_mb_per_s = _etl_throughput(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -86,10 +88,70 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "etl_mb_per_s": etl_mb_per_s,
             }
         )
     )
     spark.stop()
+
+
+def _etl_throughput(spark, sf_dir: str) -> float:
+    """Reference-comparable metric: the reference's only published number is
+    ~33-43 MB/s for its CSV→Parquet ETL on local[*] (BASELINE.md). Stage an
+    IoT-23-shaped CSV from the events table, then time the engine's
+    schema-enforced scan → normalize → quirk transforms → parquet write."""
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.functions.transforms import (
+        normalize_columns,
+        transform_iot,
+    )
+    from iot_data_pipeline_spark.sources.readers import IOT_SCHEMA, read_iot_csv
+    from iot_data_pipeline_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    # expand events into 22-column Zeek-shaped flow records (~10x rows).
+    rep = spark.range(10).select(F.col("id").alias("rep"))
+    raw = e.crossJoin(rep).select(
+        F.concat(F.lit("C"), F.col("event_id"), F.lit("x"), F.col("rep")).alias("uid"),
+        F.concat(F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit(".1")).alias("id.orig_h"),
+        (F.col("event_id") % 65535).cast("int").alias("id.orig_p"),
+        F.lit("10.1.0.2").alias("id.resp_h"),
+        F.lit(443).cast("int").alias("id.resp_p"),
+        F.lit("tcp").alias("proto"),
+        F.lit("http").alias("service"),
+        F.concat(F.lit("0 days 00:00:"), F.lpad((F.col("event_id") % 60).cast("string"), 2, "0"), F.lit("."), F.lpad(((F.col("event_id") * 7919) % 1000000).cast("string"), 6, "0")).alias("duration"),
+        (F.col("event_id") % 100000).alias("orig_bytes"),
+        (F.col("event_id") % 50000).alias("resp_bytes"),
+        F.lit("SF").alias("conn_state"),
+        F.lit("T").alias("local_orig"),
+        F.lit("-").alias("local_resp"),
+        F.lit(0).cast("long").alias("missed_bytes"),
+        F.lit("ShADad").alias("history"),
+        (F.col("event_id") % 100).alias("orig_pkts"),
+        (F.col("event_id") % 10000).alias("orig_ip_bytes"),
+        (F.col("event_id") % 90).alias("resp_pkts"),
+        (F.col("event_id") % 9000).alias("resp_ip_bytes"),
+        F.lit("-").alias("tunnel_parents"),
+        F.when(F.col("event_id") % 3 == 0, "Malicious").otherwise("Benign").alias("label"),
+        F.lit("PartOfAHorizontalPortScan").alias("detailed-label"),
+    )
+    csv_dir = tempfile.mkdtemp(prefix="etl_csv_") + "/flows"
+    # 32 files so the timed scan parallelizes across all cores even though
+    # the staged corpus is only ~150 MB (one 128 MB split otherwise).
+    raw.repartition(32).write.mode("overwrite").option("header", True).csv(csv_dir)
+    n_bytes = sum(
+        os.path.getsize(p) for p in glob.glob(csv_dir + "/*.csv")
+    )
+    out = tempfile.mkdtemp(prefix="etl_out_") + "/parquet"
+    t0 = time.time()
+    df = read_iot_csv(spark, csv_dir, schema=IOT_SCHEMA)
+    transform_iot(normalize_columns(df)).write.mode("overwrite").parquet(out)
+    secs = time.time() - t0
+    return round(n_bytes / 1e6 / secs, 1)
 
 
 if __name__ == "__main__":

@@ -56,7 +56,11 @@ def duration_to_seconds(duration: Column) -> Column:
     fallback = F.when(duration.contains("days"), F.lit(None)).otherwise(
         duration.try_cast("float")
     )
-    return F.when(parsed.isNull(), fallback).otherwise(parsed)
+    # coalesce ≡ when(parsed.isNull(), fallback).otherwise(parsed), but the
+    # 5-regex sum is evaluated ONCE — the when/otherwise form duplicates the
+    # whole expression into both branches and codegen does not CSE across
+    # them (measured ~2× the per-row cost).
+    return F.coalesce(parsed, fallback)
 
 
 def duration_to_seconds_strict(duration: Column) -> Column:
