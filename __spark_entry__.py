@@ -29,6 +29,7 @@ from iot_data_pipeline_spark.operators import (  # noqa: E402
     reshape,
     udfs,
 )
+from iot_data_pipeline_spark.sources import iot_simulator  # noqa: E402
 from iot_data_pipeline_spark.streaming import streams  # noqa: E402
 
 
@@ -48,6 +49,7 @@ _MODULES = [
     llm,
     multimodal,
     streams,
+    iot_simulator,
 ]
 
 
