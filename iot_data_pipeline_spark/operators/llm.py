@@ -391,6 +391,29 @@ def llm_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_search(
+    spark: SparkSession,
+    sf_dir: str,
+    mode: str = "auto",
+    exact_threshold: int = 100_000,
+) -> DataFrame:
+    """Planner-style dispatch for similarity search: exact brute force while
+    the corpus is small enough that scanning beats bucketing, LSH-pruned ANN
+    beyond. This is the Python-level analogue of the optional Catalyst
+    rewrite rule sketched in SURVEY.md §4 — the heuristic lives with the
+    operator, and either branch returns the same schema."""
+    if mode == "exact":
+        return llm_sim_topk(spark, sf_dir)
+    if mode == "ann":
+        return llm_sim_ann(spark, sf_dir)
+    n = table(spark, sf_dir, "embeddings").count()
+    return (
+        llm_sim_topk(spark, sf_dir)
+        if n <= exact_threshold
+        else llm_sim_ann(spark, sf_dir)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

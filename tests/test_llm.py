@@ -68,6 +68,16 @@ def test_ann_recall_floor(spark, sf_dir):
     assert len(e & a) / len(e) >= 0.2
 
 
+def test_similarity_planner_dispatch(spark, sf_dir):
+    exact = {tuple(r) for r in llm.llm_sim_topk(spark, sf_dir).collect()}
+    # small corpus → auto picks the exact path
+    auto = {tuple(r) for r in llm.similarity_search(spark, sf_dir).collect()}
+    assert auto == exact
+    # forcing the ANN path returns the same schema
+    ann = llm.similarity_search(spark, sf_dir, mode="ann")
+    assert ann.columns == llm.llm_sim_topk(spark, sf_dir).columns
+
+
 def test_quality_filter_subset(spark, sf_dir):
     from iot_data_pipeline_spark.operators._util import table
 
