@@ -247,6 +247,27 @@ def fn_map_from_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_bitwise_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise ops (shift, and/or/xor) on integer keys and trig/exp rounded
+    post-evaluation."""
+    p = table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return p.select(
+        "p_partkey",
+        F.shiftleft(k, 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.lit(1365)).alias("bxor"),
+        F.round(F.sin(F.col("p_size").cast("double")), 4).alias("sin_size"),
+        F.round(F.cos(F.col("p_size").cast("double")), 4).alias("cos_size"),
+        F.round(F.atan2(F.col("p_size").cast("double"), F.lit(10.0)), 4).alias(
+            "atan2_size"
+        ),
+        F.round(F.exp(F.col("p_size").cast("double") / 50.0), 4).alias("exp_size"),
+    )
+
+
 def fn_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-handling scalars: coalesce/nullif/greatest/least/isnull over the
     left-joined customer→orders frame (real NULLs from the outer join)."""
@@ -286,6 +307,7 @@ QUERIES = {
     "scan_csv_opts": scan_csv_opts,
     "fn_null_suite": fn_null_suite,
     "fn_date_arith": fn_date_arith,
+    "fn_bitwise_trig": fn_bitwise_trig,
     "fn_regexp_extract": fn_regexp_extract,
     "fn_string_suite": fn_string_suite,
     "fn_date_suite": fn_date_suite,
@@ -306,6 +328,17 @@ ORACLES = {
         " o_orderkey IS NULL AS no_big_order"
         " FROM customer LEFT JOIN (SELECT * FROM orders"
         "   WHERE o_totalprice > 300000.0) o ON c_custkey = o_custkey"
+    ),
+    "fn_bitwise_trig": (
+        "SELECT p_partkey,"
+        " p_partkey << 3 AS shl3, p_partkey >> 2 AS shr2,"
+        " p_partkey & 255 AS band, p_partkey | 4096 AS bor,"
+        " xor(p_partkey, 1365) AS bxor,"
+        " ROUND(SIN(CAST(p_size AS DOUBLE)), 4) AS sin_size,"
+        " ROUND(COS(CAST(p_size AS DOUBLE)), 4) AS cos_size,"
+        " ROUND(ATAN2(CAST(p_size AS DOUBLE), 10.0), 4) AS atan2_size,"
+        " ROUND(EXP(CAST(p_size AS DOUBLE) / 50.0), 4) AS exp_size"
+        " FROM part"
     ),
     "fn_date_arith": (
         "SELECT o_orderkey,"

@@ -391,6 +391,60 @@ def llm_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the exact pair list: connected components via
+    iterative min-label propagation, then a canonical (lowest-id) doc per
+    cluster — the step that turns pairwise dedup into "keep one per group".
+
+    The loop is the scalable component pattern: each iteration is one join
+    on the (tiny) edge list, labels monotonically decrease, and lineage is
+    truncated per round; duplicate clusters in web corpora have small
+    diameter, so it converges in a handful of rounds.
+    """
+    pairs = llm_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).cache()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(15):
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
+            .select(
+                labels.doc_id,
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
+
+
 def similarity_search(
     spark: SparkSession,
     sf_dir: str,
@@ -577,7 +631,36 @@ QUERIES = {
     "llm_fingerprint": llm_fingerprint,
     "llm_text_normalize": llm_text_normalize,
     "llm_redact": llm_redact,
+    "llm_dedup_clusters": llm_dedup_clusters,
 }
+
+# Connected components of the jaccard-pair graph as a recursive CTE:
+# reach(n, m) is the transitive closure over the (symmetrized) edges;
+# cluster id = MIN over each node's reachable set.
+_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE toks AS (SELECT doc_id,"
+    "   string_split(lower(trim(text)), ' ') AS t FROM documents),"
+    " sh AS (SELECT DISTINCT doc_id,"
+    "        unnest(list_transform(generate_series(1, len(t) - 2),"
+    "               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s"
+    "        FROM toks WHERE len(t) >= 3),"
+    " cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),"
+    " inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i"
+    "           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id"
+    "           GROUP BY 1, 2),"
+    " pairs AS (SELECT doc_a, doc_b FROM inter"
+    "           JOIN cnt ca ON ca.doc_id = doc_a"
+    "           JOIN cnt cb ON cb.doc_id = doc_b"
+    "           WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5),"
+    " e AS (SELECT doc_a AS a, doc_b AS b FROM pairs"
+    "       UNION ALL SELECT doc_b, doc_a FROM pairs),"
+    " reach(n, m) AS ("
+    "   SELECT DISTINCT a, a FROM e"
+    "   UNION"
+    "   SELECT e.a, reach.m FROM e JOIN reach ON e.b = reach.n)"
+    " SELECT n AS doc_id, MIN(m) AS cluster_id,"
+    " n = MIN(m) AS is_canonical FROM reach GROUP BY n"
+)
 
 _SH_CTE = (
     "WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t"
@@ -699,4 +782,5 @@ ORACLES = {
         " contains(red, '<PHONE>') AS phone_masked,"
         " NOT contains(red, '@') AS no_email_left FROM r"
     ),
+    "llm_dedup_clusters": _CLUSTERS_ORACLE,
 }

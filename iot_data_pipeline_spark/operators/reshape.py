@@ -85,6 +85,58 @@ def meta_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def meta_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling scan (describe/summary analog, reference Q2 extended):
+    per-column non-null count, distinct count, numeric min/max, string
+    min/max — all columns profiled in ONE pass over the table (a single
+    wide aggregate reshaped to long form), not one job per column."""
+    c = table(spark, sf_dir, "customer")
+    num_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    str_cols = ["c_name", "c_mktsegment"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col in num_cols + str_cols:
+        aggs += [
+            F.count(col).alias(f"{col}__nn"),
+            F.countDistinct(col).alias(f"{col}__nd"),
+        ]
+    for col in num_cols:
+        aggs += [
+            F.min(F.col(col).cast("double")).alias(f"{col}__min"),
+            F.max(F.col(col).cast("double")).alias(f"{col}__max"),
+        ]
+    for col in str_cols:
+        aggs += [F.min(col).alias(f"{col}__smin"), F.max(col).alias(f"{col}__smax")]
+    wide = c.agg(*aggs)
+    rows = []
+    for col in num_cols:
+        rows.append(
+            F.struct(
+                F.lit(col).alias("col_name"),
+                F.col(f"{col}__nn").alias("n_nonnull"),
+                F.col(f"{col}__nd").alias("n_distinct"),
+                F.col(f"{col}__min").alias("min_num"),
+                F.col(f"{col}__max").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    for col in str_cols:
+        rows.append(
+            F.struct(
+                F.lit(col).alias("col_name"),
+                F.col(f"{col}__nn").alias("n_nonnull"),
+                F.col(f"{col}__nd").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col(f"{col}__smin").alias("min_str"),
+                F.col(f"{col}__smax").alias("max_str"),
+            )
+        )
+    return wide.select(
+        F.explode(F.array(*rows)).alias("p"), F.col("n_rows")
+    ).select("p.*", "n_rows")
+
+
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit cartesian product of two small dimensions (region × nation)
     — the one join shape that must stay confined to broadcastable inputs."""
@@ -222,6 +274,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "meta_profile": meta_profile,
     "join_cross": join_cross,
     "agg_approx_quantiles": agg_approx_quantiles,
     "win_first_last": win_first_last,
@@ -239,6 +292,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "meta_profile": (
+        "WITH base AS (SELECT COUNT(*) AS n_rows FROM customer)"
+        " SELECT u.col_name, u.n_nonnull, u.n_distinct, u.min_num, u.max_num,"
+        " u.min_str, u.max_str, base.n_rows FROM base, ("
+        " SELECT 'c_custkey' AS col_name, COUNT(c_custkey) AS n_nonnull,"
+        "  COUNT(DISTINCT c_custkey) AS n_distinct,"
+        "  CAST(MIN(c_custkey) AS DOUBLE) AS min_num,"
+        "  CAST(MAX(c_custkey) AS DOUBLE) AS max_num,"
+        "  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+        "  FROM customer"
+        " UNION ALL SELECT 'c_nationkey', COUNT(c_nationkey),"
+        "  COUNT(DISTINCT c_nationkey), CAST(MIN(c_nationkey) AS DOUBLE),"
+        "  CAST(MAX(c_nationkey) AS DOUBLE), NULL, NULL FROM customer"
+        " UNION ALL SELECT 'c_acctbal', COUNT(c_acctbal),"
+        "  COUNT(DISTINCT c_acctbal), MIN(c_acctbal), MAX(c_acctbal),"
+        "  NULL, NULL FROM customer"
+        " UNION ALL SELECT 'c_name', COUNT(c_name), COUNT(DISTINCT c_name),"
+        "  NULL, NULL, MIN(c_name), MAX(c_name) FROM customer"
+        " UNION ALL SELECT 'c_mktsegment', COUNT(c_mktsegment),"
+        "  COUNT(DISTINCT c_mktsegment), NULL, NULL, MIN(c_mktsegment),"
+        "  MAX(c_mktsegment) FROM customer) u"
+    ),
     "join_cross": (
         "SELECT r_regionkey, r_name, n_nationkey, n_name"
         " FROM region CROSS JOIN nation"
