@@ -1,0 +1,60 @@
+"""Skew mitigation helpers: salting for hot keys.
+
+AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`, on by
+default in this engine) splits oversized partitions at runtime and is the
+first line of defense. Salting is the explicit fallback for the cases AQE
+can't fix — hot keys in aggregations (one reducer owns the key) and
+broadcast-ineligible skewed joins — and these helpers make it a one-liner
+while keeping results EXACTLY equal to the unsalted plan (asserted in
+tests/test_skew.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
+    """Two-phase count per key: pre-aggregate on (key, salt) so a hot key's
+    rows spread over ``n_salts`` reducers, then merge the partials. The
+    second shuffle moves ≤ n_salts rows per key regardless of skew."""
+    salted = df.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
+    partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_pc"))
+    return partial.groupBy(key).agg(F.sum("_pc").alias("cnt"))
+
+
+def salted_sum(
+    df: DataFrame, key: str, value: Column | str, n_salts: int = 8
+) -> DataFrame:
+    """Two-phase decimal-exact sum per key under skew (same shape as
+    salted_count; any algebraic aggregate decomposes this way)."""
+    v = F.col(value) if isinstance(value, str) else value
+    salted = df.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    partial = salted.groupBy(key, "_salt").agg(
+        F.sum(v.cast("decimal(18,4)")).alias("_ps")
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_ps").cast("double").alias("total")
+    )
+
+
+def salted_join(
+    big: DataFrame, small: DataFrame, key: str, n_salts: int = 8
+) -> DataFrame:
+    """Skewed equi-join: salt the big side's key randomly-but-deterministically,
+    replicate the small side once per salt, join on (key, salt). Each hot
+    key's rows land on n_salts reducers instead of one. Result is the plain
+    inner join's result (salt columns dropped).
+
+    Use when the small side is too big to broadcast and AQE's skew split is
+    insufficient (e.g. one key is >10% of the big side)."""
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    )
+    exploded_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_big.join(exploded_small, [key, "_salt"]).drop("_salt")
