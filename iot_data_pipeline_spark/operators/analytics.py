@@ -103,10 +103,59 @@ def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def iot_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor downsampling / rollup (hypertable continuous-aggregate shape):
+    per-device 1-hour buckets with decimal-exact avg/min/max — the
+    resolution-reduction step every long-retention IoT store performs."""
+    e = table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    return (
+        e.groupBy(bucket.alias("hour"), F.col("user_id").alias("device_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            (
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                / F.count("value")
+            ).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def iot_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-device anomaly flags: |reading − device mean| > 2.5 device
+    stddevs. Moments come from exact decimal sums (Σx, Σx²) so the z-score
+    threshold decision is bit-identical across engines — a threshold
+    comparison is the one place a last-ulp difference flips a row."""
+    e = table(spark, sf_dir, "events")
+    sum_x = F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+    sum_x2 = F.sum(
+        (F.col("value").cast("decimal(18,4)") * F.col("value").cast("decimal(18,4)"))
+    ).cast("double")
+    n = F.count("value").cast("double")
+    stats = e.groupBy("user_id").agg(
+        sum_x.alias("sx"), sum_x2.alias("sx2"), n.alias("n")
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - F.lit(1.0)
+    )
+    joined = e.join(F.broadcast(stats), "user_id")
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        joined.withColumn("z", F.round(z, 4))
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "user_id", "ts", "value", "z")
+    )
+
+
 QUERIES = {
     "win_sessionize": win_sessionize,
     "evt_funnel": evt_funnel,
     "evt_retention": evt_retention,
+    "iot_downsample": iot_downsample,
+    "iot_anomaly": iot_anomaly,
 }
 
 ORACLES = {
@@ -137,6 +186,27 @@ ORACLES = {
         " SELECT user_id, signup_ts, purchase_ts,"
         " signup_ts IS NOT NULL AS reached_signup,"
         " purchase_ts IS NOT NULL AS converted FROM pu"
+    ),
+    "iot_downsample": (
+        "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,"
+        " user_id AS device_id, COUNT(*) AS n_readings,"
+        " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value)"
+        "   AS avg_value,"
+        " MIN(value) AS min_value, MAX(value) AS max_value"
+        " FROM events GROUP BY 1, 2"
+    ),
+    "iot_anomaly": (
+        "WITH s AS (SELECT user_id,"
+        "  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,"
+        "  CAST(SUM(CAST(value AS DECIMAL(18,4))"
+        "           * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx2,"
+        "  CAST(COUNT(value) AS DOUBLE) AS n FROM events GROUP BY user_id)"
+        " SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value,"
+        " ROUND((e.value - s.sx / s.n)"
+        "       / SQRT((s.sx2 - s.sx * s.sx / s.n) / (s.n - 1.0)), 4) AS z"
+        " FROM events e JOIN s ON e.user_id = s.user_id"
+        " WHERE ABS((e.value - s.sx / s.n)"
+        "       / SQRT((s.sx2 - s.sx * s.sx / s.n) / (s.n - 1.0))) > 2.5"
     ),
     "evt_retention": (
         "WITH wk AS (SELECT DISTINCT"
