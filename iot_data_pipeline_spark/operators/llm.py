@@ -6,10 +6,13 @@ that scales, not the one that is shortest:
 
 - exact dedup:    hash + window keep-first — one shuffle on the 256-bit hash,
                   never on raw text.
-- near dedup:     MinHash signatures computed per-row (narrow), LSH banding →
-                  candidate pairs via equi-join on (band, signature) buckets —
-                  the join key is tiny and uniformly distributed; the
-                  quadratic verify only touches candidates.
+- near dedup:     MinHash signatures (Broder 1997, "On the resemblance and
+                  containment of documents") computed per-row (narrow), LSH
+                  banding (Indyk & Motwani 1998; banding per Ullman et al.,
+                  Mining of Massive Datasets ch. 3) → candidate pairs via
+                  equi-join on (band, signature) buckets — the join key is
+                  tiny and uniformly distributed; the quadratic verify only
+                  touches candidates. SimHash per Charikar 2002.
 - n-gram jaccard: shingle-explode + equi-join on shingle; exact, oracle-checkable.
 - similarity:     brute-force cosine = broadcast(queries) ⋈ all vectors — no
                   shuffle of the big side; the LSH-bucketed ANN variant cuts

@@ -68,6 +68,44 @@ def test_ann_recall_floor(spark, sf_dir):
     assert len(e & a) / len(e) >= 0.2
 
 
+def test_dedup_idempotence_property(spark, tmp_path):
+    """SURVEY §5.4: dedup(dedup(x)) == dedup(x), on generated corpora with
+    forced duplicates."""
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=12))
+    def check(texts):
+        # duplicate every other doc to guarantee collisions
+        corpus = texts + [t.upper() for t in texts[::2]]
+        rows = [
+            Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+            for i, t in enumerate(corpus)
+        ]
+        tdir = tempfile.mkdtemp(prefix="dedup_prop_")
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(
+            tdir + "/documents.parquet"
+        )
+        once = llm.llm_dedup_exact(spark, tdir)
+        kept_ids = sorted(r["doc_id"] for r in once.collect())
+        # write the deduped set back out and dedup again
+        docs = spark.read.parquet(tdir + "/documents.parquet")
+        tdir2 = tempfile.mkdtemp(prefix="dedup_prop2_")
+        docs.filter(docs.doc_id.isin(kept_ids)).write.mode("overwrite").parquet(
+            tdir2 + "/documents.parquet"
+        )
+        twice = llm.llm_dedup_exact(spark, tdir2)
+        assert sorted(r["doc_id"] for r in twice.collect()) == kept_ids
+
+    check()
+
+
 def test_similarity_planner_dispatch(spark, sf_dir):
     exact = {tuple(r) for r in llm.llm_sim_topk(spark, sf_dir).collect()}
     # small corpus → auto picks the exact path
