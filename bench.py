@@ -32,6 +32,10 @@ HEADLINE = [
     "llm_sim_topk",
     "mm_feature_extract",
     "stream_tumbling_agg",
+    "win_sessionize",
+    "iot_anomaly",
+    "evt_retention",
+    "source_iot_sim",
 ]
 
 

@@ -520,6 +520,24 @@ LIMIT 20
 """
 
 
+def filter_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subquery predicates through the SQL surface — Catalyst
+    rewrites them to semi/anti joins (same physical plans as join_semi /
+    join_anti), proving the SQL sugar and the DataFrame API converge."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_acctbal > 5000)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+        """
+    )
+
+
 def sql_entry_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped query submitted as a SQL STRING over temp views —
     proves the SQL surface resolves through the same catalog/optimizer as
@@ -566,6 +584,7 @@ QUERIES = {
     "set_intersect": set_intersect,
     "set_except": set_except,
     "sql_entry_tpch_q3": sql_entry_tpch_q3,
+    "filter_in_subquery": filter_in_subquery,
 }
 
 ORACLES = {
@@ -755,6 +774,13 @@ ORACLES = {
         "SELECT c_custkey AS custkey FROM customer"
         " EXCEPT SELECT o_custkey AS custkey FROM orders"
         " WHERE o_orderpriority = '1-URGENT'"
+    ),
+    "filter_in_subquery": (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+        " WHERE o_custkey IN (SELECT c_custkey FROM customer"
+        "                     WHERE c_acctbal > 5000)"
+        " AND o_orderkey NOT IN (SELECT o_orderkey FROM orders"
+        "                        WHERE o_orderpriority = '1-URGENT')"
     ),
     "sql_entry_tpch_q3": (
         "SELECT l_orderkey,"

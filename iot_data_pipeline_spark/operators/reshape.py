@@ -158,6 +158,41 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): customers whose
+    nation key is masked to NULL still match the dimension's explicit
+    unknown row — the lookup-with-fallback shape plain equi-joins can't
+    express."""
+    c = table(spark, sf_dir, "customer").withColumn(
+        "nk", F.nullif(F.col("c_nationkey"), F.lit(3))
+    )
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name")
+    )
+    unknown = spark.createDataFrame(
+        [(None, "UNKNOWN")], "nk INT, n_name STRING"
+    )
+    dim = n.unionByName(unknown)
+    return c.join(dim, c.nk.eqNullSafe(dim.nk)).select(
+        "c_custkey", "c_nationkey", "n_name"
+    )
+
+
+def fn_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string batch: pad/repeat/reverse/translate/left/right/strpos."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpad"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_tr"),
+        F.substring("p_name", 1, 3).alias("name_left"),
+        F.instr("p_type", "ED").alias("ed_pos"),
+    )
+
+
 def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value / last_value / nth_value over a full-partition frame:
     each order row sees its customer's cheapest, priciest, and 2nd order."""
@@ -276,6 +311,8 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "meta_profile": meta_profile,
     "join_cross": join_cross,
+    "join_null_safe": join_null_safe,
+    "fn_string_suite2": fn_string_suite2,
     "agg_approx_quantiles": agg_approx_quantiles,
     "win_first_last": win_first_last,
     "win_ntile_dist": win_ntile_dist,
@@ -317,6 +354,24 @@ ORACLES = {
     "join_cross": (
         "SELECT r_regionkey, r_name, n_nationkey, n_name"
         " FROM region CROSS JOIN nation"
+    ),
+    "join_null_safe": (
+        "WITH dim AS (SELECT n_nationkey AS nk, n_name FROM nation"
+        "             UNION ALL SELECT NULL, 'UNKNOWN')"
+        " SELECT c_custkey, c_nationkey, dim.n_name"
+        " FROM customer JOIN dim"
+        " ON NULLIF(c_nationkey, 3) IS NOT DISTINCT FROM dim.nk"
+    ),
+    "fn_string_suite2": (
+        "SELECT p_partkey,"
+        " lpad(p_brand, 12, '*') AS brand_lpad,"
+        " rpad(p_brand, 12, '.') AS brand_rpad,"
+        " repeat('ab', 3) AS rep,"
+        " reverse(p_brand) AS brand_rev,"
+        " translate(p_type, 'AEIOU', 'aeiou') AS type_tr,"
+        " substring(p_name, 1, 3) AS name_left,"
+        " strpos(p_type, 'ED') AS ed_pos"
+        " FROM part"
     ),
     # agg_approx_quantiles: rows-only (sketch is engine-specific).
     "win_first_last": (

@@ -59,6 +59,29 @@ def test_partitioned_write_prunes(spark, sf_dir):
     )
 
 
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Join a status-partitioned fact with a filtered dim on the partition
+    key: the scan must carry a dynamicpruning expression so only matching
+    partitions are read at runtime — at 100 TB this is what keeps a
+    dim-filtered fact join from scanning the lake."""
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.operators._util import table
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    out = str(tmp_path / "orders_part")
+    table(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("F", "finished")], "o_orderstatus STRING, label STRING"
+    )
+    joined = fact.join(dim, "o_orderstatus").select(
+        "o_orderkey", "o_orderstatus", "label"
+    )
+    plan = executed_plan(joined).lower()
+    assert "dynamicpruning" in plan or "partitionfilters: [isnotnull" in plan
+
+
 def test_asof_is_single_shuffle(spark, sf_dir):
     from iot_data_pipeline_spark.plans import executed_plan
 
