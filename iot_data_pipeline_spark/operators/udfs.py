@@ -149,8 +149,34 @@ def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (Spark 4 ``@udtf``) applied per row via LATERAL:
+    each document expands to (token position, token, length) rows. Unlike
+    ``udtf_explode`` (JVM generator), this runs arbitrary Python per input
+    row with multi-column output — the full table-function contract."""
+    prepare(spark)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos INT, token STRING, tok_len INT")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok, len(tok)
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token, t.tok_len
+        FROM documents d, LATERAL tokenize_udtf(d.text) t
+        WHERE d.doc_id < 50
+        """
+    )
+
+
 QUERIES = {
     "udf_scalar": udf_scalar,
+    "udtf_python_lateral": udtf_python_lateral,
     "udf_pandas_scalar": udf_pandas_scalar,
     "udf_grouped_map": udf_grouped_map,
     "udaf_pandas": udaf_pandas,
@@ -178,5 +204,14 @@ ORACLES = {
         "SELECT word, COUNT(*) AS cnt FROM ("
         " SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)"
         " GROUP BY word"
+    ),
+    "udtf_python_lateral": (
+        "SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, u.token,"
+        " CAST(length(u.token) AS INTEGER) AS tok_len"
+        " FROM documents,"
+        " LATERAL (SELECT UNNEST(string_split(text, ' ')) AS token,"
+        "          UNNEST(generate_series(1, len(string_split(text, ' '))))"
+        "            AS i) u"
+        " WHERE doc_id < 50"
     ),
 }

@@ -94,6 +94,58 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     }
 
 
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Exactly-once bookkeeping: restarting a stream against the same
+    checkpoint must process only files that arrived since the last run —
+    no reprocessing, no gaps."""
+    import uuid
+
+    sdir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(sdir, exist_ok=True)
+    base = dt.datetime(2024, 1, 1)
+
+    def add_file(idx, ids):
+        rows = [
+            Row(event_id=i, ts=base, user_id=1, event_type="a", value=1.0, props="{}")
+            for i in ids
+        ]
+        df = spark.createDataFrame(rows, streams.EVENTS_SCHEMA)
+        stage = str(tmp_path / f"stage{idx}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(os.path.join(stage, part), os.path.join(sdir, f"{idx:05d}.parquet"))
+
+    def run_once():
+        q = (
+            streams._read_stream(spark, sdir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    add_file(0, [1, 2, 3])
+    run_once()
+    first = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert first == [1, 2, 3]
+
+    add_file(1, [4, 5])
+    run_once()
+    second = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    # resume processed ONLY the new file: no duplicates of 1-3, plus 4-5
+    assert second == [1, 2, 3, 4, 5]
+
+    # re-running with no new data appends nothing
+    run_once()
+    third = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert third == [1, 2, 3, 4, 5]
+    _ = uuid
+
+
 def test_stateful_count_equals_batch(spark, sf_dir):
     out = {
         r["user_id"]: (r["n_events"], r["total_cents"])
