@@ -153,14 +153,22 @@ def _etl_throughput(spark, sf_dir: str) -> float:
     # Best of 3: the pipeline is deterministic, so the fastest run is the
     # engine's steady-state throughput; slower runs reflect transient I/O
     # contention on the host, not the engine.
+    import shutil
+
     best = None
+    outs = []
     for _ in range(3):
-        out = tempfile.mkdtemp(prefix="etl_out_") + "/parquet"
+        out_root = tempfile.mkdtemp(prefix="etl_out_")
+        outs.append(out_root)
         t0 = time.time()
         df = read_iot_csv(spark, csv_dir, schema=IOT_SCHEMA)
-        transform_iot(normalize_columns(df)).write.mode("overwrite").parquet(out)
+        transform_iot(normalize_columns(df)).write.mode("overwrite").parquet(
+            out_root + "/parquet"
+        )
         secs = time.time() - t0
         best = secs if best is None or secs < best else best
+    for d in outs + [os.path.dirname(csv_dir)]:
+        shutil.rmtree(d, ignore_errors=True)
     return round(n_bytes / 1e6 / best, 1)
 
 
