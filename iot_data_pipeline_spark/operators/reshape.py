@@ -193,6 +193,18 @@ def fn_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with grouping_id — the bitmask
+    disambiguates subtotal NULL markers from real NULL data, which ROLLUP
+    output alone cannot."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
 def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value / last_value / nth_value over a full-partition frame:
     each order row sees its customer's cheapest, priciest, and 2nd order."""
@@ -313,6 +325,7 @@ QUERIES = {
     "join_cross": join_cross,
     "join_null_safe": join_null_safe,
     "fn_string_suite2": fn_string_suite2,
+    "agg_cube": agg_cube,
     "agg_approx_quantiles": agg_approx_quantiles,
     "win_first_last": win_first_last,
     "win_ntile_dist": win_ntile_dist,
@@ -361,6 +374,13 @@ ORACLES = {
         " SELECT c_custkey, c_nationkey, dim.n_name"
         " FROM customer JOIN dim"
         " ON NULLIF(c_nationkey, 3) IS NOT DISTINCT FROM dim.nk"
+    ),
+    "agg_cube": (
+        "SELECT l_returnflag, l_linestatus,"
+        " GROUPING(l_returnflag, l_linestatus) AS gid,"
+        " COUNT(*) AS cnt,"
+        " CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty"
+        " FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
     ),
     "fn_string_suite2": (
         "SELECT p_partkey,"

@@ -301,6 +301,21 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, "update")
 
 
+def stream_update_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-output-mode aggregation (the third output mode, alongside the
+    complete-mode windows and append-mode sessions above): per-event-type
+    running counts; on bounded single-batch replay the update stream equals
+    the batch aggregate."""
+    stream = _read_stream(spark, _stage_event_chunks(spark, sf_dir, n_chunks=1))
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+            "sum_value"
+        ),
+    )
+    return _run_to_memory(agg, "update")
+
+
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against the static
     customer dimension (events.user_id ≡ c_custkey). The static side is a
@@ -362,6 +377,7 @@ QUERIES = {
     "stream_stateful_count": stream_stateful_count,
     "stream_static_join": stream_static_join,
     "stream_stream_join": stream_stream_join,
+    "stream_update_agg": stream_update_agg,
 }
 
 _EVENTS_US = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
@@ -414,6 +430,11 @@ ORACLES = {
     "stream_static_join": (
         "SELECT event_id, user_id, event_type, c_name, c_mktsegment"
         " FROM events JOIN customer ON user_id = c_custkey"
+    ),
+    "stream_update_agg": (
+        "SELECT event_type, COUNT(*) AS cnt,"
+        " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value"
+        " FROM events GROUP BY event_type"
     ),
     "stream_stream_join": (
         "SELECT p.event_id AS p_id, e.event_id AS e_id,"
