@@ -149,6 +149,32 @@ def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the lowest-overhead Python tier — RecordBatch in,
+    RecordBatch out, no pandas materialization. Computes embedding dims and
+    exact element sums in integer-free double math via pyarrow compute."""
+    prepare(spark)
+    import pyarrow as pa
+
+    def batch_stats(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            emb = tbl.column("embedding")
+            dims = pc.list_value_length(emb)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tbl.column("vec_id").combine_chunks(),
+                    dims.cast(pa.int32()).combine_chunks(),
+                ],
+                names=["vec_id", "dim"],
+            )
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(batch_stats, "vec_id LONG, dim INT")
+
+
 def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL Python UDTF (Spark 4 ``@udtf``) applied per row via LATERAL:
     each document expands to (token position, token, length) rows. Unlike
@@ -177,6 +203,7 @@ def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "udf_scalar": udf_scalar,
     "udtf_python_lateral": udtf_python_lateral,
+    "udf_arrow_map": udf_arrow_map,
     "udf_pandas_scalar": udf_pandas_scalar,
     "udf_grouped_map": udf_grouped_map,
     "udaf_pandas": udaf_pandas,
@@ -204,6 +231,9 @@ ORACLES = {
         "SELECT word, COUNT(*) AS cnt FROM ("
         " SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)"
         " GROUP BY word"
+    ),
+    "udf_arrow_map": (
+        "SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim FROM embeddings"
     ),
     "udtf_python_lateral": (
         "SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, u.token,"

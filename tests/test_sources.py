@@ -34,6 +34,35 @@ def test_parquet_roundtrip_sorted(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
 
 
+def test_csv_malformed_row_modes(spark, tmp_path):
+    """Reader robustness: PERMISSIVE (default) nulls out unparsable fields;
+    FAILFAST raises — the two ingestion postures for dirty IoT dumps."""
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    header = ",".join(f.name for f in IOT_SCHEMA.fields)
+    # id.orig_p should be int — 'notaport' is malformed
+    (bad / "rows.csv").write_text(
+        header
+        + "\nu1,10.0.0.1,notaport,10.0.0.2,443,tcp,http,-,"
+        + ",".join(["-"] * 14)
+        + "\n"
+    )
+    permissive = read_iot_csv(spark, str(bad)).collect()
+    assert len(permissive) == 1 and permissive[0]["id.orig_p"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.csv(
+            str(bad),
+            header=True,
+            schema=IOT_SCHEMA,
+            sep=",",
+            nullValue="-",
+            mode="FAILFAST",
+        ).collect()
+
+
 def test_decode_media_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"\x89PNG", "image/png")
