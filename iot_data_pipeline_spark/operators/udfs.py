@@ -11,6 +11,10 @@ Demonstrates every Python-execution tier Spark offers, cheapest first:
 4. ``udaf_pandas`` — grouped-agg pandas UDF (custom aggregate).
 5. ``udtf_explode`` — 1→N expansion via built-in ``explode`` (generator-style
    UDTF semantics without leaving the JVM).
+6. ``udf_arrow_map`` — mapInArrow: RecordBatch-level Python, no pandas
+   materialization — the lowest-overhead Python tier of all.
+7. ``udtf_python_lateral`` — a real Spark 4 ``@udtf`` class applied per row
+   via LATERAL with multi-column generator output.
 """
 
 from __future__ import annotations
@@ -151,8 +155,8 @@ def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInArrow: the lowest-overhead Python tier — RecordBatch in,
-    RecordBatch out, no pandas materialization. Computes embedding dims and
-    exact element sums in integer-free double math via pyarrow compute."""
+    RecordBatch out, no pandas materialization. Computes embedding dims
+    with pyarrow compute directly on the batch columns."""
     prepare(spark)
     import pyarrow as pa
 
@@ -160,15 +164,11 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pyarrow.compute as pc
 
         for batch in batches:
-            tbl = pa.Table.from_batches([batch])
-            emb = tbl.column("embedding")
-            dims = pc.list_value_length(emb)
+            dims = pc.list_value_length(batch.column("embedding")).cast(
+                pa.int32()
+            )
             yield pa.RecordBatch.from_arrays(
-                [
-                    tbl.column("vec_id").combine_chunks(),
-                    dims.cast(pa.int32()).combine_chunks(),
-                ],
-                names=["vec_id", "dim"],
+                [batch.column("vec_id"), dims], names=["vec_id", "dim"]
             )
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -66,9 +66,13 @@ TABLES = (
 
 
 def read_iot_csv(
-    spark: SparkSession, path: str, schema: StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    **options,
 ) -> DataFrame:
-    """Scan IoT-23-style CSV with the reference's exact reader contract."""
+    """Scan IoT-23-style CSV with the reference's exact reader contract.
+    Extra ``options`` (e.g. ``mode='FAILFAST'``) layer on top of it."""
     return spark.read.csv(
         path,
         header=True,
@@ -77,6 +81,7 @@ def read_iot_csv(
         nullValue="-",
         recursiveFileLookup=True,
         enforceSchema=True,
+        **options,
     )
 
 

@@ -50,17 +50,8 @@ def test_csv_malformed_row_modes(spark, tmp_path):
     permissive = read_iot_csv(spark, str(bad)).collect()
     assert len(permissive) == 1 and permissive[0]["id.orig_p"] is None
 
-    import pytest as _pytest
-
-    with _pytest.raises(Exception):
-        spark.read.csv(
-            str(bad),
-            header=True,
-            schema=IOT_SCHEMA,
-            sep=",",
-            nullValue="-",
-            mode="FAILFAST",
-        ).collect()
+    with pytest.raises(Exception, match="(?i)malformed"):
+        read_iot_csv(spark, str(bad), mode="FAILFAST").collect()
 
 
 def test_decode_media_is_stubbed():
