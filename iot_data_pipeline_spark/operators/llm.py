@@ -293,19 +293,38 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
 
+    # keep k+1 locally: the self-match row (cosine 1.0) is filtered AFTER
+    # this stage and must not crowd out the true k-th neighbor.
+    TOP_K = 11
+
     def score(batches):
         for pdf in batches:
             v = np.array(list(pdf["embedding"]), dtype=np.float64)
             v_norm = np.sqrt((v * v).sum(axis=1))
-            cos = (v @ q_mat.T) / np.outer(v_norm, q_norm)
-            n, k = cos.shape
-            yield pd.DataFrame(
-                {
-                    "query_id": np.tile(q_ids, n),
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
-                    "cosine": np.round(cos.ravel(), 4),
-                }
-            )
+            cos = np.round((v @ q_mat.T) / np.outer(v_norm, q_norm), 4)
+            vec_ids = pdf["vec_id"].to_numpy()
+            # local top-k pre-reduction: the global top-k is a subset of the
+            # union of per-batch top-ks, so emit only k rows per query per
+            # batch — the window shuffle then carries k·batches rows instead
+            # of the full N×Q score matrix. Keep k+ties via argsort on
+            # (-cos, vec_id) to preserve the deterministic tiebreak.
+            frames = []
+            for qi in range(cos.shape[1]):
+                col = cos[:, qi]
+                if len(col) > TOP_K:
+                    order = np.lexsort((vec_ids, -col))[:TOP_K]
+                else:
+                    order = np.arange(len(col))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[qi],
+                            "vec_id": vec_ids[order],
+                            "cosine": col[order],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
 
     scored = e.select("vec_id", "embedding").mapInPandas(
         score, "query_id LONG, vec_id LONG, cosine DOUBLE"

@@ -54,6 +54,22 @@ def test_csv_malformed_row_modes(spark, tmp_path):
         read_iot_csv(spark, str(bad), mode="FAILFAST").collect()
 
 
+def test_parquet_schema_evolution(spark, tmp_path):
+    """Data-lake schema evolution: files written before a column existed
+    merge cleanly (mergeSchema), old rows reading NULL for the new column."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id LONG, v1 STRING").write.parquet(
+        out + "/batch=0"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id LONG, v1 STRING, v2 DOUBLE"
+    ).write.parquet(out + "/batch=1")
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    rows = {r["id"]: r for r in merged.collect()}
+    assert set(merged.columns) == {"id", "v1", "v2", "batch"}
+    assert rows[1]["v2"] is None and rows[2]["v2"] == 9.5
+
+
 def test_decode_media_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"\x89PNG", "image/png")
