@@ -193,6 +193,38 @@ def fn_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (median + p90 of order value per
+    priority) — the sort-based exact path; the sketch path for unbounded
+    cardinality is agg_approx_quantiles."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-preceding frame: 4-row moving average of order totals per
+    customer (rowsBetween(-3, 0)) — the smoothing window shape, decimal-
+    exact then one double division."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            F.sum(dec("o_totalprice")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma4"),
+    )
+
+
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus) with grouping_id — the bitmask
     disambiguates subtotal NULL markers from real NULL data, which ROLLUP
@@ -326,6 +358,8 @@ QUERIES = {
     "join_null_safe": join_null_safe,
     "fn_string_suite2": fn_string_suite2,
     "agg_cube": agg_cube,
+    "agg_group_median": agg_group_median,
+    "win_moving_avg": win_moving_avg,
     "agg_approx_quantiles": agg_approx_quantiles,
     "win_first_last": win_first_last,
     "win_ntile_dist": win_ntile_dist,
@@ -374,6 +408,20 @@ ORACLES = {
         " SELECT c_custkey, c_nationkey, dim.n_name"
         " FROM customer JOIN dim"
         " ON NULLIF(c_nationkey, 3) IS NOT DISTINCT FROM dim.nk"
+    ),
+    "agg_group_median": (
+        "SELECT o_orderpriority,"
+        " ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,"
+        " ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,"
+        " COUNT(*) AS n FROM orders GROUP BY o_orderpriority"
+    ),
+    "win_moving_avg": (
+        "SELECT o_orderkey, o_custkey,"
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)"
+        "   / COUNT(*) OVER w AS ma4"
+        " FROM orders WINDOW w AS (PARTITION BY o_custkey"
+        " ORDER BY o_orderdate, o_orderkey"
+        " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
     ),
     "agg_cube": (
         "SELECT l_returnflag, l_linestatus,"
