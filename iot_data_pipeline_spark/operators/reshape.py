@@ -193,6 +193,29 @@ def fn_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gen_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine dimension generation: a calendar table from a date
+    sequence + explode (no input scan at all) — the standard way to mint
+    date/time dimensions beside the fact tables."""
+    days = F.sequence(
+        F.lit("2024-01-01").cast("date"),
+        F.lit("2024-03-31").cast("date"),
+        F.expr("INTERVAL 1 DAY"),
+    )
+    return (
+        spark.range(1)
+        .select(F.explode(days).alias("d"))
+        .select(
+            F.col("d"),
+            F.year("d").alias("y"),
+            F.month("d").alias("m"),
+            F.dayofmonth("d").alias("dom"),
+            F.date_format("d", "yyyy-MM").alias("ym"),
+            (F.dayofweek("d").isin(1, 7)).alias("is_weekend"),
+        )
+    )
+
+
 def agg_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group percentiles (median + p90 of order value per
     priority) — the sort-based exact path; the sketch path for unbounded
@@ -360,6 +383,7 @@ QUERIES = {
     "agg_cube": agg_cube,
     "agg_group_median": agg_group_median,
     "win_moving_avg": win_moving_avg,
+    "gen_date_dim": gen_date_dim,
     "agg_approx_quantiles": agg_approx_quantiles,
     "win_first_last": win_first_last,
     "win_ntile_dist": win_ntile_dist,
@@ -408,6 +432,13 @@ ORACLES = {
         " SELECT c_custkey, c_nationkey, dim.n_name"
         " FROM customer JOIN dim"
         " ON NULLIF(c_nationkey, 3) IS NOT DISTINCT FROM dim.nk"
+    ),
+    "gen_date_dim": (
+        "SELECT CAST(u.r AS DATE) AS d, YEAR(u.r) AS y, MONTH(u.r) AS m,"
+        " DAY(u.r) AS dom, strftime(u.r, '%Y-%m') AS ym,"
+        " dayofweek(u.r) IN (0, 6) AS is_weekend"
+        " FROM (SELECT unnest(generate_series(DATE '2024-01-01',"
+        "       DATE '2024-03-31', INTERVAL 1 DAY)) AS r) u"
     ),
     "agg_group_median": (
         "SELECT o_orderpriority,"

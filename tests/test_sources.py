@@ -54,6 +54,27 @@ def test_csv_malformed_row_modes(spark, tmp_path):
         read_iot_csv(spark, str(bad), mode="FAILFAST").collect()
 
 
+def test_jdbc_writer_contract(spark, sf_dir, monkeypatch):
+    """The JDBC sink (reference S3) must forward the batched-write contract
+    (batchsize, socket timeout, driver, credentials) — asserted against a
+    stubbed writer since no JDBC endpoint exists in CI."""
+    from iot_data_pipeline_spark.sources.sinks import write_jdbc
+
+    captured = {}
+
+    class FakeWriter:
+        def jdbc(self, url, table, mode, properties):
+            captured.update(url=url, table=table, mode=mode, **properties)
+
+    df = table(spark, sf_dir, "nation")
+    monkeypatch.setattr(type(df), "write", property(lambda self: FakeWriter()))
+    write_jdbc(df, "jdbc:clickhouse://ch:8123/default", "iot_data", "u", "pw")
+    assert captured["batchsize"] == "100000"
+    assert captured["socket_timeout"] == "300000"
+    assert captured["mode"] == "append" and captured["table"] == "iot_data"
+    assert captured["driver"].endswith("ClickHouseDriver")
+
+
 def test_parquet_schema_evolution(spark, tmp_path):
     """Data-lake schema evolution: files written before a column existed
     merge cleanly (mergeSchema), old rows reading NULL for the new column."""
