@@ -59,6 +59,45 @@ def test_partitioned_write_prunes(spark, sf_dir):
     )
 
 
+def test_join_strategy_hints(spark, sf_dir):
+    """Planner hints are honored: merge → SortMergeJoin, shuffle_hash →
+    ShuffledHashJoin, broadcast → BroadcastHashJoin, for the same query."""
+    from iot_data_pipeline_spark.operators._util import table
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    for hint, node in [
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+        ("broadcast", "BroadcastHashJoin"),
+    ]:
+        joined = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+        assert node in executed_plan(joined), hint
+
+
+def test_observation_metrics(spark, sf_dir):
+    """Observation API: named metrics ride along with a real action — the
+    engine-ops way to count rows/sums without a second pass."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.operators._util import table
+
+    obs = Observation("etl_metrics")
+    li = table(spark, sf_dir, "lineitem")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias(
+            "qty"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    assert obs.get["rows"] == 6000
+    assert obs.get["qty"] > 0
+
+
 def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     """Join a status-partitioned fact with a filtered dim on the partition
     key: the scan must carry a dynamicpruning expression so only matching
