@@ -268,6 +268,45 @@ def fn_bitwise_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_json_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured → JSON text (to_json of a struct): both engines emit
+    compact key-ordered JSON, so the strings compare exactly — the
+    serialization half of the fn_json_extract pair."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.to_json(
+            F.struct(
+                F.col("p_partkey").alias("id"),
+                F.col("p_brand").alias("brand"),
+                F.col("p_size").alias("size"),
+            )
+        ).alias("doc"),
+    )
+
+
+def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str_to_map round trip: serialize columns to 'k:v,k:v' text, parse
+    back with str_to_map, extract typed values — the config-string parsing
+    shape. The oracle computes the expected values straight from the source
+    columns, so the parse is verified end-to-end."""
+    p = table(spark, sf_dir, "part")
+    kv = F.concat(
+        F.lit("brand:"),
+        F.col("p_brand"),
+        F.lit(",size:"),
+        F.col("p_size").cast("string"),
+    )
+    m = F.expr("str_to_map(concat('brand:', p_brand, ',size:', p_size), ',', ':')")
+    return p.select(
+        "p_partkey",
+        kv.alias("kv_text"),
+        F.element_at(m, "brand").alias("brand_back"),
+        F.element_at(m, "size").cast("int").alias("size_back"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
 def fn_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-handling scalars: coalesce/nullif/greatest/least/isnull over the
     left-joined customer→orders frame (real NULLs from the outer join)."""
@@ -308,6 +347,8 @@ QUERIES = {
     "fn_null_suite": fn_null_suite,
     "fn_date_arith": fn_date_arith,
     "fn_bitwise_trig": fn_bitwise_trig,
+    "fn_json_build": fn_json_build,
+    "fn_str_to_map": fn_str_to_map,
     "fn_regexp_extract": fn_regexp_extract,
     "fn_string_suite": fn_string_suite,
     "fn_date_suite": fn_date_suite,
@@ -328,6 +369,16 @@ ORACLES = {
         " o_orderkey IS NULL AS no_big_order"
         " FROM customer LEFT JOIN (SELECT * FROM orders"
         "   WHERE o_totalprice > 300000.0) o ON c_custkey = o_custkey"
+    ),
+    "fn_json_build": (
+        "SELECT p_partkey, to_json(struct_pack(id := p_partkey,"
+        " brand := p_brand, size := p_size)) AS doc FROM part"
+    ),
+    "fn_str_to_map": (
+        "SELECT p_partkey,"
+        " 'brand:' || p_brand || ',size:' || p_size AS kv_text,"
+        " p_brand AS brand_back, p_size AS size_back, 2 AS n_keys"
+        " FROM part"
     ),
     "fn_bitwise_trig": (
         "SELECT p_partkey,"
