@@ -467,6 +467,55 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition — the actual 100 TB training-data job, as
+    one declarative plan: quality filter → exact dedup (keep lowest id) →
+    near-dup removal (drop the higher id of each jaccard≥0.5 pair) →
+    per-language corpus statistics. Catalyst fuses the filter+dedup into
+    the scan side; only the near-dup stage shuffles shingles."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), _WS))
+    alpha_ratio = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.length(
+        "text"
+    )
+    qualified = d.filter(
+        (F.length("text") >= 100)
+        & (F.length("text") <= 5000)
+        & (n_tokens >= 20)
+        & (alpha_ratio > 0.6)
+    )
+    w = Window.partitionBy(F.sha2(normalized_text(), 256)).orderBy("doc_id")
+    deduped = (
+        qualified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    sh = _word_shingles(deduped, 3)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    near_dups = (
+        inter.join(ca, "doc_a").join(cb, "doc_b").filter(jac >= 0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = deduped.join(near_dups, "doc_id", "left_anti")
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), _WS))).alias("sum_tokens"),
+        F.sum(F.length("text")).alias("sum_chars"),
+    )
+
+
 def similarity_search(
     spark: SparkSession,
     sf_dir: str,
@@ -654,6 +703,7 @@ QUERIES = {
     "llm_text_normalize": llm_text_normalize,
     "llm_redact": llm_redact,
     "llm_dedup_clusters": llm_dedup_clusters,
+    "llm_corpus_pipeline": llm_corpus_pipeline,
 }
 
 # Connected components of the jaccard-pair graph as a recursive CTE:
@@ -805,4 +855,33 @@ ORACLES = {
         " NOT contains(red, '@') AS no_email_left FROM r"
     ),
     "llm_dedup_clusters": _CLUSTERS_ORACLE,
+    "llm_corpus_pipeline": (
+        "WITH q AS (SELECT * FROM documents"
+        "   WHERE length(text) BETWEEN 100 AND 5000"
+        "   AND len(string_split(text, ' ')) >= 20"
+        "   AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+        "       * 1.0 / length(text) > 0.6),"
+        " dd AS (SELECT * FROM q WHERE doc_id IN"
+        "   (SELECT MIN(doc_id) FROM q GROUP BY lower(trim(text)))),"
+        " toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t"
+        "          FROM dd),"
+        " sh AS (SELECT DISTINCT doc_id,"
+        "        unnest(list_transform(generate_series(1, len(t) - 2),"
+        "               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s"
+        "        FROM toks WHERE len(t) >= 3),"
+        " cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),"
+        " inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i"
+        "           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id"
+        "           GROUP BY 1, 2),"
+        " nd AS (SELECT DISTINCT doc_b AS doc_id FROM inter"
+        "        JOIN cnt ca ON ca.doc_id = doc_a"
+        "        JOIN cnt cb ON cb.doc_id = doc_b"
+        "        WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5),"
+        " final AS (SELECT * FROM dd WHERE doc_id NOT IN"
+        "           (SELECT doc_id FROM nd))"
+        " SELECT lang, COUNT(*) AS n_docs,"
+        " SUM(len(string_split(text, ' '))) AS sum_tokens,"
+        " SUM(length(text)) AS sum_chars"
+        " FROM final GROUP BY lang"
+    ),
 }
