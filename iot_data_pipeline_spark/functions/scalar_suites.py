@@ -307,6 +307,48 @@ def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (parse_url): host/path/query/fragment extraction over
+    deterministic synthesized URLs. The oracle re-derives the parts with
+    regexes, cross-checking Spark's java.net-based parser."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://data.example.com/corpus/"),
+        F.col("lang"),
+        F.lit("/doc?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&src="),
+        F.col("source"),
+        F.lit("#s1"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("id_param"),
+        F.parse_url(url, F.lit("REF")).alias("fragment"),
+    )
+
+
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: try_divide / try_add return NULL where strict
+    ANSI evaluation would raise (division by zero here — l_discount is 0 for
+    many rows), keeping pipelines total without disabling ANSI mode."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 4
+        ).alias("price_per_disc"),
+        F.try_divide(F.col("l_quantity"), F.col("l_tax")).isNull().alias(
+            "tax_div_undef"
+        ),
+    )
+
+
 def fn_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-handling scalars: coalesce/nullif/greatest/least/isnull over the
     left-joined customer→orders frame (real NULLs from the outer join)."""
@@ -349,6 +391,8 @@ QUERIES = {
     "fn_bitwise_trig": fn_bitwise_trig,
     "fn_json_build": fn_json_build,
     "fn_str_to_map": fn_str_to_map,
+    "fn_url_suite": fn_url_suite,
+    "fn_try_arith": fn_try_arith,
     "fn_regexp_extract": fn_regexp_extract,
     "fn_string_suite": fn_string_suite,
     "fn_date_suite": fn_date_suite,
@@ -369,6 +413,26 @@ ORACLES = {
         " o_orderkey IS NULL AS no_big_order"
         " FROM customer LEFT JOIN (SELECT * FROM orders"
         "   WHERE o_totalprice > 300000.0) o ON c_custkey = o_custkey"
+    ),
+    "fn_url_suite": (
+        "WITH u AS (SELECT doc_id,"
+        " 'https://data.example.com/corpus/' || lang || '/doc?id=' || doc_id"
+        "   || '&src=' || source || '#s1' AS url FROM documents)"
+        " SELECT doc_id, url,"
+        " regexp_extract(url, '://([^/]+)', 1) AS host,"
+        " regexp_extract(url, '://[^/]+(/[^?#]*)', 1) AS path,"
+        " regexp_extract(url, '\\?([^#]*)', 1) AS query,"
+        " regexp_extract(url, 'id=([^&#]*)', 1) AS id_param,"
+        " regexp_extract(url, '#(.*)$', 1) AS fragment"
+        " FROM u"
+    ),
+    "fn_try_arith": (
+        "SELECT l_orderkey, l_linenumber,"
+        " ROUND(CASE WHEN l_discount = 0 THEN NULL"
+        "       ELSE l_extendedprice / l_discount END, 4) AS price_per_disc,"
+        " (CASE WHEN l_tax = 0 THEN NULL ELSE l_quantity / l_tax END)"
+        "   IS NULL AS tax_div_undef"
+        " FROM lineitem"
     ),
     "fn_json_build": (
         "SELECT p_partkey, to_json(struct_pack(id := p_partkey,"

@@ -193,6 +193,17 @@ def fn_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_and / bool_or / count_if combinations) per
+    line status."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_discount") > 0.05).alias("any_big_discount"),
+        F.bool_and(F.col("l_tax") < 0.09).alias("all_low_tax"),
+    )
+
+
 def gen_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine dimension generation: a calendar table from a date
     sequence + explode (no input scan at all) — the standard way to mint
@@ -384,6 +395,7 @@ QUERIES = {
     "agg_group_median": agg_group_median,
     "win_moving_avg": win_moving_avg,
     "gen_date_dim": gen_date_dim,
+    "agg_bool": agg_bool,
     "agg_approx_quantiles": agg_approx_quantiles,
     "win_first_last": win_first_last,
     "win_ntile_dist": win_ntile_dist,
@@ -432,6 +444,13 @@ ORACLES = {
         " SELECT c_custkey, c_nationkey, dim.n_name"
         " FROM customer JOIN dim"
         " ON NULLIF(c_nationkey, 3) IS NOT DISTINCT FROM dim.nk"
+    ),
+    "agg_bool": (
+        "SELECT l_linestatus,"
+        " bool_and(l_quantity > 0) AS all_positive_qty,"
+        " bool_or(l_discount > 0.05) AS any_big_discount,"
+        " bool_and(l_tax < 0.09) AS all_low_tax"
+        " FROM lineitem GROUP BY l_linestatus"
     ),
     "gen_date_dim": (
         "SELECT CAST(u.r AS DATE) AS d, YEAR(u.r) AS y, MONTH(u.r) AS m,"
