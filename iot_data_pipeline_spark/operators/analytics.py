@@ -103,6 +103,20 @@ def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + event volume — the first dashboard query every
+    event store serves."""
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    return e.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+
+
 def iot_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sensor downsampling / rollup (hypertable continuous-aggregate shape):
     per-device 1-hour buckets with decimal-exact avg/min/max — the
@@ -156,6 +170,7 @@ QUERIES = {
     "evt_retention": evt_retention,
     "iot_downsample": iot_downsample,
     "iot_anomaly": iot_anomaly,
+    "evt_dau": evt_dau,
 }
 
 ORACLES = {
@@ -186,6 +201,12 @@ ORACLES = {
         " SELECT user_id, signup_ts, purchase_ts,"
         " signup_ts IS NOT NULL AS reached_signup,"
         " purchase_ts IS NOT NULL AS converted FROM pu"
+    ),
+    "evt_dau": (
+        "SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,"
+        " COUNT(DISTINCT user_id) AS dau, COUNT(*) AS n_events,"
+        " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value"
+        " FROM events GROUP BY 1"
     ),
     "iot_downsample": (
         "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,"

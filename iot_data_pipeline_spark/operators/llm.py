@@ -467,6 +467,16 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sampling (~10%): hash-partition the id space
+    instead of RNG, so the sample is reproducible on any cluster layout and
+    expressible in SQL — the auditable way to subsample a training corpus."""
+    d = table(spark, sf_dir, "documents")
+    return d.filter(F.pmod(F.col("doc_id") * 7919, F.lit(100)) < 10).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone composition — the actual 100 TB training-data job, as
     one declarative plan: quality filter → exact dedup (keep lowest id) →
@@ -704,6 +714,7 @@ QUERIES = {
     "llm_redact": llm_redact,
     "llm_dedup_clusters": llm_dedup_clusters,
     "llm_corpus_pipeline": llm_corpus_pipeline,
+    "llm_sample": llm_sample,
 }
 
 # Connected components of the jaccard-pair graph as a recursive CTE:
@@ -855,6 +866,10 @@ ORACLES = {
         " NOT contains(red, '@') AS no_email_left FROM r"
     ),
     "llm_dedup_clusters": _CLUSTERS_ORACLE,
+    "llm_sample": (
+        "SELECT doc_id, lang, source, n_chars FROM documents"
+        " WHERE (doc_id * 7919) % 100 < 10"
+    ),
     "llm_corpus_pipeline": (
         "WITH q AS (SELECT * FROM documents"
         "   WHERE length(text) BETWEEN 100 AND 5000"
