@@ -193,6 +193,30 @@ def fn_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each order's share of its customer's total spend —
+    decimal-exact numerator and denominator, one double division."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    total = F.sum(dec("o_totalprice")).over(w).cast("double")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") / total, 6).alias("pct_of_cust"),
+    )
+
+
+def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by / max_by (argmin/argmax aggregates) keyed on the UNIQUE order
+    key, so the selected rows are deterministic in both engines."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderdate", "o_orderkey").alias("latest_key_date"),
+        F.min_by("o_orderdate", "o_orderkey").alias("earliest_key_date"),
+        F.max_by("o_totalprice", "o_orderkey").alias("latest_key_price"),
+    )
+
+
 def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean aggregates (bool_and / bool_or / count_if combinations) per
     line status."""
@@ -396,6 +420,8 @@ QUERIES = {
     "win_moving_avg": win_moving_avg,
     "gen_date_dim": gen_date_dim,
     "agg_bool": agg_bool,
+    "win_pct_of_total": win_pct_of_total,
+    "agg_arg_minmax": agg_arg_minmax,
     "agg_approx_quantiles": agg_approx_quantiles,
     "win_first_last": win_first_last,
     "win_ntile_dist": win_ntile_dist,
@@ -444,6 +470,19 @@ ORACLES = {
         " SELECT c_custkey, c_nationkey, dim.n_name"
         " FROM customer JOIN dim"
         " ON NULLIF(c_nationkey, 3) IS NOT DISTINCT FROM dim.nk"
+    ),
+    "win_pct_of_total": (
+        "SELECT o_orderkey, o_custkey,"
+        " ROUND(o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))"
+        "   OVER (PARTITION BY o_custkey) AS DOUBLE), 6) AS pct_of_cust"
+        " FROM orders"
+    ),
+    "agg_arg_minmax": (
+        "SELECT o_custkey,"
+        " arg_max(o_orderdate, o_orderkey) AS latest_key_date,"
+        " arg_min(o_orderdate, o_orderkey) AS earliest_key_date,"
+        " arg_max(o_totalprice, o_orderkey) AS latest_key_price"
+        " FROM orders GROUP BY o_custkey"
     ),
     "agg_bool": (
         "SELECT l_linestatus,"
