@@ -307,6 +307,24 @@ def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_array_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second array batch: slice, position, descending sort, flatten over
+    the embedding vectors (scalar outputs only, rounded)."""
+    e = table(spark, sf_dir, "embeddings")
+    embd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sliced = F.slice(embd, 2, 4)
+    sorted_desc = F.sort_array(embd, asc=False)
+    return e.select(
+        "vec_id",
+        F.size(sliced).alias("slice_len"),
+        F.round(F.element_at(sliced, 1), 4).alias("slice_first"),
+        F.round(F.element_at(sorted_desc, 1), 4).alias("largest"),
+        F.round(F.element_at(sorted_desc, -1), 4).alias("smallest"),
+        F.size(F.flatten(F.array(embd, sliced))).alias("flat_len"),
+        F.array_position(embd, F.element_at(embd, 3)).alias("pos_of_third"),
+    )
+
+
 def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL parsing (parse_url): host/path/query/fragment extraction over
     deterministic synthesized URLs. The oracle re-derives the parts with
@@ -393,6 +411,7 @@ QUERIES = {
     "fn_str_to_map": fn_str_to_map,
     "fn_url_suite": fn_url_suite,
     "fn_try_arith": fn_try_arith,
+    "fn_array_suite2": fn_array_suite2,
     "fn_regexp_extract": fn_regexp_extract,
     "fn_string_suite": fn_string_suite,
     "fn_date_suite": fn_date_suite,
@@ -413,6 +432,18 @@ ORACLES = {
         " o_orderkey IS NULL AS no_big_order"
         " FROM customer LEFT JOIN (SELECT * FROM orders"
         "   WHERE o_totalprice > 300000.0) o ON c_custkey = o_custkey"
+    ),
+    "fn_array_suite2": (
+        "WITH b AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        " FROM embeddings)"
+        " SELECT vec_id, len(e[2:5]) AS slice_len,"
+        " ROUND(e[2], 4) AS slice_first,"
+        " ROUND(list_sort(e, 'DESC')[1], 4) AS largest,"
+        " ROUND(list_sort(e, 'DESC')[-1], 4) AS smallest,"
+        " len(flatten([e, e[2:5]])) AS flat_len,"
+        " list_position(e, e[3]) AS pos_of_third"
+        " FROM b"
     ),
     "fn_url_suite": (
         "WITH u AS (SELECT doc_id,"

@@ -467,6 +467,29 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorization: clamp document lengths to the language's
+    exact [p05, p95] band — the outlier-taming step before length-based
+    curriculum or loss weighting. Exact percentiles per group (one agg),
+    broadcast back, clamp with least/greatest."""
+    d = table(spark, sf_dir, "documents")
+    bounds = d.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p05"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    )
+    j = d.join(F.broadcast(bounds), "lang")
+    clamped = F.least(
+        F.greatest(F.col("n_chars").cast("double"), F.col("p05")), F.col("p95")
+    )
+    return j.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(clamped, 4).alias("n_chars_w"),
+        (clamped != F.col("n_chars")).alias("was_clamped"),
+    )
+
+
 def llm_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic systematic sampling (~10%): hash-partition the id space
     instead of RNG, so the sample is reproducible on any cluster layout and
@@ -715,6 +738,7 @@ QUERIES = {
     "llm_dedup_clusters": llm_dedup_clusters,
     "llm_corpus_pipeline": llm_corpus_pipeline,
     "llm_sample": llm_sample,
+    "llm_winsorize": llm_winsorize,
 }
 
 # Connected components of the jaccard-pair graph as a recursive CTE:
@@ -869,6 +893,18 @@ ORACLES = {
     "llm_sample": (
         "SELECT doc_id, lang, source, n_chars FROM documents"
         " WHERE (doc_id * 7919) % 100 < 10"
+    ),
+    "llm_winsorize": (
+        "WITH b AS (SELECT lang,"
+        " quantile_cont(n_chars, 0.05) AS p05,"
+        " quantile_cont(n_chars, 0.95) AS p95"
+        " FROM documents GROUP BY lang)"
+        " SELECT doc_id, d.lang, n_chars,"
+        " ROUND(LEAST(GREATEST(CAST(n_chars AS DOUBLE), p05), p95), 4)"
+        "   AS n_chars_w,"
+        " LEAST(GREATEST(CAST(n_chars AS DOUBLE), p05), p95) != n_chars"
+        "   AS was_clamped"
+        " FROM documents d JOIN b ON d.lang = b.lang"
     ),
     "llm_corpus_pipeline": (
         "WITH q AS (SELECT * FROM documents"
