@@ -467,6 +467,33 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: term frequency per doc × ln(N/df),
+    ranked on the ROUNDED score with the term as tiebreak so both engines
+    order identically. Two aggregations + one window — no driver loops
+    (N is the one scalar, fetched once)."""
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    terms = d.select(
+        "doc_id", F.explode(F.split(normalized_text(), _WS)).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
 def llm_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language winsorization: clamp document lengths to the language's
     exact [p05, p95] band — the outlier-taming step before length-based
@@ -739,6 +766,7 @@ QUERIES = {
     "llm_corpus_pipeline": llm_corpus_pipeline,
     "llm_sample": llm_sample,
     "llm_winsorize": llm_winsorize,
+    "llm_tfidf": llm_tfidf,
 }
 
 # Connected components of the jaccard-pair graph as a recursive CTE:
@@ -893,6 +921,21 @@ ORACLES = {
     "llm_sample": (
         "SELECT doc_id, lang, source, n_chars FROM documents"
         " WHERE (doc_id * 7919) % 100 < 10"
+    ),
+    "llm_tfidf": (
+        "WITH terms AS (SELECT doc_id,"
+        "   unnest(string_split(lower(trim(text)), ' ')) AS term"
+        "   FROM documents),"
+        " tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms"
+        "        GROUP BY doc_id, term),"
+        " df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),"
+        " n AS (SELECT COUNT(*) AS n_docs FROM documents),"
+        " s AS (SELECT doc_id, tf.term,"
+        "   ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf"
+        "   FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)"
+        " SELECT doc_id, term, tfidf, rk FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id"
+        "    ORDER BY tfidf DESC, term) AS rk FROM s) WHERE rk <= 3"
     ),
     "llm_winsorize": (
         "WITH b AS (SELECT lang,"
