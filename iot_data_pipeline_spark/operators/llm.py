@@ -467,6 +467,32 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics (n-gram LM counts): top-20 adjacent word
+    pairs with occurrence counts — duplicates COUNT here (frequency), unlike
+    the distinct shingles the dedup family uses."""
+    d = table(spark, sf_dir, "documents")
+    toked = d.select(F.split(normalized_text(), _WS).alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    toks = F.col("toks")
+    bigram = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i.cast("int")),
+            F.element_at(toks, (i + 1).cast("int")),
+        ),
+    )
+    return (
+        toked.select(F.explode(bigram).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
 def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document: term frequency per doc × ln(N/df),
     ranked on the ROUNDED score with the term as tiebreak so both engines
@@ -767,6 +793,7 @@ QUERIES = {
     "llm_sample": llm_sample,
     "llm_winsorize": llm_winsorize,
     "llm_tfidf": llm_tfidf,
+    "llm_bigram_counts": llm_bigram_counts,
 }
 
 # Connected components of the jaccard-pair graph as a recursive CTE:
@@ -921,6 +948,15 @@ ORACLES = {
     "llm_sample": (
         "SELECT doc_id, lang, source, n_chars FROM documents"
         " WHERE (doc_id * 7919) % 100 < 10"
+    ),
+    "llm_bigram_counts": (
+        "WITH toks AS (SELECT string_split(lower(trim(text)), ' ') AS t"
+        "              FROM documents),"
+        " bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),"
+        "        i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks"
+        "        WHERE len(t) >= 2)"
+        " SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram"
+        " ORDER BY cnt DESC, bigram LIMIT 20"
     ),
     "llm_tfidf": (
         "WITH terms AS (SELECT doc_id,"
