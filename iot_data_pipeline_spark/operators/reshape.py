@@ -193,6 +193,37 @@ def fn_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_lag_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with explicit defaults (no NULL at partition edges) and a
+    2-step offset."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice", 2, 0.0).over(w).alias("prev2_price"),
+        F.lead("o_totalprice", 1, -1.0).over(w).alias("next_price"),
+    )
+
+
+def agg_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation null semantics over a frame with REAL nulls (outer
+    join): COUNT(*) counts rows, COUNT(col) skips nulls, SUM/AVG ignore
+    nulls, and an all-null group sums to NULL — the SQL rules everyone
+    trips on once."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0)
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("n_big_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("sum_big"),
+        (
+            F.sum(dec("o_totalprice")).cast("double") / F.count("o_totalprice")
+        ).alias("avg_big"),
+    )
+
+
 def win_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ratio-to-report: each order's share of its customer's total spend —
     decimal-exact numerator and denominator, one double division."""
@@ -422,6 +453,8 @@ QUERIES = {
     "agg_bool": agg_bool,
     "win_pct_of_total": win_pct_of_total,
     "agg_arg_minmax": agg_arg_minmax,
+    "win_lag_default": win_lag_default,
+    "agg_null_semantics": agg_null_semantics,
     "agg_approx_quantiles": agg_approx_quantiles,
     "win_first_last": win_first_last,
     "win_ntile_dist": win_ntile_dist,
@@ -470,6 +503,23 @@ ORACLES = {
         " SELECT c_custkey, c_nationkey, dim.n_name"
         " FROM customer JOIN dim"
         " ON NULLIF(c_nationkey, 3) IS NOT DISTINCT FROM dim.nk"
+    ),
+    "win_lag_default": (
+        "SELECT o_orderkey, o_custkey,"
+        " LAG(o_totalprice, 2, 0.0) OVER w AS prev2_price,"
+        " LEAD(o_totalprice, 1, -1.0) OVER w AS next_price"
+        " FROM orders WINDOW w AS (PARTITION BY o_custkey"
+        " ORDER BY o_orderdate, o_orderkey)"
+    ),
+    "agg_null_semantics": (
+        "SELECT c_mktsegment, COUNT(*) AS n_rows,"
+        " COUNT(o_orderkey) AS n_big_orders,"
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_big,"
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"
+        "   / COUNT(o_totalprice) AS avg_big"
+        " FROM customer LEFT JOIN (SELECT * FROM orders"
+        "   WHERE o_totalprice > 450000.0) o ON c_custkey = o_custkey"
+        " GROUP BY c_mktsegment"
     ),
     "win_pct_of_total": (
         "SELECT o_orderkey, o_custkey,"
