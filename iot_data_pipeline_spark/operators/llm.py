@@ -22,11 +22,15 @@ that scales, not the one that is shortest:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from iot_data_pipeline_spark.operators._util import table
+
+log = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -78,12 +82,30 @@ def _word_shingles(df: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_dedup_ngram(
+    spark: SparkSession, sf_dir: str, max_shingle_df: int | None = None
+) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (threshold 0.5), fully
     oracle-checkable: |A∩B| via shingle equi-join, |A∪B| = nA + nB − |A∩B|.
-    This is the ground truth the MinHash variant approximates."""
+    This is the ground truth the MinHash variant approximates — its all-pairs
+    shingle join emits ~df² rows per shingle, so it is an oracle/ground-truth
+    operator, NOT the production near-dup path (that is ``near_dup_pairs``).
+
+    ``max_shingle_df`` guards scale runs: shingles whose document frequency
+    exceeds it (boilerplate trigrams — the df² hot keys) are dropped before
+    pairing, the standard cap from MMDS ch. 3. Default ``None`` keeps the
+    metric exact so the registered query stays oracle-checkable."""
     d = table(spark, sf_dir, "documents")
-    sh = _word_shingles(d, 3).cache()
+    sh = _word_shingles(d, 3)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sh_df"))
+            .filter(F.col("sh_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    sh = sh.cache()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -129,16 +151,13 @@ def minhash_signature(shingle_col) -> list:
     ]
 
 
-def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs, verified by exact Jaccard.
-
-    Pipeline: shingle → 32 min-hashes per doc (one aggregation) → band the
-    signature (8×4) → equi-join docs sharing any band bucket → verify exact
-    jaccard ≥ 0.5 on the candidates only. Deterministic (xxhash64 is seeded),
-    but not SQL-expressible → rows-only oracle; tests assert it finds
-    exactly the llm_dedup_ngram pairs on this corpus."""
-    d = table(spark, sf_dir, "documents")
-    sh = _word_shingles(d, 3).cache()
+def _lsh_candidates(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingle) → candidate pairs (doc_a < doc_b) sharing any LSH
+    band bucket. One aggregation for the 32-minhash signature, one
+    posexplode, one self-equi-join on (band_idx, bucket) — single shuffle,
+    and bucket ids are 64-bit hashes so the join keys are uniform at any
+    scale. Crucially LINEAR in corpus size: hot shingles raise no df² blowup
+    here because shingles only feed the per-doc min-aggregation."""
     sig = sh.groupBy("doc_id").agg(*minhash_signature(F.col("shingle")))
     band_cols = [
         F.xxhash64(
@@ -147,9 +166,6 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(_LSH_BANDS)
     ]
     banded = sig.select("doc_id", *band_cols)
-    # candidate pairs: same bucket in ANY band. One posexplode + one
-    # self-equi-join on (band_idx, bucket) — single shuffle, and bucket ids
-    # are 64-bit hashes so the join keys are uniform at any scale.
     buckets = banded.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(_LSH_BANDS)])).alias(
@@ -158,13 +174,17 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = buckets.select(F.col("doc_id").alias("doc_a"), "band_idx", "bucket")
     r = buckets.select(F.col("doc_id").alias("doc_b"), "band_idx", "bucket")
-    cands = (
+    return (
         l.join(r, ["band_idx", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # verify candidates with exact jaccard (small set → cheap join back).
+
+
+def _verify_pairs(sh: DataFrame, cands: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard on CANDIDATE pairs only → (doc_a, doc_b, jaccard ≥
+    threshold). Cost is |candidates| × shingles-per-doc, never all-pairs."""
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b_ = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -181,9 +201,32 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(ca, "doc_a")
         .join(cb, "doc_b")
         .withColumn("jaccard", F.round(jac, 4))
-        .filter(jac >= 0.5)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def near_dup_pairs(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """The PRODUCTION near-dup path: MinHash+LSH candidates + exact verify.
+
+    This — not the all-pairs shingle join — is what every consumer
+    (``llm_dedup_near``, ``llm_dedup_clusters``, ``llm_corpus_pipeline``)
+    composes. ``sh`` should be cached by the caller (it is scanned for the
+    signature pass and twice in verify)."""
+    return _verify_pairs(sh, _lsh_candidates(sh), threshold)
+
+
+def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs, verified by exact Jaccard.
+
+    Pipeline: shingle → 32 min-hashes per doc (one aggregation) → band the
+    signature (8×4) → equi-join docs sharing any band bucket → verify exact
+    jaccard ≥ 0.5 on the candidates only. Deterministic (xxhash64 is seeded),
+    but not SQL-expressible → rows-only oracle; tests assert it finds
+    exactly the llm_dedup_ngram pairs on this corpus."""
+    d = table(spark, sf_dir, "documents")
+    sh = _word_shingles(d, 3).cache()
+    return near_dup_pairs(sh, 0.5)
 
 
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,29 +456,26 @@ def llm_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS from the exact pair list: connected components via
-    iterative min-label propagation, then a canonical (lowest-id) doc per
-    cluster — the step that turns pairwise dedup into "keep one per group".
+def _min_label_propagation(
+    edges: DataFrame, max_iters: int = 15, check_every: int = 3
+) -> DataFrame:
+    """Connected components via iterative min-label propagation over a
+    symmetrized (doc_a, doc_b) edge list → (doc_id, label).
 
-    The loop is the scalable component pattern: each iteration is one join
-    on the (tiny) edge list, labels monotonically decrease, and lineage is
-    truncated per round; duplicate clusters in web corpora have small
-    diameter, so it converges in a handful of rounds.
-    """
-    pairs = llm_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).cache()
+    Each iteration is one join on the edge list with localCheckpoint lineage
+    truncation. The driver-side convergence ``count()`` costs a job per
+    check, so it runs only every ``check_every`` rounds (dup clusters in web
+    corpora have small diameter — most runs converge before the second
+    check). Exiting at ``max_iters`` without a clean convergence check logs
+    a warning instead of silently returning possibly-unconverged labels."""
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(15):
+    converged = False
+    for it in range(1, max_iters + 1):
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a")
@@ -451,15 +491,44 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .count()
-        )
+        if it % check_every == 0 or it == max_iters:
+            changed = (
+                updated.alias("u")
+                .join(labels.alias("l"), "doc_id")
+                .filter(F.col("u.label") != F.col("l.label"))
+                .count()
+            )
+            if changed == 0:
+                labels = updated
+                converged = True
+                break
         labels = updated
-        if changed == 0:
-            break
+    if not converged:
+        log.warning(
+            "min-label propagation hit max_iters=%d without a converged "
+            "check; labels may span unfinished clusters (graph diameter "
+            "> max_iters)",
+            max_iters,
+        )
+    return labels
+
+
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the near-dup pair graph,
+    then a canonical (lowest-id) doc per cluster — the step that turns
+    pairwise dedup into "keep one per group".
+
+    Pairs come from the production MinHash+LSH path (``near_dup_pairs``), not
+    the all-pairs shingle join — identical pairs on this corpus (pinned by
+    tests) and linear instead of df²-quadratic at scale. The oracle is the
+    exact-pair recursive CTE."""
+    pairs = llm_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).cache()
+    labels = _min_label_propagation(edges)
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
@@ -556,9 +625,16 @@ def llm_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone composition — the actual 100 TB training-data job, as
     one declarative plan: quality filter → exact dedup (keep lowest id) →
-    near-dup removal (drop the higher id of each jaccard≥0.5 pair) →
-    per-language corpus statistics. Catalyst fuses the filter+dedup into
-    the scan side; only the near-dup stage shuffles shingles."""
+    near-dup removal via MinHash+LSH (drop the higher id of each jaccard≥0.5
+    pair) → per-language corpus statistics.
+
+    The near-dup stage is the production ``near_dup_pairs`` path (signature →
+    banding → candidate equi-join → exact verify on candidates only), NOT the
+    all-pairs shingle join: hot boilerplate shingles with document frequency
+    in the millions would make the exact join emit ~df² rows per shingle.
+    The oracle stays the exact-Jaccard SQL — MinHash@32/8×4 finds exactly the
+    jaccard≥0.5 pairs on this corpus (pinned by tests/test_llm.py), and
+    signatures are per-document, so subsetting the corpus cannot add pairs."""
     d = table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(F.col("text"), _WS))
     alpha_ratio = F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.length(
@@ -576,21 +652,9 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    sh = _word_shingles(deduped, 3)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    sh = _word_shingles(deduped, 3).cache()
     near_dups = (
-        inter.join(ca, "doc_a").join(cb, "doc_b").filter(jac >= 0.5)
+        near_dup_pairs(sh, 0.5)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

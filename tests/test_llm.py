@@ -14,14 +14,50 @@ def _pairs(df):
 
 
 def test_minhash_matches_exact_ngram(spark, sf_dir):
-    """On this corpus the MinHash+LSH candidates, after exact verification,
-    must equal the exact n-gram jaccard pairs (LSH only risks recall loss;
-    verification removes precision loss)."""
+    """On this corpus the MinHash+LSH pairs, after exact verification, must
+    EQUAL the exact n-gram jaccard pairs (LSH only risks recall loss;
+    verification removes precision loss; dup jaccards here are far enough
+    above 0.5 that 8×4 banding catches every pair). This equality is what
+    lets llm_corpus_pipeline / llm_dedup_clusters run the LSH path against
+    the exact-Jaccard oracle."""
     exact = _pairs(llm.llm_dedup_ngram(spark, sf_dir))
     approx = _pairs(llm.llm_dedup_near(spark, sf_dir))
-    assert approx.issubset(exact)
-    # recall on near-identical docs should be high
-    assert len(approx) >= 0.8 * len(exact)
+    assert approx == exact
+
+
+def test_ngram_df_cap_drops_hot_shingles(spark, sf_dir):
+    """max_shingle_df guards the exact path at scale: an aggressive cap can
+    only REMOVE pairs (dropping shingles lowers intersections), and a cap
+    above the max document frequency is a no-op."""
+    base = _pairs(llm.llm_dedup_ngram(spark, sf_dir))
+    capped_loose = _pairs(llm.llm_dedup_ngram(spark, sf_dir, max_shingle_df=10**6))
+    assert capped_loose == base
+    capped_tight = llm.llm_dedup_ngram(spark, sf_dir, max_shingle_df=1)
+    # df cap = 1 keeps only shingles unique to one doc → no intersections.
+    assert capped_tight.count() == 0
+
+
+def test_min_label_propagation_warns_when_unconverged(spark, caplog):
+    """A chain graph with diameter > max_iters must emit a warning instead
+    of silently returning unfinished labels; with enough iterations the same
+    graph converges to a single min label."""
+    import logging
+
+    from pyspark.sql import Row as R
+
+    chain = [R(doc_a=i, doc_b=i + 1) for i in range(8)]
+    pairs = spark.createDataFrame(chain)
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    with caplog.at_level(logging.WARNING, logger="iot_data_pipeline_spark.operators.llm"):
+        labels = llm._min_label_propagation(edges, max_iters=2, check_every=3)
+        labels.collect()
+    assert any("max_iters" in r.message for r in caplog.records)
+    done = llm._min_label_propagation(edges, max_iters=15, check_every=3)
+    assert {r["label"] for r in done.collect()} == {0}
 
 
 def test_dedup_exact_idempotent(spark, sf_dir):
