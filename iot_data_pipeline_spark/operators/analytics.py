@@ -48,20 +48,29 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Funnel conversion: per user, first signup → first subsequent purchase
-    → first subsequent error, each stage strictly after the previous. One
-    aggregation pass with conditional mins — no event self-joins."""
+    """Funnel conversion: per user, first signup → first subsequent
+    purchase, the purchase strictly after the signup.
+
+    ONE shuffle on user_id: the per-user signup time comes from an
+    unordered window (hash-partitions on user_id, no sort), and the
+    following groupBy(user_id, signup_ts) reuses that partitioning —
+    HashPartitioning(user_id) satisfies the clustered distribution of any
+    key set containing user_id, so Catalyst inserts no second Exchange
+    (asserted in tests/test_plans.py). The previous formulation aggregated,
+    joined back, and re-aggregated — two full shuffles of the events table."""
     e = table(spark, sf_dir, "events")
-    first_signup = F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
-    per_user = e.groupBy("user_id").agg(first_signup.alias("signup_ts"))
-    e2 = e.join(per_user, "user_id")
+    w_user = Window.partitionBy("user_id")
+    signup_ts = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w_user)
+    e2 = e.withColumn("signup_ts", signup_ts)
     first_purchase = F.min(
         F.when(
             (F.col("event_type") == "purchase") & (F.col("ts") > F.col("signup_ts")),
             F.col("ts"),
         )
     )
-    funnel = (
+    return (
         e2.groupBy("user_id", "signup_ts")
         .agg(first_purchase.alias("purchase_ts"))
         .select(
@@ -72,7 +81,6 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purchase_ts").isNotNull().alias("converted"),
         )
     )
-    return funnel
 
 
 def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:

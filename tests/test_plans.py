@@ -128,3 +128,14 @@ def test_asof_is_single_shuffle(spark, sf_dir):
     # union-and-scan formulation: exactly one exchange (the window shuffle),
     # never a range-join row explosion.
     assert plan.count("Exchange") == 1
+
+
+def test_funnel_is_single_shuffle(spark, sf_dir):
+    from iot_data_pipeline_spark.operators import analytics
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(analytics.evt_funnel(spark, sf_dir))
+    # window computes signup_ts after ONE hash exchange on user_id; the
+    # groupBy(user_id, signup_ts) reuses that partitioning (user_id is a
+    # subset of the grouping keys), so no second shuffle of events appears.
+    assert plan.count("Exchange") == 1
