@@ -1,12 +1,14 @@
 """Multimodal column operators: image/audio/video as opaque ``binary``
 columns with typed metadata (north star).
 
-The decode step itself (JPEG/WAV/MP4 parsing) needs codec libraries that are
-not in this environment, so it is STUBBED behind ``decode_media`` — but all
-Spark-side plumbing is real and tested: the binary column type, the typed
-metadata struct, Arrow batch shape through ``mapInPandas``, partition-size
-control for large blobs, and deterministic fake feature extraction standing
-in for a real model forward pass.
+``decode_media`` REALLY decodes the stdlib-parseable formats — WAV (RIFF/PCM
+via ``wave``) and binary PPM — and the ``mm_decode_wav`` query drives a full
+encode → container bytes → decode → features round trip through mapInPandas,
+hash-verified against a pure-SQL oracle. Formats that need external codec
+libraries (JPEG/PNG/MP4) still raise ``NotImplementedError`` at the same
+seam. All Spark-side plumbing is format-agnostic and tested: the binary
+column type, the typed metadata struct, Arrow batch shape through
+``mapInPandas``, and partition-size control for large blobs.
 
 At 100 TB of media: blobs ride in parquet binary columns (or references to
 object storage resolved inside mapInPandas), ``spark.sql.files.
@@ -27,13 +29,82 @@ from iot_data_pipeline_spark.operators._util import table
 
 
 def decode_media(blob: bytes, media_type: str):
-    """Decode a media blob into frames/samples. STUB: real decode requires
-    codec libraries (PIL/ffmpeg/soundfile) not present in this container;
-    the engine's contract is the surrounding plumbing, which is real."""
+    """Decode a media blob → ``(ndarray, metadata dict)``.
+
+    REAL decoders for container-free formats parseable with the stdlib:
+    - ``audio/wav``: RIFF/PCM via ``wave`` → int16/uint8 sample array +
+      {n_channels, sample_rate, n_samples}.
+    - ``image/ppm``: binary P6 → (height, width, 3) uint8 array +
+      {width, height, maxval}.
+
+    Formats that need external codec libraries (JPEG/PNG/MP4) still raise
+    ``NotImplementedError`` — plug a decoder in here; everything downstream
+    (Arrow batching, schema, feature extraction) is format-agnostic."""
+    import io
+
+    import numpy as np
+
+    if media_type in ("audio/wav", "wav"):
+        import wave
+
+        with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+            n = w.getnframes()
+            width = w.getsampwidth()
+            raw = w.readframes(n)
+            dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}[width]
+            arr = np.frombuffer(raw, dtype=dtype)
+            if w.getnchannels() > 1:
+                arr = arr.reshape(-1, w.getnchannels())
+            return arr, {
+                "n_channels": w.getnchannels(),
+                "sample_rate": w.getframerate(),
+                "n_samples": n,
+            }
+    if media_type in ("image/ppm", "ppm"):
+        # binary P6: "P6\n<w> <h>\n<maxval>\n" then w*h*3 raw bytes.
+        data = bytes(blob)
+        fields: list[bytes] = []
+        pos = 0
+        while len(fields) < 4:
+            while pos < len(data) and data[pos : pos + 1].isspace():
+                pos += 1
+            if data[pos : pos + 1] == b"#":  # comment to end of line
+                pos = data.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(data[start:pos])
+        if fields[0] != b"P6":
+            raise ValueError(f"not a binary PPM: magic={fields[0]!r}")
+        w_, h, maxval = int(fields[1]), int(fields[2]), int(fields[3])
+        pos += 1  # single whitespace after maxval
+        arr = np.frombuffer(data, dtype=np.uint8, count=w_ * h * 3, offset=pos)
+        return arr.reshape(h, w_, 3), {"width": w_, "height": h, "maxval": maxval}
     raise NotImplementedError(
-        "media decode requires codec libraries not available in this build; "
-        "plug a decoder in here (signature: bytes, media_type -> np.ndarray)"
+        f"no decoder for {media_type!r} in this build (needs codec libs); "
+        "plug one in here (signature: bytes, media_type -> (ndarray, meta))"
     )
+
+
+def synth_wav(media_id: int, n_samples: int, sample_rate: int = 16000) -> bytes:
+    """Deterministic mono 16-bit PCM WAV: sample i of media ``media_id`` is
+    ``((media_id·131 + i·7919) mod 65536) − 32768``. Pure arithmetic, so a
+    SQL oracle can recompute every decoded sample without a codec."""
+    import io
+    import wave
+
+    import numpy as np
+
+    i = np.arange(n_samples, dtype=np.int64)
+    samples = ((media_id * 131 + i * 7919) % 65536 - 32768).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
 
 
 def _media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,10 +207,52 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round trip through the Arrow path: synthesize a
+    deterministic PCM WAV per document (``synth_wav``), decode it with the
+    stdlib ``wave`` codec (``decode_media``), and emit integer-exact audio
+    features. Encode → container bytes → decode → features all happen
+    inside one mapInPandas, exactly how a production decode stage runs;
+    the oracle recomputes the sample formula in SQL, so a hash match proves
+    the codec round trip is lossless."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(64) + F.pmod(F.col("doc_id"), F.lit(37))).alias("n_samples"),
+    )
+
+    def gen_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, n in zip(pdf["media_id"], pdf["n_samples"]):
+                blob = synth_wav(int(mid), int(n))
+                arr, meta = decode_media(blob, "audio/wav")
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_bytes": len(blob),
+                        "n_channels": meta["n_channels"],
+                        "sample_rate": meta["sample_rate"],
+                        "n_samples": meta["n_samples"],
+                        "amp_min": int(arr.min()),
+                        "amp_max": int(arr.max()),
+                        "amp_sum": int(arr.sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen_decode,
+        "media_id LONG, n_bytes LONG, n_channels INT, sample_rate INT,"
+        " n_samples LONG, amp_min LONG, amp_max LONG, amp_sum LONG",
+    )
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_feature_extract": mm_feature_extract,
     "mm_frame_sample": mm_frame_sample,
+    "mm_decode_wav": mm_decode_wav,
 }
 
 # Oracle note: document text is pure ASCII (verified), so byte semantics on
@@ -164,6 +277,20 @@ ORACLES = {
         " ROUND(CAST(MIN(byte_val) AS DOUBLE), 4) AS f_min,"
         " ROUND(CAST(MAX(byte_val) AS DOUBLE), 4) AS f_max"
         " FROM u GROUP BY media_id"
+    ),
+    # The decoded WAV features equal pure arithmetic on the sample formula:
+    # 44-byte RIFF header + 2 bytes/sample; sample i = (id·131 + i·7919)
+    # mod 65536 − 32768.
+    "mm_decode_wav": (
+        "WITH s AS (SELECT doc_id, 64 + doc_id % 37 AS n,"
+        "        unnest(generate_series(0, 64 + doc_id % 37 - 1)) AS i"
+        "        FROM documents),"
+        " a AS (SELECT doc_id, n,"
+        "        (doc_id * 131 + i * 7919) % 65536 - 32768 AS amp FROM s)"
+        " SELECT doc_id AS media_id, 44 + 2 * n AS n_bytes,"
+        " 1 AS n_channels, 16000 AS sample_rate, n AS n_samples,"
+        " MIN(amp) AS amp_min, MAX(amp) AS amp_max, SUM(amp) AS amp_sum"
+        " FROM a GROUP BY doc_id, n"
     ),
     "mm_frame_sample": (
         "WITH f AS (SELECT doc_id AS media_id, text,"

@@ -122,9 +122,34 @@ def test_parquet_schema_evolution(spark, tmp_path):
     assert rows[1]["v2"] is None and rows[2]["v2"] == 9.5
 
 
-def test_decode_media_is_stubbed():
+def test_decode_media_unknown_format_raises():
+    """Formats needing external codec libs stay honestly unimplemented."""
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"\x89PNG", "image/png")
+
+
+def test_decode_media_wav_roundtrip():
+    """synth_wav → decode_media is lossless: every sample and all metadata
+    come back exactly."""
+    blob = multimodal.synth_wav(7, 100, sample_rate=8000)
+    arr, meta = multimodal.decode_media(blob, "audio/wav")
+    assert meta == {"n_channels": 1, "sample_rate": 8000, "n_samples": 100}
+    assert len(blob) == 44 + 2 * 100  # RIFF header + PCM16 payload
+    expected = [((7 * 131 + i * 7919) % 65536) - 32768 for i in range(100)]
+    assert arr.tolist() == expected
+
+
+def test_decode_media_ppm():
+    """Binary P6 parsing: header with comment, pixel array shape/values."""
+    import numpy as np
+
+    pixels = bytes(range(2 * 3 * 3))  # 3 wide, 2 high, RGB
+    blob = b"P6\n# test comment\n3 2\n255\n" + pixels
+    arr, meta = multimodal.decode_media(blob, "image/ppm")
+    assert meta == {"width": 3, "height": 2, "maxval": 255}
+    assert arr.shape == (2, 3, 3)
+    assert arr.dtype == np.uint8
+    assert arr.flatten().tolist() == list(pixels)
 
 
 def test_feature_extract_known_payload(spark, tmp_path):
