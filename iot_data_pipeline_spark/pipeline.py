@@ -20,9 +20,17 @@ Example config::
     spark:
       spark.driver.memory: 4g
       spark.sql.adaptive.enabled: "true"
+    serving:            # optional; enables --with-load (reference DAG parity)
+      url: jdbc:derby:memory:serve;create=true
+      table: iot_serving
+      driver: org.apache.derby.jdbc.EmbeddedDriver
+      user: app
 
-Run: ``spark-submit -m iot_data_pipeline_spark.pipeline --config-path cfg.yaml``
-or ``python -m iot_data_pipeline_spark.pipeline --config-path cfg.yaml``.
+Run: ``spark-submit path/to/iot_data_pipeline_spark/pipeline.py
+--config-path cfg.yaml`` (spark-submit takes a script path, not ``-m``) or
+``python -m iot_data_pipeline_spark.pipeline --config-path cfg.yaml``; add
+``--with-load`` for the full cleanup → etl → truncate → load chain
+(reference DAG ``/root/reference/dags/iot_processing_dag.py:26-86``).
 """
 
 from __future__ import annotations
@@ -40,7 +48,7 @@ from iot_data_pipeline_spark.functions.transforms import (
 )
 from iot_data_pipeline_spark.session import build_session
 from iot_data_pipeline_spark.sources.readers import read_iot_csv
-from iot_data_pipeline_spark.sources.sinks import write_parquet
+from iot_data_pipeline_spark.sources.sinks import write_jdbc, write_parquet
 
 log = logging.getLogger(__name__)
 
@@ -97,12 +105,86 @@ def run(config: dict) -> int:
             spark.stop()
 
 
+def run_chain(config: dict) -> int:
+    """Reference DAG parity: cleanup_previous_parquet → run_spark_job →
+    truncate_serving_table → load_to_serving, sequentially with per-step
+    retries (``/root/reference/dags/iot_processing_dag.py:26-86``).
+
+    Spark-first re-expression: the DAG's two clickhouse-client steps
+    (TRUNCATE, INSERT FROM file(...)) collapse into one batched JDBC
+    overwrite with ``truncate=true`` — same observable refresh (serving DDL
+    preserved, table fully replaced), one connection. Idempotent by
+    construction: rerunning the chain reproduces, never duplicates.
+    The serving password comes from ``CLICKHOUSE_PASSWORD`` env only, like
+    the reference (its dead legacy-config fallback is dropped)."""
+    retries = int(config.get("retries", 1))
+
+    def attempt(step: str, fn):
+        for i in range(retries + 1):
+            try:
+                return fn()
+            except Exception:
+                log.exception("step %s failed (attempt %d/%d)", step, i + 1, retries + 1)
+                if i == retries:
+                    raise
+        return None  # unreachable
+
+    import os
+    import shutil
+
+    attempt(
+        "cleanup_previous_parquet",
+        lambda: shutil.rmtree(config["output_path"], ignore_errors=True),
+    )
+    code = attempt("run_spark_to_parquet_job", lambda: run(config))
+    if code != 0:
+        return code
+    serving = config.get("serving")
+    if not serving:
+        log.warning("serving configuration not found; skipping load")
+        return 0
+
+    def truncate_and_load() -> None:
+        pre_existing = SparkSession.getActiveSession() is not None
+        spark = build_session(
+            app_name=config.get("app_name", "iot_data_pipeline_spark"),
+            master=config.get("master"),
+            conf=config.get("spark", {}),
+        )
+        try:
+            df = spark.read.parquet(config["output_path"])
+            write_jdbc(
+                df,
+                url=serving["url"],
+                table=serving["table"],
+                user=serving.get("user", "default"),
+                password=os.getenv("CLICKHOUSE_PASSWORD", ""),
+                driver=serving["driver"],
+                batchsize=int(serving.get("batch_size", 100_000)),
+                mode="overwrite",
+                truncate=True,
+            )
+        finally:
+            if not pre_existing:
+                spark.stop()
+
+    attempt("truncate_and_load_serving", truncate_and_load)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description="IoT CSV→Parquet ETL")
     parser.add_argument("--config-path", required=True)
+    parser.add_argument(
+        "--with-load",
+        action="store_true",
+        help="run the full cleanup → etl → truncate → load chain "
+        "(reference DAG parity) instead of the bare ETL job",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
-    return run(load_config(args.config_path))
+    config = load_config(args.config_path)
+    return run_chain(config) if args.with_load else run(config)
 
 
 if __name__ == "__main__":

@@ -44,19 +44,23 @@ def write_jdbc(
     batchsize: int = 100_000,
     mode: str = "append",
     socket_timeout_ms: int = 300_000,
+    truncate: bool = False,
 ) -> None:
     """Batched JDBC write (reference S3 contract, credentials env-only —
     the reference's dead legacy-config fallback is intentionally dropped,
-    SURVEY.md §2A quirk 4)."""
-    df.write.jdbc(
-        url=url,
-        table=table,
-        mode=mode,
-        properties={
-            "user": user,
-            "password": password,
-            "driver": driver,
-            "batchsize": str(batchsize),
-            "socket_timeout": str(socket_timeout_ms),
-        },
-    )
+    SURVEY.md §2A quirk 4).
+
+    ``truncate=True`` with ``mode='overwrite'`` issues TRUNCATE TABLE +
+    INSERT instead of DROP + CREATE, preserving the serving table's DDL
+    (engine/indexes) — the reference DAG's truncate→load refresh
+    (``/root/reference/dags/iot_processing_dag.py:57-75``) as one writer."""
+    props = {
+        "user": user,
+        "password": password,
+        "driver": driver,
+        "batchsize": str(batchsize),
+        "socket_timeout": str(socket_timeout_ms),
+    }
+    if truncate:
+        props["truncate"] = "true"
+    df.write.jdbc(url=url, table=table, mode=mode, properties=props)

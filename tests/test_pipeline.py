@@ -41,3 +41,45 @@ def test_pipeline_missing_path(tmp_path):
             fh,
         )
     assert pipeline.main(["--config-path", cfg_path]) == 2
+
+
+def test_pipeline_chain_idempotent(spark, tmp_path):
+    """Reference-DAG-parity chain (cleanup → etl → truncate → load) against
+    embedded Derby: running it TWICE leaves the same serving rows — the
+    truncate step makes the refresh idempotent, never additive."""
+    cfg = {
+        "input_path": _write_csv_fixture(),
+        "output_path": str(tmp_path / "chain_parquet"),
+        "app_name": "etl-chain-test",
+        "serving": {
+            "url": "jdbc:derby:memory:chain;create=true",
+            "table": "iot_serving",
+            "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+            "user": "app",
+        },
+    }
+    cfg_path = str(tmp_path / "chain.yaml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+
+    assert pipeline.main(["--config-path", cfg_path, "--with-load"]) == 0
+    props = {"driver": cfg["serving"]["driver"]}
+    first = spark.read.jdbc(cfg["serving"]["url"], "iot_serving", properties=props)
+    rows_first = sorted(map(tuple, first.collect()))
+    assert len(rows_first) == 4  # the fixture's row count, post-ETL
+
+    assert pipeline.main(["--config-path", cfg_path, "--with-load"]) == 0
+    second = spark.read.jdbc(cfg["serving"]["url"], "iot_serving", properties=props)
+    assert sorted(map(tuple, second.collect())) == rows_first
+
+
+def test_pipeline_chain_without_serving_is_bare_etl(spark, tmp_path):
+    """No serving config → the chain degrades to cleanup + ETL and still
+    succeeds (reference skips the ClickHouse write when unconfigured)."""
+    out = str(tmp_path / "noserve_parquet")
+    cfg = {"input_path": _write_csv_fixture(), "output_path": out}
+    cfg_path = str(tmp_path / "noserve.yaml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    assert pipeline.main(["--config-path", cfg_path, "--with-load"]) == 0
+    assert spark.read.parquet(out).count() == 4
