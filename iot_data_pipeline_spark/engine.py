@@ -9,7 +9,11 @@ switching from the reference is a one-import change:
     eng.register_tables("/data/tables")       # parquet catalog → temp views
     eng.sql("SELECT count(*) FROM lineitem")  # entry point 3 (ad-hoc SQL)
     eng.query("join_multiway")                # named operator library
-    eng.stream_events(...)                    # streaming surface
+    eng.stream_events("/data/tables")         # streaming surface
+
+``register_tables`` (or ``Engine.local(sf_dir=...)`` / ``Engine(spark,
+sf_dir=...)``) pins the default table directory, so ``query`` needs only
+the operator name; pass an explicit ``sf_dir`` to override per call.
 """
 
 from __future__ import annotations
@@ -28,14 +32,16 @@ from iot_data_pipeline_spark.sources.sinks import write_parquet
 class Engine:
     """Thin session-owning facade over the operator library."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
         self.spark = prepare(spark)
+        self.sf_dir = sf_dir
         self._registry = None
 
     @classmethod
-    def local(cls, cores: int = 4, **conf) -> "Engine":
+    def local(cls, cores: int = 4, sf_dir: str | None = None, **conf) -> "Engine":
         return cls(
-            build_session(master=f"local[{cores}]", conf=conf or None)
+            build_session(master=f"local[{cores}]", conf=conf or None),
+            sf_dir=sf_dir,
         )
 
     # -- entry point 1: the reference's ETL job ---------------------------
@@ -50,7 +56,9 @@ class Engine:
 
     # -- catalog -----------------------------------------------------------
     def register_tables(self, sf_dir: str, names: tuple = TABLES) -> None:
-        """Register the parquet tables as temp views for the SQL surface."""
+        """Register the parquet tables as temp views for the SQL surface;
+        also pins ``sf_dir`` as the default directory for ``query``."""
+        self.sf_dir = sf_dir
         for name in names:
             load_table(self.spark, sf_dir, name).createOrReplaceTempView(name)
 
@@ -70,12 +78,22 @@ class Engine:
             self._registry = entrymod.queries()
         return self._registry
 
-    def query(self, name: str, sf_dir: str) -> DataFrame:
-        """Run a named operator from the declared inventory."""
-        return self.operators[name](self.spark, sf_dir)
+    def query(self, name: str, sf_dir: str | None = None) -> DataFrame:
+        """Run a named operator from the declared inventory against
+        ``sf_dir`` (defaults to the directory pinned at construction or by
+        ``register_tables``)."""
+        d = sf_dir if sf_dir is not None else self.sf_dir
+        if d is None:
+            raise ValueError(
+                "no table directory: pass sf_dir, construct with "
+                "Engine(..., sf_dir=...), or call register_tables first"
+            )
+        return self.operators[name](self.spark, d)
 
     # -- streaming -------------------------------------------------------------
-    def stream_events(self, sf_dir: str, name: str = "stream_ingest_files") -> DataFrame:
+    def stream_events(
+        self, sf_dir: str | None = None, name: str = "stream_ingest_files"
+    ) -> DataFrame:
         """Run a named streaming operator to completion (bounded replay)."""
         return self.query(name, sf_dir)
 

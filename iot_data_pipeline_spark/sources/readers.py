@@ -93,15 +93,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TimestampType (µs) rejects outright; read it as raw nanos via the
     ``nanosAsLong`` legacy conf and truncate to µs — the same truncation
     DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, so oracles agree.
+    The conf is scoped to the read (set, resolve the scan schema, restore)
+    so it never leaks into the caller's session: later parquet reads of
+    nanos columns fail loudly instead of silently yielding raw longs.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "true")
+        try:
+            # .read.parquet resolves the schema eagerly, which is the only
+            # point this conf is consulted (verified value-identical with
+            # the conf restored before any action runs).
+            df = spark.read.parquet(path)
+        finally:
+            spark.conf.set(key, prev)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(path)
 
 

@@ -27,3 +27,17 @@ def test_engine_facade(spark, sf_dir, tmp_path):
     assert eng.stream_events(sf_dir).count() == 1000
     sensor = eng.sensor_stream(devices=2, rows_per_batch=5)
     assert sensor.isStreaming and "temperature" in sensor.columns
+
+
+def test_engine_default_sf_dir(spark, sf_dir):
+    """The documented usage — register_tables then query(name) with no
+    explicit directory — must work; querying with neither raises."""
+    from iot_data_pipeline_spark.engine import Engine
+
+    import pytest
+
+    eng = Engine(spark)
+    with pytest.raises(ValueError, match="sf_dir"):
+        eng.query("agg_count_star")
+    eng.register_tables(sf_dir, names=("nation",))
+    assert eng.query("agg_count_star").count() == 1
