@@ -29,6 +29,7 @@ from iot_data_pipeline_spark.operators import (  # noqa: E402
     multimodal,
     relational,
     reshape,
+    skew,
     udfs,
 )
 from iot_data_pipeline_spark.sources import iot_simulator  # noqa: E402
@@ -52,6 +53,7 @@ _MODULES = [
     multimodal,
     streams,
     iot_simulator,
+    skew,
 ]
 
 

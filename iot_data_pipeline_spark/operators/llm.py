@@ -666,6 +666,116 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥ 2 distinct
+    3-gram shingles with any held-out eval doc (here: doc_id % 97 == 0
+    stands in for the benchmark set). The step every training corpus runs
+    before release — eval n-grams must not leak into training data.
+
+    Scale shape: the eval side is tiny relative to the corpus (benchmarks
+    are fixed-size), so its shingles BROADCAST; the training side streams
+    through one narrow shingle pass + broadcast-hash join — no shuffle of
+    corpus shingles at all."""
+    d = table(spark, sf_dir, "documents")
+    sh = _word_shingles(d, 3)
+    is_eval = F.pmod(F.col("doc_id"), F.lit(97)) == 0
+    eval_sh = sh.filter(is_eval).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    train_sh = sh.filter(~is_eval)
+    overlaps = (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        overlaps.groupBy("doc_id")
+        .agg(
+            F.max("n_shared").alias("max_shared"),
+            F.count(F.lit(1)).alias("n_eval_docs"),
+        )
+        .filter(F.col("max_shared") >= 2)
+        .select("doc_id", "max_shared", "n_eval_docs")
+    )
+
+
+def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: per-source corpus share and the
+    downsampling weight that flattens the mix to a uniform target
+    (weight = min(1, total / (n_sources · n_docs))) — how a training
+    pipeline turns raw crawl proportions into the mixture the curriculum
+    wants. One aggregation; the source-level stats frame is tiny, so the
+    window over it is free."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    total = F.sum("n_docs").over(w)
+    n_src = F.count(F.lit(1)).over(w)
+    return counts.select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") / total, 4).alias("share"),
+        F.round(
+            F.least(F.lit(1.0), total / (n_src * F.col("n_docs"))), 4
+        ).alias("sample_weight"),
+    )
+
+
+# Stopword list shared by llm_lang_id's EN heuristic and quality scoring.
+_EN_STOP = ("the", "and", "of", "to", "is")
+
+
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score — the weighted signal mix (stopword
+    ratio, alphabetic ratio, length saturation) used to rank-or-drop
+    documents before training. Pure Catalyst expressions, one scan, no
+    shuffle; every component is rounded AFTER the full expression so both
+    engines rank identically."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(normalized_text(), " ")
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_EN_STOP)))
+        / F.size(toks)
+    )
+    alpha_ratio = F.length(
+        F.regexp_replace("text", "[^A-Za-z]", "")
+    ) / F.length("text")
+    len_sat = F.least(F.col("n_chars").cast("double"), F.lit(2000.0)) / F.lit(
+        2000.0
+    )
+    score = 0.4 * stop_ratio + 0.3 * alpha_ratio + 0.3 * len_sat
+    return d.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(len_sat, 6).alias("len_sat"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def llm_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, one row per (label, dimension) — the
+    class-prototype computation behind clustering-based curation and
+    IVF-style coarse quantizers. posexplode keeps the pass narrow; the one
+    shuffle carries |labels|·64 partial sums. Component sums go through
+    DECIMAL(20,10) so the centroid is bit-identical at any partitioning."""
+    e = table(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "v")
+    )
+    dec = F.col("v").cast("double").cast("decimal(20,10)")
+    return (
+        pos.groupBy("label", "dim")
+        .agg(
+            F.round(
+                (F.sum(dec).cast("double") / F.count(F.lit(1))), 6
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .select("label", "dim", "centroid", "n_vecs")
+    )
+
+
 def similarity_search(
     spark: SparkSession,
     sf_dir: str,
@@ -858,6 +968,10 @@ QUERIES = {
     "llm_winsorize": llm_winsorize,
     "llm_tfidf": llm_tfidf,
     "llm_bigram_counts": llm_bigram_counts,
+    "llm_decontaminate": llm_decontaminate,
+    "llm_domain_mix": llm_domain_mix,
+    "llm_quality_score": llm_quality_score,
+    "llm_embed_centroids": llm_embed_centroids,
 }
 
 # Connected components of the jaccard-pair graph as a recursive CTE:
@@ -1048,6 +1162,57 @@ ORACLES = {
         " LEAST(GREATEST(CAST(n_chars AS DOUBLE), p05), p95) != n_chars"
         "   AS was_clamped"
         " FROM documents d JOIN b ON d.lang = b.lang"
+    ),
+    "llm_decontaminate": (
+        "WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ')"
+        "              AS t FROM documents),"
+        " sh AS (SELECT DISTINCT doc_id,"
+        "        unnest(list_transform(generate_series(1, len(t) - 2),"
+        "               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s"
+        "        FROM toks WHERE len(t) >= 3),"
+        " ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 97 = 0),"
+        " tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),"
+        " ov AS (SELECT tr.doc_id, ev.eval_id, COUNT(*) AS n_shared"
+        "        FROM tr JOIN ev ON tr.s = ev.s GROUP BY 1, 2)"
+        " SELECT doc_id, MAX(n_shared) AS max_shared,"
+        " COUNT(*) AS n_eval_docs FROM ov GROUP BY doc_id"
+        " HAVING MAX(n_shared) >= 2"
+    ),
+    "llm_domain_mix": (
+        "WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents"
+        "           GROUP BY source),"
+        " t AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_src FROM c)"
+        " SELECT source, n_docs,"
+        " ROUND(n_docs * 1.0 / total, 4) AS share,"
+        " ROUND(LEAST(1.0, total * 1.0 / (n_src * n_docs)), 4)"
+        "   AS sample_weight"
+        " FROM c CROSS JOIN t"
+    ),
+    "llm_quality_score": (
+        "WITH r AS (SELECT doc_id,"
+        " len(list_filter(string_split(lower(trim(text)), ' '),"
+        "     t -> t IN ('the','and','of','to','is'))) * 1.0"
+        "   / len(string_split(lower(trim(text)), ' ')) AS stop_r,"
+        " length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0"
+        "   / length(text) AS alpha_r,"
+        " LEAST(CAST(n_chars AS DOUBLE), 2000.0) / 2000.0 AS len_s"
+        " FROM documents)"
+        " SELECT doc_id, ROUND(stop_r, 6) AS stop_ratio,"
+        " ROUND(alpha_r, 6) AS alpha_ratio, ROUND(len_s, 6) AS len_sat,"
+        " ROUND(0.4 * stop_r + 0.3 * alpha_r + 0.3 * len_s, 6)"
+        "   AS quality_score"
+        " FROM r"
+    ),
+    "llm_embed_centroids": (
+        "WITH p AS (SELECT label, unnest(generate_series(1, 64)) AS i,"
+        "           embedding FROM embeddings),"
+        " v AS (SELECT label, i - 1 AS dim,"
+        "       CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,10)) AS dv"
+        "       FROM p)"
+        " SELECT label, dim,"
+        " ROUND(CAST(SUM(dv) AS DOUBLE) / COUNT(*), 6) AS centroid,"
+        " COUNT(*) AS n_vecs"
+        " FROM v GROUP BY label, dim"
     ),
     "llm_corpus_pipeline": (
         "WITH q AS (SELECT * FROM documents"

@@ -520,6 +520,41 @@ LIMIT 20
 """
 
 
+_SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))))
+            AS DOUBLE) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def sql_entry_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary as a SQL string: the canonical scan-heavy
+    full-aggregation shape (one pass over the fact table, partial+final agg,
+    shuffle carries only |groups| rows). All money sums are decimal-exact
+    so results are bit-identical at any partitioning; averages divide the
+    exact decimal sum as a double (deterministic operands → deterministic
+    quotient)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SQL_Q1)
+
+
 def filter_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN / NOT IN subquery predicates through the SQL surface — Catalyst
     rewrites them to semi/anti joins (same physical plans as join_semi /
@@ -584,10 +619,33 @@ QUERIES = {
     "set_intersect": set_intersect,
     "set_except": set_except,
     "sql_entry_tpch_q3": sql_entry_tpch_q3,
+    "sql_entry_tpch_q1": sql_entry_tpch_q1,
     "filter_in_subquery": filter_in_subquery,
 }
 
 ORACLES = {
+    "sql_entry_tpch_q1": (
+        "SELECT l_returnflag, l_linestatus,"
+        " CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,"
+        " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)"
+        "   AS sum_base_price,"
+        " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+        "          * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
+        "      AS DOUBLE) AS sum_disc_price,"
+        " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+        "          * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+        "          * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))))"
+        "      AS DOUBLE) AS sum_charge,"
+        " ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)"
+        "       / COUNT(*), 4) AS avg_qty,"
+        " ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)"
+        "       / COUNT(*), 4) AS avg_disc,"
+        " COUNT(*) AS count_order"
+        " FROM lineitem"
+        " WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"
+        " GROUP BY l_returnflag, l_linestatus"
+        " ORDER BY l_returnflag, l_linestatus"
+    ),
     "scan_parquet": "SELECT * FROM supplier",
     "sink_parquet_roundtrip": "SELECT * FROM nation",
     "project_rename": (

@@ -11,8 +11,10 @@ tests/test_skew.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from iot_data_pipeline_spark.operators._util import table
 
 
 def salted_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
@@ -58,3 +60,34 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return salted_big.join(exploded_small, [key, "_salt"]).drop("_salt")
+
+
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase sum+count per user over events — the hot-key
+    aggregation pattern, registered so the oracle proves the salted plan is
+    EXACTLY the unsalted answer (decimal partials make the merge exact).
+    The second shuffle moves ≤ n_salts rows per key however skewed the
+    input."""
+    e = table(spark, sf_dir, "events")
+    salted = e.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(8))
+    )
+    partial = salted.groupBy("user_id", "_salt").agg(
+        F.count(F.lit(1)).alias("_pc"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("_ps"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("_pc").alias("n_events"),
+        F.sum("_ps").cast("double").alias("total_value"),
+    )
+
+
+QUERIES = {"skew_salted_agg": skew_salted_agg}
+
+ORACLES = {
+    "skew_salted_agg": (
+        "SELECT user_id, COUNT(*) AS n_events,"
+        " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value"
+        " FROM events GROUP BY user_id"
+    ),
+}
