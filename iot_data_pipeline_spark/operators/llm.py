@@ -513,6 +513,107 @@ def _min_label_propagation(
     return labels
 
 
+_IVF_NPROBE = 2
+
+
+def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: inverted lists keyed by the coarse partition (the
+    ``label`` column stands in for a k-means cell assignment), exact
+    per-list centroids, and each query probes only its ``nprobe=2`` nearest
+    lists — the classic coarse-quantizer shape (Jégou et al. 2011, IVF in
+    "Product quantization for nearest neighbor search").
+
+    Scale shape: the centroid table is nlist×dim (tiny — one bounded driver
+    fetch, like the query vectors), probe selection is driver-side numpy on
+    that tiny matrix, and the corpus pass scores only rows whose list is
+    probed by ≥1 query — the scan stays shuffle-free and the scored
+    fraction is nprobe/nlist. Centroid components go through decimal-exact
+    sums so probe selection is bit-stable at any partitioning. rows-only
+    oracle (list pruning is not SQL-portable); the unit test pins recall
+    against the exact scan."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings")
+    dec = F.col("v").cast("double").cast("decimal(20,10)")
+    cent_rows = (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg((F.sum(dec).cast("double") / F.count(F.lit(1))).alias("c"))
+        .collect()
+    )
+    list_ids = sorted({r["label"] for r in cent_rows})
+    dim = max(r["dim"] for r in cent_rows) + 1
+    cmat = np.zeros((len(list_ids), dim))
+    lidx = {lbl: i for i, lbl in enumerate(list_ids)}
+    for r in cent_rows:
+        cmat[lidx[r["label"]], r["dim"]] = r["c"]
+
+    q_rows = sorted(
+        e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    c_norm = np.sqrt((cmat * cmat).sum(axis=1))
+    probe_sim = np.round((q_mat @ cmat.T) / np.outer(q_norm, c_norm), 6)
+    lbl_arr = np.array(list_ids)
+    allowed = {
+        int(q_ids[qi]): {
+            int(lbl_arr[j])
+            for j in np.lexsort((lbl_arr, -probe_sim[qi]))[:_IVF_NPROBE]
+        }
+        for qi in range(len(q_ids))
+    }
+
+    TOP_K = 11
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            v_norm = np.sqrt((v * v).sum(axis=1))
+            cos = np.round((v @ q_mat.T) / np.outer(v_norm, q_norm), 4)
+            vec_ids = pdf["vec_id"].to_numpy()
+            row_lbls = pdf["label"].to_numpy()
+            frames = []
+            for qi in range(cos.shape[1]):
+                mask = np.isin(row_lbls, list(allowed[int(q_ids[qi])]))
+                if not mask.any():
+                    continue
+                col = cos[mask, qi]
+                ids = vec_ids[mask]
+                order = (
+                    np.lexsort((ids, -col))[:TOP_K]
+                    if len(col) > TOP_K
+                    else np.arange(len(col))
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[qi],
+                            "vec_id": ids[order],
+                            "cosine": col[order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = (
+        e.select("vec_id", "label", "embedding")
+        .mapInPandas(score, "query_id LONG, vec_id LONG, cosine DOUBLE")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the near-dup pair graph,
     then a canonical (lowest-id) doc per cluster — the step that turns
@@ -791,6 +892,8 @@ def similarity_search(
         return llm_sim_topk(spark, sf_dir)
     if mode == "ann":
         return llm_sim_ann(spark, sf_dir)
+    if mode == "ivf":
+        return llm_sim_ivf(spark, sf_dir)
     n = table(spark, sf_dir, "embeddings").count()
     return (
         llm_sim_topk(spark, sf_dir)
@@ -972,6 +1075,7 @@ QUERIES = {
     "llm_domain_mix": llm_domain_mix,
     "llm_quality_score": llm_quality_score,
     "llm_embed_centroids": llm_embed_centroids,
+    "llm_sim_ivf": llm_sim_ivf,
 }
 
 # Connected components of the jaccard-pair graph as a recursive CTE:

@@ -248,11 +248,67 @@ def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synth_ppm(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic binary P6 image: pixel value at flat byte offset k is
+    ``(media_id·7 + row·31 + col·13 + channel·5) mod 256``. Arithmetic-only,
+    so a SQL oracle can recompute every decoded byte."""
+    import numpy as np
+
+    k = np.arange(width * height * 3, dtype=np.int64)
+    row, col, ch = (k // 3) // width, (k // 3) % width, k % 3
+    vals = ((media_id * 7 + row * 31 + col * 13 + ch * 5) % 256).astype(np.uint8)
+    return f"P6\n{width} {height}\n255\n".encode() + vals.tobytes()
+
+
+def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-modality twin of ``mm_decode_wav``: synthesize a deterministic
+    P6 image per document, decode it with the real PPM parser, and emit
+    integer-exact pixel features (dimensions, byte stats, per-channel sums)
+    through the same Arrow-batched mapInPandas path a production
+    decode+featurize stage uses."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(4) + F.pmod(F.col("doc_id"), F.lit(5))).alias("w"),
+        (F.lit(3) + F.pmod(F.col("doc_id"), F.lit(4))).alias("h"),
+    )
+
+    def gen_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                blob = synth_ppm(int(mid), int(w), int(h))
+                arr, meta = decode_media(blob, "image/ppm")
+                flat = arr.reshape(-1).astype("int64")
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "n_bytes": len(blob),
+                        "px_min": int(flat.min()),
+                        "px_max": int(flat.max()),
+                        "px_sum": int(flat.sum()),
+                        "r_sum": int(arr[:, :, 0].sum()),
+                        "g_sum": int(arr[:, :, 1].sum()),
+                        "b_sum": int(arr[:, :, 2].sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen_decode,
+        "media_id LONG, width INT, height INT, n_bytes LONG, px_min LONG,"
+        " px_max LONG, px_sum LONG, r_sum LONG, g_sum LONG, b_sum LONG",
+    )
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_feature_extract": mm_feature_extract,
     "mm_frame_sample": mm_frame_sample,
     "mm_decode_wav": mm_decode_wav,
+    "mm_decode_ppm": mm_decode_ppm,
 }
 
 # Oracle note: document text is pure ASCII (verified), so byte semantics on
@@ -291,6 +347,26 @@ ORACLES = {
         " 1 AS n_channels, 16000 AS sample_rate, n AS n_samples,"
         " MIN(amp) AS amp_min, MAX(amp) AS amp_max, SUM(amp) AS amp_sum"
         " FROM a GROUP BY doc_id, n"
+    ),
+    # Decoded PPM features equal pure arithmetic: header "P6\n{w} {h}\n255\n"
+    # is 11 bytes (w, h single-digit by construction); byte k of the payload
+    # is (id·7 + row·31 + col·13 + ch·5) mod 256 with k = (row·w + col)·3 + ch.
+    "mm_decode_ppm": (
+        "WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h"
+        "           FROM documents),"
+        " px AS (SELECT doc_id, w, h,"
+        "        unnest(generate_series(0, w * h * 3 - 1)) AS k FROM d),"
+        " v AS (SELECT doc_id, w, h, k % 3 AS ch,"
+        "       (doc_id * 7 + ((k // 3) // w) * 31 + ((k // 3) % w) * 13"
+        "        + (k % 3) * 5) % 256 AS val FROM px)"
+        " SELECT doc_id AS media_id, CAST(MAX(w) AS INTEGER) AS width,"
+        " CAST(MAX(h) AS INTEGER) AS height,"
+        " 11 + MAX(w) * MAX(h) * 3 AS n_bytes,"
+        " MIN(val) AS px_min, MAX(val) AS px_max, SUM(val) AS px_sum,"
+        " SUM(CASE WHEN ch = 0 THEN val ELSE 0 END) AS r_sum,"
+        " SUM(CASE WHEN ch = 1 THEN val ELSE 0 END) AS g_sum,"
+        " SUM(CASE WHEN ch = 2 THEN val ELSE 0 END) AS b_sum"
+        " FROM v GROUP BY doc_id"
     ),
     "mm_frame_sample": (
         "WITH f AS (SELECT doc_id AS media_id, text,"

