@@ -139,3 +139,25 @@ def test_funnel_is_single_shuffle(spark, sf_dir):
     # groupBy(user_id, signup_ts) reuses that partitioning (user_id is a
     # subset of the grouping keys), so no second shuffle of events appears.
     assert plan.count("Exchange") == 1
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    from iot_data_pipeline_spark.operators import llm
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(llm.llm_decontaminate(spark, sf_dir))
+    # the (tiny) eval shingle set must broadcast; the corpus shingle pass
+    # must never shuffle into a sort-merge join on shingle.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q1_filter_pushdown(spark, sf_dir):
+    from iot_data_pipeline_spark.operators import relational
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(relational.sql_entry_tpch_q1(spark, sf_dir))
+    # shipdate predicate reaches the parquet scan; aggregation is two-phase
+    # (partial before the exchange) so the shuffle carries only group rows.
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "partial_sum" in plan
