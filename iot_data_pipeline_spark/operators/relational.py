@@ -525,13 +525,13 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
          AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+       CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-            AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-                * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))))
-            AS DOUBLE) AS sum_charge,
+            * 10000) AS BIGINT) AS DOUBLE) / 10000 AS sum_disc_price,
+       CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4))))
+            * 10000) AS BIGINT) AS DOUBLE) / 10000 AS sum_charge,
        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
              / COUNT(*), 4) AS avg_qty,
        ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
@@ -629,13 +629,13 @@ ORACLES = {
         " CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,"
         " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)"
         "   AS sum_base_price,"
-        " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+        " CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
         "          * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
-        "      AS DOUBLE) AS sum_disc_price,"
-        " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
-        "          * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
-        "          * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))))"
-        "      AS DOUBLE) AS sum_charge,"
+        "      * 10000) AS BIGINT) AS DOUBLE) / 10000 AS sum_disc_price,"
+        " CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+        "          * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))"
+        "          * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4))))"
+        "      * 10000) AS BIGINT) AS DOUBLE) / 10000 AS sum_charge,"
         " ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)"
         "       / COUNT(*), 4) AS avg_qty,"
         " ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)"
