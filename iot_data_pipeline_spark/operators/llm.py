@@ -845,12 +845,19 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         2000.0
     )
     score = 0.4 * stop_ratio + 0.3 * alpha_ratio + 0.3 * len_sat
+
+    # floor-at-1e-6, not round: both engines compute the identical IEEE
+    # double (same left-to-right expression), and truncation has no tie
+    # cases — round(x, 6) mismatched on an exact .xxxxxx5 composite.
+    def trunc6(col):
+        return F.floor(col * 1_000_000) / 1_000_000
+
     return d.select(
         "doc_id",
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(len_sat, 6).alias("len_sat"),
-        F.round(score, 6).alias("quality_score"),
+        trunc6(stop_ratio).alias("stop_ratio"),
+        trunc6(alpha_ratio).alias("alpha_ratio"),
+        trunc6(len_sat).alias("len_sat"),
+        trunc6(score).alias("quality_score"),
     )
 
 
@@ -1301,10 +1308,12 @@ ORACLES = {
         "   / length(text) AS alpha_r,"
         " LEAST(CAST(n_chars AS DOUBLE), 2000.0) / 2000.0 AS len_s"
         " FROM documents)"
-        " SELECT doc_id, ROUND(stop_r, 6) AS stop_ratio,"
-        " ROUND(alpha_r, 6) AS alpha_ratio, ROUND(len_s, 6) AS len_sat,"
-        " ROUND(0.4 * stop_r + 0.3 * alpha_r + 0.3 * len_s, 6)"
-        "   AS quality_score"
+        " SELECT doc_id,"
+        " FLOOR(stop_r * 1000000) / 1000000 AS stop_ratio,"
+        " FLOOR(alpha_r * 1000000) / 1000000 AS alpha_ratio,"
+        " FLOOR(len_s * 1000000) / 1000000 AS len_sat,"
+        " FLOOR((0.4 * stop_r + 0.3 * alpha_r + 0.3 * len_s) * 1000000)"
+        "   / 1000000 AS quality_score"
         " FROM r"
     ),
     "llm_embed_centroids": (
