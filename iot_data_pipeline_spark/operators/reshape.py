@@ -314,6 +314,18 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (o_orderstatus, o_orderpriority): the hierarchical
+    subtotal ladder (detail → per-status → grand total), with grouping_id
+    tagging each level — the drill-down twin of agg_cube's full lattice."""
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(dec("o_totalprice")).cast("double").alias("sum_price"),
+    )
+
+
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus) with grouping_id — the bitmask
     disambiguates subtotal NULL markers from real NULL data, which ROLLUP
@@ -447,6 +459,7 @@ QUERIES = {
     "join_null_safe": join_null_safe,
     "fn_string_suite2": fn_string_suite2,
     "agg_cube": agg_cube,
+    "agg_rollup": agg_rollup,
     "agg_group_median": agg_group_median,
     "win_moving_avg": win_moving_avg,
     "gen_date_dim": gen_date_dim,
@@ -561,6 +574,14 @@ ORACLES = {
         " FROM orders WINDOW w AS (PARTITION BY o_custkey"
         " ORDER BY o_orderdate, o_orderkey"
         " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+    ),
+    "agg_rollup": (
+        "SELECT o_orderstatus, o_orderpriority,"
+        " GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,"
+        " COUNT(*) AS cnt,"
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"
+        "   AS sum_price"
+        " FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
     ),
     "agg_cube": (
         "SELECT l_returnflag, l_linestatus,"
