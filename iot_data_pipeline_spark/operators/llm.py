@@ -778,12 +778,13 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     through one narrow shingle pass + broadcast-hash join — no shuffle of
     corpus shingles at all."""
     d = table(spark, sf_dir, "documents")
-    sh = _word_shingles(d, 3)
     is_eval = F.pmod(F.col("doc_id"), F.lit(97)) == 0
-    eval_sh = sh.filter(is_eval).select(
+    # filter BEFORE shingling: the eval predicate reaches both parquet
+    # scans, so the tiny eval branch never tokenizes the full corpus.
+    eval_sh = _word_shingles(d.filter(is_eval), 3).select(
         F.col("doc_id").alias("eval_id"), "shingle"
     )
-    train_sh = sh.filter(~is_eval)
+    train_sh = _word_shingles(d.filter(~is_eval), 3)
     overlaps = (
         train_sh.join(F.broadcast(eval_sh), "shingle")
         .groupBy("doc_id", "eval_id")
