@@ -172,6 +172,50 @@ def iot_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch use of F.window() — the SAME tumbling-window function the
+    streaming queries use, proving the batch/stream unification: 15-minute
+    buckets over events with per-bucket stats. The window struct is
+    flattened to start/end columns for the oracle."""
+    e = table(spark, sf_dir, "events")
+    w = F.window("ts", "15 minutes")
+    return (
+        e.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (10 buckets over [0, 100)): pure
+    arithmetic bucketing — floor(value/10) clamped — one aggregation, the
+    profile-pane query every engine serves. Deterministic: bucket edges are
+    exact integers, no percentile estimation."""
+    e = table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 10).cast("int"), F.lit(0)),
+        F.lit(9),
+    )
+    return (
+        e.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )
+
+
 QUERIES = {
     "win_sessionize": win_sessionize,
     "evt_funnel": evt_funnel,
@@ -179,9 +223,26 @@ QUERIES = {
     "iot_downsample": iot_downsample,
     "iot_anomaly": iot_anomaly,
     "evt_dau": evt_dau,
+    "agg_time_window": agg_time_window,
+    "agg_histogram": agg_histogram,
 }
 
 ORACLES = {
+    "agg_time_window": (
+        "SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))"
+        "   AS win_start,"
+        " time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))"
+        "   + INTERVAL '15 minutes' AS win_end,"
+        " COUNT(*) AS n_events,"
+        " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value"
+        " FROM events GROUP BY 1, 2"
+    ),
+    "agg_histogram": (
+        "SELECT LEAST(GREATEST(CAST(FLOOR(value / 10) AS INTEGER), 0), 9)"
+        "   AS bucket,"
+        " COUNT(*) AS cnt, MIN(value) AS min_v, MAX(value) AS max_v"
+        " FROM events GROUP BY 1"
+    ),
     "win_sessionize": (
         "WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,"
         "            value FROM events),"
