@@ -132,11 +132,14 @@ def run_chain(config: dict) -> int:
     import os
     import shutil
 
-    attempt(
-        "cleanup_previous_parquet",
-        lambda: shutil.rmtree(config["output_path"], ignore_errors=True),
-    )
-    code = attempt("run_spark_to_parquet_job", lambda: run(config))
+    try:
+        attempt(
+            "cleanup_previous_parquet",
+            lambda: shutil.rmtree(config["output_path"], ignore_errors=True),
+        )
+        code = attempt("run_spark_to_parquet_job", lambda: run(config))
+    except Exception:
+        return 1
     if code != 0:
         return code
     serving = config.get("serving")
@@ -168,7 +171,10 @@ def run_chain(config: dict) -> int:
             if not pre_existing:
                 spark.stop()
 
-    attempt("truncate_and_load_serving", truncate_and_load)
+    try:
+        attempt("truncate_and_load_serving", truncate_and_load)
+    except Exception:
+        return 1
     return 0
 
 

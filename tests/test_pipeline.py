@@ -83,3 +83,22 @@ def test_pipeline_chain_without_serving_is_bare_etl(spark, tmp_path):
         yaml.safe_dump(cfg, fh)
     assert pipeline.main(["--config-path", cfg_path, "--with-load"]) == 0
     assert spark.read.parquet(out).count() == 4
+
+
+def test_pipeline_chain_failed_load_exit_code(spark, tmp_path):
+    """A serving step that keeps failing (bogus JDBC driver) exhausts its
+    retries and surfaces as exit code 1, not a traceback."""
+    cfg = {
+        "input_path": _write_csv_fixture(),
+        "output_path": str(tmp_path / "failserve_parquet"),
+        "retries": 1,
+        "serving": {
+            "url": "jdbc:nosuch://nowhere",
+            "table": "t",
+            "driver": "com.example.NoSuchDriver",
+        },
+    }
+    cfg_path = str(tmp_path / "failserve.yaml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    assert pipeline.main(["--config-path", cfg_path, "--with-load"]) == 1
