@@ -48,9 +48,33 @@ def dec(col: Column | str) -> Column:
     return c.cast(DEC)
 
 
+def dsum_prod(col: Column, alias: str) -> Column:
+    """Deterministic double for sums of DECIMAL PRODUCTS (scale ≥ 8).
+
+    Scale-4 sums (``dsum``) cast to double identically on both engines, but
+    high-scale sums at big magnitudes do not: Spark converts via correctly-
+    rounded BigDecimal while DuckDB double-rounds (int128→double, ×10⁻ˢ) —
+    a 1-ulp divergence first seen at sf0.1 on ~5e9 revenue sums. And simply
+    rescaling the decimal first is no better (Spark rounds HALF_UP, DuckDB
+    truncates). Deterministic recipe: floor the exact sum to integer
+    ten-thousandths (exact both sides, < 2^53) and divide once in IEEE
+    double arithmetic."""
+    return (
+        F.floor(F.sum(col) * 10000).cast("bigint").cast("double") / 10000
+    ).alias(alias)
+
+
 # The matching DuckDB SQL fragments (keep in sync with dsum/davg above).
 def sql_dsum(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) AS {alias}"
+
+
+def sql_dsum_prod(expr: str, alias: str) -> str:
+    """DuckDB fragment matching ``dsum_prod`` (expr is a decimal product)."""
+    return (
+        f"CAST(CAST(FLOOR(SUM({expr}) * 10000) AS BIGINT) AS DOUBLE)"
+        f" / 10000 AS {alias}"
+    )
 
 
 def sql_davg(expr: str, alias: str) -> str:

@@ -27,8 +27,10 @@ from iot_data_pipeline_spark.operators._util import (
     davg,
     dec,
     dsum,
+    dsum_prod,
     sql_davg,
     sql_dsum,
+    sql_dsum_prod,
     table,
 )
 
@@ -238,9 +240,9 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
-            .cast("double")
-            .alias("revenue"),
+            dsum_prod(
+                dec("l_extendedprice") * (one - dec("l_discount")), "revenue"
+            ),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -314,9 +316,9 @@ def agg_groupby_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity", "sum_qty"),
         dsum("l_extendedprice", "sum_base_price"),
-        F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
-        .cast("double")
-        .alias("sum_disc_price"),
+        dsum_prod(
+            dec("l_extendedprice") * (one - dec("l_discount")), "sum_disc_price"
+        ),
         davg("l_quantity", "avg_qty"),
         davg("l_extendedprice", "avg_price"),
         F.count(F.lit(1)).alias("count_order"),
@@ -623,6 +625,12 @@ QUERIES = {
     "filter_in_subquery": filter_in_subquery,
 }
 
+# Shared decimal-product fragment for deterministic revenue sums.
+_DISC_PRICE_EXPR = (
+    "CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+)
+
 ORACLES = {
     "sql_entry_tpch_q1": (
         "SELECT l_returnflag, l_linestatus,"
@@ -719,9 +727,7 @@ ORACLES = {
     ),
     "join_multiway": (
         "SELECT r_name,"
-        " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
-        "          * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
-        "      AS DOUBLE) AS revenue,"
+        f" {sql_dsum_prod(_DISC_PRICE_EXPR, 'revenue')},"
         " COUNT(*) AS n_items"
         " FROM lineitem"
         " JOIN orders ON l_orderkey = o_orderkey"
@@ -750,9 +756,7 @@ ORACLES = {
         "SELECT l_returnflag, l_linestatus,"
         f" {sql_dsum('l_quantity', 'sum_qty')},"
         f" {sql_dsum('l_extendedprice', 'sum_base_price')},"
-        " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
-        "          * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
-        "      AS DOUBLE) AS sum_disc_price,"
+        f" {sql_dsum_prod(_DISC_PRICE_EXPR, 'sum_disc_price')},"
         f" {sql_davg('l_quantity', 'avg_qty')},"
         f" {sql_davg('l_extendedprice', 'avg_price')},"
         " COUNT(*) AS count_order"
@@ -842,9 +846,7 @@ ORACLES = {
     ),
     "sql_entry_tpch_q3": (
         "SELECT l_orderkey,"
-        " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
-        "          * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
-        "      AS DOUBLE) AS revenue,"
+        f" {sql_dsum_prod(_DISC_PRICE_EXPR, 'revenue')},"
         " o_orderdate, o_orderpriority"
         " FROM customer"
         " JOIN orders ON c_custkey = o_custkey"
