@@ -326,6 +326,20 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the Karp-Shenker-Papadimitriou single-pass sketch
+    (df.freqItems): every value with frequency > support is GUARANTEED
+    present (possible false positives, never false negatives) — the sketch
+    family's answer to "top event types" without a full group-by.
+    rows-only oracle (sketch contents depend on scan order); the pinning
+    test asserts the containment guarantee against the exact counts."""
+    e = table(spark, sf_dir, "events")
+    out = e.freqItems(["event_type"], support=0.1)
+    return out.select(
+        F.array_sort(F.col("event_type_freqItems")).alias("freq_event_types")
+    )
+
+
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus) with grouping_id — the bitmask
     disambiguates subtotal NULL markers from real NULL data, which ROLLUP
@@ -460,6 +474,7 @@ QUERIES = {
     "fn_string_suite2": fn_string_suite2,
     "agg_cube": agg_cube,
     "agg_rollup": agg_rollup,
+    "agg_freq_items": agg_freq_items,
     "agg_group_median": agg_group_median,
     "win_moving_avg": win_moving_avg,
     "gen_date_dim": gen_date_dim,

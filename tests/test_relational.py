@@ -122,3 +122,24 @@ def test_redaction_fires(spark, sf_dir):
 def test_broadcast_join_plan(spark, sf_dir):
     plan = relational.join_broadcast(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_freq_items_containment(spark, sf_dir):
+    """KSP sketch guarantee: every event_type with relative frequency above
+    the support threshold appears in the sketch output."""
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.operators import reshape
+    from iot_data_pipeline_spark.operators._util import table
+
+    e = table(spark, sf_dir, "events")
+    total = e.count()
+    exact = {
+        r["event_type"]
+        for r in e.groupBy("event_type").count().collect()
+        if r["count"] / total > 0.1
+    }
+    sketch = set(
+        reshape.agg_freq_items(spark, sf_dir).first()["freq_event_types"]
+    )
+    assert exact <= sketch
