@@ -366,7 +366,44 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "append")
 
 
+def stream_jdbc_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live serving load: micro-batches append to a JDBC table via
+    foreachBatch — the reference's ClickHouse bulk-load (S3) as a streaming
+    sink, exercised against embedded Derby. Each epoch is one batched JDBC
+    append; the returned frame reads the serving table back through the
+    JDBC source, so the oracle hash-verifies the full stream → RDBMS →
+    scan round trip."""
+    from iot_data_pipeline_spark.sources.sinks import write_jdbc
+
+    stream_dir = _stage_event_chunks(spark, sf_dir, n_chunks=2)
+    db = f"serve_{uuid.uuid4().hex[:12]}"
+    url = f"jdbc:derby:memory:{db};create=true"
+    derby = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    def load_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        write_jdbc(
+            batch_df.select("event_id", "user_id", "event_type", "value"),
+            url=url,
+            table="events_serving",
+            user="app",
+            password="",
+            driver=derby,
+            mode="append",
+        )
+
+    stream = _read_stream(spark, stream_dir)
+    q = (
+        stream.writeStream.foreachBatch(load_epoch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sjdbc_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.jdbc(url, "events_serving", properties={"driver": derby})
+
+
 QUERIES = {
+    "stream_jdbc_serving": stream_jdbc_serving,
     "stream_ingest_files": stream_ingest_files,
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_sliding_agg": stream_sliding_agg,
@@ -383,6 +420,9 @@ QUERIES = {
 _EVENTS_US = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
 
 ORACLES = {
+    "stream_jdbc_serving": (
+        "SELECT event_id, user_id, event_type, value FROM events"
+    ),
     "stream_ingest_files": _EVENTS_US,
     "stream_tumbling_agg": (
         "SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))"
