@@ -1058,6 +1058,66 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking (context-length prep): 64-char chunks
+    on a 48-char stride (16 overlap), each with its 1-based start offset.
+    Pure per-row explode of a computed index range — narrow except for the
+    explode itself, no shuffle, so at 100 TB it streams: chunk count is
+    derived per row and ``substring`` runs JVM-side in codegen. Output is
+    unordered on purpose (a global sort of the chunk table would be the
+    only scale hazard here)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_chunks = (
+        F.ceil(F.greatest(F.length("text") - 16, F.lit(1)) / 48.0)
+        .cast("int")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("idx").cast("bigint").alias("chunk_idx"),
+            (F.col("idx").cast("bigint") * 48 + 1).alias("chunk_start"),
+            F.expr("substring(text, idx * 48 + 1, 64)").alias("chunk_text"),
+        )
+    )
+
+
+def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: most-frequent-word
+    fraction and duplicate-word fraction. ZERO-shuffle formulation: sort
+    the token array per row and take the longest equal-run via an
+    ``aggregate`` HOF (== the max word frequency), so no explode/groupBy —
+    per-doc stats never leave their input partition. The sorted array is
+    materialized as a real column first (inlining it into the lambda would
+    re-split per element). All counts are exact ints; the two fractions are
+    single IEEE divisions → bit-identical across engines and partitionings."""
+    d = table(spark, sf_dir, "documents")
+    withw = d.select("doc_id", F.array_sort(F.split("text", _WS)).alias("ws"))
+    max_run = F.expr(
+        """
+        aggregate(ws,
+          struct(cast('' as string) as prev, 0 as run, 0 as best),
+          (a, w) -> struct(w,
+                           if(w = a.prev, a.run + 1, 1),
+                           greatest(a.best, if(w = a.prev, a.run + 1, 1))),
+          a -> a.best)
+        """
+    )
+    n = F.size("ws")
+    return withw.select(
+        "doc_id",
+        (max_run.cast("double") / n).alias("top_word_frac"),
+        (F.lit(1.0) - F.size(F.array_distinct("ws")).cast("double") / n).alias(
+            "dup_word_frac"
+        ),
+        n.cast("bigint").alias("n_words"),
+    )
+
+
 QUERIES = {
     "llm_dedup_exact": llm_dedup_exact,
     "llm_dedup_ngram": llm_dedup_ngram,
@@ -1084,6 +1144,8 @@ QUERIES = {
     "llm_quality_score": llm_quality_score,
     "llm_embed_centroids": llm_embed_centroids,
     "llm_sim_ivf": llm_sim_ivf,
+    "llm_chunk_docs": llm_chunk_docs,
+    "llm_repetition": llm_repetition,
 }
 
 # Connected components of the jaccard-pair graph as a recursive CTE:
@@ -1356,5 +1418,27 @@ ORACLES = {
         " SUM(len(string_split(text, ' '))) AS sum_tokens,"
         " SUM(length(text)) AS sum_chars"
         " FROM final GROUP BY lang"
+    ),
+    "llm_chunk_docs": (
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,"
+        " CAST(i * 48 + 1 AS BIGINT) AS chunk_start,"
+        " substring(text, CAST(i * 48 + 1 AS INT), 64) AS chunk_text"
+        " FROM documents, LATERAL UNNEST(range(0,"
+        "   CAST(ceil(greatest(length(text) - 16, 1) / 48.0) AS BIGINT)))"
+        "   AS t(i)"
+        " WHERE text IS NOT NULL"
+    ),
+    # Oracle uses the explode/group formulation; the engine's sorted-array
+    # run-length HOF must agree exactly (max run over sorted == max count).
+    "llm_repetition": (
+        "WITH words AS (SELECT doc_id,"
+        "   unnest(string_split(text, ' ')) AS w FROM documents),"
+        " grams AS (SELECT doc_id, w, COUNT(*) AS c FROM words"
+        "           GROUP BY doc_id, w)"
+        " SELECT doc_id,"
+        " CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_word_frac,"
+        " 1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_word_frac,"
+        " CAST(SUM(c) AS BIGINT) AS n_words"
+        " FROM grams GROUP BY doc_id"
     ),
 }

@@ -584,6 +584,114 @@ def sql_entry_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q3)
 
 
+_SQL_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP_NTZ '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def sql_entry_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking, adapted to the testdata
+    schema's ``l_shipdate > o_orderdate`` lateness predicate): a correlated
+    EXISTS with a NON-equi correlated conjunct. Catalyst decorrelates it to
+    a LEFT SEMI join on ``l_orderkey = o_orderkey`` with the inequality as
+    the join residual — one shuffle pair, no per-row subquery execution.
+    The quarter filter on ``o_orderdate`` is pushed to the orders scan, so
+    at 100 TB the probe side is one quarter of orders, not the full table."""
+    for name in ("orders", "lineitem"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SQL_Q4)
+
+
+_SQL_Q17 = """
+SELECT CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000)
+       AS BIGINT) AS DOUBLE) / 10000 / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4)))
+                                       AS DOUBLE) / COUNT(*))
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def sql_entry_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): a CORRELATED SCALAR
+    AGGREGATE subquery (per-part average quantity). Catalyst rewrites it to
+    an aggregate over lineitem grouped by ``l_partkey`` joined back to the
+    filtered fact — two scans of lineitem but zero nested-loop evaluation;
+    with the ``p_brand`` filter pushed into the join the re-aggregated side
+    is the only full-table pass. The per-part average uses the exact decimal
+    sum so the ``l_quantity <`` threshold is bit-identical across engines
+    and partitionings (a double SUM here could flip rows on ulp ties)."""
+    for name in ("lineitem", "part"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SQL_Q17)
+
+
+_SQL_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def sql_entry_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): IN over a GROUP BY ... HAVING
+    subquery. Catalyst turns the IN into a LEFT SEMI join against the
+    aggregated keys, so lineitem is aggregated once (partial+final on
+    ``l_orderkey``), the surviving keys semi-filter orders, and only then
+    do customer/lineitem join in — the top-100 is TakeOrderedAndProject,
+    never a global sort. ``o_totalprice DESC, o_orderkey`` makes the limit
+    deterministic (stored doubles compare exactly; key breaks ties)."""
+    for name in ("customer", "orders", "lineitem"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SQL_Q18)
+
+
+_SQL_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate >= l1.l_shipdate)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
+def sql_entry_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting, adapted: the
+    testdata has no commit/receipt dates so "late" is ``l_shipdate >
+    o_orderdate`` and the sole-blame test is "no OTHER supplier shipped on
+    or after l1's ship date"). Stacks a correlated EXISTS *and* NOT EXISTS
+    on the same fact table: Catalyst plans them as a LEFT SEMI then LEFT
+    ANTI join, both shuffled on ``l_orderkey`` — three passes over lineitem
+    but every one a hash join on the same key, so at scale AQE can reuse
+    the exchange. The non-equi parts ride as join residuals, never a
+    cartesian."""
+    for name in ("supplier", "orders", "lineitem"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SQL_Q21)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -623,7 +731,15 @@ QUERIES = {
     "sql_entry_tpch_q3": sql_entry_tpch_q3,
     "sql_entry_tpch_q1": sql_entry_tpch_q1,
     "filter_in_subquery": filter_in_subquery,
+    "sql_entry_tpch_q4": sql_entry_tpch_q4,
+    "sql_entry_tpch_q17": sql_entry_tpch_q17,
+    "sql_entry_tpch_q18": sql_entry_tpch_q18,
+    "sql_entry_tpch_q21": sql_entry_tpch_q21,
 }
+
+# DuckDB oracles for the subquery-decorrelation suite: identical SQL modulo
+# the timestamp-literal keyword (Spark TIMESTAMP_NTZ vs DuckDB TIMESTAMP).
+_ORACLE_Q4 = _SQL_Q4.replace("TIMESTAMP_NTZ", "TIMESTAMP")
 
 # Shared decimal-product fragment for deterministic revenue sums.
 _DISC_PRICE_EXPR = (
@@ -855,4 +971,8 @@ ORACLES = {
         " GROUP BY l_orderkey, o_orderdate, o_orderpriority"
         " ORDER BY revenue DESC, l_orderkey LIMIT 20"
     ),
+    "sql_entry_tpch_q4": _ORACLE_Q4,
+    "sql_entry_tpch_q17": _SQL_Q17,
+    "sql_entry_tpch_q18": _SQL_Q18,
+    "sql_entry_tpch_q21": _SQL_Q21,
 }

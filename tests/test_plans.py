@@ -161,3 +161,27 @@ def test_tpch_q1_filter_pushdown(spark, sf_dir):
     # (partial before the exchange) so the shuffle carries only group rows.
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
     assert "partial_sum" in plan
+
+
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    from iot_data_pipeline_spark.operators import relational
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(relational.sql_entry_tpch_q4(spark, sf_dir))
+    # the correlated EXISTS must become a semi join (no per-row subquery,
+    # no cartesian); the quarter filter must reach the orders scan.
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q21_plans_semi_and_anti(spark, sf_dir):
+    from iot_data_pipeline_spark.operators import relational
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(relational.sql_entry_tpch_q21(spark, sf_dir))
+    # EXISTS -> semi, NOT EXISTS -> anti, inequality conjuncts as join
+    # residuals (never a nested-loop over lineitem).
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
