@@ -44,6 +44,10 @@ HEADLINE = [
     "set_unpivot",
     "fn_try_arith",
     "llm_corpus_pipeline",
+    # subquery-decorrelation suite: q18 (IN-over-HAVING) and q21 (stacked
+    # semi+anti over the fact table) are the heaviest multi-pass plans.
+    "sql_entry_tpch_q18",
+    "sql_entry_tpch_q21",
 ]
 
 

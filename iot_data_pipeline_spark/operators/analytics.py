@@ -216,6 +216,28 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style latest-state snapshot: the most recent event per user (the
+    "current device state" query a serving store answers). Formulated as ONE
+    aggregation with ``max_by`` over a composite ordering key — unlike the
+    row_number-window top-1, this gets map-side partial aggregation, so the
+    shuffle carries one row per (partition, user), not every event. The key
+    is zero-padded ``(epoch_micros, event_id)`` text, totally ordered and
+    engine-independent (event_id breaks exact-timestamp ties)."""
+    e = table(spark, sf_dir, "events")
+    ok = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    k = e.withColumn("ok", ok)
+    return k.groupBy("user_id").agg(
+        F.max_by("ts", "ok").alias("ts"),
+        F.max_by("event_id", "ok").alias("event_id"),
+        F.max_by("event_type", "ok").alias("event_type"),
+        F.max_by("value", "ok").alias("value"),
+    )
+
+
 QUERIES = {
     "win_sessionize": win_sessionize,
     "evt_funnel": evt_funnel,
@@ -225,9 +247,20 @@ QUERIES = {
     "evt_dau": evt_dau,
     "agg_time_window": agg_time_window,
     "agg_histogram": agg_histogram,
+    "evt_latest_snapshot": evt_latest_snapshot,
 }
 
 ORACLES = {
+    "evt_latest_snapshot": (
+        "WITH k AS (SELECT *,"
+        "   lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')"
+        "   || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok FROM events)"
+        " SELECT user_id, arg_max(CAST(ts AS TIMESTAMP), ok) AS ts,"
+        " arg_max(event_id, ok) AS event_id,"
+        " arg_max(event_type, ok) AS event_type,"
+        " arg_max(value, ok) AS value"
+        " FROM k GROUP BY user_id"
+    ),
     "agg_time_window": (
         "SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))"
         "   AS win_start,"

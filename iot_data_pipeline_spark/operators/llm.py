@@ -1118,6 +1118,77 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count proportional stratified sampling: ceil(10%) of each
+    ``lang`` stratum, selected by ranking on ``md5(doc_id)`` — a keyed
+    deterministic shuffle of each stratum, so the sample is unbiased,
+    reproducible on any cluster, and identical across engines (md5 hex is
+    engine-independent; doc_id breaks the impossible tie). One shuffle on
+    ``lang``. Scale note: with few strata the per-stratum rank concentrates
+    each stratum on one task — for 100 TB with low-cardinality strata use
+    the hash-threshold systematic sampler (``llm_sample``) instead, which
+    is shuffle-free; this operator is the exact-allocation complement for
+    stratum counts that must come out to the row."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_stratum"),
+    )
+    return ranked.filter(
+        F.col("rn") <= F.ceil(F.col("n_stratum") * 0.1).cast("bigint")
+    ).select("doc_id", "lang", "source", F.col("rn").cast("bigint").alias("rn"))
+
+
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8-range) embedding quantization: per-dimension global
+    min/max, then ``q = floor((v-mn)/(mx-mn)*255)`` clamped to [0,254]
+    (255 only occurs at v==mx, which the clamp folds into the top bucket).
+    Two-pass shape that scales: pass 1 is a partial+final agg producing
+    exactly |dims| rows (bounded — 64 here), which are COLLECTED and
+    closure-broadcast as literal arrays, the same pattern as the query
+    vectors in ``llm_sim_topk``; pass 2 is a narrow per-row ``transform``
+    — zero shuffles over the corpus. Everything is cast to double before
+    arithmetic so both engines run identical IEEE ops (float/float division
+    promotes differently across engines); floor (not round) avoids
+    banker's-rounding divergence."""
+    e = table(spark, sf_dir, "embeddings")
+    stats = (
+        e.select(F.posexplode("embedding").alias("i", "v"))
+        .groupBy("i")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("mn"),
+            F.max(F.col("v").cast("double")).alias("mx"),
+        )
+        .collect()
+    )
+    mn = {r["i"]: r["mn"] for r in stats}
+    mx = {r["i"]: r["mx"] for r in stats}
+    dims = sorted(mn)
+    mins = F.array(*[F.lit(mn[i]) for i in dims])
+    maxs = F.array(*[F.lit(mx[i]) for i in dims])
+
+    def _q(v, i):
+        lo = F.element_at(mins, i + 1)
+        hi = F.element_at(maxs, i + 1)
+        return F.when(hi == lo, F.lit(0).cast("bigint")).otherwise(
+            F.least(
+                F.lit(254).cast("bigint"),
+                F.floor((v.cast("double") - lo) / (hi - lo) * 255),
+            )
+        )
+
+    return e.select(
+        "vec_id", F.transform(F.col("embedding"), _q).alias("qvec")
+    )
+
+
 QUERIES = {
     "llm_dedup_exact": llm_dedup_exact,
     "llm_dedup_ngram": llm_dedup_ngram,
@@ -1146,6 +1217,8 @@ QUERIES = {
     "llm_sim_ivf": llm_sim_ivf,
     "llm_chunk_docs": llm_chunk_docs,
     "llm_repetition": llm_repetition,
+    "llm_sample_stratified": llm_sample_stratified,
+    "llm_embed_quantize": llm_embed_quantize,
 }
 
 # Connected components of the jaccard-pair graph as a recursive CTE:
@@ -1440,5 +1513,29 @@ ORACLES = {
         " 1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_word_frac,"
         " CAST(SUM(c) AS BIGINT) AS n_words"
         " FROM grams GROUP BY doc_id"
+    ),
+    "llm_sample_stratified": (
+        "WITH ranked AS (SELECT doc_id, lang, source,"
+        " row_number() OVER (PARTITION BY lang"
+        "   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,"
+        " COUNT(*) OVER (PARTITION BY lang) AS n_stratum"
+        " FROM documents)"
+        " SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn"
+        " FROM ranked WHERE rn <= CAST(ceil(n_stratum * 0.1) AS BIGINT)"
+    ),
+    "llm_embed_quantize": (
+        "WITH dims AS (SELECT i,"
+        "   min(CAST(embedding[i] AS DOUBLE)) AS mn,"
+        "   max(CAST(embedding[i] AS DOUBLE)) AS mx"
+        " FROM embeddings, LATERAL UNNEST(generate_series(1, len(embedding)))"
+        "   AS t(i) GROUP BY i),"
+        " ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v"
+        " FROM embeddings, LATERAL UNNEST(generate_series(1, len(embedding)))"
+        "   AS t(i))"
+        " SELECT vec_id,"
+        " list(CASE WHEN mx = mn THEN 0"
+        "      ELSE least(254, CAST(floor((v - mn) / (mx - mn) * 255)"
+        "                          AS BIGINT)) END ORDER BY i) AS qvec"
+        " FROM ex JOIN dims USING (i) GROUP BY vec_id"
     ),
 }

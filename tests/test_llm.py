@@ -173,3 +173,81 @@ def test_quality_filter_subset(spark, sf_dir):
     total = table(spark, sf_dir, "documents").count()
     kept = llm.llm_quality_filter(spark, sf_dir).count()
     assert 0 < kept <= total
+
+
+def test_chunk_docs_covers_text(spark, sf_dir):
+    import math
+
+    from iot_data_pipeline_spark.operators._util import table
+
+    chunks = llm.llm_chunk_docs(spark, sf_dir)
+    docs = {r["doc_id"]: r["text"] for r in table(spark, sf_dir, "documents").collect()}
+    by_doc: dict[int, list] = {}
+    for r in chunks.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        text = docs[doc_id]
+        assert len(rows) == math.ceil(max(len(text) - 16, 1) / 48.0)
+        for r in rows:
+            # each chunk is the literal substring at its declared offset
+            start = r["chunk_start"] - 1
+            assert r["chunk_text"] == text[start : start + 64]
+        # chunks cover the whole document: last chunk reaches the end
+        last = max(rows, key=lambda r: r["chunk_idx"])
+        assert last["chunk_start"] - 1 + len(last["chunk_text"]) >= len(text)
+
+
+def test_repetition_bounds_and_exactness(spark, sf_dir):
+    rows = llm.llm_repetition(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # top fraction is at least 1/n (some word exists) and at most 1
+        assert 1.0 / r["n_words"] <= r["top_word_frac"] <= 1.0
+        assert 0.0 <= r["dup_word_frac"] < 1.0
+    # spot-check one doc against a pure-Python count
+    from iot_data_pipeline_spark.operators._util import table
+
+    doc = table(spark, sf_dir, "documents").limit(1).collect()[0]
+    words = doc["text"].split(" ")
+    from collections import Counter
+
+    c = Counter(words)
+    got = next(r for r in rows if r["doc_id"] == doc["doc_id"])
+    assert got["n_words"] == len(words)
+    assert got["top_word_frac"] == max(c.values()) / len(words)
+    assert got["dup_word_frac"] == 1.0 - len(c) / len(words)
+
+
+def test_stratified_sample_exact_allocation(spark, sf_dir):
+    import math
+
+    from iot_data_pipeline_spark.operators._util import table
+
+    sample = llm.llm_sample_stratified(spark, sf_dir)
+    strata = {
+        r["lang"]: r["n"]
+        for r in table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {
+        r["lang"]: r["n"]
+        for r in sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {lang: math.ceil(n * 0.1) for lang, n in strata.items()}
+
+
+def test_embed_quantize_range_and_extremes(spark, sf_dir):
+    rows = llm.llm_embed_quantize(spark, sf_dir).collect()
+    assert rows
+    dims = len(rows[0]["qvec"])
+    lo = [min(r["qvec"][i] for r in rows) for i in range(dims)]
+    hi = [max(r["qvec"][i] for r in rows) for i in range(dims)]
+    # every dimension uses the full clamped range: the min vector lands in
+    # bucket 0 and the max vector in the top bucket 254
+    assert all(v == 0 for v in lo)
+    assert all(v == 254 for v in hi)
+    for r in rows:
+        assert all(0 <= q <= 254 for q in r["qvec"])
