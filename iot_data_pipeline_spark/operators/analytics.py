@@ -238,6 +238,41 @@ def evt_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_active_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap count per day ("how many urgent-order promo windows
+    are open on each calendar day") — the range-join-shaped question
+    answered WITHOUT a range join. Sweep-line formulation: each 3-day
+    window contributes +1 at its start day and -1 past its end; the
+    distributed part is two partial+final aggregations over orders (one
+    shuffle each, carrying one row per day), and the prefix-sum runs on
+    the |days| rows only (~2.4k here) — a bounded single-partition window
+    that stays bounded at ANY corpus scale because the calendar doesn't
+    grow with the data. The naive day×interval join this replaces is
+    O(days × windows) and is kept solely as the DuckDB oracle."""
+    o = table(spark, sf_dir, "orders")
+    u = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.to_date("o_orderdate").alias("d")
+    )
+    starts = u.groupBy("d").agg(F.count(F.lit(1)).alias("delta"))
+    ends = (
+        u.select(F.date_add("d", 3).alias("d"))
+        .groupBy("d")
+        .agg((-F.count(F.lit(1))).alias("delta"))
+    )
+    deltas = (
+        starts.unionByName(ends).groupBy("d").agg(F.sum("delta").alias("delta"))
+    )
+    bounds = u.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    joined = spine.join(deltas, spine.day == deltas.d, "left").select(
+        "day", F.coalesce("delta", F.lit(0)).alias("delta")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "day", F.sum("delta").over(w).alias("open_windows")
+    )
+
+
 QUERIES = {
     "win_sessionize": win_sessionize,
     "evt_funnel": evt_funnel,
@@ -248,9 +283,24 @@ QUERIES = {
     "agg_time_window": agg_time_window,
     "agg_histogram": agg_histogram,
     "evt_latest_snapshot": evt_latest_snapshot,
+    "evt_active_windows": evt_active_windows,
 }
 
 ORACLES = {
+    # Naive O(days x windows) range join — correct, and exactly what the
+    # engine's sweep-line version avoids at scale.
+    "evt_active_windows": (
+        "WITH u AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders"
+        "           WHERE o_orderpriority = '1-URGENT'),"
+        " b AS (SELECT min(d) AS lo, max(d) AS hi FROM u),"
+        " spine AS (SELECT CAST(unnest(generate_series("
+        "   CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),"
+        "   INTERVAL '1 day')) AS DATE) AS day FROM b)"
+        " SELECT s.day, count(u.d) AS open_windows"
+        " FROM spine s LEFT JOIN u"
+        " ON s.day >= u.d AND s.day < u.d + INTERVAL '3 days'"
+        " GROUP BY s.day"
+    ),
     "evt_latest_snapshot": (
         "WITH k AS (SELECT *,"
         "   lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')"

@@ -453,6 +453,16 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + read-back: the second columnar format Spark ships native
+    (same vectorized reader, predicate pushdown, and column pruning paths
+    as parquet). Types here (int/string/double) round-trip exactly."""
+    c = table(spark, sf_dir, "customer")
+    out = tempfile.mkdtemp(prefix="sink_orc_") + "/customer"
+    c.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned parquet write + partition-pruned read: the filter on
     the partition column prunes directories at planning time (PartitionFilters,
@@ -495,6 +505,7 @@ QUERIES = {
     "meta_describe": meta_describe,
     "sink_csv_roundtrip": sink_csv_roundtrip,
     "sink_json_roundtrip": sink_json_roundtrip,
+    "sink_orc_roundtrip": sink_orc_roundtrip,
     "sink_parquet_partitioned": sink_parquet_partitioned,
 }
 
@@ -685,6 +696,7 @@ ORACLES = {
     ),
     "sink_csv_roundtrip": "SELECT * FROM nation",
     "sink_json_roundtrip": "SELECT * FROM supplier",
+    "sink_orc_roundtrip": "SELECT * FROM customer",
     "sink_parquet_partitioned": (
         "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
         " o_orderdate FROM orders WHERE o_orderstatus = 'F'"
