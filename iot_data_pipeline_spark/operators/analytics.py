@@ -273,6 +273,32 @@ def evt_active_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the windowed COUNT(DISTINCT)
+    Spark (and ANSI SQL) won't run directly, and the collect_set-over-
+    window workaround holds every key in one window buffer. Scalable
+    rewrite: distinct-so-far == count of users whose FIRST day is <= day,
+    so aggregate min(day) per user (one shuffle, map-side partials), roll
+    up to new-users-per-day, and prefix-sum over the bounded day spine.
+    State per step is O(1); the serial tail scales with the calendar."""
+    e = table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    first_seen = e.groupBy("user_id").agg(F.min(day).alias("d"))
+    new_users = first_seen.groupBy("d").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = e.select(day.alias("day")).distinct()
+    joined = days.join(new_users, days.day == new_users.d, "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
 QUERIES = {
     "win_sessionize": win_sessionize,
     "evt_funnel": evt_funnel,
@@ -284,9 +310,22 @@ QUERIES = {
     "agg_histogram": agg_histogram,
     "evt_latest_snapshot": evt_latest_snapshot,
     "evt_active_windows": evt_active_windows,
+    "evt_cumulative_users": evt_cumulative_users,
 }
 
 ORACLES = {
+    "evt_cumulative_users": (
+        "WITH fs AS (SELECT user_id, min(CAST(date_trunc('day',"
+        "   CAST(ts AS TIMESTAMP)) AS DATE)) AS d FROM events"
+        "   GROUP BY user_id),"
+        " days AS (SELECT DISTINCT CAST(date_trunc('day',"
+        "   CAST(ts AS TIMESTAMP)) AS DATE) AS day FROM events),"
+        " nu AS (SELECT d, count(*) AS new_users FROM fs GROUP BY d)"
+        " SELECT day, coalesce(new_users, 0) AS new_users,"
+        " CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY day"
+        "   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users"
+        " FROM days LEFT JOIN nu ON day = d"
+    ),
     # Naive O(days x windows) range join — correct, and exactly what the
     # engine's sweep-line version avoids at scale.
     "evt_active_windows": (
