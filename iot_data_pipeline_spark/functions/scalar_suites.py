@@ -209,6 +209,22 @@ def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: parse once
+    with ``parse_json``, then typed ``variant_get`` path extraction —
+    the shredded-at-scan path for schema-flexible columns (vs the string
+    re-parse ``get_json_object`` does per call). Missing paths yield NULL
+    via ``try_variant_get`` on both engines' equivalents."""
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"),
+        (F.variant_get(v, "$.k", "bigint") * 2).alias("k_doubled"),
+    )
+
+
 def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions over embeddings: size, element access,
     fold (aggregate), filter, min/max. All JVM-side — no UDF; at 100 TB this
@@ -417,6 +433,7 @@ QUERIES = {
     "fn_date_suite": fn_date_suite,
     "fn_math_suite": fn_math_suite,
     "fn_json_extract": fn_json_extract,
+    "fn_variant_json": fn_variant_json,
     "fn_array_suite": fn_array_suite,
     "fn_map_from_entries": fn_map_from_entries,
 }
@@ -526,6 +543,13 @@ ORACLES = {
         " ROUND(SQRT(p_retailprice), 4) AS price_sqrt,"
         " POW(CAST(p_size AS DOUBLE), 2.0) AS size_sq"
         " FROM part"
+    ),
+    "fn_variant_json": (
+        "SELECT event_id,"
+        " CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,"
+        " CAST(json_extract(props, '$.missing') AS BIGINT) AS k_missing,"
+        " CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k_doubled"
+        " FROM events"
     ),
     "fn_json_extract": (
         "SELECT event_id,"

@@ -299,6 +299,27 @@ def evt_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent event_type per user). Native
+    ``mode()`` in both Spark and DuckDB picks an ARBITRARY value on ties —
+    a silent cross-run divergence — so this pins the tie-break to the
+    lexicographically smallest value via ``min_by`` over a composite
+    ``(inverted count, value)`` key. Two partial-agg shuffles
+    ((user, type) then user), both carrying one row per group."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    key = F.concat(
+        F.lpad((F.lit(100000000) - F.col("cnt")).cast("string"), 12, "0"),
+        F.col("event_type"),
+    )
+    return c.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("mode_type"),
+        F.max("cnt").alias("mode_cnt"),
+    )
+
+
 QUERIES = {
     "win_sessionize": win_sessionize,
     "evt_funnel": evt_funnel,
@@ -311,9 +332,19 @@ QUERIES = {
     "evt_latest_snapshot": evt_latest_snapshot,
     "evt_active_windows": evt_active_windows,
     "evt_cumulative_users": evt_cumulative_users,
+    "agg_mode": agg_mode,
 }
 
 ORACLES = {
+    "agg_mode": (
+        "WITH c AS (SELECT user_id, event_type, count(*) AS cnt"
+        "           FROM events GROUP BY 1, 2)"
+        " SELECT user_id,"
+        " arg_min(event_type, lpad(CAST(100000000 - cnt AS VARCHAR), 12, '0')"
+        "         || event_type) AS mode_type,"
+        " max(cnt) AS mode_cnt"
+        " FROM c GROUP BY user_id"
+    ),
     "evt_cumulative_users": (
         "WITH fs AS (SELECT user_id, min(CAST(date_trunc('day',"
         "   CAST(ts AS TIMESTAMP)) AS DATE)) AS d FROM events"
