@@ -82,12 +82,33 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"skew_salted_agg": skew_salted_agg}
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skewed equi-join registered as a query: events (big, possibly
+    hot-keyed) joined to the customer dimension on user_id with the big
+    side salted 8 ways and the small side replicated per salt — each hot
+    key fans out over 8 reducers. The oracle is the PLAIN join, proving
+    salting changes the physical distribution and nothing else."""
+    e = table(spark, sf_dir, "events")
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(e, dim, "user_id")
+    return joined.select("event_id", "user_id", "c_mktsegment", "value")
+
+
+QUERIES = {
+    "skew_salted_agg": skew_salted_agg,
+    "skew_salted_join": skew_salted_join,
+}
 
 ORACLES = {
     "skew_salted_agg": (
         "SELECT user_id, COUNT(*) AS n_events,"
         " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value"
         " FROM events GROUP BY user_id"
+    ),
+    "skew_salted_join": (
+        "SELECT event_id, user_id, c_mktsegment, value"
+        " FROM events JOIN customer ON user_id = c_custkey"
     ),
 }
