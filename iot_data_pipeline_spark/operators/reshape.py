@@ -463,6 +463,31 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(out)
 
 
+def sink_parquet_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-optimized write: ``repartitionByRange`` on the filter column +
+    ``sortWithinPartitions`` before the parquet write, so each file owns a
+    disjoint l_shipdate range and every row group's min/max stats are tight.
+    A later time-range read then skips whole files/row-groups from footer
+    stats alone — at 100 TB this layout (or its multi-column Z-order
+    generalization) is the difference between scanning a week and scanning
+    the lake. The range partitioner samples the data to pick bounds; that
+    only moves file boundaries, never values, so results stay exact."""
+    li = table(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="sink_sorted_") + "/lineitem"
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    return back.select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+    )
+
+
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned parquet write + partition-pruned read: the filter on
     the partition column prunes directories at planning time (PartitionFilters,
@@ -506,6 +531,7 @@ QUERIES = {
     "sink_csv_roundtrip": sink_csv_roundtrip,
     "sink_json_roundtrip": sink_json_roundtrip,
     "sink_orc_roundtrip": sink_orc_roundtrip,
+    "sink_parquet_sorted": sink_parquet_sorted,
     "sink_parquet_partitioned": sink_parquet_partitioned,
 }
 
@@ -697,6 +723,10 @@ ORACLES = {
     "sink_csv_roundtrip": "SELECT * FROM nation",
     "sink_json_roundtrip": "SELECT * FROM supplier",
     "sink_orc_roundtrip": "SELECT * FROM customer",
+    "sink_parquet_sorted": (
+        "SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity"
+        " FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'"
+    ),
     "sink_parquet_partitioned": (
         "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
         " o_orderdate FROM orders WHERE o_orderstatus = 'F'"
