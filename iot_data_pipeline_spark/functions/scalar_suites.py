@@ -225,6 +225,32 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation-aware grouping: p_type is deliberately case-mangled
+    per row (upper for even keys, lower for odd), then grouped under the
+    ``UTF8_LCASE`` collation — the COLLATION merges the case variants, with
+    no lower() rewrite in the grouping key. The collated key is folded and
+    cast back to a binary-collation string only for the stable output
+    contract. Collation-aware grouping runs fully JVM-side (no UDF) and
+    shuffles on the collation key like any hash agg."""
+    p = table(spark, sf_dir, "part")
+    mixed = (
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_type"))
+        .otherwise(F.lower("p_type"))
+    )
+    return (
+        p.select(F.collate(mixed, "UTF8_LCASE").alias("t_ci"))
+        .groupBy("t_ci")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.expr("cast(lower(t_ci) as string collate UTF8_BINARY)").alias(
+                "type_norm"
+            ),
+            "n",
+        )
+    )
+
+
 def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions over embeddings: size, element access,
     fold (aggregate), filter, min/max. All JVM-side — no UDF; at 100 TB this
@@ -434,6 +460,7 @@ QUERIES = {
     "fn_math_suite": fn_math_suite,
     "fn_json_extract": fn_json_extract,
     "fn_variant_json": fn_variant_json,
+    "fn_collation": fn_collation,
     "fn_array_suite": fn_array_suite,
     "fn_map_from_entries": fn_map_from_entries,
 }
@@ -543,6 +570,10 @@ ORACLES = {
         " ROUND(SQRT(p_retailprice), 4) AS price_sqrt,"
         " POW(CAST(p_size AS DOUBLE), 2.0) AS size_sq"
         " FROM part"
+    ),
+    "fn_collation": (
+        "SELECT lower(p_type) AS type_norm, count(*) AS n"
+        " FROM part GROUP BY 1"
     ),
     "fn_variant_json": (
         "SELECT event_id,"
