@@ -25,13 +25,16 @@ broker consumer needs.
 from __future__ import annotations
 
 import datetime as dt
+import os
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SCHEMA = (
@@ -109,6 +112,64 @@ class IoTSensorStreamReader(SimpleDataSourceStreamReader):
         )
 
 
+class _WriterCommit(WriterCommitMessage):
+    """Per-task commit message: the file a task produced + its row count
+    (picklable; travels executor → driver)."""
+
+    def __init__(self, path: str, count: int):
+        self.path = path
+        self.count = count
+
+
+class IoTSensorWriter(DataSourceWriter):
+    """Batch write path of the connector (gateway-push / external-store
+    stand-in): each task streams its partition to one JSON-lines file and
+    returns a commit message; the DRIVER-side ``commit`` publishes a
+    manifest only after every task succeeded — the same two-phase contract
+    a real external sink (broker ack, object-store multipart, JDBC txn)
+    needs for exactly-once batch output. ``abort`` removes any files the
+    failed attempt left behind."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        self.overwrite = overwrite
+
+    def write(self, rows) -> _WriterCommit:
+        import json
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fn = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fn, "w") as f:
+            for r in rows:
+                d = r.asDict()
+                d["ts"] = d["ts"].isoformat()
+                f.write(json.dumps(d) + "\n")
+                n += 1
+        return _WriterCommit(fn, n)
+
+    def commit(self, messages) -> None:
+        import json
+
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(
+                {
+                    "files": sorted(m.path for m in messages),
+                    "rows": sum(m.count for m in messages),
+                },
+                f,
+            )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+
 class IoTSensorDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -122,6 +183,9 @@ class IoTSensorDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> IoTSensorStreamReader:
         return IoTSensorStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> IoTSensorWriter:
+        return IoTSensorWriter(self.options, overwrite)
 
 
 def register(spark) -> None:
@@ -142,10 +206,32 @@ def source_iot_sim(spark, sf_dir: str):
     )
 
 
-QUERIES = {"source_iot_sim": source_iot_sim}
+def sink_iot_writer(spark, sf_dir: str):
+    """Round trip through the connector's WRITE path: batch-read the
+    simulator, write via the custom DataSourceWriter (per-task JSON-lines
+    files + driver-side manifest commit), read back with the declared
+    schema. Values survive exactly (doubles serialize via repr, timestamps
+    via isoformat), so the same formula oracle verifies the writer."""
+    import tempfile
 
-ORACLES = {
-    "source_iot_sim": (
+    register(spark)
+    src = (
+        spark.read.format("iot_sensors")
+        .option("devices", 4)
+        .option("rows_per_device", 100)
+        .load()
+    )
+    out = tempfile.mkdtemp(prefix="iot_writer_") + "/sink"
+    src.write.format("iot_sensors").mode("append").save(out)
+    return spark.read.schema(SCHEMA).json(out)
+
+
+QUERIES = {
+    "source_iot_sim": source_iot_sim,
+    "sink_iot_writer": sink_iot_writer,
+}
+
+_SIM_ORACLE = (
         "SELECT CAST(d.range AS INTEGER) AS device_id, s.range AS seq,"
         " TIMESTAMP '2024-01-01' + to_seconds(s.range * 60) AS ts,"
         " (1500 + (d.range * 31 + s.range * 7919) % 2000) / 100.0"
@@ -155,5 +241,10 @@ ORACLES = {
         " CASE WHEN (1500 + (d.range * 31 + s.range * 7919) % 2000) >= 3400"
         "   THEN 'alert' ELSE 'ok' END AS status"
         " FROM range(4) d, range(100) s"
-    ),
+)
+
+ORACLES = {
+    "source_iot_sim": _SIM_ORACLE,
+    # the writer round trip must reproduce the simulator exactly
+    "sink_iot_writer": _SIM_ORACLE,
 }

@@ -66,3 +66,28 @@ def test_stream_reader_advances_offsets(spark):
         seqs = sorted(s for dd, s in seen if dd == d)
         assert seqs[0] == 0 and seqs == list(range(len(seqs)))
     assert (max_seq + 1) % 10 == 0
+
+
+def test_writer_manifest_accounts_all_rows(spark):
+    import glob
+    import json
+    import tempfile
+
+    from iot_data_pipeline_spark.sources import iot_simulator as sim
+
+    sim.register(spark)
+    src = (
+        spark.read.format("iot_sensors")
+        .option("devices", 3)
+        .option("rows_per_device", 7)
+        .load()
+    )
+    out = tempfile.mkdtemp(prefix="iot_writer_test_") + "/sink"
+    src.write.format("iot_sensors").mode("append").save(out)
+    manifest = json.load(open(out + "/_MANIFEST.json"))
+    assert manifest["rows"] == 21
+    # manifest lists exactly the data files on disk
+    assert sorted(manifest["files"]) == sorted(glob.glob(out + "/part-*.jsonl"))
+    # read-back (manifest file ignored as _-prefixed) matches the source
+    back = spark.read.schema(sim.SCHEMA).json(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
