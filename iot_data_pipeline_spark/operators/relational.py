@@ -692,6 +692,31 @@ def sql_entry_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q21)
 
 
+_SQL_RCTE = """
+WITH RECURSIVE walk(start_key, cur_key, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT start_key, CAST(FLOOR(cur_key / 10.0) AS BIGINT), depth + 1
+  FROM walk WHERE cur_key > 0
+)
+SELECT start_key, CAST(max(depth) AS BIGINT) AS depth_to_root,
+       CAST(count(*) AS BIGINT) AS chain_len
+FROM walk GROUP BY start_key
+"""
+
+
+def sql_entry_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): per-customer walk up a synthetic
+    digit-truncation parent hierarchy (key -> key/10 -> ... -> 0), returning
+    depth-to-root and chain length. Each iteration is one distributed step
+    over the frontier — Spark executes the recursion as iterated union
+    steps (bounded by spark.sql.cteRecursionLevelLimit), the declarative
+    twin of the engine's iterative min-label-propagation in
+    ``llm_dedup_clusters``. Depth here is ≤ 5, far under the limit."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_SQL_RCTE)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -735,6 +760,7 @@ QUERIES = {
     "sql_entry_tpch_q17": sql_entry_tpch_q17,
     "sql_entry_tpch_q18": sql_entry_tpch_q18,
     "sql_entry_tpch_q21": sql_entry_tpch_q21,
+    "sql_entry_recursive_cte": sql_entry_recursive_cte,
 }
 
 # DuckDB oracles for the subquery-decorrelation suite: identical SQL modulo
@@ -975,4 +1001,5 @@ ORACLES = {
     "sql_entry_tpch_q17": _SQL_Q17,
     "sql_entry_tpch_q18": _SQL_Q18,
     "sql_entry_tpch_q21": _SQL_Q21,
+    "sql_entry_recursive_cte": _SQL_RCTE,
 }
