@@ -251,6 +251,31 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_xml_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion functions (native since Spark 4): rows are serialized
+    to an XML fragment, then recovered BOTH ways — schema-based ``from_xml``
+    and path-based ``xpath_long``/``xpath_string`` (the XML twins of
+    from_json/get_json_object). The oracle selects the source columns
+    directly, so any parse drift (whitespace, typing, entity handling)
+    breaks the hash."""
+    p = table(spark, sf_dir, "part")
+    xml = F.concat(
+        F.lit("<part><key>"),
+        F.col("p_partkey").cast("string"),
+        F.lit("</key><brand>"),
+        F.col("p_brand"),
+        F.lit("</brand><size>"),
+        F.col("p_size").cast("string"),
+        F.lit("</size></part>"),
+    )
+    return p.select(
+        "p_partkey",
+        F.from_xml(xml, "key BIGINT, brand STRING, size INT").alias("x"),
+        F.xpath_long(xml, F.lit("/part/key")).alias("k_xpath"),
+        F.xpath_string(xml, F.lit("/part/brand")).alias("b_xpath"),
+    ).select("p_partkey", "x.key", "x.brand", "x.size", "k_xpath", "b_xpath")
+
+
 def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions over embeddings: size, element access,
     fold (aggregate), filter, min/max. All JVM-side — no UDF; at 100 TB this
@@ -461,6 +486,7 @@ QUERIES = {
     "fn_json_extract": fn_json_extract,
     "fn_variant_json": fn_variant_json,
     "fn_collation": fn_collation,
+    "fn_xml_suite": fn_xml_suite,
     "fn_array_suite": fn_array_suite,
     "fn_map_from_entries": fn_map_from_entries,
 }
@@ -570,6 +596,11 @@ ORACLES = {
         " ROUND(SQRT(p_retailprice), 4) AS price_sqrt,"
         " POW(CAST(p_size AS DOUBLE), 2.0) AS size_sq"
         " FROM part"
+    ),
+    "fn_xml_suite": (
+        "SELECT p_partkey, p_partkey AS key, p_brand AS brand,"
+        " CAST(p_size AS INTEGER) AS size, p_partkey AS k_xpath,"
+        " p_brand AS b_xpath FROM part"
     ),
     "fn_collation": (
         "SELECT lower(p_type) AS type_norm, count(*) AS n"
