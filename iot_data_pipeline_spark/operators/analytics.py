@@ -15,7 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from iot_data_pipeline_spark.operators._util import table
+from iot_data_pipeline_spark.operators._util import (
+    dec,
+    dsum,
+    dsum_prod,
+    sql_dsum,
+    sql_dsum_prod,
+    table,
+)
 
 
 def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,6 +327,38 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend (OLS slope/intercept of value vs day index)
+    from sufficient statistics: one partial+final aggregation computes
+    (n, Σx, Σy, Σxy, Σx²) and the closed form runs on the aggregated row —
+    the way regression scales (no second pass, no per-user collect). Exact
+    decimal sums make the moments bit-identical across engines; the
+    product sums go through the floor-to-1e-4 recipe (``dsum_prod``)
+    because high-scale decimal→double casts round differently per engine.
+    Built-in regr_slope/regr_intercept exist but sum doubles directly —
+    order-dependent, so unusable for a reproducibility-pinned pipeline."""
+    e = table(spark, sf_dir, "events")
+    x = F.datediff(
+        F.to_date("ts"), F.lit("2024-01-01").cast("date")
+    ).cast("bigint")
+    d = e.select("user_id", x.alias("x"), F.col("value").alias("y"))
+    s = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("x", "sx"),
+        dsum("y", "sy"),
+        dsum_prod(dec("x") * dec("y"), "sxy"),
+        dsum_prod(dec("x") * dec("x"), "sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    return s.select(
+        "user_id",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
+
+
 QUERIES = {
     "win_sessionize": win_sessionize,
     "evt_funnel": evt_funnel,
@@ -333,9 +372,30 @@ QUERIES = {
     "evt_active_windows": evt_active_windows,
     "evt_cumulative_users": evt_cumulative_users,
     "agg_mode": agg_mode,
+    "agg_regression": agg_regression,
 }
 
 ORACLES = {
+    "agg_regression": (
+        "WITH d AS (SELECT user_id,"
+        "   CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS TIMESTAMP))"
+        "        AS BIGINT) AS x, value AS y FROM events),"
+        " s AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,"
+        "   " + sql_dsum("x", "sx") + ","
+        "   " + sql_dsum("y", "sy") + ","
+        "   " + sql_dsum_prod(
+            "CAST(x AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))", "sxy"
+        ) + ","
+        "   " + sql_dsum_prod(
+            "CAST(x AS DECIMAL(18,4)) * CAST(x AS DECIMAL(18,4))", "sxx"
+        ) + ""
+        "   FROM d GROUP BY user_id)"
+        " SELECT user_id,"
+        " (n*sxy - sx*sy) / NULLIF(n*sxx - sx*sx, 0) AS slope,"
+        " (sy - ((n*sxy - sx*sy) / NULLIF(n*sxx - sx*sx, 0)) * sx) / n"
+        "   AS intercept"
+        " FROM s"
+    ),
     "agg_mode": (
         "WITH c AS (SELECT user_id, event_type, count(*) AS cnt"
         "           FROM events GROUP BY 1, 2)"
