@@ -276,6 +276,26 @@ def fn_xml_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "x.key", "x.brand", "x.size", "k_xpath", "b_xpath")
 
 
+def fn_map_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: build a per-row map, rewrite values with
+    ``transform_values``, prune entries with ``map_filter``, and explode to
+    long form — all JVM-side lambdas. The multiset compare makes map entry
+    order irrelevant; values go through floor() before the bigint cast
+    because double→int casts truncate in Spark but round in DuckDB."""
+    li = table(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"),
+        F.floor("l_quantity").cast("bigint"),
+        F.lit("line"),
+        F.col("l_linenumber").cast("bigint"),
+    )
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    kept = F.map_filter(doubled, lambda k, v: v > 6)
+    return li.select(
+        "l_orderkey", "l_linenumber", F.explode(kept).alias("k", "v")
+    )
+
+
 def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions over embeddings: size, element access,
     fold (aggregate), filter, min/max. All JVM-side — no UDF; at 100 TB this
@@ -487,6 +507,7 @@ QUERIES = {
     "fn_variant_json": fn_variant_json,
     "fn_collation": fn_collation,
     "fn_xml_suite": fn_xml_suite,
+    "fn_map_suite2": fn_map_suite2,
     "fn_array_suite": fn_array_suite,
     "fn_map_from_entries": fn_map_from_entries,
 }
@@ -596,6 +617,15 @@ ORACLES = {
         " ROUND(SQRT(p_retailprice), 4) AS price_sqrt,"
         " POW(CAST(p_size AS DOUBLE), 2.0) AS size_sq"
         " FROM part"
+    ),
+    "fn_map_suite2": (
+        "SELECT l_orderkey, l_linenumber, 'qty' AS k,"
+        " CAST(FLOOR(l_quantity) AS BIGINT) * 2 AS v FROM lineitem"
+        " WHERE CAST(FLOOR(l_quantity) AS BIGINT) * 2 > 6"
+        " UNION ALL"
+        " SELECT l_orderkey, l_linenumber, 'line' AS k,"
+        " CAST(l_linenumber AS BIGINT) * 2 AS v FROM lineitem"
+        " WHERE l_linenumber * 2 > 6"
     ),
     "fn_xml_suite": (
         "SELECT p_partkey, p_partkey AS key, p_brand AS brand,"
