@@ -402,8 +402,36 @@ def stream_jdbc_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.jdbc(url, "events_serving", properties={"driver": derby})
 
 
+def stream_iot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest THROUGH the custom connector: ``readStream`` on the
+    ``iot_sensors`` Python DataSource (offset-tracked micro-batches), per-
+    device aggregation, run to completion with availableNow (processes the
+    one available batch: 4 devices × 50 readings). Proves the connector's
+    stream path feeds the same stateful operators as the file sources, and
+    — because readings are pure arithmetic — the streamed aggregate is
+    hash-verifiable against the formula oracle like any batch query."""
+    from iot_data_pipeline_spark.sources.iot_simulator import register
+
+    register(spark)
+    s = (
+        spark.readStream.format("iot_sensors")
+        .option("devices", 4)
+        .option("rows_per_batch", 50)
+        .load()
+    )
+    agg = s.groupBy("device_id").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.sum(F.col("temperature").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_temp"),
+        F.max("seq").alias("max_seq"),
+    )
+    return _run_to_memory(agg, "complete")
+
+
 QUERIES = {
     "stream_jdbc_serving": stream_jdbc_serving,
+    "stream_iot_ingest": stream_iot_ingest,
     "stream_ingest_files": stream_ingest_files,
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_sliding_agg": stream_sliding_agg,
@@ -420,6 +448,14 @@ QUERIES = {
 _EVENTS_US = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
 
 ORACLES = {
+    "stream_iot_ingest": (
+        "SELECT CAST(d.range AS INTEGER) AS device_id,"
+        " COUNT(*) AS n_readings,"
+        " CAST(SUM(CAST((1500 + (d.range * 31 + s.range * 7919) % 2000)"
+        "              / 100.0 AS DECIMAL(18,4))) AS DOUBLE) AS sum_temp,"
+        " MAX(s.range) AS max_seq"
+        " FROM range(4) d, range(50) s GROUP BY 1"
+    ),
     "stream_jdbc_serving": (
         "SELECT event_id, user_id, event_type, value FROM events"
     ),
