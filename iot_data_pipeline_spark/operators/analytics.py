@@ -359,6 +359,24 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregation (Spark 3.5 bitmap
+    fns): keys bucket into 32k-bit bitmaps, ``bitmap_construct_agg`` ORs
+    bits per (group, bucket) with map-side partials, and the popcount sum
+    is the exact distinct. Unlike count(DISTINCT) — which shuffles every
+    distinct (group, key) pair — the shuffle here carries one 4 KB bitmap
+    per (group, bucket), a fixed bound however many keys repeat; for dense
+    integer keyspaces this is the exact-answer alternative to HLL."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.col("user_id").alias("k"))
+        .groupBy("event_type", F.bitmap_bucket_number("k").alias("bucket"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("k")).alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct_users"))
+    )
+
+
 QUERIES = {
     "win_sessionize": win_sessionize,
     "evt_funnel": evt_funnel,
@@ -373,9 +391,14 @@ QUERIES = {
     "evt_cumulative_users": evt_cumulative_users,
     "agg_mode": agg_mode,
     "agg_regression": agg_regression,
+    "agg_bitmap_distinct": agg_bitmap_distinct,
 }
 
 ORACLES = {
+    "agg_bitmap_distinct": (
+        "SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users"
+        " FROM events GROUP BY event_type"
+    ),
     "agg_regression": (
         "WITH d AS (SELECT user_id,"
         "   CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS TIMESTAMP))"

@@ -429,9 +429,30 @@ def stream_iot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
+    evicts seen-key state once the watermark passes, unlike plain
+    ``dropDuplicates`` whose state grows with every distinct key forever —
+    at 100 TB/day of events the unbounded variant OOMs the state store and
+    this one is the only correct choice. On this bounded replay every
+    duplicate arrives within the 10-minute horizon, so output == batch
+    DISTINCT (the oracle); on an unbounded stream the horizon is the
+    documented dedup contract."""
+    stream = _read_stream(
+        spark, _stage_event_chunks(spark, sf_dir, n_chunks=1)
+    )
+    deduped = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    return _run_to_memory(deduped, "append")
+
+
 QUERIES = {
     "stream_jdbc_serving": stream_jdbc_serving,
     "stream_iot_ingest": stream_iot_ingest,
+    "stream_dedup_watermarked": stream_dedup_watermarked,
     "stream_ingest_files": stream_ingest_files,
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_sliding_agg": stream_sliding_agg,
@@ -448,6 +469,9 @@ QUERIES = {
 _EVENTS_US = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
 
 ORACLES = {
+    "stream_dedup_watermarked": (
+        "SELECT DISTINCT event_id, user_id, event_type, value FROM events"
+    ),
     "stream_iot_ingest": (
         "SELECT CAST(d.range AS INTEGER) AS device_id,"
         " COUNT(*) AS n_readings,"
