@@ -1189,6 +1189,37 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: concatenate documents into fixed
+    2048-token budget sequences, assigning each doc a (seq_id, offset)
+    within its ``lang`` shard — the contiguous-fill packing training
+    pipelines run before tokenized-example writing. One window pass per
+    shard (cumulative tokens ordered by doc_id); packing is PER-SHARD by
+    design: a single global packing order would serialize the corpus, so
+    production packs within shards exactly as here and shards scale out."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", _WS)).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn(
+        "cum_before", F.sum("n_tok").over(w) - F.col("n_tok")
+    )
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.floor(F.col("cum_before") / 2048.0).cast("bigint").alias("seq_id"),
+        (F.col("cum_before") % 2048).cast("bigint").alias("seq_offset"),
+    )
+
+
 QUERIES = {
     "llm_dedup_exact": llm_dedup_exact,
     "llm_dedup_ngram": llm_dedup_ngram,
@@ -1219,6 +1250,7 @@ QUERIES = {
     "llm_repetition": llm_repetition,
     "llm_sample_stratified": llm_sample_stratified,
     "llm_embed_quantize": llm_embed_quantize,
+    "llm_pack_sequences": llm_pack_sequences,
 }
 
 # Connected components of the jaccard-pair graph as a recursive CTE:
@@ -1522,6 +1554,16 @@ ORACLES = {
         " FROM documents)"
         " SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn"
         " FROM ranked WHERE rn <= CAST(ceil(n_stratum * 0.1) AS BIGINT)"
+    ),
+    "llm_pack_sequences": (
+        "WITH t AS (SELECT doc_id, lang,"
+        "   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok"
+        "   FROM documents),"
+        " c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id"
+        "   ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before FROM t)"
+        " SELECT doc_id, lang, n_tok,"
+        " CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS seq_id,"
+        " CAST(cum_before % 2048 AS BIGINT) AS seq_offset FROM c"
     ),
     "llm_embed_quantize": (
         "WITH dims AS (SELECT i,"

@@ -488,6 +488,26 @@ def sink_parquet_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sink_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the lake-maintenance job every streaming
+    ingest eventually needs: a 64-file fragmented table is rewritten to 4
+    files with ``coalesce`` (narrow — merges partitions in place, NO
+    shuffle; ``repartition`` would pay a full exchange for the same file
+    count). File counts are asserted in tests; values round-trip exactly
+    (oracle = source table)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    root = tempfile.mkdtemp(prefix="sink_compact_")
+    frag = root + "/fragmented"
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    compact = root + "/compact"
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(
+        compact
+    )
+    return spark.read.parquet(compact)
+
+
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned parquet write + partition-pruned read: the filter on
     the partition column prunes directories at planning time (PartitionFilters,
@@ -532,6 +552,7 @@ QUERIES = {
     "sink_json_roundtrip": sink_json_roundtrip,
     "sink_orc_roundtrip": sink_orc_roundtrip,
     "sink_parquet_sorted": sink_parquet_sorted,
+    "sink_compact_files": sink_compact_files,
     "sink_parquet_partitioned": sink_parquet_partitioned,
 }
 
@@ -723,6 +744,10 @@ ORACLES = {
     "sink_csv_roundtrip": "SELECT * FROM nation",
     "sink_json_roundtrip": "SELECT * FROM supplier",
     "sink_orc_roundtrip": "SELECT * FROM customer",
+    "sink_compact_files": (
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice"
+        " FROM lineitem"
+    ),
     "sink_parquet_sorted": (
         "SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity"
         " FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'"
