@@ -251,3 +251,21 @@ def test_embed_quantize_range_and_extremes(spark, sf_dir):
     assert all(v == 254 for v in hi)
     for r in rows:
         assert all(0 <= q <= 254 for q in r["qvec"])
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    rows = llm.llm_pack_sequences(spark, sf_dir).collect()
+    assert rows
+    by_shard: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r["seq_offset"] < 2048
+        by_shard.setdefault(r["lang"], []).append(r)
+    for shard in by_shard.values():
+        shard.sort(key=lambda r: r["doc_id"])
+        # seq ids are non-decreasing in pack order and offsets chain:
+        # next offset == (prev offset + prev tokens) mod budget when the
+        # next doc stays in the same sequence
+        for a, b in zip(shard, shard[1:]):
+            assert b["seq_id"] >= a["seq_id"]
+            if b["seq_id"] == a["seq_id"]:
+                assert b["seq_offset"] == a["seq_offset"] + a["n_tok"]

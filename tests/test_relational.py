@@ -143,3 +143,21 @@ def test_freq_items_containment(spark, sf_dir):
         reshape.agg_freq_items(spark, sf_dir).first()["freq_event_types"]
     )
     assert exact <= sketch
+
+
+def test_coalesce_compaction_writes_target_file_count(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.operators._util import table
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    frag = str(tmp_path / "frag")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    assert len(list(tmp_path.glob("frag/part-*.parquet"))) == 64
+    compact = str(tmp_path / "compact")
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compact)
+    assert len(list(tmp_path.glob("compact/part-*.parquet"))) == 4
+    assert (
+        spark.read.parquet(compact).agg(F.sum("l_quantity")).first()[0]
+        == li.agg(F.sum("l_quantity")).first()[0]
+    )
