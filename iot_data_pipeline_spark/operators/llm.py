@@ -1220,6 +1220,55 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_corpus_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second capstone — corpus to TRAINING SEQUENCES as one plan: quality
+    filter → exact dedup (keep lowest id per normalized text) → per-shard
+    contiguous packing into 2048-token sequences → per-(shard, sequence)
+    stats. This is the job that feeds a tokenizer/writer at 100 TB: the
+    filter and dedup prune before any window, packing is one window pass
+    per ``lang`` shard (shards scale out; no global order), and the final
+    aggregation reuses the window's partitioning. All counts are exact
+    ints — the whole pipeline is hash-verified end to end."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), _WS))
+    alpha_ratio = F.length(
+        F.regexp_replace("text", "[^A-Za-z]", "")
+    ) / F.length("text")
+    qualified = d.filter(
+        (F.length("text") >= 100)
+        & (F.length("text") <= 5000)
+        & (n_tokens >= 20)
+        & (alpha_ratio > 0.6)
+    )
+    w_dd = Window.partitionBy(F.sha2(normalized_text(), 256)).orderBy("doc_id")
+    deduped = (
+        qualified.withColumn("rn", F.row_number().over(w_dd))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    t = deduped.select(
+        "doc_id", "lang", n_tokens.cast("bigint").alias("n_tok")
+    )
+    w_pack = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cb", F.sum("n_tok").over(w_pack) - F.col("n_tok"))
+    return (
+        c.select(
+            "lang",
+            F.floor(F.col("cb") / 2048.0).cast("bigint").alias("seq_id"),
+            "n_tok",
+        )
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("seq_tokens"),
+        )
+    )
+
+
 QUERIES = {
     "llm_dedup_exact": llm_dedup_exact,
     "llm_dedup_ngram": llm_dedup_ngram,
@@ -1251,6 +1300,7 @@ QUERIES = {
     "llm_sample_stratified": llm_sample_stratified,
     "llm_embed_quantize": llm_embed_quantize,
     "llm_pack_sequences": llm_pack_sequences,
+    "llm_corpus_to_sequences": llm_corpus_to_sequences,
 }
 
 # Connected components of the jaccard-pair graph as a recursive CTE:
@@ -1554,6 +1604,22 @@ ORACLES = {
         " FROM documents)"
         " SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn"
         " FROM ranked WHERE rn <= CAST(ceil(n_stratum * 0.1) AS BIGINT)"
+    ),
+    "llm_corpus_to_sequences": (
+        "WITH q AS (SELECT * FROM documents"
+        "   WHERE length(text) BETWEEN 100 AND 5000"
+        "   AND len(string_split(text, ' ')) >= 20"
+        "   AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+        "       * 1.0 / length(text) > 0.6),"
+        " dd AS (SELECT * FROM q WHERE doc_id IN"
+        "   (SELECT MIN(doc_id) FROM q GROUP BY lower(trim(text)))),"
+        " t AS (SELECT doc_id, lang,"
+        "   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM dd),"
+        " c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id"
+        "   ROWS UNBOUNDED PRECEDING) - n_tok AS cb FROM t)"
+        " SELECT lang, CAST(FLOOR(cb / 2048.0) AS BIGINT) AS seq_id,"
+        " COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens"
+        " FROM c GROUP BY 1, 2"
     ),
     "llm_pack_sequences": (
         "WITH t AS (SELECT doc_id, lang,"
