@@ -377,6 +377,45 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def iot_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with LOCF (the hypertable ``locf()`` shape):
+    hourly per-device averages land on a dense device × hour grid, missing
+    buckets carry the last observation forward via ``last(..., ignorenulls)``
+    over an ordered window; leading gaps stay NULL (nothing to carry). The
+    grid is devices × a BOUNDED hour spine (the calendar again, not the
+    data), built by cross-joining the broadcast spine — at 100 TB the
+    readings aggregation dominates and is one partial+final shuffle; the
+    LOCF window partitions by device so state is one value per key."""
+    e = table(spark, sf_dir, "events")
+    r = e.groupBy(
+        F.col("user_id").alias("device_id"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    bounds = r.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+    )
+    devices = r.select("device_id").distinct()
+    grid = devices.crossJoin(F.broadcast(hours))
+    j = grid.join(r, ["device_id", "hour"], "left")
+    w = (
+        Window.partitionBy("device_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "device_id",
+        "hour",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNull().alias("is_gap"),
+    )
+
+
 QUERIES = {
     "win_sessionize": win_sessionize,
     "evt_funnel": evt_funnel,
@@ -392,9 +431,28 @@ QUERIES = {
     "agg_mode": agg_mode,
     "agg_regression": agg_regression,
     "agg_bitmap_distinct": agg_bitmap_distinct,
+    "iot_gap_fill": iot_gap_fill,
 }
 
 ORACLES = {
+    "iot_gap_fill": (
+        "WITH r AS (SELECT user_id AS device_id,"
+        "   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,"
+        "   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS v"
+        "   FROM events GROUP BY 1, 2),"
+        " b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM r),"
+        " hours AS (SELECT unnest(generate_series(lo, hi,"
+        "   INTERVAL '1 hour')) AS hour FROM b),"
+        " devices AS (SELECT DISTINCT device_id FROM r),"
+        " grid AS (SELECT d.device_id, h.hour FROM devices d"
+        "   CROSS JOIN hours h),"
+        " j AS (SELECT g.device_id, g.hour, r.v FROM grid g"
+        "   LEFT JOIN r ON r.device_id = g.device_id AND r.hour = g.hour)"
+        " SELECT device_id, hour,"
+        " last_value(v IGNORE NULLS) OVER (PARTITION BY device_id"
+        "   ORDER BY hour ROWS UNBOUNDED PRECEDING) AS v_filled,"
+        " v IS NULL AS is_gap FROM j"
+    ),
     "agg_bitmap_distinct": (
         "SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users"
         " FROM events GROUP BY event_type"
