@@ -416,6 +416,63 @@ def iot_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def iot_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across sensor gaps — the ``interpolate()`` twin
+    of ``iot_gap_fill``: each missing grid cell takes the time-weighted
+    blend of the nearest reading before and after it (edges stay NULL).
+    Two window passes per device (backward carry + forward carry with
+    IGNORE NULLS), same bounded grid as gap-fill. The blend ratio divides
+    integer epoch seconds, and its operands are already engine-identical,
+    so the interpolated doubles hash-match bit for bit."""
+    e = table(spark, sf_dir, "events")
+    r = e.groupBy(
+        F.col("user_id").alias("device_id"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    bounds = r.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+    )
+    grid = r.select("device_id").distinct().crossJoin(F.broadcast(hours))
+    j = grid.join(r, ["device_id", "hour"], "left")
+    back = (
+        Window.partitionBy("device_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("device_id")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    w = j.select(
+        "device_id",
+        "hour",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(back).alias("pt"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(fwd).alias("nt"),
+    )
+    ratio = (
+        F.col("hour").cast("long") - F.col("pt").cast("long")
+    ) / (F.col("nt").cast("long") - F.col("pt").cast("long"))
+    v_interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * ratio,
+        )
+    )
+    return w.select("device_id", "hour", v_interp.alias("v_interp"))
+
+
 QUERIES = {
     "win_sessionize": win_sessionize,
     "evt_funnel": evt_funnel,
@@ -432,9 +489,43 @@ QUERIES = {
     "agg_regression": agg_regression,
     "agg_bitmap_distinct": agg_bitmap_distinct,
     "iot_gap_fill": iot_gap_fill,
+    "iot_interpolate": iot_interpolate,
 }
 
 ORACLES = {
+    "iot_interpolate": (
+        "WITH r AS (SELECT user_id AS device_id,"
+        "   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,"
+        "   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS v"
+        "   FROM events GROUP BY 1, 2),"
+        " b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM r),"
+        " hours AS (SELECT unnest(generate_series(lo, hi,"
+        "   INTERVAL '1 hour')) AS hour FROM b),"
+        " grid AS (SELECT d.device_id, h.hour FROM"
+        "   (SELECT DISTINCT device_id FROM r) d CROSS JOIN hours h),"
+        " j AS (SELECT g.device_id, g.hour, r.v FROM grid g"
+        "   LEFT JOIN r ON r.device_id = g.device_id AND r.hour = g.hour),"
+        " w AS (SELECT device_id, hour, v,"
+        "   last_value(v IGNORE NULLS) OVER (PARTITION BY device_id"
+        "     ORDER BY hour ROWS UNBOUNDED PRECEDING) AS pv,"
+        "   last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)"
+        "     OVER (PARTITION BY device_id ORDER BY hour"
+        "     ROWS UNBOUNDED PRECEDING) AS pt,"
+        "   first_value(v IGNORE NULLS) OVER (PARTITION BY device_id"
+        "     ORDER BY hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED"
+        "     FOLLOWING) AS nv,"
+        "   first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)"
+        "     OVER (PARTITION BY device_id ORDER BY hour ROWS BETWEEN"
+        "     CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt FROM j)"
+        " SELECT device_id, hour,"
+        " CASE WHEN v IS NOT NULL THEN v"
+        "      WHEN pv IS NOT NULL AND nv IS NOT NULL THEN"
+        # parenthesized to match the engine's association: ratio first,
+        # then one multiply — a*b/c would round differently by 1 ulp.
+        "        pv + (nv - pv) * ((epoch(hour) - epoch(pt))"
+        "             / (epoch(nt) - epoch(pt)))"
+        "      ELSE NULL END AS v_interp FROM w"
+    ),
     "iot_gap_fill": (
         "WITH r AS (SELECT user_id AS device_id,"
         "   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,"
