@@ -296,6 +296,22 @@ def fn_map_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-matching primitive: Levenshtein distance of every customer
+    name to a probe (the record-linkage / fuzzy-dedup building block), and
+    a ≤2-edits match flag. Exact integer DP — identical in both engines —
+    and embarrassingly parallel (per-row, no shuffle); blocking/LSH keeps
+    the pair space down at scale exactly as in the MinHash dedup family."""
+    c = table(spark, sf_dir, "customer")
+    dist = F.levenshtein("c_name", F.lit("Customer#000000001"))
+    return c.select(
+        "c_custkey",
+        dist.alias("dist_to_probe"),
+        (dist <= 2).alias("fuzzy_match"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("seg_dist"),
+    )
+
+
 def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions over embeddings: size, element access,
     fold (aggregate), filter, min/max. All JVM-side — no UDF; at 100 TB this
@@ -508,6 +524,7 @@ QUERIES = {
     "fn_collation": fn_collation,
     "fn_xml_suite": fn_xml_suite,
     "fn_map_suite2": fn_map_suite2,
+    "fn_edit_distance": fn_edit_distance,
     "fn_array_suite": fn_array_suite,
     "fn_map_from_entries": fn_map_from_entries,
 }
@@ -617,6 +634,13 @@ ORACLES = {
         " ROUND(SQRT(p_retailprice), 4) AS price_sqrt,"
         " POW(CAST(p_size AS DOUBLE), 2.0) AS size_sq"
         " FROM part"
+    ),
+    "fn_edit_distance": (
+        "SELECT c_custkey,"
+        " levenshtein(c_name, 'Customer#000000001') AS dist_to_probe,"
+        " levenshtein(c_name, 'Customer#000000001') <= 2 AS fuzzy_match,"
+        " levenshtein(c_mktsegment, 'BUILDING') AS seg_dist"
+        " FROM customer"
     ),
     "fn_map_suite2": (
         "SELECT l_orderkey, l_linenumber, 'qty' AS k,"
