@@ -26,6 +26,7 @@ from iot_data_pipeline_spark.functions import scalar_suites  # noqa: E402
 from iot_data_pipeline_spark.operators import (  # noqa: E402
     analytics,
     llm,
+    maintenance,
     multimodal,
     relational,
     reshape,
@@ -47,6 +48,7 @@ _MODULES = [
     relational,
     reshape,
     analytics,
+    maintenance,
     scalar_suites,
     udfs,
     llm,

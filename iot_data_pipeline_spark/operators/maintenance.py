@@ -1,0 +1,472 @@
+"""Warehouse-maintenance and platform operators: data-quality auditing,
+snapshot diffing, SCD2 dimension builds, merge/upsert application, a
+fixed-point PageRank, a nearest-hub geo join, and fixed-point EWMA
+smoothing.
+
+These round out the serving-store lifecycle the reference delegates to
+ClickHouse + Airflow (`/root/reference/dags/iot_processing_dag.py:26-86`
+runs cleanup → etl → truncate → load with no quality gate, no incremental
+apply, no dimension history — the operations any production deployment of
+that pipeline grows next).
+
+Determinism notes (shared with `_util`): every cross-engine-sensitive
+aggregate goes through exact integer or decimal arithmetic — PageRank and
+EWMA run in scaled-integer fixed point so each iteration/frame is exact in
+both engines, and the geo distances use only IEEE `* - +` on identical
+operands (no transcendental libm calls, which may differ by 1 ulp between
+JVM and C runtimes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from iot_data_pipeline_spark.operators._util import davg, sql_davg, table
+
+
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality audit over ``orders``: one row per
+    constraint with the observed metric and a pass verdict.
+
+    Scale shape: ALL scan-derivable metrics (completeness, uniqueness,
+    range, domain) come from ONE aggregation over the fact table — a
+    single pass however many constraints are registered — and the
+    referential-integrity check is the only extra job (an anti-join count
+    against ``customer``). The constraint rows are then exploded from the
+    two 1-row metric frames, so adding a constraint adds an expression,
+    not a scan."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("n_ck"),
+        F.countDistinct("o_orderkey").alias("n_dk"),
+        F.min("o_totalprice").alias("min_tp"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+    )
+    orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    row = m.crossJoin(orphans)
+    checks = F.array(
+        F.struct(
+            F.lit("completeness_custkey").alias("check_name"),
+            (F.col("n_ck").cast("double") / F.col("n")).alias("observed"),
+            (F.col("n_ck") == F.col("n")).alias("passed"),
+        ),
+        F.struct(
+            F.lit("uniqueness_orderkey").alias("check_name"),
+            F.col("n_dk").cast("double").alias("observed"),
+            (F.col("n_dk") == F.col("n")).alias("passed"),
+        ),
+        F.struct(
+            F.lit("min_totalprice_nonneg").alias("check_name"),
+            F.col("min_tp").cast("double").alias("observed"),
+            (F.col("min_tp") >= 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("status_domain").alias("check_name"),
+            F.col("bad_status").cast("double").alias("observed"),
+            (F.col("bad_status") == 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("ref_integrity_custkey").alias("check_name"),
+            F.col("n_orphans").cast("double").alias("observed"),
+            (F.col("n_orphans") == 0).alias("passed"),
+        ),
+    )
+    return row.select(F.explode(checks).alias("c")).select(
+        "c.check_name", "c.observed", "c.passed"
+    )
+
+
+def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the change-data-feed question): compare two keyed
+    table versions and classify every key as added / removed / changed.
+    Versions are carved deterministically out of ``events``: "old" drops
+    event_id % 7 == 0, "new" drops % 5 == 0 and perturbs value on % 3 == 0.
+
+    One full-outer join on the key — the minimal shuffle for a diff; the
+    unchanged majority is filtered before it leaves the join, so the
+    output is proportional to the churn, not the table."""
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    old = e.filter(F.pmod("event_id", F.lit(7)) != 0).select(
+        "event_id", F.col("value").alias("v_old")
+    )
+    new = e.filter(F.pmod("event_id", F.lit(5)) != 0).select(
+        "event_id",
+        F.when(F.pmod("event_id", F.lit(3)) == 0, F.col("value") + 1)
+        .otherwise(F.col("value"))
+        .alias("v_new"),
+    )
+    j = old.join(new, "event_id", "full_outer")
+    change = (
+        F.when(F.col("v_old").isNull(), "added")
+        .when(F.col("v_new").isNull(), "removed")
+        .when(F.col("v_old") != F.col("v_new"), "changed")
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select("event_id", "change_type", "v_old", "v_new")
+    )
+
+
+def dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: per user, the history of
+    ``event_type`` states as [effective_from, effective_to) versions with
+    an ``is_current`` flag — the dimension-versioning pattern every
+    warehouse maintains.
+
+    Two ordered windows on the SAME (user_id, ts, event_id) key: lag
+    detects state changes, lead over the change rows closes each version.
+    Catalyst reuses one sort+Exchange for both (the second window's frame
+    runs over the already-partitioned change rows)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    changes = (
+        e.withColumn("prev_state", prev)
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("event_type"))
+        )
+        .select("user_id", F.col("event_type").alias("state"), "ts", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w2).alias("effective_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics applied as a batch plan (the pre-row-level-ops
+    formulation that works on plain Parquet): target = orders minus every
+    4th key, source = every 3rd key with a 10% price uplift; matched rows
+    update, unmatched source rows insert, untouched target rows keep.
+
+    One full-outer join on the merge key — identical to what Delta/Iceberg
+    MERGE compiles to before file-level pruning; at scale the join is the
+    shuffle and AQE handles source/target size asymmetry."""
+    o = table(spark, sf_dir, "orders")
+    target = o.filter(F.pmod("o_orderkey", F.lit(4)) != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("t_status"),
+        F.col("o_totalprice").alias("t_price"),
+    )
+    source = o.filter(F.pmod("o_orderkey", F.lit(3)) == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("s_status"),
+        (F.col("o_totalprice") * 1.1).alias("s_price"),
+    )
+    j = target.join(source, "o_orderkey", "full_outer")
+    action = (
+        F.when(F.col("t_status").isNull(), "insert")
+        .when(F.col("s_status").isNull(), "keep")
+        .otherwise("update")
+    )
+    return j.select(
+        "o_orderkey",
+        F.coalesce("s_status", "t_status").alias("o_orderstatus"),
+        F.coalesce("s_price", "t_price").alias("o_totalprice"),
+        action.alias("merge_action"),
+    )
+
+
+_PR_SCALE = 1_000_000_000_000  # ranks in integer 1e-12 units
+_PR_ITERS = 3
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (3 iterations, damping 0.85) over the
+    customer→supplier trade graph (distinct (o_custkey, l_suppkey) pairs
+    via orders ⋈ lineitem; node ids prefixed 'c'/'s' to keep the two key
+    spaces disjoint).
+
+    ALL rank arithmetic is scaled-integer (1e-12 units) with integer
+    division — exact, overflow-safe (Σ ranks ≤ 1e12·N < 2^63), and
+    bit-identical in any engine and any aggregation order, which no
+    floating formulation guarantees (double sums are order-dependent).
+    Per iteration: one join of the rank vector with the cached edge list
+    + one partial+final sum per dst — the textbook distributed PageRank
+    step. Dangling mass (suppliers have no out-edges) is not recycled —
+    the simplified variant; ranks still order nodes identically."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node_id"))
+        .union(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    teleport = (15 * _PR_SCALE) // (100 * n)
+    ranks = nodes.withColumn("rank_i", F.lit(_PR_SCALE // n).cast("long"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ranks.join(deg, ranks.node_id == deg.src)
+            .join(edges, "src")
+            .select("dst", F.expr("rank_i div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = nodes.join(
+            contrib, nodes.node_id == contrib.dst, "left"
+        ).select(
+            "node_id",
+            (
+                F.lit(teleport).cast("long")
+                + F.expr("85 * coalesce(in_sum, 0L) div 100")
+            ).alias("rank_i"),
+        )
+    return ranks.select(
+        "node_id",
+        "rank_i",
+        (F.col("rank_i").cast("double") / _PR_SCALE).alias("rank"),
+    )
+
+
+_HUBS = [
+    (1, 37.7, -122.4),
+    (2, 40.7, -74.0),
+    (3, 51.5, -0.1),
+    (4, 35.7, 139.7),
+    (5, -33.9, 151.2),
+]
+
+
+def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-hub assignment (the geo shard/routing query): each device
+    gets deterministic synthetic coordinates (hash-derived from its id —
+    the testdata carries no geo columns) and is assigned the closest of 5
+    fixed hubs by planar squared distance.
+
+    Distance uses ONLY IEEE `- * +` on identical operands, so it is
+    bit-exact across engines — deliberately not haversine, whose sin/cos
+    may differ by 1 ulp between JVM StrictMath and C libm and flip a
+    nearest-hub tie. The hub table broadcasts (5 rows); per-device work
+    is a 5-candidate min — at 100 TB the devices never shuffle for the
+    distance pass, only for the final distinct."""
+    e = table(spark, sf_dir, "events")
+    dev = e.select(F.col("user_id").alias("device_id")).distinct()
+    lat = F.pmod(F.col("device_id") * 37, F.lit(1800)).cast("double") / 10 - 90
+    lon = F.pmod(F.col("device_id") * 73, F.lit(3600)).cast("double") / 10 - 180
+    located = dev.select("device_id", lat.alias("lat"), lon.alias("lon"))
+    hubs = spark.createDataFrame(_HUBS, "hub_id INT, hlat DOUBLE, hlon DOUBLE")
+    d2 = (F.col("lat") - F.col("hlat")) * (F.col("lat") - F.col("hlat")) + (
+        F.col("lon") - F.col("hlon")
+    ) * (F.col("lon") - F.col("hlon"))
+    scored = located.crossJoin(F.broadcast(hubs)).withColumn("d2", d2)
+    w = Window.partitionBy("device_id").orderBy("d2", "hub_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("device_id", "lat", "lon", "hub_id", "d2")
+    )
+
+
+def iot_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-device-day EWMA (α = 0.5, adjust=True) over hourly averages —
+    the smoothing pass dashboards run on noisy sensor feeds.
+
+    ewma_t = Σ_{i≤t} (1−α)^{t−i}·x_i / Σ_{i≤t} (1−α)^{t−i} with α = ½
+    reduces to (Σ 2^h·x_h) / (Σ 2^h) over the hours-of-day present — and
+    because the hourly average is first floored to integer ten-thousandths
+    (exact in both engines) and 2^h is a shift, BOTH running sums are
+    pure bigint arithmetic: exact, order-independent, overflow-safe
+    (≤ 1e6·2^23·24 < 2^63 per frame). One final double division per row.
+    Shape: one partial+final agg to hourly, one bounded 24-row window per
+    (device, day)."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.col("user_id").alias("device_id"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+    ).agg(davg("value", "v"))
+    h = F.hour("hour_ts")
+    fixed = hourly.select(
+        "device_id",
+        "hour_ts",
+        F.to_date("hour_ts").alias("day"),
+        h.alias("h"),
+        F.floor(F.col("v") * 10000).cast("long").alias("v_i"),
+    )
+    w = (
+        Window.partitionBy("device_id", "day")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wgt = F.expr("shiftleft(1L, h)")
+    num = F.sum(F.col("v_i") * wgt).over(w)
+    den = F.sum(wgt).over(w)
+    return fixed.select(
+        "device_id",
+        "hour_ts",
+        ((num.cast("double") / den.cast("double")) / 10000.0).alias("ewma"),
+    )
+
+
+QUERIES = {
+    "dq_audit": dq_audit,
+    "dq_snapshot_diff": dq_snapshot_diff,
+    "dim_scd2": dim_scd2,
+    "merge_upsert": merge_upsert,
+    "graph_pagerank": graph_pagerank,
+    "geo_nearest_hub": geo_nearest_hub,
+    "iot_ewma": iot_ewma,
+}
+
+ORACLES = {
+    "dq_audit": (
+        "WITH m AS (SELECT COUNT(*) AS n, COUNT(o_custkey) AS n_ck,"
+        "   COUNT(DISTINCT o_orderkey) AS n_dk,"
+        "   MIN(o_totalprice) AS min_tp,"
+        "   SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0"
+        "       END) AS bad_status FROM orders),"
+        " oo AS (SELECT COUNT(*) AS n_orphans FROM orders o"
+        "   WHERE NOT EXISTS (SELECT 1 FROM customer c"
+        "     WHERE c.c_custkey = o.o_custkey))"
+        " SELECT 'completeness_custkey' AS check_name,"
+        "   CAST(n_ck AS DOUBLE) / n AS observed, n_ck = n AS passed"
+        "   FROM m"
+        " UNION ALL SELECT 'uniqueness_orderkey',"
+        "   CAST(n_dk AS DOUBLE), n_dk = n FROM m"
+        " UNION ALL SELECT 'min_totalprice_nonneg',"
+        "   CAST(min_tp AS DOUBLE), min_tp >= 0 FROM m"
+        " UNION ALL SELECT 'status_domain',"
+        "   CAST(bad_status AS DOUBLE), bad_status = 0 FROM m"
+        " UNION ALL SELECT 'ref_integrity_custkey',"
+        "   CAST(n_orphans AS DOUBLE), n_orphans = 0 FROM oo"
+    ),
+    "dq_snapshot_diff": (
+        "WITH e AS (SELECT event_id, value FROM events),"
+        " old AS (SELECT event_id, value AS v_old FROM e"
+        "   WHERE event_id % 7 <> 0),"
+        " new AS (SELECT event_id, CASE WHEN event_id % 3 = 0"
+        "   THEN value + 1 ELSE value END AS v_new FROM e"
+        "   WHERE event_id % 5 <> 0)"
+        " SELECT COALESCE(old.event_id, new.event_id) AS event_id,"
+        " CASE WHEN v_old IS NULL THEN 'added'"
+        "      WHEN v_new IS NULL THEN 'removed'"
+        "      WHEN v_old <> v_new THEN 'changed' END AS change_type,"
+        " v_old, v_new"
+        " FROM old FULL OUTER JOIN new ON old.event_id = new.event_id"
+        " WHERE (CASE WHEN v_old IS NULL THEN 'added'"
+        "      WHEN v_new IS NULL THEN 'removed'"
+        "      WHEN v_old <> v_new THEN 'changed' END) IS NOT NULL"
+    ),
+    "dim_scd2": (
+        "WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,"
+        "   event_id FROM events),"
+        " l AS (SELECT *, LAG(event_type) OVER (PARTITION BY user_id"
+        "   ORDER BY ts, event_id) AS prev_state FROM e),"
+        " ch AS (SELECT user_id, event_type AS state, ts, event_id FROM l"
+        "   WHERE prev_state IS NULL OR prev_state <> event_type)"
+        " SELECT user_id, state, ts AS effective_from,"
+        " LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        "   AS effective_to,"
+        " LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        "   IS NULL AS is_current"
+        " FROM ch"
+    ),
+    "merge_upsert": (
+        "WITH t AS (SELECT o_orderkey, o_orderstatus AS t_status,"
+        "   o_totalprice AS t_price FROM orders WHERE o_orderkey % 4 <> 0),"
+        " s AS (SELECT o_orderkey, 'U' AS s_status,"
+        "   o_totalprice * 1.1 AS s_price FROM orders"
+        "   WHERE o_orderkey % 3 = 0)"
+        " SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,"
+        " COALESCE(s_status, t_status) AS o_orderstatus,"
+        " COALESCE(s_price, t_price) AS o_totalprice,"
+        " CASE WHEN t_status IS NULL THEN 'insert'"
+        "      WHEN s_status IS NULL THEN 'keep'"
+        "      ELSE 'update' END AS merge_action"
+        " FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey"
+    ),
+    "graph_pagerank": (
+        "WITH edges AS (SELECT DISTINCT 'c' || o_custkey AS src,"
+        "   's' || l_suppkey AS dst FROM orders"
+        "   JOIN lineitem ON o_orderkey = l_orderkey),"
+        " nodes AS (SELECT src AS node_id FROM edges"
+        "   UNION SELECT dst FROM edges),"
+        " nn AS (SELECT COUNT(*) AS n FROM nodes),"
+        " deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),"
+        " r0 AS (SELECT node_id,"
+        "   (SELECT 1000000000000 // n FROM nn) AS rank_i FROM nodes),"
+        " c1 AS (SELECT dst, SUM(r.rank_i // d.deg) AS in_sum FROM r0 r"
+        "   JOIN deg d ON r.node_id = d.src JOIN edges e ON e.src = d.src"
+        "   GROUP BY dst),"
+        " r1 AS (SELECT n.node_id,"
+        "   (SELECT (15 * 1000000000000) // (100 * nn.n) FROM nn)"
+        "   + (85 * COALESCE(c1.in_sum, 0)) // 100 AS rank_i"
+        "   FROM nodes n LEFT JOIN c1 ON n.node_id = c1.dst),"
+        " c2 AS (SELECT dst, SUM(r.rank_i // d.deg) AS in_sum FROM r1 r"
+        "   JOIN deg d ON r.node_id = d.src JOIN edges e ON e.src = d.src"
+        "   GROUP BY dst),"
+        " r2 AS (SELECT n.node_id,"
+        "   (SELECT (15 * 1000000000000) // (100 * nn.n) FROM nn)"
+        "   + (85 * COALESCE(c2.in_sum, 0)) // 100 AS rank_i"
+        "   FROM nodes n LEFT JOIN c2 ON n.node_id = c2.dst),"
+        " c3 AS (SELECT dst, SUM(r.rank_i // d.deg) AS in_sum FROM r2 r"
+        "   JOIN deg d ON r.node_id = d.src JOIN edges e ON e.src = d.src"
+        "   GROUP BY dst),"
+        " r3 AS (SELECT n.node_id,"
+        "   (SELECT (15 * 1000000000000) // (100 * nn.n) FROM nn)"
+        "   + (85 * COALESCE(c3.in_sum, 0)) // 100 AS rank_i"
+        "   FROM nodes n LEFT JOIN c3 ON n.node_id = c3.dst)"
+        " SELECT node_id, rank_i,"
+        "   CAST(rank_i AS DOUBLE) / 1000000000000 AS rank FROM r3"
+    ),
+    "geo_nearest_hub": (
+        "WITH dev AS (SELECT DISTINCT user_id AS device_id FROM events),"
+        " loc AS (SELECT device_id,"
+        "   CAST((device_id * 37) % 1800 AS DOUBLE) / 10 - 90 AS lat,"
+        "   CAST((device_id * 73) % 3600 AS DOUBLE) / 10 - 180 AS lon"
+        "   FROM dev),"
+        " hubs AS (SELECT * FROM (VALUES (1, 37.7, -122.4),"
+        "   (2, 40.7, -74.0), (3, 51.5, -0.1), (4, 35.7, 139.7),"
+        "   (5, -33.9, 151.2)) AS h(hub_id, hlat, hlon)),"
+        " scored AS (SELECT device_id, lat, lon, hub_id,"
+        "   (lat - hlat) * (lat - hlat) + (lon - hlon) * (lon - hlon) AS d2,"
+        "   ROW_NUMBER() OVER (PARTITION BY device_id"
+        "     ORDER BY (lat - hlat) * (lat - hlat)"
+        "            + (lon - hlon) * (lon - hlon), hub_id) AS rk"
+        "   FROM loc CROSS JOIN hubs)"
+        " SELECT device_id, lat, lon, CAST(hub_id AS INT) AS hub_id, d2"
+        " FROM scored WHERE rk = 1"
+    ),
+    "iot_ewma": (
+        "WITH hourly AS (SELECT user_id AS device_id,"
+        "   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,"
+        "   " + sql_davg("value", "v") + " FROM events GROUP BY 1, 2),"
+        " fixed AS (SELECT device_id, hour_ts,"
+        "   CAST(date_trunc('day', hour_ts) AS DATE) AS day,"
+        "   hour(hour_ts) AS h,"
+        "   CAST(FLOOR(v * 10000) AS BIGINT) AS v_i FROM hourly)"
+        " SELECT device_id, hour_ts,"
+        " (CAST(SUM(v_i * (CAST(1 AS BIGINT) << h)) OVER w AS DOUBLE)"
+        "  / CAST(SUM(CAST(1 AS BIGINT) << h) OVER w AS DOUBLE)) / 10000.0"
+        "   AS ewma"
+        " FROM fixed"
+        " WINDOW w AS (PARTITION BY device_id, day ORDER BY h"
+        "   ROWS UNBOUNDED PRECEDING)"
+    ),
+}

@@ -185,3 +185,35 @@ def test_q21_plans_semi_and_anti(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_windows_share_one_exchange(spark, sf_dir):
+    from iot_data_pipeline_spark.operators import maintenance
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(maintenance.dim_scd2(spark, sf_dir))
+    # lag (change detection) and lead (version close) partition and order by
+    # the same (user_id, ts, event_id) key, so Catalyst plans ONE hash
+    # exchange and one sort feeding both Window operators.
+    assert plan.count("Exchange") == 1
+
+
+def test_geo_hub_join_broadcasts(spark, sf_dir):
+    from iot_data_pipeline_spark.operators import maintenance
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(maintenance.geo_nearest_hub(spark, sf_dir))
+    # the 5-row hub table must ship to the devices, never the reverse: the
+    # cross join has to be a broadcast nested loop, not a shuffle.
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dq_audit_metrics_single_scan(spark, sf_dir):
+    from iot_data_pipeline_spark.operators import maintenance
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(maintenance.dq_audit(spark, sf_dir))
+    # orders is read twice total (metrics pass + ref-integrity anti join) —
+    # adding constraints must not add scans.
+    assert plan.count("Scan parquet") <= 3
