@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1189,22 +1189,40 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_SHARDS = 16  # sub-shards per lang; size to the cluster in production
+
+
+def _pack_shard() -> Column:
+    """Deterministic packing sub-shard: pmod(doc_id, N).
+
+    NOT Spark's hash() — the shard key must be computable identically in
+    any engine (the DuckDB oracle mirrors it as ``doc_id % N``), and
+    doc_ids are dense so modulo balances as well as a hash. This is the
+    round-2 verdict's scale fix: a ``lang``-only window sorts each
+    language in ONE task (a multi-TB single-task sort at 100 TB); with
+    (lang, shard) the sort parallelism is langs × N and packing is
+    per-shard by definition, so semantics stay exact."""
+    return F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).cast("bigint")
+
+
 def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing: concatenate documents into fixed
     2048-token budget sequences, assigning each doc a (seq_id, offset)
-    within its ``lang`` shard — the contiguous-fill packing training
-    pipelines run before tokenized-example writing. One window pass per
-    shard (cumulative tokens ordered by doc_id); packing is PER-SHARD by
-    design: a single global packing order would serialize the corpus, so
-    production packs within shards exactly as here and shards scale out."""
+    within its (``lang``, ``shard``) shard — the contiguous-fill packing
+    training pipelines run before tokenized-example writing. One window
+    pass per shard (cumulative tokens ordered by doc_id); packing is
+    PER-SHARD by design: a single global packing order would serialize
+    the corpus, so production packs within shards exactly as here and
+    shards scale out with langs × _PACK_SHARDS parallelism."""
     d = table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
         "lang",
+        _pack_shard().alias("shard"),
         F.size(F.split("text", _WS)).cast("bigint").alias("n_tok"),
     )
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -1214,6 +1232,7 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "doc_id",
         "lang",
+        "shard",
         "n_tok",
         F.floor(F.col("cum_before") / 2048.0).cast("bigint").alias("seq_id"),
         (F.col("cum_before") % 2048).cast("bigint").alias("seq_offset"),
@@ -1226,9 +1245,10 @@ def llm_corpus_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     contiguous packing into 2048-token sequences → per-(shard, sequence)
     stats. This is the job that feeds a tokenizer/writer at 100 TB: the
     filter and dedup prune before any window, packing is one window pass
-    per ``lang`` shard (shards scale out; no global order), and the final
-    aggregation reuses the window's partitioning. All counts are exact
-    ints — the whole pipeline is hash-verified end to end."""
+    per (``lang``, ``shard``) sub-shard (langs × _PACK_SHARDS parallel
+    sorts; no global order), and the final aggregation reuses the
+    window's partitioning. All counts are exact ints — the whole
+    pipeline is hash-verified end to end."""
     d = table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(F.col("text"), _WS))
     alpha_ratio = F.length(
@@ -1247,10 +1267,13 @@ def llm_corpus_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
     t = deduped.select(
-        "doc_id", "lang", n_tokens.cast("bigint").alias("n_tok")
+        "doc_id",
+        "lang",
+        _pack_shard().alias("shard"),
+        n_tokens.cast("bigint").alias("n_tok"),
     )
     w_pack = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -1258,10 +1281,11 @@ def llm_corpus_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.select(
             "lang",
+            "shard",
             F.floor(F.col("cb") / 2048.0).cast("bigint").alias("seq_id"),
             "n_tok",
         )
-        .groupBy("lang", "seq_id")
+        .groupBy("lang", "shard", "seq_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("seq_tokens"),
@@ -1613,21 +1637,23 @@ ORACLES = {
         "       * 1.0 / length(text) > 0.6),"
         " dd AS (SELECT * FROM q WHERE doc_id IN"
         "   (SELECT MIN(doc_id) FROM q GROUP BY lower(trim(text)))),"
-        " t AS (SELECT doc_id, lang,"
+        " t AS (SELECT doc_id, lang, CAST(doc_id % 16 AS BIGINT) AS shard,"
         "   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM dd),"
-        " c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id"
-        "   ROWS UNBOUNDED PRECEDING) - n_tok AS cb FROM t)"
-        " SELECT lang, CAST(FLOOR(cb / 2048.0) AS BIGINT) AS seq_id,"
+        " c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY lang, shard"
+        "   ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS cb FROM t)"
+        " SELECT lang, shard, CAST(FLOOR(cb / 2048.0) AS BIGINT) AS seq_id,"
         " COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens"
-        " FROM c GROUP BY 1, 2"
+        " FROM c GROUP BY 1, 2, 3"
     ),
     "llm_pack_sequences": (
         "WITH t AS (SELECT doc_id, lang,"
+        "   CAST(doc_id % 16 AS BIGINT) AS shard,"
         "   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok"
         "   FROM documents),"
-        " c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id"
-        "   ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before FROM t)"
-        " SELECT doc_id, lang, n_tok,"
+        " c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY lang, shard"
+        "   ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before"
+        "   FROM t)"
+        " SELECT doc_id, lang, shard, n_tok,"
         " CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS seq_id,"
         " CAST(cum_before % 2048 AS BIGINT) AS seq_offset FROM c"
     ),

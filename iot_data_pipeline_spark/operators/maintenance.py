@@ -199,7 +199,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per iteration: one join of the rank vector with the cached edge list
     + one partial+final sum per dst — the textbook distributed PageRank
     step. Dangling mass (suppliers have no out-edges) is not recycled —
-    the simplified variant; ranks still order nodes identically."""
+    the simplified variant; ranks still order nodes identically.
+
+    Output is (node_id, rank_i) only: rank_i IS the rank in exact 1e-12
+    units. A derived ``rank_i/1e12`` double was dropped in round 3 — it
+    was the lone float column in an otherwise integer-exact result and
+    the only plausible source of the round-2 driver hash mismatch
+    (engine/canonicalization-dependent float formatting)."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = (
@@ -238,11 +244,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.expr("85 * coalesce(in_sum, 0L) div 100")
             ).alias("rank_i"),
         )
-    return ranks.select(
-        "node_id",
-        "rank_i",
-        (F.col("rank_i").cast("double") / _PR_SCALE).alias("rank"),
-    )
+    return ranks.select("node_id", "rank_i")
 
 
 _HUBS = [
@@ -432,8 +434,7 @@ ORACLES = {
         "   (SELECT (15 * 1000000000000) // (100 * nn.n) FROM nn)"
         "   + (85 * COALESCE(c3.in_sum, 0)) // 100 AS rank_i"
         "   FROM nodes n LEFT JOIN c3 ON n.node_id = c3.dst)"
-        " SELECT node_id, rank_i,"
-        "   CAST(rank_i AS DOUBLE) / 1000000000000 AS rank FROM r3"
+        " SELECT node_id, rank_i FROM r3"
     ),
     "geo_nearest_hub": (
         "WITH dev AS (SELECT DISTINCT user_id AS device_id FROM events),"

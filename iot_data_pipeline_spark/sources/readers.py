@@ -89,17 +89,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Plain parquet scan: Catalyst gets min/max
     stats, predicate pushdown, and column pruning for free.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    TimestampType (µs) rejects outright; read it as raw nanos via the
-    ``nanosAsLong`` legacy conf and truncate to µs — the same truncation
-    DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, so oracles agree.
-    The conf is scoped to the read (set, resolve the scan schema, restore)
-    so it never leaks into the caller's session: later parquet reads of
-    nanos columns fail loudly instead of silently yielding raw longs.
+    ``events.ts`` has been written by different testdata generations as
+    either parquet TIMESTAMP(NANOS) (which Spark's µs TimestampType rejects
+    outright) or TIMESTAMP(MICROS) (which Spark resolves as TIMESTAMP_NTZ
+    when ``isAdjustedToUTC=false``). Sniff the *resolved* dtype and
+    normalize both generations to the same session-TZ ``TimestampType``
+    column (the session runs UTC, so NTZ wall-time == instant):
+
+    - nanos → read raw longs via the ``nanosAsLong`` legacy conf, truncate
+      to µs (the same truncation DuckDB applies casting TIMESTAMP_NS →
+      TIMESTAMP, so oracles agree);
+    - µs timestamp / TIMESTAMP_NTZ → plain ``cast("timestamp")``.
+
+    The legacy conf is scoped to the read (set, resolve the scan schema,
+    restore) so it never leaks into the caller's session. Emitting
+    TimestampType (never NTZ) keeps ``unix_micros()`` et al. valid
+    downstream regardless of which generation produced the file.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampType
 
         key = "spark.sql.legacy.parquet.nanosAsLong"
         prev = spark.conf.get(key)
@@ -107,11 +117,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         try:
             # .read.parquet resolves the schema eagerly, which is the only
             # point this conf is consulted (verified value-identical with
-            # the conf restored before any action runs).
+            # the conf restored before any action runs). µs-timestamp files
+            # are unaffected by the conf.
             df = spark.read.parquet(path)
         finally:
             spark.conf.set(key, prev)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # legacy TIMESTAMP(NANOS) generation: raw nanos → µs instant
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, TimestampType):
+            return df
+        # TIMESTAMP_NTZ (µs, isAdjustedToUTC=false): UTC session makes the
+        # wall-time reinterpretation exact.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 

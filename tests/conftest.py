@@ -10,6 +10,14 @@ from pyspark.sql import SparkSession
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def pytest_sessionstart(session):
+    # Fail the whole run loudly (with observed arrow types) if the driver
+    # regenerated testdata with different physical schemas — see round 2.
+    from iot_data_pipeline_spark.sources.schema_guard import check_testdata_schemas
+
+    check_testdata_schemas(SF_DIR)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = (

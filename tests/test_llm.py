@@ -256,10 +256,14 @@ def test_embed_quantize_range_and_extremes(spark, sf_dir):
 def test_pack_sequences_invariants(spark, sf_dir):
     rows = llm.llm_pack_sequences(spark, sf_dir).collect()
     assert rows
-    by_shard: dict[str, list] = {}
+    by_shard: dict[tuple, list] = {}
     for r in rows:
         assert 0 <= r["seq_offset"] < 2048
-        by_shard.setdefault(r["lang"], []).append(r)
+        by_shard.setdefault((r["lang"], r["shard"]), []).append(r)
+    # scale guard (round-2 verdict): packing must sub-shard beyond lang
+    # cardinality, or each language becomes one multi-TB sort task.
+    n_langs = len({lang for lang, _ in by_shard})
+    assert len(by_shard) > n_langs
     for shard in by_shard.values():
         shard.sort(key=lambda r: r["doc_id"])
         # seq ids are non-decreasing in pack order and offsets chain:

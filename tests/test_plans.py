@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from iot_data_pipeline_spark.operators import relational
 from iot_data_pipeline_spark.plans import (
     has_broadcast_join,
@@ -9,6 +11,16 @@ from iot_data_pipeline_spark.plans import (
     pushed_filters,
     scan_columns,
 )
+
+
+@pytest.fixture(autouse=True)
+def _fresh_plans(spark):
+    # Plan-shape tests assert the plan Catalyst would build from scratch;
+    # cached frames left behind by other tests substitute InMemoryRelations
+    # (whose printed cached plan carries its own Exchange nodes) and make
+    # the shape nondeterministic w.r.t. test ordering.
+    spark.catalog.clearCache()
+    yield
 
 
 def test_filters_reach_scan(spark, sf_dir):

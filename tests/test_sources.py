@@ -167,3 +167,70 @@ def test_feature_extract_known_payload(spark, tmp_path):
     assert r["f_len"] == 3.0
     assert r["f_mean"] == 98.0
     assert r["f_min"] == 97.0 and r["f_max"] == 99.0
+
+
+def _write_events_fixture(tmp_path, unit: str) -> str:
+    """Write a 3-row events.parquet with ts in the given parquet unit.
+
+    ``unit='us'`` mirrors the current testdata generation (TIMESTAMP(MICROS),
+    isAdjustedToUTC=false → Spark resolves TIMESTAMP_NTZ); ``unit='ns'``
+    mirrors the legacy TIMESTAMP(NANOS) generation that Spark can only read
+    via the nanosAsLong conf."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789, 1_700_009_999_000_001]
+    ts = pa.array(micros, pa.timestamp("us"))
+    if unit == "ns":
+        ts = pa.array([m * 1000 for m in micros], pa.timestamp("ns"))
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([10, 20, 30], pa.int64()),
+            "event_type": pa.array(["a", "b", "c"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(['{"k":1}', "{}", "{}"]),
+        }
+    )
+    d = str(tmp_path / f"sf_{unit}")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_load_table_events_ts_generations(spark, tmp_path, unit):
+    """Both testdata generations resolve to session-TZ TimestampType with
+    identical µs instants (nanos truncate toward µs, DuckDB-compatible)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    from iot_data_pipeline_spark.sources.readers import load_table
+
+    d = _write_events_fixture(tmp_path, unit)
+    df = load_table(spark, d, "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    got = [
+        r[0]
+        for r in df.orderBy("event_id").select(F.unix_micros("ts")).collect()
+    ]
+    assert got == [
+        1_700_000_000_000_000,
+        1_700_000_123_456_789,
+        1_700_009_999_000_001,
+    ]
+    # conf did not leak
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") != "true"
+
+
+def test_load_table_events_real_testdata(spark, sf_dir):
+    """The driver's actual parquet loads and unix_micros works downstream."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    from iot_data_pipeline_spark.sources.readers import load_table
+
+    df = load_table(spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    assert df.select(F.unix_micros("ts")).first()[0] is not None

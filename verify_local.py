@@ -66,6 +66,11 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod
+    from iot_data_pipeline_spark.sources.schema_guard import check_testdata_schemas
+
+    # Fail loudly (with observed arrow types) on testdata schema drift
+    # before running a single query — see round 2's events.ts regression.
+    check_testdata_schemas(sf_dir)
 
     spark = (
         SparkSession.builder.master("local[8]")
