@@ -208,29 +208,29 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (engine/canonicalization-dependent float formatting)."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-        .cache()
-    )
+    edges = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    # Fold out-degree into the edge list ONCE (every src matches: deg is
+    # computed from these edges), cache it partitioned by src, and derive
+    # nodes from it — each iteration is then a single shuffle join against
+    # the cached, already-src-partitioned edges + one partial+final sum,
+    # instead of re-joining deg every pass.
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_edges = edges.join(deg, "src").select("src", "dst", "deg").cache()
     nodes = (
-        edges.select(F.col("src").alias("node_id"))
-        .union(edges.select(F.col("dst").alias("node_id")))
+        out_edges.select(F.col("src").alias("node_id"))
+        .union(out_edges.select(F.col("dst").alias("node_id")))
         .distinct()
         .cache()
     )
     n = nodes.count()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     teleport = (15 * _PR_SCALE) // (100 * n)
     ranks = nodes.withColumn("rank_i", F.lit(_PR_SCALE // n).cast("long"))
     for _ in range(_PR_ITERS):
         contrib = (
-            ranks.join(deg, ranks.node_id == deg.src)
-            .join(edges, "src")
+            ranks.join(out_edges, ranks.node_id == out_edges.src)
             .select("dst", F.expr("rank_i div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))

@@ -373,14 +373,64 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile / percent_rank / cume_dist over customer balances — the
     distribution-function window family (exact rationals in double, so
-    cross-engine identical without rounding)."""
-    c = table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
-    return c.select(
+    cross-engine identical without rounding).
+
+    DISTRIBUTED global rank, not ``Window.orderBy(...)`` with no partition
+    key: the naive formulation funnels the whole table through ONE window
+    task (the last inherently-serial window this engine had). Instead the
+    classic two-pass rewrite: range-repartition on the order key, rank
+    locally within each range partition, then add each partition's
+    row-count prefix sum (a ``numPartitions``-row side table, broadcast
+    back). The global rank is exact regardless of where the sampled range
+    boundaries fall, and every distribution function is a closed form of
+    (rank, N) because the order key (c_acctbal, c_custkey) is unique:
+    percent_rank = (rank-1)/(N-1), cume_dist = rank/N, and ntile's
+    first-(N mod k)-tiles-get-one-extra allocation in integer arithmetic —
+    all bit-identical to the engines' builtins, which the unchanged DuckDB
+    builtin-window oracle proves on every verify run."""
+    k = 4
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = c.repartitionByRange(
+        parts, F.col("c_acctbal"), F.col("c_custkey")
+    ).withColumn("pid", F.spark_partition_id())
+    lw = Window.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
+    local = ranged.withColumn("lrank", F.row_number().over(lw))
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
+    # counts has ≤ `parts` rows: the global window over it is free, and
+    # both side tables broadcast.
+    ow = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("pn").over(ow), F.lit(0)).alias("off")
+    )
+    total = counts.agg(F.sum("pn").alias("n_total"))
+    r = (
+        local.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rnk", F.col("off") + F.col("lrank"))
+    )
+    # ntile(k): the first (N mod k) tiles hold (N div k)+1 rows, the rest
+    # N div k — pure integer arithmetic (ceil(a/b) = (a+b-1) div b). When
+    # N < k, base = 0 and every rank falls in the first branch, so the
+    # else-branch's div-by-zero is unreachable.
+    ntile = F.expr(
+        f"CASE WHEN rnk <= (n_total % {k}) * (n_total div {k} + 1)"
+        f" THEN (rnk + n_total div {k}) div (n_total div {k} + 1)"
+        f" ELSE n_total % {k}"
+        f"  + (rnk - (n_total % {k}) * (n_total div {k} + 1)"
+        f"     + n_total div {k} - 1) div (n_total div {k})"
+        f" END"
+    )
+    return r.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("bal_quartile"),
-        F.percent_rank().over(w).alias("bal_pct_rank"),
-        F.cume_dist().over(w).alias("bal_cume_dist"),
+        ntile.cast("int").alias("bal_quartile"),
+        (
+            (F.col("rnk") - 1).cast("double")
+            / (F.col("n_total") - 1).cast("double")
+        ).alias("bal_pct_rank"),
+        (
+            F.col("rnk").cast("double") / F.col("n_total").cast("double")
+        ).alias("bal_cume_dist"),
     )
 
 
