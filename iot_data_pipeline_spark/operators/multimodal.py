@@ -2,13 +2,15 @@
 columns with typed metadata (north star).
 
 ``decode_media`` REALLY decodes the stdlib-parseable formats — WAV (RIFF/PCM
-via ``wave``) and binary PPM — and the ``mm_decode_wav`` query drives a full
-encode → container bytes → decode → features round trip through mapInPandas,
-hash-verified against a pure-SQL oracle. Formats that need external codec
-libraries (JPEG/PNG/MP4) still raise ``NotImplementedError`` at the same
-seam. All Spark-side plumbing is format-agnostic and tested: the binary
-column type, the typed metadata struct, Arrow batch shape through
-``mapInPandas``, and partition-size control for large blobs.
+via ``wave``), binary PPM, and PNG (chunk walk + zlib inflate + all five
+scanline unfilters, 8-bit gray/RGB/RGBA) — and the ``mm_decode_wav`` query
+drives a full encode → container bytes → decode → features round trip
+through mapInPandas, hash-verified against a pure-SQL oracle. JPEG/MP4 need
+entropy/transform codecs with no stdlib implementation and raise
+``NotImplementedError`` at the same seam — that seam is PERMANENT in this
+build, by design. All Spark-side plumbing is format-agnostic and tested:
+the binary column type, the typed metadata struct, Arrow batch shape
+through ``mapInPandas``, and partition-size control for large blobs.
 
 At 100 TB of media: blobs ride in parquet binary columns (or references to
 object storage resolved inside mapInPandas), ``spark.sql.files.
@@ -37,12 +39,21 @@ def decode_media(blob: bytes, media_type: str):
     - ``image/ppm``: binary P6 → (height, width, 3) uint8 array +
       {width, height, maxval}.
 
-    Formats that need external codec libraries (JPEG/PNG/MP4) still raise
-    ``NotImplementedError`` — plug a decoder in here; everything downstream
-    (Arrow batching, schema, feature extraction) is format-agnostic."""
+    - ``image/png``: full chunk walk + zlib inflate + scanline unfilter
+      (all five filter types) for 8-bit gray/RGB/RGBA, stdlib ``zlib``
+      only → (height, width[, channels]) uint8 array + {width, height,
+      color_type, bit_depth}.
+
+    JPEG/MP4 need entropy/transform codecs with no stdlib implementation;
+    they raise ``NotImplementedError`` as the PERMANENT external-codec
+    seam — plug a decoder in here; everything downstream (Arrow batching,
+    schema, feature extraction) is format-agnostic."""
     import io
 
     import numpy as np
+
+    if media_type in ("image/png", "png"):
+        return _decode_png(bytes(blob))
 
     if media_type in ("audio/wav", "wav"):
         import wave
@@ -84,6 +95,160 @@ def decode_media(blob: bytes, media_type: str):
     raise NotImplementedError(
         f"no decoder for {media_type!r} in this build (needs codec libs); "
         "plug one in here (signature: bytes, media_type -> (ndarray, meta))"
+    )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth only; palette/16-bit raise)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/up/up-left to a+b-c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png(data: bytes):
+    """Real PNG decode with only the stdlib: walk chunks, inflate the IDAT
+    stream, reverse the per-scanline filter. Supports bit depth 8, color
+    types 0 (gray) / 2 (RGB) / 6 (RGBA), no interlace — the common subset;
+    anything else raises with the observed header. Up-filter rows are
+    numpy-vectorized (uint8 wraparound IS the mod-256 the spec wants);
+    Sub/Average/Paeth rows carry an intra-row dependency, so they
+    reconstruct per-byte — fine for metadata/feature extraction; swap in a
+    C codec via this same seam for bulk pixel work."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError(f"not a PNG: signature={data[:8]!r}")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        expected_crc = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != expected_crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"PNG subset: need 8-bit gray/RGB/RGBA non-interlaced, got "
+            f"bit_depth={bit_depth} color_type={color_type} interlace={interlace}"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError(f"PNG: {len(raw)} inflated bytes, want {height * (stride + 1)}")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for r in range(height):
+        off = r * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1)
+        prev = out[r - 1] if r else np.zeros(stride, np.uint8)
+        if ftype == 0:
+            out[r] = line
+        elif ftype == 2:  # Up: no intra-row dependency, vectorize
+            out[r] = line + prev
+        elif ftype in (1, 3, 4):
+            cur = out[r]
+            for i in range(stride):
+                a = int(cur[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    pred = _paeth(a, b, c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype} in row {r}")
+    arr = out.reshape(height, width, channels) if channels > 1 else out.reshape(
+        height, width
+    )
+    return arr, {
+        "width": width,
+        "height": height,
+        "color_type": color_type,
+        "bit_depth": bit_depth,
+    }
+
+
+def synth_png(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic RGB PNG: pixel formula identical to ``synth_ppm``
+    ((id·7 + row·31 + col·13 + ch·5) mod 256), encoded with scanline
+    filter ``row mod 5`` so a decode round trip exercises every filter
+    type (None/Sub/Up/Average/Paeth), stdlib zlib only."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    k = np.arange(width * height * 3, dtype=np.int64)
+    row, col, ch = (k // 3) // width, (k // 3) % width, k % 3
+    px = ((media_id * 7 + row * 31 + col * 13 + ch * 5) % 256).astype(np.uint8)
+    img = px.reshape(height, width * 3)
+    bpp = 3
+    scanlines = bytearray()
+    for r in range(height):
+        ftype = r % 5
+        cur = img[r].astype(np.int16)
+        prev = img[r - 1].astype(np.int16) if r else np.zeros(len(cur), np.int16)
+        a = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
+        c = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur - a
+        elif ftype == 2:
+            filt = cur - prev
+        elif ftype == 3:
+            filt = cur - ((a + prev) >> 1)
+        else:
+            pred = np.array(
+                [_paeth(int(a[i]), int(prev[i]), int(c[i])) for i in range(len(cur))],
+                dtype=np.int16,
+            )
+            filt = cur - pred
+        scanlines.append(ftype)
+        scanlines.extend((filt % 256).astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + chunk(b"IEND", b"")
     )
 
 

@@ -234,3 +234,75 @@ def test_load_table_events_real_testdata(spark, sf_dir):
     df = load_table(spark, sf_dir, "events")
     assert isinstance(df.schema["ts"].dataType, TimestampType)
     assert df.select(F.unix_micros("ts")).first()[0] is not None
+
+
+def test_decode_media_png_roundtrip_all_filters():
+    """synth_png encodes row r with filter r%5, so a ≥5-row image drives
+    every unfilter path; decoded pixels must equal the closed formula."""
+    import numpy as np
+
+    from iot_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+        synth_png,
+    )
+
+    mid, w, h = 42, 7, 6  # 6 rows -> filters 0,1,2,3,4,0
+    blob = synth_png(mid, w, h)
+    arr, meta = decode_media(blob, "image/png")
+    assert meta == {"width": w, "height": h, "color_type": 2, "bit_depth": 8}
+    assert arr.shape == (h, w, 3)
+    k = np.arange(w * h * 3, dtype=np.int64)
+    row, col, ch = (k // 3) // w, (k // 3) % w, k % 3
+    want = ((mid * 7 + row * 31 + col * 13 + ch * 5) % 256).astype(np.uint8)
+    assert np.array_equal(arr.reshape(-1), want)
+
+
+def test_decode_media_png_gray_and_rgba():
+    """Hand-built single-filter images cover the non-RGB color types."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from iot_data_pipeline_spark.operators.multimodal import _PNG_SIG, decode_media
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def build(w, h, color_type, channels, payload_rows):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        raw = b"".join(b"\x00" + bytes(r) for r in payload_rows)
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    gray = build(3, 2, 0, 1, [[10, 20, 30], [40, 50, 60]])
+    arr, meta = decode_media(gray, "image/png")
+    assert meta["color_type"] == 0 and arr.shape == (2, 3)
+    assert arr.tolist() == [[10, 20, 30], [40, 50, 60]]
+
+    rgba = build(2, 1, 6, 4, [[1, 2, 3, 4, 5, 6, 7, 8]])
+    arr, meta = decode_media(rgba, "image/png")
+    assert meta["color_type"] == 6 and arr.shape == (1, 2, 4)
+    assert arr.reshape(-1).tolist() == [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+def test_decode_media_png_rejects_unsupported_and_corrupt():
+    import pytest as _pytest
+
+    from iot_data_pipeline_spark.operators.multimodal import decode_media, synth_png
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_media(b"JFIF....", "image/png")
+    blob = bytearray(synth_png(1, 4, 4))
+    blob[-20] ^= 0xFF  # corrupt inside the IDAT body -> CRC must catch it
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_media(bytes(blob), "image/png")
