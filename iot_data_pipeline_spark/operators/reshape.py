@@ -395,7 +395,10 @@ def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts, F.col("c_acctbal"), F.col("c_custkey")
     ).withColumn("pid", F.spark_partition_id())
     lw = Window.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
-    local = ranged.withColumn("lrank", F.row_number().over(lw))
+    # cache: the ranked frame feeds three branches (ranks, per-partition
+    # counts, total); one scan + one range shuffle instead of three, and
+    # the materialized pid column can never disagree between branches.
+    local = ranged.withColumn("lrank", F.row_number().over(lw)).cache()
     counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
     # counts has ≤ `parts` rows: the global window over it is free, and
     # both side tables broadcast.
