@@ -111,25 +111,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, TimestampType
 
-        key = "spark.sql.legacy.parquet.nanosAsLong"
-        prev = spark.conf.get(key)
-        spark.conf.set(key, "true")
+        # inferTimestampNTZ=false makes Spark resolve a µs
+        # isAdjustedToUTC=false column as TimestampType AT THE SCAN, not
+        # TIMESTAMP_NTZ — no cast layer on top, so time-range predicates
+        # still push down to the parquet reader (a post-cast filter would
+        # scan everything at 100 TB). Both confs are scoped to the
+        # schema-resolving read (set, resolve, restore).
+        confs = {
+            "spark.sql.legacy.parquet.nanosAsLong": "true",
+            "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+        }
+        prev = {k: spark.conf.get(k) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
         try:
             # .read.parquet resolves the schema eagerly, which is the only
-            # point this conf is consulted (verified value-identical with
-            # the conf restored before any action runs). µs-timestamp files
-            # are unaffected by the conf.
+            # point these confs are consulted (verified value-identical
+            # with the confs restored before any action runs).
             df = spark.read.parquet(path)
         finally:
-            spark.conf.set(key, prev)
+            for k, v in prev.items():
+                spark.conf.set(k, v)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
             # legacy TIMESTAMP(NANOS) generation: raw nanos → µs instant
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         if isinstance(ts_type, TimestampType):
+            # µs generation, resolved directly as session-TZ TimestampType
             return df
-        # TIMESTAMP_NTZ (µs, isAdjustedToUTC=false): UTC session makes the
-        # wall-time reinterpretation exact.
+        # Defensive fallback (should not occur with inferTimestampNTZ off):
+        # UTC session makes the NTZ wall-time reinterpretation exact.
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 

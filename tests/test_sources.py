@@ -123,9 +123,10 @@ def test_parquet_schema_evolution(spark, tmp_path):
 
 
 def test_decode_media_unknown_format_raises():
-    """Formats needing external codec libs stay honestly unimplemented."""
+    """Formats needing external codec libs stay honestly unimplemented
+    (JPEG/MP4 — the permanent seam; PNG graduated to a real decoder)."""
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"\x89PNG", "image/png")
+        multimodal.decode_media(b"\xff\xd8\xff\xe0JFIF", "image/jpeg")
 
 
 def test_decode_media_wav_roundtrip():
@@ -234,6 +235,21 @@ def test_load_table_events_real_testdata(spark, sf_dir):
     df = load_table(spark, sf_dir, "events")
     assert isinstance(df.schema["ts"].dataType, TimestampType)
     assert df.select(F.unix_micros("ts")).first()[0] is not None
+
+
+def test_load_table_events_ts_filter_pushes_down(spark, sf_dir):
+    """Time-range predicates must reach the parquet scan. The µs generation
+    is read as TimestampType AT THE SCAN (inferTimestampNTZ off) — a cast
+    layer on top of an NTZ column would block pushdown and full-scan the
+    table at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.plans import pushed_filters
+    from iot_data_pipeline_spark.sources.readers import load_table
+
+    df = load_table(spark, sf_dir, "events")
+    flt = df.filter(F.col("ts") >= F.lit("2024-01-02 00:00:00"))
+    assert "GreaterThanOrEqual(ts" in pushed_filters(flt)
 
 
 def test_decode_media_png_roundtrip_all_filters():
