@@ -1,14 +1,17 @@
 """Multimodal column operators: image/audio/video as opaque ``binary``
 columns with typed metadata (north star).
 
-``decode_media`` REALLY decodes the stdlib-parseable formats — WAV (RIFF/PCM
-via ``wave``), binary PPM, and PNG (chunk walk + zlib inflate + all five
-scanline unfilters, 8-bit gray/RGB/RGBA) — and the ``mm_decode_wav`` query
-drives a full encode → container bytes → decode → features round trip
-through mapInPandas, hash-verified against a pure-SQL oracle. JPEG/MP4 need
-entropy/transform codecs with no stdlib implementation and raise
-``NotImplementedError`` at the same seam — that seam is PERMANENT in this
-build, by design. All Spark-side plumbing is format-agnostic and tested:
+``decode_media`` REALLY decodes the lib-free formats — WAV (RIFF/PCM via
+``wave``), binary PPM, PNG (chunk walk + zlib inflate + all five scanline
+unfilters, 8-bit gray/RGB/RGBA), and baseline JPEG (full ITU T.81 baseline
+sequential pipeline: canonical Huffman entropy decode, dequantize,
+dezigzag, orthonormal IDCT, chroma upsample, YCbCr→RGB — pure
+Python/numpy) — and the ``mm_decode_wav`` query drives a full encode →
+container bytes → decode → features round trip through mapInPandas,
+hash-verified against a pure-SQL oracle. MP4 needs a container+codec stack
+with no stdlib implementation and raises ``NotImplementedError`` at the
+same seam — the one PERMANENT seam in this build, by design. All
+Spark-side plumbing is format-agnostic and tested:
 the binary column type, the typed metadata struct, Arrow batch shape
 through ``mapInPandas``, and partition-size control for large blobs.
 
@@ -43,17 +46,25 @@ def decode_media(blob: bytes, media_type: str):
       (all five filter types) for 8-bit gray/RGB/RGBA, stdlib ``zlib``
       only → (height, width[, channels]) uint8 array + {width, height,
       color_type, bit_depth}.
+    - ``image/jpeg``: baseline sequential DCT (ITU T.81) — marker walk,
+      canonical Huffman entropy decode with byte-unstuffing and restart
+      markers, dequantize + dezigzag, orthonormal IDCT, replicate chroma
+      upsample, JFIF YCbCr→RGB → (height, width[, 3]) uint8 array +
+      {width, height, n_components}. Progressive/12-bit/arithmetic raise
+      with the observed frame header.
 
-    JPEG/MP4 need entropy/transform codecs with no stdlib implementation;
-    they raise ``NotImplementedError`` as the PERMANENT external-codec
-    seam — plug a decoder in here; everything downstream (Arrow batching,
-    schema, feature extraction) is format-agnostic."""
+    MP4 needs a container + video codec stack with no stdlib
+    implementation; it raises ``NotImplementedError`` as the PERMANENT
+    external-codec seam — plug a decoder in here; everything downstream
+    (Arrow batching, schema, feature extraction) is format-agnostic."""
     import io
 
     import numpy as np
 
     if media_type in ("image/png", "png"):
         return _decode_png(bytes(blob))
+    if media_type in ("image/jpeg", "image/jpg", "jpeg", "jpg"):
+        return _decode_jpeg(bytes(blob))
 
     if media_type in ("audio/wav", "wav"):
         import wave
@@ -250,6 +261,417 @@ def synth_png(media_id: int, width: int, height: int) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
         + chunk(b"IEND", b"")
     )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81, baseline sequential DCT). Pure Python + numpy —
+# no codec libs. The entropy coder is bit-level Python, sized for the
+# metadata/feature-extraction tier (small images, spot decodes); bulk pixel
+# work swaps in a C codec at the decode_media seam, same as PNG.
+# Tables below are from the public spec: Annex K.3 typical Huffman tables.
+
+# zigzag: scan position k -> (row, col); diagonals alternate direction
+_JPG_ZIGZAG = sorted(
+    ((r, c) for r in range(8) for c in range(8)),
+    key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else -rc[0]),
+)
+
+# Annex K.3.1: typical luminance DC/AC tables (used for every component we
+# encode; the decoder reads whatever tables the file declares).
+_JPG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPG_DC_VALS = tuple(range(12))
+_JPG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+_JPG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _jpg_huff_codes(bits, vals):
+    """Canonical code assignment (T.81 §C.2): yields (length, code, value)
+    in table order — codes of each length are consecutive, then the counter
+    left-shifts when the length grows."""
+    out = []
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((length, code, vals[k]))
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpg_idct(coef):
+    """Orthonormal 2-D inverse DCT of one natural-order 8×8 block:
+    f = Aᵀ F A with A[u,x] = ½·c(u)·cos((2x+1)uπ/16), c(0)=1/√2."""
+    import numpy as np
+
+    x = np.arange(8)
+    A = 0.5 * np.cos((2 * x[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16)
+    A[0] /= np.sqrt(2.0)
+    return A.T @ np.asarray(coef, dtype=np.float64) @ A
+
+
+class _JpgBitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, stops at any real
+    marker, byte-aligns across RSTn boundaries."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos = data, pos
+        self.buf = self.nbits = 0
+
+    def _fill(self):
+        d, p = self.data, self.pos
+        if p >= len(d):
+            raise ValueError("JPEG: entropy data truncated")
+        byte = d[p]
+        p += 1
+        if byte == 0xFF:
+            if p >= len(d):
+                raise ValueError("JPEG: dangling 0xFF at end of scan")
+            if d[p] == 0x00:
+                p += 1  # stuffed literal 0xFF
+            else:
+                raise ValueError(f"JPEG: marker 0xFF{d[p]:02X} inside scan")
+        self.pos = p
+        self.buf = (self.buf << 8) | byte
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | self.bits(1)
+            length += 1
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("JPEG: invalid Huffman code in scan")
+
+    def restart(self, n: int):
+        """Consume the byte-aligned RSTn marker between restart intervals:
+        drop buffered pad bits, skip unconsumed pad bytes (including a
+        stuffed FF00 the 1-bit padding can produce), then require RSTn."""
+        self.buf = self.nbits = 0
+        d, p = self.data, self.pos
+        while d[p] != 0xFF or d[p + 1] == 0x00:
+            p += 1
+        if d[p + 1] != 0xD0 + (n % 8):
+            raise ValueError(
+                f"JPEG: expected RST{n % 8}, got {d[p]:02X}{d[p + 1]:02X}"
+            )
+        self.pos = p + 2
+
+
+def _jpg_extend(v: int, t: int) -> int:
+    """T.81 §F.2.2.1 EXTEND: map a t-bit magnitude to its signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_jpeg(data: bytes):
+    """Baseline sequential JPEG decode (T.81): marker walk → per-table DQT /
+    DHT → SOF0/1 frame → SOS interleaved MCU scan (Huffman + dequant +
+    dezigzag + IDCT) → replicate chroma upsample → JFIF YCbCr→RGB."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError(f"not a JPEG: starts {data[:2]!r}")
+    pos = 2
+    qt: dict[int, list[int]] = {}  # id -> 64 dequant factors, zigzag order
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): val}
+    frame = None
+    restart_interval = 0
+    while pos < len(data) - 1:
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}, got {data[pos]:02X}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT (one or more tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("JPEG: 16-bit quant tables")
+                qt[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT (one or more tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = body[i + 1 : i + 17]
+                n = sum(bits)
+                vals = body[i + 17 : i + 17 + n]
+                huff[(tc, th)] = {
+                    (ln, code): v for ln, code, v in _jpg_huff_codes(bits, vals)
+                }
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"JPEG: {prec}-bit precision")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG: non-baseline frame SOF{marker - 0xC0} "
+                "(progressive/lossless/arithmetic)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            ns = body[0]
+            sel = {body[1 + 2 * i]: body[2 + 2 * i] for i in range(ns)}
+            planes = _jpg_decode_scan(
+                data, pos, frame, qt, huff, sel, restart_interval
+            )
+            return _jpg_assemble(frame, planes)
+        # APPn / COM / others: skipped
+    raise ValueError("JPEG: no SOS marker found")
+
+
+def _jpg_decode_scan(data, pos, frame, qt, huff, sel, restart_interval):
+    """Decode the single interleaved baseline scan into per-component planes
+    of whole-MCU size (cropped later)."""
+    import numpy as np
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    rd = _JpgBitReader(data, pos)
+    pred = [0] * len(comps)
+    n_rst = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            rd.restart(n_rst)
+            n_rst += 1
+            pred = [0] * len(comps)
+        my, mx = divmod(m, mcus_x)
+        for ci, c in enumerate(comps):
+            dc_tab = huff[(0, sel[c["id"]] >> 4)]
+            ac_tab = huff[(1, sel[c["id"]] & 0xF)]
+            quant = qt[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = [0] * 64
+                    t = rd.huff(dc_tab)
+                    pred[ci] += _jpg_extend(rd.bits(t), t)
+                    zz[0] = pred[ci] * quant[0]
+                    k = 1
+                    while k < 64:
+                        rs = rd.huff(ac_tab)
+                        run, size = rs >> 4, rs & 0xF
+                        if size == 0:
+                            if run == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG: AC run past end of block")
+                        zz[k] = _jpg_extend(rd.bits(size), size) * quant[k]
+                        k += 1
+                    block = np.zeros((8, 8))
+                    for k in range(64):
+                        if zz[k]:
+                            block[_JPG_ZIGZAG[k]] = zz[k]
+                    r0 = (my * c["v"] + by) * 8
+                    c0 = (mx * c["h"] + bx) * 8
+                    planes[ci][r0 : r0 + 8, c0 : c0 + 8] = _jpg_idct(block)
+    return planes
+
+
+def _jpg_assemble(frame, planes):
+    """Level-shift, crop, upsample, and color-convert decoded planes."""
+    import numpy as np
+
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    out = []
+    for c, p in zip(comps, planes):
+        p = p + 128.0
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        p = p[:ch, :cw]
+        if c["h"] != hmax or c["v"] != vmax:  # replicate upsample
+            p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
+        out.append(p[:h, :w])
+    meta = {"width": w, "height": h, "n_components": len(comps)}
+    if len(comps) == 1:
+        gray = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return gray, meta
+    if len(comps) != 3:
+        raise NotImplementedError(f"JPEG: {len(comps)}-component image")
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8), meta
+
+
+class _JpgBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = self.nbits = 0
+
+    def write(self, value: int, n: int):
+        self.buf = (self.buf << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.buf >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuff
+            self.buf &= (1 << self.nbits) - 1
+
+    def align(self):
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1-bits
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+def _encode_jpeg(coeffs, w, h, sampling=None, restart_interval=0):
+    """Minimal baseline JFIF writer for round-trip tests: takes per-component
+    QUANTIZED coefficient blocks (natural order, shape (by, bx, 8, 8)), an
+    all-ones quant table, and the Annex-K luminance Huffman tables for every
+    component. ``sampling``: list of (h, v) per component (default all 1×1).
+    Encoding side exists only to exercise the decoder — production data
+    arrives already encoded."""
+    import struct
+
+    ncomp = len(coeffs)
+    sampling = sampling or [(1, 1)] * ncomp
+    dc_map = {v: (ln, code) for ln, code, v in _jpg_huff_codes(_JPG_DC_BITS, _JPG_DC_VALS)}
+    ac_map = {v: (ln, code) for ln, code, v in _jpg_huff_codes(_JPG_AC_BITS, _JPG_AC_VALS)}
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    head = bytearray(b"\xff\xd8")
+    head += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    head += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (sh, sv) in enumerate(sampling):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    head += seg(0xC0, sof)
+    head += seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS))
+    head += seg(0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS))
+    if restart_interval:
+        head += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    head += seg(0xDA, sos)
+
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    bw = _JpgBitWriter()
+    pred = [0] * ncomp
+
+    def put(vmap, sym: int, extra: int, nbits: int):
+        ln, code = vmap[sym]
+        bw.write(code, ln)
+        if nbits:
+            bw.write(extra if extra >= 0 else extra + (1 << nbits) - 1, nbits)
+
+    n_rst = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.align()
+            bw.out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+            n_rst += 1
+            pred = [0] * ncomp
+        my, mx = divmod(m, mcus_x)
+        for ci, (sh, sv) in enumerate(sampling):
+            for by in range(sv):
+                for bx in range(sh):
+                    blk = coeffs[ci][my * sv + by][mx * sh + bx]
+                    zz = [int(blk[r][c]) for r, c in _JPG_ZIGZAG]
+                    diff = zz[0] - pred[ci]
+                    pred[ci] = zz[0]
+                    t = abs(diff).bit_length()
+                    put(dc_map, t, diff, t)
+                    run = 0
+                    last = max((k for k in range(1, 64) if zz[k]), default=0)
+                    for k in range(1, last + 1):
+                        if zz[k] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            put(ac_map, 0xF0, 0, 0)  # ZRL
+                            run -= 16
+                        size = abs(zz[k]).bit_length()
+                        put(ac_map, (run << 4) | size, zz[k], size)
+                        run = 0
+                    if last < 63:
+                        put(ac_map, 0x00, 0, 0)  # EOB
+    return bytes(head) + bw.flush() + b"\xff\xd9"
+
+
+def synth_jpeg(media_id: int, w_blocks: int, h_blocks: int) -> bytes:
+    """Deterministic grayscale baseline JPEG: block (r,c) is flat with pixel
+    value ``(media_id·7 + r·31 + c·13) mod 256`` — i.e. a DC-only
+    coefficient of ``8·(value − 128)`` under the all-ones quant table, which
+    the orthonormal IDCT inverts exactly (DC/8 + 128). Exercises real
+    Huffman DC delta coding (variable categories, negative diffs) while
+    keeping every decoded pixel integer-exact for an arithmetic oracle."""
+    import numpy as np
+
+    blocks = np.zeros((h_blocks, w_blocks, 8, 8), dtype=np.int64)
+    for r in range(h_blocks):
+        for c in range(w_blocks):
+            val = (media_id * 7 + r * 31 + c * 13) % 256
+            blocks[r, c, 0, 0] = 8 * (val - 128)
+    return _encode_jpeg([blocks], w_blocks * 8, h_blocks * 8)
 
 
 def synth_wav(media_id: int, n_samples: int, sample_rate: int = 16000) -> bytes:

@@ -124,9 +124,125 @@ def test_parquet_schema_evolution(spark, tmp_path):
 
 def test_decode_media_unknown_format_raises():
     """Formats needing external codec libs stay honestly unimplemented
-    (JPEG/MP4 — the permanent seam; PNG graduated to a real decoder)."""
+    (MP4 — the permanent seam; PNG and baseline JPEG graduated to real
+    decoders)."""
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"\xff\xd8\xff\xe0JFIF", "image/jpeg")
+        multimodal.decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+
+
+def test_decode_media_jpeg_dc_roundtrip():
+    """synth_jpeg → decode_media is pixel-exact: DC-only blocks under the
+    all-ones quant table invert to the closed pixel formula, while the DC
+    Huffman delta chain (variable categories, negative diffs) is real."""
+    import numpy as np
+
+    for mid, wb, hb in [(0, 1, 1), (7, 3, 2), (123, 4, 4), (255, 2, 5)]:
+        blob = multimodal.synth_jpeg(mid, wb, hb)
+        arr, meta = multimodal.decode_media(blob, "image/jpeg")
+        assert meta == {"width": wb * 8, "height": hb * 8, "n_components": 1}
+        exp = np.zeros((hb * 8, wb * 8), np.uint8)
+        for r in range(hb):
+            for c in range(wb):
+                exp[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = (
+                    mid * 7 + r * 31 + c * 13
+                ) % 256
+        assert (arr == exp).all()
+
+
+def test_decode_media_jpeg_ac_paths():
+    """Dense/sparse AC coefficients drive every entropy construct — EOB,
+    ZRL (>16-zero runs), negative EXTEND — and must decode to exactly the
+    reference IDCT of the encoded coefficients (same float path)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    blocks = np.zeros((2, 3, 8, 8), np.int64)
+    for r in range(2):
+        for c in range(3):
+            b = rng.randint(-30, 31, (8, 8))
+            b[rng.rand(8, 8) < 0.7] = 0
+            b[0, 0] = rng.randint(-200, 201)
+            blocks[r, c] = b
+    blocks[0, 0] = 0
+    blocks[0, 0][0, 0] = 50
+    blocks[0, 0][7, 7] = -3  # 62-zero run → 3×ZRL + coefficient
+    blob = multimodal._encode_jpeg([blocks], 24, 16)
+    arr, _ = multimodal.decode_media(blob, "image/jpeg")
+    exp = np.zeros((16, 24))
+    for r in range(2):
+        for c in range(3):
+            exp[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = multimodal._jpg_idct(
+                blocks[r, c]
+            )
+    assert (arr == np.clip(np.round(exp + 128), 0, 255).astype(np.uint8)).all()
+
+
+def test_decode_media_jpeg_color_420():
+    """3-component 4:2:0: interleaved MCU order (4 luma + 2 chroma blocks),
+    replicate chroma upsample, JFIF YCbCr→RGB — checked against the
+    conversion formula computed independently."""
+    import numpy as np
+
+    y = np.zeros((2, 2, 8, 8), np.int64)
+    y[:, :, 0, 0] = [[8 * 10, 8 * 60], [8 * -40, 8 * 100]]
+    cb = np.zeros((1, 1, 8, 8), np.int64)
+    cb[0, 0, 0, 0] = 8 * 30
+    cr = np.zeros((1, 1, 8, 8), np.int64)
+    cr[0, 0, 0, 0] = 8 * -20
+    blob = multimodal._encode_jpeg(
+        [y, cb, cr], 16, 16, sampling=[(2, 2), (1, 1), (1, 1)]
+    )
+    arr, meta = multimodal.decode_media(blob, "image/jpeg")
+    assert meta["n_components"] == 3 and arr.shape == (16, 16, 3)
+    Y = np.zeros((16, 16))
+    for r in range(2):
+        for c in range(2):
+            Y[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = y[r, c, 0, 0] / 8 + 128
+    exp = np.stack(
+        [
+            Y + 1.402 * -20.0,
+            Y - 0.344136 * 30.0 - 0.714136 * -20.0,
+            Y + 1.772 * 30.0,
+        ],
+        axis=-1,
+    )
+    assert (arr == np.clip(np.round(exp), 0, 255).astype(np.uint8)).all()
+
+
+def test_decode_media_jpeg_restart_markers():
+    """DRI/RSTn: predictors reset and byte alignment recovers across every
+    restart boundary (interval 2 over 12 MCUs → 5 markers)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    blocks = (
+        rng.randint(-20, 21, (3, 4, 8, 8)) * (rng.rand(3, 4, 8, 8) < 0.5)
+    ).astype(np.int64)
+    blob = multimodal._encode_jpeg([blocks], 32, 24, restart_interval=2)
+    assert any(bytes([0xFF, 0xD0 + i]) in blob for i in range(8))
+    arr, _ = multimodal.decode_media(blob, "image/jpeg")
+    exp = np.zeros((24, 32))
+    for r in range(3):
+        for c in range(4):
+            exp[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = multimodal._jpg_idct(
+                blocks[r, c]
+            )
+    assert (arr == np.clip(np.round(exp + 128), 0, 255).astype(np.uint8)).all()
+
+
+def test_decode_media_jpeg_progressive_raises():
+    """Non-baseline frames (SOF2 progressive) raise at the seam with the
+    frame type named, not a silent wrong decode."""
+    import struct
+
+    sof2 = (
+        b"\xff\xd8"
+        + struct.pack(">BBH", 0xFF, 0xC2, 11)
+        + struct.pack(">BHHB", 8, 8, 8, 1)
+        + b"\x01\x11\x00\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        multimodal.decode_media(sof2, "image/jpeg")
 
 
 def test_decode_media_wav_roundtrip():
