@@ -438,3 +438,105 @@ def test_decode_media_png_rejects_unsupported_and_corrupt():
     blob[-20] ^= 0xFF  # corrupt inside the IDAT body -> CRC must catch it
     with _pytest.raises(ValueError, match="CRC"):
         decode_media(bytes(blob), "image/png")
+
+
+def test_jpeg_codec_property_roundtrip():
+    """Property test: ANY quantized coefficient field (arbitrary sparsity,
+    magnitudes up to DC ±1000 / AC ±200, any grid up to 3×3 blocks) must
+    decode to exactly the reference IDCT of what was encoded — the
+    entropy coder can't lose or shift a single coefficient."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def check(data):
+        hb = data.draw(st.integers(1, 3), label="h_blocks")
+        wb = data.draw(st.integers(1, 3), label="w_blocks")
+        seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+        density = data.draw(st.floats(0.0, 1.0), label="density")
+        rng = np.random.RandomState(seed)
+        blocks = rng.randint(-200, 201, (hb, wb, 8, 8))
+        blocks[rng.rand(hb, wb, 8, 8) > density] = 0
+        blocks[:, :, 0, 0] = rng.randint(-1000, 1001, (hb, wb))
+        blocks = blocks.astype(np.int64)
+        blob = multimodal._encode_jpeg([blocks], wb * 8, hb * 8)
+        arr, meta = multimodal._decode_jpeg(blob)
+        assert (meta["width"], meta["height"]) == (wb * 8, hb * 8)
+        exp = np.zeros((hb * 8, wb * 8))
+        for r in range(hb):
+            for c in range(wb):
+                exp[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = (
+                    multimodal._jpg_idct(blocks[r, c])
+                )
+        exp = np.clip(np.round(exp + 128), 0, 255).astype(np.uint8)
+        assert (arr == exp).all()
+
+    check()
+
+
+def test_png_codec_property_roundtrip():
+    """Property test: random RGB images of any small size survive
+    synth-style encode (cycling all five filters) → decode bit-exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def check(data):
+        w = data.draw(st.integers(1, 12), label="width")
+        h = data.draw(st.integers(1, 12), label="height")
+        seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        flat = img.reshape(h, w * 3)
+        scan = bytearray()
+        for r in range(h):
+            ftype = r % 5
+            cur = flat[r].astype(np.int16)
+            prev = flat[r - 1].astype(np.int16) if r else np.zeros(w * 3, np.int16)
+            a = np.concatenate([np.zeros(3, np.int16), cur[:-3]])
+            c = np.concatenate([np.zeros(3, np.int16), prev[:-3]])
+            if ftype == 0:
+                filt = cur
+            elif ftype == 1:
+                filt = cur - a
+            elif ftype == 2:
+                filt = cur - prev
+            elif ftype == 3:
+                filt = cur - ((a + prev) >> 1)
+            else:
+                pred = np.array(
+                    [
+                        multimodal._paeth(int(a[i]), int(prev[i]), int(c[i]))
+                        for i in range(w * 3)
+                    ],
+                    np.int16,
+                )
+                filt = cur - pred
+            scan.append(ftype)
+            scan.extend((filt % 256).astype(np.uint8).tobytes())
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body))
+                + ctype
+                + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + chunk(b"IEND", b"")
+        )
+        arr, meta = multimodal.decode_media(blob, "image/png")
+        assert (arr == img).all()
+
+    check()
