@@ -229,3 +229,33 @@ def test_dq_audit_metrics_single_scan(spark, sf_dir):
     # orders is read twice total (metrics pass + ref-integrity anti join) —
     # adding constraints must not add scans.
     assert plan.count("Scan parquet") <= 3
+
+
+def test_sim_topk_single_bounded_exchange(spark, sf_dir):
+    """Exact similarity search: the corpus is scored in place (per-batch
+    numpy top-k pre-reduction inside the Arrow scan) — the ONLY shuffle in
+    the plan is the final reduce over ≤ k·n_partitions candidate rows.
+    A second Exchange would mean the full corpus re-partitions at 100 TB."""
+    from iot_data_pipeline_spark.operators import llm
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(llm.llm_sim_topk(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+
+
+def test_near_dup_candidates_are_equi_joins(spark, sf_dir):
+    """MinHash→LSH banding turns near-dup candidate generation into plain
+    equi-joins on (band_idx, band_hash) — never a cartesian or nested-loop
+    plan, which is the difference between linear and df²-quadratic at
+    scale."""
+    from iot_data_pipeline_spark.operators._util import table
+    from iot_data_pipeline_spark.operators.llm import (
+        _word_shingles,
+        near_dup_pairs,
+    )
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    sh = _word_shingles(table(spark, sf_dir, "documents"), 3)
+    plan = executed_plan(near_dup_pairs(sh, 0.5))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
