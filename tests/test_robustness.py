@@ -14,7 +14,13 @@ from __future__ import annotations
 
 import pytest
 
-from iot_data_pipeline_spark.operators import llm, maintenance, relational, reshape
+from iot_data_pipeline_spark.operators import (
+    analytics,
+    llm,
+    maintenance,
+    relational,
+    reshape,
+)
 
 CASES = [
     ("spark.sql.adaptive.enabled", "false"),
@@ -27,6 +33,14 @@ QUERIES = {
     "win_ntile_dist": reshape.win_ntile_dist,
     "graph_pagerank": maintenance.graph_pagerank,
     "llm_pack_sequences": llm.llm_pack_sequences,
+    # as-of join: tie-breaking must come from the declared sort keys, not
+    # from whatever order a partition happened to deliver rows in
+    "join_asof_event": relational.join_asof_event,
+    # iterative min-label propagation: convergence must not depend on how
+    # edges are partitioned across the label-join shuffles
+    "llm_dedup_clusters": llm.llm_dedup_clusters,
+    # distributed prefix sum over the day spine feeding cum_users
+    "evt_cumulative_users": analytics.evt_cumulative_users,
 }
 
 
