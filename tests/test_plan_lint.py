@@ -1,0 +1,56 @@
+"""Registry-wide plan lint: every non-executing query's physical plan is
+built at sf0.001 and scanned for scale-killers.
+
+- ``CartesianProduct`` is banned outright: an unconstrained N×M join is
+  never the intended plan for any registered operator.
+- ``BroadcastNestedLoopJoin`` is allowed only where the broadcast side is
+  a bounded scalar/spine table (row counts independent of data scale), and
+  each such query is listed with its justification — a new unlisted
+  occurrence fails the suite and forces the author to justify or fix it.
+
+Streaming/sink/source queries execute work when called, so they are
+covered by their own tests instead of this sweep.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+import pytest
+
+_SKIP_PREFIXES = ("stream_", "sink_", "source_")
+
+# query id -> why a nested-loop join with a broadcast side is fine here
+BNLJ_BOUNDED = {
+    "dq_audit": "joins the 1-row all-metrics aggregate to per-check rows",
+    "geo_nearest_hub": "5-row hub table broadcast to every device (linear scan)",
+    "iot_gap_fill": "1-row per-device time-bounds aggregate builds the spine",
+    "iot_interpolate": "1-row per-device time-bounds aggregate builds the spine",
+    "join_cross": "the declared cross-join operator (25x5 dimension tables)",
+    "win_ntile_dist": "1-row n_total aggregate joined to every ranked row",
+}
+
+
+def _registry():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry_lint__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("__spark_entry_lint__", mod)
+    spec.loader.exec_module(mod)
+    return mod.queries()
+
+
+def test_no_cartesian_or_unjustified_nested_loop(spark, sf_dir):
+    qs = _registry()
+    offenders: dict[str, str] = {}
+    for name, fn in sorted(qs.items()):
+        if name.startswith(_SKIP_PREFIXES):
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BOUNDED:
+            offenders[name] = "unjustified BroadcastNestedLoopJoin"
+    assert not offenders, offenders
