@@ -42,7 +42,16 @@ def _registry():
     return mod.queries()
 
 
-def test_no_cartesian_or_unjustified_nested_loop(spark, sf_dir):
+# Row-at-a-time Python evaluation is the declared slow tier; everything
+# else that crosses into Python must be Arrow-batched (ArrowEvalPython /
+# MapInPandas / FlatMapGroupsInPandas / AggregateInPandas).
+ROW_PYTHON_OK = {
+    "udf_scalar": "the declared row-at-a-time UDF tier demo",
+    "udtf_python_lateral": "Python UDTFs are row-oriented by API design",
+}
+
+
+def test_no_cartesian_unjustified_nested_loop_or_row_python(spark, sf_dir):
     qs = _registry()
     offenders: dict[str, str] = {}
     for name, fn in sorted(qs.items()):
@@ -53,4 +62,6 @@ def test_no_cartesian_or_unjustified_nested_loop(spark, sf_dir):
             offenders[name] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BOUNDED:
             offenders[name] = "unjustified BroadcastNestedLoopJoin"
+        elif "BatchEvalPython" in plan and name not in ROW_PYTHON_OK:
+            offenders[name] = "row-at-a-time Python outside the declared tier"
     assert not offenders, offenders
