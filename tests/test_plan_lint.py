@@ -25,8 +25,9 @@ _SKIP_PREFIXES = ("stream_", "sink_", "source_")
 BNLJ_BOUNDED = {
     "dq_audit": "joins the 1-row all-metrics aggregate to per-check rows",
     "geo_nearest_hub": "5-row hub table broadcast to every device (linear scan)",
-    "iot_gap_fill": "1-row per-device time-bounds aggregate builds the spine",
-    "iot_interpolate": "1-row per-device time-bounds aggregate builds the spine",
+    "iot_gap_fill": "calendar hour spine (global bounds row -> sequence) "
+    "broadcast-crossed against devices: linear in devices",
+    "iot_interpolate": "same broadcast calendar-spine cross as iot_gap_fill",
     "join_cross": "the declared cross-join operator (25x5 dimension tables)",
     "win_ntile_dist": "1-row n_total aggregate joined to every ranked row",
 }
