@@ -15,9 +15,15 @@ covered by their own tests instead of this sweep.
 from __future__ import annotations
 
 import importlib.util
+import os
 import sys
 
 import pytest
+
+_ENTRY_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "__spark_entry__.py",
+)
 
 _SKIP_PREFIXES = ("stream_", "sink_", "source_")
 
@@ -35,7 +41,7 @@ BNLJ_BOUNDED = {
 
 def _registry():
     spec = importlib.util.spec_from_file_location(
-        "__spark_entry_lint__", "/root/repo/__spark_entry__.py"
+        "__spark_entry_lint__", _ENTRY_PATH
     )
     mod = importlib.util.module_from_spec(spec)
     sys.modules.setdefault("__spark_entry_lint__", mod)
