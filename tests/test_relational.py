@@ -161,3 +161,70 @@ def test_coalesce_compaction_writes_target_file_count(spark, sf_dir, tmp_path):
         spark.read.parquet(compact).agg(F.sum("l_quantity")).first()[0]
         == li.agg(F.sum("l_quantity")).first()[0]
     )
+
+
+def test_asof_join_property(spark, tmp_path):
+    """Property test driving the REAL join_asof_event through a staged
+    micro sf_dir: for random event/order sets (duplicate timestamps, users
+    with no events, orders before any event), the result must equal the
+    brute-force at-or-before reference — latest ts wins, ties broken by
+    highest event_id, no match → NULL."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = dt.datetime(2024, 1, 1)
+    case_no = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.data())
+    def check(data):
+        n_events = data.draw(st.integers(1, 12), label="n_events")
+        n_orders = data.draw(st.integers(1, 8), label="n_orders")
+        ev = [
+            (
+                i + 1,
+                data.draw(st.integers(1, 3), label=f"e_uid{i}"),
+                base + dt.timedelta(minutes=data.draw(st.integers(0, 20), label=f"e_ts{i}")),
+            )
+            for i in range(n_events)
+        ]
+        orders = [
+            (
+                100 + i,
+                data.draw(st.integers(1, 4), label=f"o_uid{i}"),  # uid 4: no events
+                base + dt.timedelta(minutes=data.draw(st.integers(0, 20), label=f"o_ts{i}")),
+            )
+            for i in range(n_orders)
+        ]
+        case_no[0] += 1
+        sf = tmp_path / f"sf_{case_no[0]}"
+        sf.mkdir()
+        spark.createDataFrame(
+            [
+                Row(
+                    event_id=e[0],
+                    ts=e[2],
+                    user_id=e[1],
+                    event_type="t",
+                    value=0.0,
+                    props="{}",
+                )
+                for e in ev
+            ]
+        ).write.parquet(str(sf / "events.parquet"))
+        spark.createDataFrame(
+            [Row(o_orderkey=o[0], o_custkey=o[1], o_orderdate=o[2]) for o in orders]
+        ).write.parquet(str(sf / "orders.parquet"))
+
+        got = {
+            r["o_orderkey"]: r["last_event_id"]
+            for r in relational.join_asof_event(spark, str(sf)).collect()
+        }
+        for okey, ouid, ots in orders:
+            cands = [(ts, eid) for eid, euid, ts in ev if euid == ouid and ts <= ots]
+            expected = max(cands)[1] if cands else None
+            assert got[okey] == expected, (okey, got[okey], expected)
+
+    check()
