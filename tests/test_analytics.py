@@ -51,3 +51,90 @@ def test_cumulative_users_reaches_total(spark, sf_dir):
     cums = [r["cum_users"] for r in rows]
     assert cums == sorted(cums)
     assert sum(r["new_users"] for r in rows) == total
+
+
+def test_sessionize_property(spark, tmp_path):
+    """Property test for gap-and-islands sessionization: random per-user
+    timestamp sets (dense bursts, exact-30-minute gaps, duplicates) must
+    produce exactly the sessions a sequential reference computes — a gap
+    >= 30 min STARTS a new session, ties ordered by (ts, event_id)."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Row
+
+    base = dt.datetime(2024, 1, 1)
+    case_no = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.data())
+    def check(data):
+        n = data.draw(st.integers(1, 15), label="n_events")
+        ev = [
+            (
+                i + 1,
+                data.draw(st.integers(1, 3), label=f"uid{i}"),
+                base
+                + dt.timedelta(
+                    # minutes drawn around the 30-min gap so boundary cases
+                    # (29:59.., exactly 30:00, 30:01) occur regularly
+                    minutes=data.draw(st.integers(0, 120), label=f"m{i}")
+                ),
+                float(i),
+            )
+            for i in range(n)
+        ]
+        case_no[0] += 1
+        sf = tmp_path / f"sess_{case_no[0]}"
+        sf.mkdir()
+        spark.createDataFrame(
+            [
+                Row(
+                    event_id=e[0],
+                    ts=e[2],
+                    user_id=e[1],
+                    event_type="t",
+                    value=e[3],
+                    props="{}",
+                )
+                for e in ev
+            ]
+        ).write.parquet(str(sf / "events.parquet"))
+
+        got = {
+            (r["user_id"], r["sid"]): (
+                r["session_start"],
+                r["session_end"],
+                r["n_events"],
+                round(r["session_value"], 4),
+            )
+            for r in analytics.win_sessionize(spark, str(sf)).collect()
+        }
+
+        expected = {}
+        gap = dt.timedelta(minutes=30)
+        for uid in {e[1] for e in ev}:
+            rows = sorted(
+                [e for e in ev if e[1] == uid], key=lambda e: (e[2], e[0])
+            )
+            sid = 0
+            prev = None
+            sess = []
+            for eid, _, ts, val in rows:
+                if prev is None or ts - prev >= gap:
+                    sid += 1
+                    sess.append([])
+                sess[-1].append((ts, val))
+                prev = ts
+            for s, items in enumerate(sess, start=1):
+                tss = [t for t, _ in items]
+                expected[(uid, s)] = (
+                    min(tss),
+                    max(tss),
+                    len(items),
+                    round(sum(v for _, v in items), 4),
+                )
+        assert got == expected
+
+    check()
