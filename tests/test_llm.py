@@ -273,3 +273,64 @@ def test_pack_sequences_invariants(spark, sf_dir):
             assert b["seq_id"] >= a["seq_id"]
             if b["seq_id"] == a["seq_id"]:
                 assert b["seq_offset"] == a["seq_offset"] + a["n_tok"]
+
+
+def test_pack_sequences_property(spark, tmp_path):
+    """Property test for per-shard contiguous packing: random documents
+    (token counts straddling the 2048 budget, multiple langs) must get
+    exactly the (seq_id, seq_offset) a sequential per-(lang, doc_id % 16)
+    cumulative fill assigns."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Row
+
+    case_no = [0]
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.data())
+    def check(data):
+        n = data.draw(st.integers(1, 20), label="n_docs")
+        docs = []
+        for i in range(n):
+            doc_id = i * data.draw(st.integers(1, 7), label=f"stride{i}") + i
+            n_tok = data.draw(
+                st.sampled_from([1, 5, 100, 1000, 2047, 2048, 2500]),
+                label=f"tok{i}",
+            )
+            lang = data.draw(st.sampled_from(["en", "de"]), label=f"lang{i}")
+            docs.append((doc_id, lang, n_tok))
+        docs = {d[0]: d for d in docs}.values()  # unique doc_ids
+        case_no[0] += 1
+        sf = tmp_path / f"pack_{case_no[0]}"
+        sf.mkdir()
+        spark.createDataFrame(
+            [
+                Row(
+                    doc_id=d,
+                    text=" ".join(["w"] * t),
+                    lang=lg,
+                    source="s",
+                    n_chars=2 * t,
+                )
+                for d, lg, t in docs
+            ]
+        ).write.parquet(str(sf / "documents.parquet"))
+
+        got = {
+            r["doc_id"]: (r["lang"], r["shard"], r["n_tok"], r["seq_id"], r["seq_offset"])
+            for r in llm.llm_pack_sequences(spark, str(sf)).collect()
+        }
+
+        # sequential reference: cumulative fill per (lang, doc_id % 16)
+        shards = {}
+        for d, lg, t in sorted(docs):
+            shards.setdefault((lg, d % 16), []).append((d, t))
+        expected = {}
+        for (lg, sh), items in shards.items():
+            cum = 0
+            for d, t in items:  # already doc_id-sorted
+                expected[d] = (lg, sh, t, cum // 2048, cum % 2048)
+                cum += t
+        assert got == expected
+
+    check()
