@@ -334,3 +334,58 @@ def test_pack_sequences_property(spark, tmp_path):
         assert got == expected
 
     check()
+
+
+def test_min_label_propagation_property(spark):
+    """Property test for the connected-components primitive: on random
+    small graphs (chains, stars, cliques, disjoint pairs) every node's
+    label must be the MINIMUM doc_id of its component (union-find
+    reference), and propagation must converge within the iteration cap."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 14), st.integers(0, 14)),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def check(raw_edges):
+        edges = [(a, b) for a, b in raw_edges if a != b]
+        if not edges:
+            return
+        # union-find reference
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {n: find(n) for n in parent}
+
+        df = spark.createDataFrame(
+            [Row(doc_a=a, doc_b=b) for a, b in edges]
+        )
+        sym = df.unionByName(
+            df.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        got = {
+            r["doc_id"]: r["label"]
+            for r in llm._min_label_propagation(sym).collect()
+        }
+        assert got == expected
+
+    check()
