@@ -138,3 +138,89 @@ def test_sessionize_property(spark, tmp_path):
         assert got == expected
 
     check()
+
+
+def test_interpolate_property(spark, tmp_path):
+    """Property test for linear interpolation: random sparse readings per
+    device on the global hour grid — observed cells keep their hourly
+    average, interior gaps take the exact time-weighted blend of the
+    nearest observations, and leading/trailing gaps stay NULL."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Row
+
+    base = dt.datetime(2024, 1, 1)
+    case_no = [0]
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.data())
+    def check(data):
+        n = data.draw(st.integers(1, 15), label="n_events")
+        ev = [
+            (
+                i + 1,
+                data.draw(st.integers(1, 3), label=f"uid{i}"),
+                data.draw(st.integers(0, 10), label=f"h{i}"),
+                float(data.draw(st.integers(-50, 50), label=f"v{i}")),
+            )
+            for i in range(n)
+        ]
+        case_no[0] += 1
+        sf = tmp_path / f"interp_{case_no[0]}"
+        sf.mkdir()
+        spark.createDataFrame(
+            [
+                Row(
+                    event_id=e[0],
+                    ts=base + dt.timedelta(hours=e[2], minutes=e[0] % 60),
+                    user_id=e[1],
+                    event_type="t",
+                    value=e[3],
+                    props="{}",
+                )
+                for e in ev
+            ]
+        ).write.parquet(str(sf / "events.parquet"))
+
+        got = {
+            (r["device_id"], r["hour"].hour): r["v_interp"]
+            for r in analytics.iot_interpolate(spark, str(sf)).collect()
+            if r["hour"].day == 1
+        }
+
+        # reference: hourly means per device on the GLOBAL [lo, hi] grid
+        hours_obs = sorted({e[2] for e in ev})
+        lo, hi = hours_obs[0], hours_obs[-1]
+        for dev in {e[1] for e in ev}:
+            means = {}
+            for h in range(lo, hi + 1):
+                vals = [e[3] for e in ev if e[1] == dev and e[2] == h]
+                if vals:
+                    means[h] = sum(vals) / len(vals)
+            for h in range(lo, hi + 1):
+                if h in means:
+                    exp = means[h]
+                else:
+                    prevs = [x for x in means if x < h]
+                    nxts = [x for x in means if x > h]
+                    if prevs and nxts:
+                        p, nx = max(prevs), min(nxts)
+                        exp = means[p] + (means[nx] - means[p]) * (h - p) / (
+                            nx - p
+                        )
+                    else:
+                        exp = None
+                gotv = got[(dev, h)]
+                if exp is None:
+                    assert gotv is None, (dev, h, gotv)
+                else:
+                    assert gotv is not None and abs(gotv - exp) < 1e-9, (
+                        dev,
+                        h,
+                        gotv,
+                        exp,
+                    )
+
+    check()
