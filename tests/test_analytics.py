@@ -224,3 +224,152 @@ def test_interpolate_property(spark, tmp_path):
                     )
 
     check()
+
+
+def test_funnel_property(spark, tmp_path):
+    """Property test for funnel conversion: random signup/purchase/other
+    event streams must yield first-signup then first STRICTLY-later
+    purchase per user (purchases at or before signup never convert)."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Row
+
+    base = dt.datetime(2024, 1, 1)
+    case_no = [0]
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.data())
+    def check(data):
+        n = data.draw(st.integers(1, 16), label="n_events")
+        ev = [
+            (
+                i + 1,
+                data.draw(st.integers(1, 3), label=f"uid{i}"),
+                base + dt.timedelta(minutes=data.draw(st.integers(0, 30), label=f"m{i}")),
+                data.draw(
+                    st.sampled_from(["signup", "purchase", "click"]),
+                    label=f"t{i}",
+                ),
+            )
+            for i in range(n)
+        ]
+        case_no[0] += 1
+        sf = tmp_path / f"funnel_{case_no[0]}"
+        sf.mkdir()
+        spark.createDataFrame(
+            [
+                Row(
+                    event_id=e[0],
+                    ts=e[2],
+                    user_id=e[1],
+                    event_type=e[3],
+                    value=0.0,
+                    props="{}",
+                )
+                for e in ev
+            ]
+        ).write.parquet(str(sf / "events.parquet"))
+
+        got = {
+            r["user_id"]: (
+                r["signup_ts"],
+                r["purchase_ts"],
+                r["reached_signup"],
+                r["converted"],
+            )
+            for r in analytics.evt_funnel(spark, str(sf)).collect()
+        }
+        for uid in {e[1] for e in ev}:
+            signups = [e[2] for e in ev if e[1] == uid and e[3] == "signup"]
+            s = min(signups) if signups else None
+            purchases = [
+                e[2]
+                for e in ev
+                if e[1] == uid and e[3] == "purchase" and s is not None and e[2] > s
+            ]
+            p = min(purchases) if purchases else None
+            assert got[uid] == (s, p, s is not None, p is not None), (
+                uid,
+                got[uid],
+                (s, p),
+            )
+
+    check()
+
+
+def test_scd2_property(spark, tmp_path):
+    """Property test for the SCD-2 build: random state streams per user
+    must compress into change-point versions whose [from, to) intervals
+    chain exactly, with only the last version current — against a
+    sequential run-length reference ordered by (ts, event_id)."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Row
+
+    from iot_data_pipeline_spark.operators import maintenance
+
+    base = dt.datetime(2024, 1, 1)
+    case_no = [0]
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.data())
+    def check(data):
+        n = data.draw(st.integers(1, 16), label="n_events")
+        ev = [
+            (
+                i + 1,
+                data.draw(st.integers(1, 2), label=f"uid{i}"),
+                base + dt.timedelta(minutes=data.draw(st.integers(0, 12), label=f"m{i}")),
+                data.draw(st.sampled_from(["a", "b", "c"]), label=f"s{i}"),
+            )
+            for i in range(n)
+        ]
+        case_no[0] += 1
+        sf = tmp_path / f"scd2_{case_no[0]}"
+        sf.mkdir()
+        spark.createDataFrame(
+            [
+                Row(
+                    event_id=e[0],
+                    ts=e[2],
+                    user_id=e[1],
+                    event_type=e[3],
+                    value=0.0,
+                    props="{}",
+                )
+                for e in ev
+            ]
+        ).write.parquet(str(sf / "events.parquet"))
+
+        got = sorted(
+            (
+                r["user_id"],
+                r["state"],
+                r["effective_from"],
+                r["effective_to"],
+                r["is_current"],
+            )
+            for r in maintenance.dim_scd2(spark, str(sf)).collect()
+        )
+
+        expected = []
+        for uid in {e[1] for e in ev}:
+            rows = sorted(
+                [e for e in ev if e[1] == uid], key=lambda e: (e[2], e[0])
+            )
+            changes = []
+            prev_state = None
+            for eid, _, ts, state in rows:
+                if prev_state is None or state != prev_state:
+                    changes.append((state, ts))
+                prev_state = state
+            for i, (state, ts) in enumerate(changes):
+                nxt = changes[i + 1][1] if i + 1 < len(changes) else None
+                expected.append((uid, state, ts, nxt, nxt is None))
+        assert got == sorted(expected)
+
+    check()
