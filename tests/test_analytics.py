@@ -373,3 +373,68 @@ def test_scd2_property(spark, tmp_path):
         assert got == sorted(expected)
 
     check()
+
+
+def test_active_windows_property(spark, tmp_path):
+    """Property test for the sweep-line interval count: random urgent-order
+    dates (clusters, gaps, duplicates, interleaved non-urgent noise) must
+    give, for every day on the [min, max] urgent spine, exactly the number
+    of 3-day windows covering it — the naive O(days × windows) reference
+    the sweep-line replaced."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Row
+
+    base = dt.date(2024, 1, 1)
+    case_no = [0]
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.data())
+    def check(data):
+        n = data.draw(st.integers(1, 15), label="n_orders")
+        orders = [
+            (
+                i + 1,
+                base + dt.timedelta(days=data.draw(st.integers(0, 15), label=f"d{i}")),
+                data.draw(
+                    st.sampled_from(["1-URGENT", "3-MEDIUM"]), label=f"p{i}"
+                ),
+            )
+            for i in range(n)
+        ]
+        if not any(p == "1-URGENT" for _, _, p in orders):
+            orders[0] = (orders[0][0], orders[0][1], "1-URGENT")
+        case_no[0] += 1
+        sf = tmp_path / f"aw_{case_no[0]}"
+        sf.mkdir()
+        spark.createDataFrame(
+            [
+                Row(
+                    o_orderkey=k,
+                    o_custkey=1,
+                    o_orderdate=d,
+                    o_orderpriority=p,
+                )
+                for k, d, p in orders
+            ]
+        ).write.parquet(str(sf / "orders.parquet"))
+
+        got = {
+            r["day"]: r["open_windows"]
+            for r in analytics.evt_active_windows(spark, str(sf)).collect()
+        }
+
+        urgent = [d for _, d, p in orders if p == "1-URGENT"]
+        lo, hi = min(urgent), max(urgent)
+        expected = {}
+        day = lo
+        while day <= hi:
+            expected[day] = sum(
+                1 for d in urgent if d <= day <= d + dt.timedelta(days=2)
+            )
+            day += dt.timedelta(days=1)
+        assert got == expected
+
+    check()
