@@ -438,3 +438,67 @@ def test_active_windows_property(spark, tmp_path):
         assert got == expected
 
     check()
+
+
+def test_retention_property(spark, tmp_path):
+    """Property test for week-over-week retention: random (user, day)
+    activity — including Sunday/Monday ISO-week boundaries — must count,
+    per active week, the distinct users active again exactly one week
+    later, per a set-based reference built on Monday week starts."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Row
+
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    case_no = [0]
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.data())
+    def check(data):
+        n = data.draw(st.integers(1, 18), label="n_events")
+        ev = [
+            (
+                i + 1,
+                data.draw(st.integers(1, 3), label=f"uid{i}"),
+                base + dt.timedelta(days=data.draw(st.integers(0, 27), label=f"day{i}")),
+            )
+            for i in range(n)
+        ]
+        case_no[0] += 1
+        sf = tmp_path / f"ret_{case_no[0]}"
+        sf.mkdir()
+        spark.createDataFrame(
+            [
+                Row(
+                    event_id=e[0],
+                    ts=e[2],
+                    user_id=e[1],
+                    event_type="t",
+                    value=0.0,
+                    props="{}",
+                )
+                for e in ev
+            ]
+        ).write.parquet(str(sf / "events.parquet"))
+
+        got = {
+            r["week"]: (r["active_users"], r["retained_next_week"])
+            for r in analytics.evt_retention(spark, str(sf)).collect()
+        }
+
+        weeks = {}
+        for _, uid, ts in ev:
+            wk = (ts - dt.timedelta(days=ts.weekday())).date()
+            weeks.setdefault(wk, set()).add(uid)
+        expected = {
+            wk: (
+                len(users),
+                len(users & weeks.get(wk + dt.timedelta(days=7), set())),
+            )
+            for wk, users in weeks.items()
+        }
+        assert got == expected
+
+    check()

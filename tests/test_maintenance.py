@@ -138,3 +138,60 @@ def test_ewma_first_hour_equals_value_and_stays_bounded(spark, sf_dir):
     )
     j = first.join(hourly, ["device_id", "hour_ts"])
     assert j.filter(F.abs(F.col("ewma") - F.col("v4")) > 1e-12).count() == 0
+
+
+def test_merge_upsert_property(spark, tmp_path):
+    """Property test for MERGE semantics: random order-key sets must
+    classify every output row per the update/insert/keep rules of the
+    full-outer merge (target = keys % 4 != 0, source = keys % 3 == 0 with
+    a 10% uplift), with no key lost or duplicated."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Row
+
+    case_no = [0]
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.sets(st.integers(1, 60), min_size=1, max_size=25)
+    )
+    def check(keys):
+        case_no[0] += 1
+        sf = tmp_path / f"merge_{case_no[0]}"
+        sf.mkdir()
+        spark.createDataFrame(
+            [
+                Row(
+                    o_orderkey=k,
+                    o_custkey=1,
+                    o_orderstatus="O",
+                    o_totalprice=float(100 + k),
+                )
+                for k in sorted(keys)
+            ]
+        ).write.parquet(str(sf / "orders.parquet"))
+
+        got = {
+            r["o_orderkey"]: (
+                r["o_orderstatus"],
+                round(r["o_totalprice"], 6),
+                r["merge_action"],
+            )
+            for r in maintenance.merge_upsert(spark, str(sf)).collect()
+        }
+
+        expected = {}
+        for k in keys:
+            in_target = k % 4 != 0
+            in_source = k % 3 == 0
+            price = float(100 + k)
+            if in_target and in_source:
+                expected[k] = ("U", round(price * 1.1, 6), "update")
+            elif in_target:
+                expected[k] = ("O", round(price, 6), "keep")
+            elif in_source:
+                expected[k] = ("U", round(price * 1.1, 6), "insert")
+        assert got == expected
+        assert len(got) == len(expected)  # no lost or duplicated keys
+
+    check()
