@@ -389,3 +389,67 @@ def test_min_label_propagation_property(spark):
         assert got == expected
 
     check()
+
+
+def test_decontaminate_property(spark, tmp_path):
+    """Property test for eval decontamination: random word-soup corpora
+    (doc_id % 97 == 0 marks eval docs; doc 0 always exists so an eval side
+    is guaranteed) must flag exactly the training docs sharing >= 2
+    distinct 3-gram shingles with some eval doc, with exact max-overlap
+    and eval-doc counts from a set-based reference."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Row
+
+    words = ["alpha", "beta", "gamma", "delta"]
+    case_no = [0]
+
+    def shingles(text):
+        toks = text.lower().split()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.data())
+    def check(data):
+        n = data.draw(st.integers(2, 10), label="n_docs")
+        docs = {}
+        for i in range(n):
+            doc_id = i * 97 if i < 2 else i  # ids 0 and 97 are eval docs
+            n_words = data.draw(st.integers(3, 10), label=f"len{i}")
+            text = " ".join(
+                data.draw(st.sampled_from(words), label=f"w{i}_{j}")
+                for j in range(n_words)
+            )
+            docs[doc_id] = text
+        case_no[0] += 1
+        sf = tmp_path / f"decon_{case_no[0]}"
+        sf.mkdir()
+        spark.createDataFrame(
+            [
+                Row(doc_id=d, text=t, lang="en", source="s", n_chars=len(t))
+                for d, t in docs.items()
+            ]
+        ).write.parquet(str(sf / "documents.parquet"))
+
+        got = {
+            r["doc_id"]: (r["max_shared"], r["n_eval_docs"])
+            for r in llm.llm_decontaminate(spark, str(sf)).collect()
+        }
+
+        eval_sh = {d: shingles(t) for d, t in docs.items() if d % 97 == 0}
+        expected = {}
+        for d, t in docs.items():
+            if d % 97 == 0:
+                continue
+            overlaps = {
+                e: len(shingles(t) & es)
+                for e, es in eval_sh.items()
+                if shingles(t) & es
+            }
+            if overlaps and max(overlaps.values()) >= 2:
+                expected[d] = (max(overlaps.values()), len(overlaps))
+        assert got == expected
+
+    check()
