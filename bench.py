@@ -87,17 +87,22 @@ def main() -> None:
 
     # Best-of-2 per query: the host shows heavy transient I/O contention
     # (identical runs vary up to 4×); the faster run is the engine's number.
+    from iot_data_pipeline_spark.cache_tracker import evict_tracked
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         best = None
         for _ in range(2):
+            evict_tracked()  # each rep pays its own cache fill — no
+            # cross-rep or cross-query pinned frames (round-3 ADVICE).
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             secs = time.time() - t0
             best = secs if best is None or secs < best else best
         timings[name] = round(best, 3)
+    evict_tracked()
 
     etl_mb_per_s = _etl_throughput(spark, sf_dir)
 

@@ -1,0 +1,41 @@
+"""Per-query cache tracking.
+
+Operators that cache an intermediate frame (win_ntile_dist's ranked frame,
+graph_pagerank's out_edges, the LLM shingle frames) register it here so the
+harnesses — verify_local, bench.py, the pytest plan fixtures — can evict
+exactly what a query pinned once its result is materialized, instead of
+relying on a global ``spark.catalog.clearCache()`` sweep (round-3 ADVICE:
+repeated registry sweeps in one session otherwise accumulate cached
+relations and perturb other queries' plans).
+
+The registry is deliberately process-local and append-only between evicts:
+``queries()`` callables stay lazy, so an operator can never unpersist its
+own cache — the harness calls :func:`evict_tracked` after collecting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def tracked_cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` that the harness can later evict."""
+    cached = df.cache()
+    _TRACKED.append(cached)
+    return cached
+
+
+def evict_tracked() -> int:
+    """Unpersist every tracked frame; returns how many were evicted."""
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            # Session already stopped — nothing left to evict.
+            pass
+    return n

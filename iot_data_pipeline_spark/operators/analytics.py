@@ -633,10 +633,10 @@ ORACLES = {
         "            value FROM events),"
         " l AS (SELECT *, LAG(ts) OVER (PARTITION BY user_id"
         "        ORDER BY ts, event_id) AS pts FROM e),"
-        " g AS (SELECT *, SUM(CASE WHEN pts IS NULL"
+        " g AS (SELECT *, CAST(SUM(CASE WHEN pts IS NULL"
         "         OR ts - pts >= INTERVAL '30 minutes' THEN 1 ELSE 0 END)"
         "       OVER (PARTITION BY user_id ORDER BY ts, event_id"
-        "             ROWS UNBOUNDED PRECEDING) AS sid FROM l)"
+        "             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM l)"
         " SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,"
         " COUNT(*) AS n_events,"
         " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value"

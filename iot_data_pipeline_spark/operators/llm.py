@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from iot_data_pipeline_spark.cache_tracker import tracked_cache
 from iot_data_pipeline_spark.operators._util import table
 
 log = logging.getLogger(__name__)
@@ -105,7 +106,7 @@ def llm_dedup_ngram(
             .select("shingle")
         )
         sh = sh.join(keep, "shingle")
-    sh = sh.cache()
+    sh = tracked_cache(sh)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -225,7 +226,7 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     but not SQL-expressible → rows-only oracle; tests assert it finds
     exactly the llm_dedup_ngram pairs on this corpus."""
     d = table(spark, sf_dir, "documents")
-    sh = _word_shingles(d, 3).cache()
+    sh = tracked_cache(_word_shingles(d, 3))
     return near_dup_pairs(sh, 0.5)
 
 
@@ -624,11 +625,13 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests) and linear instead of df²-quadratic at scale. The oracle is the
     exact-pair recursive CTE."""
     pairs = llm_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    edges = tracked_cache(
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
         )
-    ).cache()
+    )
     labels = _min_label_propagation(edges)
     return labels.select(
         "doc_id",
@@ -753,7 +756,7 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    sh = _word_shingles(deduped, 3).cache()
+    sh = tracked_cache(_word_shingles(deduped, 3))
     near_dups = (
         near_dup_pairs(sh, 0.5)
         .select(F.col("doc_b").alias("doc_id"))
@@ -1410,8 +1413,8 @@ ORACLES = {
     ),
     "llm_text_stats": (
         "SELECT lang, source, COUNT(*) AS n_docs,"
-        " SUM(len(string_split(text, ' '))) AS sum_tokens,"
-        " SUM(length(text)) AS sum_chars,"
+        " CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,"
+        " CAST(SUM(length(text)) AS BIGINT) AS sum_chars,"
         " ROUND(SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*), 4)"
         "   AS avg_tokens,"
         " MAX(length(text)) AS max_chars"
@@ -1594,8 +1597,8 @@ ORACLES = {
         " final AS (SELECT * FROM dd WHERE doc_id NOT IN"
         "           (SELECT doc_id FROM nd))"
         " SELECT lang, COUNT(*) AS n_docs,"
-        " SUM(len(string_split(text, ' '))) AS sum_tokens,"
-        " SUM(length(text)) AS sum_chars"
+        " CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,"
+        " CAST(SUM(length(text)) AS BIGINT) AS sum_chars"
         " FROM final GROUP BY lang"
     ),
     "llm_chunk_docs": (

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from iot_data_pipeline_spark.cache_tracker import tracked_cache
 from iot_data_pipeline_spark.operators._util import davg, sql_davg, table
 
 
@@ -218,12 +219,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cached, already-src-partitioned edges + one partial+final sum,
     # instead of re-joining deg every pass.
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    out_edges = edges.join(deg, "src").select("src", "dst", "deg").cache()
-    nodes = (
+    out_edges = tracked_cache(
+        edges.join(deg, "src").select("src", "dst", "deg")
+    )
+    nodes = tracked_cache(
         out_edges.select(F.col("src").alias("node_id"))
         .union(out_edges.select(F.col("dst").alias("node_id")))
         .distinct()
-        .cache()
     )
     n = nodes.count()
     teleport = (15 * _PR_SCALE) // (100 * n)
@@ -434,7 +436,7 @@ ORACLES = {
         "   (SELECT (15 * 1000000000000) // (100 * nn.n) FROM nn)"
         "   + (85 * COALESCE(c3.in_sum, 0)) // 100 AS rank_i"
         "   FROM nodes n LEFT JOIN c3 ON n.node_id = c3.dst)"
-        " SELECT node_id, rank_i FROM r3"
+        " SELECT node_id, CAST(rank_i AS BIGINT) AS rank_i FROM r3"
     ),
     "geo_nearest_hub": (
         "WITH dev AS (SELECT DISTINCT user_id AS device_id FROM events),"

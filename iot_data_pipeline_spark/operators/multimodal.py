@@ -145,13 +145,25 @@ def _decode_png(data: bytes):
     ihdr = None
     idat = bytearray()
     while pos < len(data):
+        # Bounds-check before slicing: a truncated blob must surface as the
+        # decoder's documented ValueError, not IndexError/struct.error, so
+        # mapInPandas failure rows stay diagnosable.
+        if pos + 8 > len(data):
+            raise ValueError(f"PNG: truncated chunk header at byte {pos}")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(
+                f"PNG: truncated chunk {ctype!r} at byte {pos}"
+                f" (declares {length} body bytes)"
+            )
         body = data[pos + 8 : pos + 8 + length]
         expected_crc = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])[0]
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != expected_crc:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(f"PNG: IHDR body is {len(body)} bytes, want 13")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
             idat.extend(body)
@@ -375,8 +387,12 @@ class _JpgBitReader:
         stuffed FF00 the 1-bit padding can produce), then require RSTn."""
         self.buf = self.nbits = 0
         d, p = self.data, self.pos
-        while d[p] != 0xFF or d[p + 1] == 0x00:
+        while p + 1 < len(d) and (d[p] != 0xFF or d[p + 1] == 0x00):
             p += 1
+        if p + 1 >= len(d):
+            raise ValueError(
+                f"JPEG: truncated scan — no RST{n % 8} marker before EOF"
+            )
         if d[p + 1] != 0xD0 + (n % 8):
             raise ValueError(
                 f"JPEG: expected RST{n % 8}, got {d[p]:02X}{d[p + 1]:02X}"
@@ -470,6 +486,17 @@ def _jpg_decode_scan(data, pos, frame, qt, huff, sel, restart_interval):
     import numpy as np
 
     comps = frame["comps"]
+    if len(sel) == 1:
+        # T.81 §A.2.2: a non-interleaved (single-component) scan's MCU is
+        # exactly one data unit — the component's sampling factors apply
+        # only to interleaved scans. A grayscale JPEG declaring 2x2
+        # sampling must still decode one 8x8 block per MCU.
+        if len(comps) > 1:
+            raise NotImplementedError(
+                "JPEG: multi-scan non-interleaved frames (got a 1-component"
+                f" scan over a {len(comps)}-component frame)"
+            )
+        comps = [dict(comps[0], h=1, v=1)]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-frame["w"] // (8 * hmax))
@@ -610,6 +637,11 @@ def _encode_jpeg(coeffs, w, h, sampling=None, restart_interval=0):
     sos += bytes([0, 63, 0])
     head += seg(0xDA, sos)
 
+    if ncomp == 1:
+        # T.81 §A.2.2: a 1-component scan is non-interleaved — one data
+        # unit per MCU regardless of the sampling declared in SOF (mirrors
+        # the decoder's handling of sampled grayscale frames).
+        sampling = [(1, 1)]
     hmax = max(s[0] for s in sampling)
     vmax = max(s[1] for s in sampling)
     mcus_x = -(-w // (8 * hmax))
@@ -932,7 +964,8 @@ ORACLES = {
         "        (doc_id * 131 + i * 7919) % 65536 - 32768 AS amp FROM s)"
         " SELECT doc_id AS media_id, 44 + 2 * n AS n_bytes,"
         " 1 AS n_channels, 16000 AS sample_rate, n AS n_samples,"
-        " MIN(amp) AS amp_min, MAX(amp) AS amp_max, SUM(amp) AS amp_sum"
+        " MIN(amp) AS amp_min, MAX(amp) AS amp_max,"
+        " CAST(SUM(amp) AS BIGINT) AS amp_sum"
         " FROM a GROUP BY doc_id, n"
     ),
     # Decoded PPM features equal pure arithmetic: header "P6\n{w} {h}\n255\n"
@@ -949,10 +982,11 @@ ORACLES = {
         " SELECT doc_id AS media_id, CAST(MAX(w) AS INTEGER) AS width,"
         " CAST(MAX(h) AS INTEGER) AS height,"
         " 11 + MAX(w) * MAX(h) * 3 AS n_bytes,"
-        " MIN(val) AS px_min, MAX(val) AS px_max, SUM(val) AS px_sum,"
-        " SUM(CASE WHEN ch = 0 THEN val ELSE 0 END) AS r_sum,"
-        " SUM(CASE WHEN ch = 1 THEN val ELSE 0 END) AS g_sum,"
-        " SUM(CASE WHEN ch = 2 THEN val ELSE 0 END) AS b_sum"
+        " MIN(val) AS px_min, MAX(val) AS px_max,"
+        " CAST(SUM(val) AS BIGINT) AS px_sum,"
+        " CAST(SUM(CASE WHEN ch = 0 THEN val ELSE 0 END) AS BIGINT) AS r_sum,"
+        " CAST(SUM(CASE WHEN ch = 1 THEN val ELSE 0 END) AS BIGINT) AS g_sum,"
+        " CAST(SUM(CASE WHEN ch = 2 THEN val ELSE 0 END) AS BIGINT) AS b_sum"
         " FROM v GROUP BY doc_id"
     ),
     "mm_frame_sample": (

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from iot_data_pipeline_spark.cache_tracker import tracked_cache
 from iot_data_pipeline_spark.operators._util import dec, table
 
 # ---------------------------------------------------------------------------
@@ -398,7 +399,7 @@ def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache: the ranked frame feeds three branches (ranks, per-partition
     # counts, total); one scan + one range shuffle instead of three, and
     # the materialized pid column can never disagree between branches.
-    local = ranged.withColumn("lrank", F.row_number().over(lw)).cache()
+    local = tracked_cache(ranged.withColumn("lrank", F.row_number().over(lw)))
     counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
     # counts has ≤ `parts` rows: the global window over it is free, and
     # both side tables broadcast.
@@ -427,10 +428,15 @@ def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "c_custkey",
         ntile.cast("int").alias("bal_quartile"),
-        (
+        # percent_rank of a single-row partition is defined as 0.0 (what
+        # the builtin and the DuckDB oracle return); the closed form
+        # (rnk-1)/(n_total-1) would raise DIVIDE_BY_ZERO under ANSI mode.
+        F.when(F.col("n_total") == 1, F.lit(0.0))
+        .otherwise(
             (F.col("rnk") - 1).cast("double")
             / (F.col("n_total") - 1).cast("double")
-        ).alias("bal_pct_rank"),
+        )
+        .alias("bal_pct_rank"),
         (
             F.col("rnk").cast("double") / F.col("n_total").cast("double")
         ).alias("bal_cume_dist"),

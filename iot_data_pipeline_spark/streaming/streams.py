@@ -34,7 +34,7 @@ EVENTS_SCHEMA = (
 
 # Staged replay dirs are pure functions of their parameters (deterministic
 # splits, pinned mtimes), so repeated invocations in one process — bench
-# best-of-2 reps, the full verify sweep — reuse the first staging instead
+# reps, the full verify sweep — reuse the first staging instead
 # of re-writing the events table per call. Keyed per-process; dirs live in
 # /tmp until process exit.
 _STAGED_DIRS: dict[tuple, str] = {}

@@ -41,3 +41,32 @@ def test_engine_default_sf_dir(spark, sf_dir):
         eng.query("agg_count_star")
     eng.register_tables(sf_dir, names=("nation",))
     assert eng.query("agg_count_star").count() == 1
+
+
+def test_verify_local_type_parity_flags_hugeint_and_decimal():
+    """The local gate must be at least as strict as the driver's
+    type-sensitive hash (round-3 verdict item 2): an uncast integer SUM
+    (HUGEINT in DuckDB) or a DECIMAL-vs-DOUBLE divergence is a failure
+    even when every value matches."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "verify_local.py",
+    )
+    spec = importlib.util.spec_from_file_location("_vl", path)
+    vl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vl)
+
+    con = duckdb.connect()
+    q = "SELECT SUM(x) AS s FROM (VALUES (1), (2)) t(x)"
+    probs = vl._oracle_type_problems(con, q, ["s"], ["bigint"])
+    assert probs and "HUGEINT" in probs[0]
+    fixed = "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (VALUES (1), (2)) t(x)"
+    assert vl._oracle_type_problems(con, fixed, ["s"], ["bigint"]) == []
+    # DuckDB DECIMAL vs Spark double must be flagged, not silently hashed
+    probs = vl._oracle_type_problems(con, "SELECT 1.5 AS v", ["v"], ["double"])
+    assert probs and "DECIMAL" in probs[0]

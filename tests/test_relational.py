@@ -228,3 +228,19 @@ def test_asof_join_property(spark, tmp_path):
             assert got[okey] == expected, (okey, got[okey], expected)
 
     check()
+
+
+def test_win_ntile_dist_single_row_no_divide_by_zero(spark, sf_dir, tmp_path):
+    """percent_rank over a 1-row table is 0.0 — what the builtin and the
+    DuckDB oracle return. The closed form (rnk-1)/(n_total-1) must be
+    guarded or ANSI mode raises DIVIDE_BY_ZERO (round-3 ADVICE, medium)."""
+    from iot_data_pipeline_spark.operators import reshape
+
+    one = spark.read.parquet(f"{sf_dir}/customer.parquet").limit(1)
+    one.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    rows = reshape.win_ntile_dist(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["bal_quartile"] == 1
+    assert r["bal_pct_rank"] == 0.0
+    assert r["bal_cume_dist"] == 1.0

@@ -61,3 +61,66 @@ def test_results_invariant_to_physical_config(
         spark.conf.set(conf_key, prev)
         spark.catalog.clearCache()
     assert perturbed == baseline
+
+
+# --- registry-wide hostile-default smoke (round-3 verdict item 4) ---------
+#
+# The driver imports __spark_entry__ from an arbitrary cwd into a session
+# whose defaults we don't control. entry() has always been smoked that way;
+# this pins the same property for a registry sample: every query must
+# self-pin its determinism confs (session.prepare), so a hostile session
+# timezone plus a /tmp working directory must not change a single value.
+# Sample is weighted toward timestamp-emitting plans, where a TZ leak
+# would actually bite.
+
+TZ_SMOKE_SAMPLE = [
+    "win_sessionize",      # timestamp session bounds (r3 driver-FAIL id)
+    "win_lag_lead",        # lag/lead over event time
+    "agg_time_window",     # tumbling window timestamps
+    "iot_downsample",      # time-bucketed averages
+    "evt_retention",       # week-boundary date arithmetic
+    "evt_dau",             # per-day distincts
+    "evt_latest_snapshot", # max-ts dedup
+    "fn_date_suite",       # date/timestamp scalar functions
+    "join_asof_event",     # event-time as-of join
+    "sort_limit",          # control: no timestamps at all
+]
+
+
+def _entry_queries():
+    import importlib.util
+    import os as _os
+
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "__spark_entry__.py",
+    )
+    spec = importlib.util.spec_from_file_location("_tz_smoke_entry", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.queries()
+
+
+@pytest.mark.parametrize("qname", TZ_SMOKE_SAMPLE)
+def test_registry_survives_hostile_tz_and_cwd(spark, sf_dir, qname):
+    import os
+    import tempfile
+
+    fn = _entry_queries()[qname]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.catalog.clearCache()
+    # repr keeps tzinfo: a naive-vs-aware or shifted timestamp must FAIL
+    base = sorted(tuple(map(repr, r)) for r in fn(spark, sf_dir).collect())
+    cwd = os.getcwd()
+    try:
+        os.chdir(tempfile.mkdtemp(prefix="tz_smoke_"))
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        spark.catalog.clearCache()
+        hostile = sorted(
+            tuple(map(repr, r)) for r in fn(spark, sf_dir).collect()
+        )
+    finally:
+        os.chdir(cwd)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.catalog.clearCache()
+    assert hostile == base

@@ -540,3 +540,56 @@ def test_png_codec_property_roundtrip():
         assert (arr == img).all()
 
     check()
+
+
+def test_decode_media_jpeg_sampled_grayscale_non_interleaved():
+    """T.81 §A.2.2: a 1-component scan is non-interleaved — one data unit
+    per MCU even when SOF declares 2x2 sampling (round-3 ADVICE: the
+    interleaved path would mis-decode real-world sampled grayscale)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    blocks = (
+        rng.randint(-25, 26, (2, 3, 8, 8)) * (rng.rand(2, 3, 8, 8) < 0.4)
+    ).astype(np.int64)
+    blob = multimodal._encode_jpeg([blocks], 24, 16, sampling=[(2, 2)])
+    # SOF must still carry the declared 2x2 factors for the test to bite.
+    sof_at = blob.index(b"\xff\xc0")
+    # FFC0 len(2) prec(1) h(2) w(2) ncomp(1) cid(1) -> hv byte at +11
+    assert blob[sof_at + 11] == 0x22
+    arr, meta = multimodal.decode_media(blob, "image/jpeg")
+    assert meta["n_components"] == 1 and arr.shape == (16, 24)
+    exp = np.zeros((16, 24))
+    for r in range(2):
+        for c in range(3):
+            exp[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = multimodal._jpg_idct(
+                blocks[r, c]
+            )
+    assert (arr == np.clip(np.round(exp + 128), 0, 255).astype(np.uint8)).all()
+
+
+def test_decode_media_truncated_blobs_raise_valueerror():
+    """Truncated blobs surface the decoders' documented ValueError (never
+    IndexError/struct.error) so mapInPandas failure rows stay diagnosable."""
+    import numpy as np
+
+    from iot_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+        synth_png,
+    )
+
+    png = synth_png(3, 6, 6)
+    # cut inside a chunk body and inside a chunk header
+    for cut in (len(png) - 5, 10):
+        with pytest.raises(ValueError, match="PNG"):
+            decode_media(png[:cut], "image/png")
+
+    rng = np.random.RandomState(5)
+    blocks = (
+        rng.randint(-20, 21, (2, 2, 8, 8)) * (rng.rand(2, 2, 8, 8) < 0.5)
+    ).astype(np.int64)
+    jpg = multimodal._encode_jpeg([blocks], 16, 16, restart_interval=1)
+    # cut mid-entropy-data (before the trailing EOI) -> truncated scan
+    for cut in (len(jpg) - 4, len(jpg) - 10):
+        with pytest.raises(ValueError, match="JPEG"):
+            decode_media(jpg[:cut], "image/jpeg")

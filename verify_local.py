@@ -36,7 +36,10 @@ def _norm_cell(v):
         import datetime
 
         if isinstance(v, datetime.datetime):
-            return v.replace(tzinfo=None).isoformat()
+            # Driver-strict: keep tzinfo. A session-TZ divergence between
+            # Spark and DuckDB must FAIL here, exactly as the driver's
+            # type/zone-sensitive hash would (round-3 verdict item 2).
+            return v.isoformat()
         if isinstance(v, datetime.date):
             return v.isoformat()
     except Exception:
@@ -49,6 +52,46 @@ def _norm_cell(v):
     except Exception:
         pass
     return str(v)
+
+
+def _oracle_type_problems(con, sql, scols, sdtypes):
+    """Result-type parity between the DuckDB oracle and the Spark result.
+
+    The driver's value hash is type-sensitive (round-3 verdict: three
+    uncast integer SUMs widened to HUGEINT and hash-FAILed despite exact
+    value matches).  Hard-fail on any HUGEINT/UHUGEINT oracle column and
+    flag DECIMAL-vs-floating divergence so it can't ship again.
+    """
+    problems = []
+    try:
+        desc = con.sql(f"DESCRIBE {sql}").fetchall()
+    except Exception as ex:  # pragma: no cover - describe should not fail
+        return [f"DESCRIBE failed: {str(ex)[:120]}"]
+    stypes = {c.lower(): t for c, t in zip(scols, sdtypes)}
+    for row in desc:
+        col, dtype = row[0], row[1].upper()
+        if "HUGEINT" in dtype:
+            problems.append(
+                f"oracle column {col} is {dtype} (uncast integer SUM?);"
+                " CAST it to BIGINT in the oracle SQL"
+            )
+            continue
+        st = stypes.get(col.lower())
+        if st is None:
+            continue  # name mismatch is reported by the schema check
+        duck_is_dec = dtype.startswith("DECIMAL")
+        spark_is_float = st in ("double", "float")
+        spark_is_dec = st.startswith("decimal")
+        if duck_is_dec and spark_is_float:
+            problems.append(
+                f"oracle column {col} is {dtype} but Spark emits {st};"
+                " CAST the oracle expression to DOUBLE"
+            )
+        elif dtype == "DOUBLE" and spark_is_dec:
+            problems.append(
+                f"oracle column {col} is DOUBLE but Spark emits {st}"
+            )
+    return problems
 
 
 def _rows_multiset(cols, rows):
@@ -93,8 +136,13 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     selected = args or list(qs)
 
+    from iot_data_pipeline_spark.cache_tracker import evict_tracked
+
     n_pass = n_fail = n_rows_only = 0
     for name in selected:
+        # Evict the previous query's tracked caches so one query's pinned
+        # frames can't perturb the next query's plan (round-3 ADVICE).
+        evict_tracked()
         fn = qs[name]
         t0 = time.time()
         try:
@@ -120,7 +168,9 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             continue
-        problems = []
+        problems = _oracle_type_problems(
+            con, oracles[name], scols, [t for _, t in sdf.dtypes]
+        )
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
@@ -141,6 +191,7 @@ def main() -> int:
             print(f"PASS {name}: {len(srows)} rows  ({dt:.1f}s)")
             n_pass += 1
 
+    evict_tracked()
     print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
     spark.stop()
     return 1 if n_fail else 0
