@@ -593,3 +593,39 @@ def test_decode_media_truncated_blobs_raise_valueerror():
     for cut in (len(jpg) - 4, len(jpg) - 10):
         with pytest.raises(ValueError, match="JPEG"):
             decode_media(jpg[:cut], "image/jpeg")
+
+
+def test_mm_decode_png_jpeg_staged_match_oracles(spark, sf_dir):
+    """Round-5 staging gate: mm_decode_png / mm_decode_jpeg (registry twins
+    of the r3 codecs, held out of queries() by the registry freeze) must
+    already match their DuckDB oracles value-for-value, so flipping them in
+    after the unfreeze is a zero-risk diff."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/documents.parquet')"
+    )
+    for qname in sorted(multimodal.STAGED_QUERIES):
+        sdf = multimodal.STAGED_QUERIES[qname](spark, sf_dir)
+        rel = con.sql(multimodal.STAGED_ORACLES[qname])
+        # same no-HUGEINT discipline the verify gate enforces
+        assert not any(
+            "HUGEINT" in t.upper()
+            for t in [r[1] for r in con.sql(
+                f"DESCRIBE {multimodal.STAGED_ORACLES[qname]}"
+            ).fetchall()]
+        ), qname
+        scols = sdf.columns
+        dcols = list(rel.columns)
+        assert sorted(scols) == sorted(dcols), qname
+        order = sorted(range(len(scols)), key=lambda i: scols[i])
+        got = sorted(
+            tuple(str(r[i]) for i in order) for r in sdf.collect()
+        )
+        dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        want = sorted(
+            tuple(str(r[i]) for i in dorder) for r in rel.fetchall()
+        )
+        assert got == want, qname
