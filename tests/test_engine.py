@@ -70,3 +70,41 @@ def test_verify_local_type_parity_flags_hugeint_and_decimal():
     # DuckDB DECIMAL vs Spark double must be flagged, not silently hashed
     probs = vl._oracle_type_problems(con, "SELECT 1.5 AS v", ["v"], ["double"])
     assert probs and "DECIMAL" in probs[0]
+
+
+def test_all_registry_oracles_use_portable_result_types():
+    """Spark-free sweep of every oracle (registered + staged): DESCRIBE on
+    the sf0.001 views must produce no HUGEINT/UHUGEINT (DuckDB's integer-SUM
+    widening — the round-3 driver hash-FAIL class) and no TIMESTAMP WITH
+    TIME ZONE (tz-aware vs Spark's naive session-TZ collect). Runs in
+    seconds, so the discipline lives in the default pytest gate, not only
+    in the slower verify sweep."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "_entry_types", os.path.join(root, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from iot_data_pipeline_spark.operators import multimodal
+    from iot_data_pipeline_spark.sources.readers import TABLES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    oracles = dict(mod.oracle_sql())
+    oracles.update(multimodal.STAGED_ORACLES)
+    bad = []
+    for name, sql in oracles.items():
+        for row in con.execute(f"DESCRIBE {sql}").fetchall():
+            dtype = row[1].upper()
+            if "HUGEINT" in dtype or "WITH TIME ZONE" in dtype:
+                bad.append((name, row[0], row[1]))
+    assert bad == [], bad

@@ -76,6 +76,15 @@ def _oracle_type_problems(con, sql, scols, sdtypes):
                 " CAST it to BIGINT in the oracle SQL"
             )
             continue
+        if "WITH TIME ZONE" in dtype:
+            # Spark collects naive session-TZ datetimes; a TIMESTAMPTZ
+            # oracle column compares tz-aware vs naive and the driver's
+            # hash (like the strict _norm_cell) would diverge.
+            problems.append(
+                f"oracle column {col} is {dtype}; CAST it to TIMESTAMP"
+                " so both sides compare naive session-TZ instants"
+            )
+            continue
         st = stypes.get(col.lower())
         if st is None:
             continue  # name mismatch is reported by the schema check
