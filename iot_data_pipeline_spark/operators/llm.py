@@ -1296,6 +1296,52 @@ def llm_corpus_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact dedup: classify every INCOMING document
+    (``doc_id % 4 == 0`` — a deterministic stand-in for a new ingestion
+    shard) against the EXISTING corpus (the other 3/4). The standard
+    training-data ingestion gate: a new crawl shard is deduped against the
+    corpus already on disk before it is admitted.
+
+    Status per incoming doc, in priority order:
+    ``dup_of_existing`` (normalized text already in the corpus, whole
+    duplicate group dropped), ``dup_within_incoming`` (first occurrence
+    inside the shard wins), ``kept``.
+
+    100 TB shape: both sides reduce to sha2 digests of normalized text, so
+    the anti-join ships 64-byte uniform keys, never documents — the join
+    and the keep-first window share the same hash-partitioning on the
+    digest, and the existing side is pre-distinct so the probe table is
+    one row per unique document. No broadcast assumption: at scale both
+    sides are large and hash-partition cleanly (digests are uniform, no
+    skew). Oracle joins on lower(trim(text)) directly — same equivalence
+    classes, hash-free (the same parity argument as llm_dedup_exact)."""
+    d = table(spark, sf_dir, "documents")
+    h = F.sha2(normalized_text(), 256)
+    inc = d.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", "lang", h.alias("h")
+    )
+    ex = (
+        d.filter(F.col("doc_id") % 4 != 0)
+        .select(h.alias("h"))
+        .distinct()
+        .withColumn("in_existing", F.lit(True))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        inc.withColumn("rn", F.row_number().over(w))
+        .join(ex, "h", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("in_existing").isNotNull(), F.lit("dup_of_existing"))
+            .when(F.col("rn") > 1, F.lit("dup_within_incoming"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+
+
 QUERIES = {
     "llm_dedup_exact": llm_dedup_exact,
     "llm_dedup_ngram": llm_dedup_ngram,
@@ -1674,5 +1720,29 @@ ORACLES = {
         "      ELSE least(254, CAST(floor((v - mn) / (mx - mn) * 255)"
         "                          AS BIGINT)) END ORDER BY i) AS qvec"
         " FROM ex JOIN dims USING (i) GROUP BY vec_id"
+    ),
+}
+
+# Round-5 staging (registry FROZEN until driver attestation ≥170 — round-2
+# verdict). Pytest-verified against the oracle now; flip into
+# QUERIES/ORACLES after the unfreeze.
+STAGED_QUERIES = {
+    "llm_cross_dedup": llm_cross_dedup,
+}
+
+STAGED_ORACLES = {
+    "llm_cross_dedup": (
+        "WITH inc AS (SELECT doc_id, lang, lower(trim(text)) AS k"
+        "             FROM documents WHERE doc_id % 4 = 0),"
+        " ex AS (SELECT DISTINCT lower(trim(text)) AS k FROM documents"
+        "        WHERE doc_id % 4 != 0),"
+        " r AS (SELECT doc_id, lang, k,"
+        "       ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id) AS rn"
+        "       FROM inc)"
+        " SELECT r.doc_id, r.lang,"
+        " CASE WHEN ex.k IS NOT NULL THEN 'dup_of_existing'"
+        "      WHEN rn > 1 THEN 'dup_within_incoming'"
+        "      ELSE 'kept' END AS status"
+        " FROM r LEFT JOIN ex ON r.k = ex.k"
     ),
 }

@@ -90,7 +90,7 @@ def test_all_registry_oracles_use_portable_result_types():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    from iot_data_pipeline_spark.operators import multimodal
+    from iot_data_pipeline_spark.operators import llm, multimodal
     from iot_data_pipeline_spark.sources.readers import TABLES
 
     sf = "/root/testdata/sf0.001"
@@ -101,6 +101,7 @@ def test_all_registry_oracles_use_portable_result_types():
         )
     oracles = dict(mod.oracle_sql())
     oracles.update(multimodal.STAGED_ORACLES)
+    oracles.update(llm.STAGED_ORACLES)
     bad = []
     for name, sql in oracles.items():
         for row in con.execute(f"DESCRIBE {sql}").fetchall():

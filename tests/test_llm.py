@@ -453,3 +453,37 @@ def test_decontaminate_property(spark, tmp_path):
         assert got == expected
 
     check()
+
+
+def test_llm_cross_dedup_staged_matches_oracle(spark, sf_dir):
+    """Round-5 staging gate for llm_cross_dedup (held out of the frozen
+    registry): Spark's sha2-keyed classification must match the oracle's
+    lower(trim(text))-keyed one value-for-value — same parity argument as
+    llm_dedup_exact — and the three statuses must partition the incoming
+    shard."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/documents.parquet')"
+    )
+    sdf = llm.STAGED_QUERIES["llm_cross_dedup"](spark, sf_dir)
+    rel = con.sql(llm.STAGED_ORACLES["llm_cross_dedup"])
+    scols = sdf.columns
+    dcols = list(rel.columns)
+    assert sorted(scols) == sorted(dcols)
+    sorder = sorted(range(len(scols)), key=lambda i: scols[i])
+    dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    got = sorted(tuple(str(r[i]) for i in sorder) for r in sdf.collect())
+    want = sorted(tuple(str(r[i]) for i in dorder) for r in rel.fetchall())
+    assert got == want
+    rows = sdf.collect()
+    assert {r["status"] for r in rows} <= {
+        "kept", "dup_of_existing", "dup_within_incoming"
+    }
+    # every incoming doc classified exactly once
+    n_incoming = con.sql(
+        "SELECT count(*) FROM documents WHERE doc_id % 4 = 0"
+    ).fetchone()[0]
+    assert len(rows) == n_incoming
