@@ -487,3 +487,56 @@ def test_llm_cross_dedup_staged_matches_oracle(spark, sf_dir):
         "SELECT count(*) FROM documents WHERE doc_id % 4 = 0"
     ).fetchone()[0]
     assert len(rows) == n_incoming
+
+
+def test_llm_cross_dedup_property(spark):
+    """Property test for the staged cross-corpus dedup: on random corpora
+    with forced cross-shard and within-shard duplicates, every incoming
+    doc's status must equal a brute-force set-based classification
+    (existing-normalized-texts lookup, then first-wins within the shard)."""
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+    doc = st.lists(word, min_size=1, max_size=6).map(" ".join)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc, min_size=4, max_size=16))
+    def check(texts):
+        # force collisions: repeat some texts verbatim and case-shifted
+        corpus = texts + [t.upper() for t in texts[:: 2]] + texts[:2]
+        rows = [
+            Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+            for i, t in enumerate(corpus)
+        ]
+        tdir = tempfile.mkdtemp(prefix="xdedup_prop_")
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(
+            tdir + "/documents.parquet"
+        )
+        got = {
+            r["doc_id"]: r["status"]
+            for r in llm.STAGED_QUERIES["llm_cross_dedup"](
+                spark, tdir
+            ).collect()
+        }
+        # brute-force reference on normalized text
+        norm = {i: t.lower().strip() for i, t in enumerate(corpus)}
+        existing = {norm[i] for i in norm if i % 4 != 0}
+        want = {}
+        seen: set[str] = set()
+        for i in sorted(norm):
+            if i % 4 != 0:
+                continue
+            k = norm[i]
+            if k in existing:
+                want[i] = "dup_of_existing"
+            elif k in seen:
+                want[i] = "dup_within_incoming"
+            else:
+                want[i] = "kept"
+            seen.add(k)
+        assert got == want
+
+    check()
