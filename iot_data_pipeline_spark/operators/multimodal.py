@@ -1020,9 +1020,63 @@ QUERIES = {
 # verdict). These two are fully implemented and oracle-checked by pytest
 # (tests/test_sources.py) now; flipping them into QUERIES/ORACLES after the
 # unfreeze gives the r3 PNG/JPEG decoders their own driver CORRECTNESS rows.
+def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio featurization over the real WAV decode path: energy,
+    zero-crossing count, and peak amplitude per non-overlapping 400-sample
+    frame — the classic VAD/segmentation front-end, run as decode →
+    numpy frame ops inside one Arrow-batched mapInPandas. All features are
+    integer arithmetic on the decoded int16 samples, so the SQL oracle
+    recomputes them exactly from the synth formula; a hash match proves
+    decode AND framing are sample-exact.
+
+    100 TB shape: one narrow pass, no shuffle — each blob's frames are
+    emitted by the same task that decoded it; the 1→N frame expansion is
+    bounded by blob length. Same seam swaps in FFT/spectral features
+    (float, rows-only oracle) without touching the plumbing."""
+    frame_len = 400
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(800) + F.pmod(F.col("doc_id"), F.lit(400))).alias("n_samples"),
+    )
+
+    def gen_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, n in zip(pdf["media_id"], pdf["n_samples"]):
+                blob = synth_wav(int(mid), int(n))
+                arr, _meta = decode_media(blob, "audio/wav")
+                a = arr.astype(np.int64)
+                for f in range(-(-len(a) // frame_len)):
+                    fr = a[f * frame_len : (f + 1) * frame_len]
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_no": f,
+                            "n_in_frame": len(fr),
+                            "energy": int((fr * fr).sum()),
+                            # strict sign flips; zero samples never count
+                            "n_zero_cross": int(
+                                ((fr[:-1] * fr[1:]) < 0).sum()
+                            ),
+                            "amp_peak": int(np.abs(fr).max()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen_frames,
+        "media_id LONG, frame_no LONG, n_in_frame LONG, energy LONG,"
+        " n_zero_cross LONG, amp_peak LONG",
+    )
+
+
 STAGED_QUERIES = {
     "mm_decode_png": mm_decode_png,
     "mm_decode_jpeg": mm_decode_jpeg,
+    "mm_audio_frames": mm_audio_frames,
 }
 
 # Oracle note: document text is pure ASCII (verified), so byte semantics on
@@ -1131,5 +1185,22 @@ STAGED_ORACLES = {
         " MIN(val) AS px_min, MAX(val) AS px_max,"
         " CAST(SUM(val) * 64 AS BIGINT) AS px_sum"
         " FROM v GROUP BY doc_id"
+    ),
+    "mm_audio_frames": (
+        "WITH s AS (SELECT doc_id, 800 + doc_id % 400 AS n,"
+        "        unnest(generate_series(0, 800 + doc_id % 400 - 1)) AS i"
+        "        FROM documents),"
+        " a AS (SELECT doc_id, i, i // 400 AS frame_no,"
+        "        (doc_id * 131 + i * 7919) % 65536 - 32768 AS amp FROM s),"
+        " l AS (SELECT doc_id, frame_no, amp,"
+        "        LAG(amp) OVER (PARTITION BY doc_id, frame_no ORDER BY i)"
+        "          AS pamp FROM a)"
+        " SELECT doc_id AS media_id, frame_no,"
+        " COUNT(*) AS n_in_frame,"
+        " CAST(SUM(amp * amp) AS BIGINT) AS energy,"
+        " CAST(SUM(CASE WHEN pamp IS NOT NULL AND pamp * amp < 0"
+        "          THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,"
+        " MAX(ABS(amp)) AS amp_peak"
+        " FROM l GROUP BY doc_id, frame_no"
     ),
 }

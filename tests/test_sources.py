@@ -595,11 +595,12 @@ def test_decode_media_truncated_blobs_raise_valueerror():
             decode_media(jpg[:cut], "image/jpeg")
 
 
-def test_mm_decode_png_jpeg_staged_match_oracles(spark, sf_dir):
-    """Round-5 staging gate: mm_decode_png / mm_decode_jpeg (registry twins
-    of the r3 codecs, held out of queries() by the registry freeze) must
-    already match their DuckDB oracles value-for-value, so flipping them in
-    after the unfreeze is a zero-risk diff."""
+def test_mm_staged_queries_match_oracles(spark, sf_dir):
+    """Round-5 staging gate: every staged multimodal query (codec twins
+    mm_decode_png/jpeg, the mm_audio_frames featurizer — all held out of
+    queries() by the registry freeze) must already match its DuckDB oracle
+    value-for-value, so flipping them in after the unfreeze is a zero-risk
+    diff."""
     import duckdb
 
     con = duckdb.connect()
