@@ -445,10 +445,16 @@ def iot_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Forward carry as a REVERSED running frame: `first(...) over
+    # (currentRow, unboundedFollowing)` is a non-shrinkable frame that
+    # Spark recomputes from scratch per row — O(rows²) per device
+    # partition (5× the whole query's runtime at sf0.1). `last(...)` over
+    # the desc-ordered prefix is the same value in O(rows): both window
+    # passes are running frames, one exchange + two sorts.
     fwd = (
         Window.partitionBy("device_id")
-        .orderBy("hour")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("hour").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
     w = j.select(
@@ -457,8 +463,8 @@ def iot_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(back).alias("pv"),
         F.last(obs_hour, ignorenulls=True).over(back).alias("pt"),
-        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
-        F.first(obs_hour, ignorenulls=True).over(fwd).alias("nt"),
+        F.last("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.last(obs_hour, ignorenulls=True).over(fwd).alias("nt"),
     )
     ratio = (
         F.col("hour").cast("long") - F.col("pt").cast("long")

@@ -71,4 +71,43 @@ def test_no_cartesian_unjustified_nested_loop_or_row_python(spark, sf_dir):
             offenders[name] = "unjustified BroadcastNestedLoopJoin"
         elif "BatchEvalPython" in plan and name not in ROW_PYTHON_OK:
             offenders[name] = "row-at-a-time Python outside the declared tier"
+        elif _has_quadratic_window_frame(plan):
+            # frames ending at unboundedfollowing that do NOT span the
+            # whole partition are recomputed from scratch per row —
+            # O(rows²) per partition (iot_interpolate cost 5× its own
+            # runtime this way in round 4). Express a forward carry as a
+            # reversed running frame instead.
+            offenders[name] = "O(rows^2) unbounded-following window frame"
     assert not offenders, offenders
+
+
+def _has_quadratic_window_frame(plan: str) -> bool:
+    import re
+
+    # the frame spec contains `$()`-suffixed tokens, so the match must
+    # tolerate one level of nested empty parens
+    for m in re.finditer(r"specifiedwindowframe\((?:[^()]|\(\))*\)", plan):
+        spec = m.group(0)
+        if "unboundedfollowing$()" in spec and "unboundedpreceding$()" not in spec:
+            return True
+    return False
+
+
+def test_quadratic_frame_detector_classification():
+    """The detector must flag exactly the non-entire-partition frames that
+    end at unboundedFollowing (Spark recomputes those per row, O(rows²))
+    and pass running and entire-partition frames."""
+    bad = [
+        "specifiedwindowframe(RowFrame, currentrow$(), unboundedfollowing$())",
+        "specifiedwindowframe(RangeFrame, -2, unboundedfollowing$())",
+    ]
+    good = [
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())",
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(),"
+        " unboundedfollowing$())",
+        "specifiedwindowframe(RowFrame, -1, 1)",
+    ]
+    for spec in bad:
+        assert _has_quadratic_window_frame(f"Window [x {spec}]"), spec
+    for spec in good:
+        assert not _has_quadratic_window_frame(f"Window [x {spec}]"), spec
