@@ -199,27 +199,43 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi band join: same-brand part pairs whose retail prices are
-    within 5.0 of each other. The brand equality keeps it an equi-join with a
-    range residual — Catalyst plans hash join on p_brand with the band as a
-    post-join filter, NOT a cartesian product; that is the scalable shape for
-    band joins (equi-bucket + residual)."""
-    p1 = table(spark, sf_dir, "part").alias("p1")
-    p2 = table(spark, sf_dir, "part").alias("p2")
+    within 5.0 of each other, as a BANDED BUCKET join — the scalable shape
+    for band joins. Each row gets a price bucket of the band width
+    (``floor(price / 5)``, decimal-exact); one side additionally probes
+    its two adjacent buckets via a 3-element explode. Any pair within the
+    band shares a (brand, bucket) probe — if ``|a − b| ≤ w`` then their
+    ``floor(·/w)`` buckets differ by at most 1 (exact under decimal
+    arithmetic) — so the equi-join on (brand, bucket) is lossless and the
+    exact band predicate runs only on bucket-local candidates. This turns
+    the per-brand all-pairs residual scan (quadratic in brand group size)
+    into band-local work that scales with pair density, the same
+    candidate-pruning idea as the LSH banding in llm_dedup_near."""
+    band = F.lit(5.0).cast("decimal(18,4)")
+    p = table(spark, sf_dir, "part")
+    bkt = F.floor(dec("p_retailprice") / band).cast("long")
+    p1 = p.select(
+        F.col("p_partkey").alias("partkey_a"),
+        F.col("p_brand"),
+        dec("p_retailprice").alias("price_a"),
+        F.explode(
+            F.array(bkt - 1, bkt, bkt + 1)
+        ).alias("bkt"),
+    ).alias("p1")
+    p2 = p.select(
+        F.col("p_partkey").alias("partkey_b"),
+        F.col("p_brand").alias("brand_b"),
+        dec("p_retailprice").alias("price_b"),
+        bkt.alias("bkt"),
+    ).alias("p2")
     return (
         p1.join(
             p2,
-            (F.col("p1.p_brand") == F.col("p2.p_brand"))
-            & (F.col("p1.p_partkey") < F.col("p2.p_partkey"))
-            & (
-                F.abs(dec("p1.p_retailprice") - dec("p2.p_retailprice"))
-                <= F.lit(5.0).cast("decimal(18,4)")
-            ),
+            (F.col("p_brand") == F.col("brand_b"))
+            & (F.col("p1.bkt") == F.col("p2.bkt"))
+            & (F.col("partkey_a") < F.col("partkey_b"))
+            & (F.abs(F.col("price_a") - F.col("price_b")) <= band),
         )
-        .select(
-            F.col("p1.p_partkey").alias("partkey_a"),
-            F.col("p2.p_partkey").alias("partkey_b"),
-            F.col("p1.p_brand").alias("p_brand"),
-        )
+        .select("partkey_a", "partkey_b", "p_brand")
     )
 
 
