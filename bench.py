@@ -48,6 +48,11 @@ HEADLINE = [
     # semi+anti over the fact table) are the heaviest multi-pass plans.
     "sql_entry_tpch_q18",
     "sql_entry_tpch_q21",
+    # r4 scale-shape fixes, tracked so they can't regress: interpolation's
+    # reversed running frame (was O(rows²) per partition) and the banded
+    # bucket theta join (was per-brand all-pairs).
+    "iot_interpolate",
+    "join_theta_range",
 ]
 
 
