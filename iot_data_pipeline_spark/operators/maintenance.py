@@ -209,10 +209,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (engine/canonicalization-dependent float formatting)."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = o.join(l, o.o_orderkey == l.l_orderkey).select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-    ).distinct()
+    # Internal node ids are LONGS (customer k → 2k, supplier k → 2k+1 —
+    # disjoint key spaces, like the 'c'/'s' prefixes but 8 fixed bytes):
+    # every iteration joins and aggregates on node ids, and long keys
+    # shuffle/compare ~2-3× cheaper than the prefixed strings. The
+    # public 'c…'/'s…' ids are restored in the final projection only, so
+    # the output is bit-identical to the string formulation.
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
     # Fold out-degree into the edge list ONCE (every src matches: deg is
     # computed from these edges), cache it partitioned by src, and derive
     # nodes from it — each iteration is then a single shuffle join against
@@ -246,7 +256,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.expr("85 * coalesce(in_sum, 0L) div 100")
             ).alias("rank_i"),
         )
-    return ranks.select("node_id", "rank_i")
+    return ranks.select(
+        F.when(
+            F.col("node_id") % 2 == 0,
+            F.concat(F.lit("c"), F.expr("node_id div 2")),
+        )
+        .otherwise(F.concat(F.lit("s"), F.expr("(node_id - 1) div 2")))
+        .alias("node_id"),
+        "rank_i",
+    )
 
 
 _HUBS = [
