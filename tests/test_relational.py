@@ -244,3 +244,62 @@ def test_win_ntile_dist_single_row_no_divide_by_zero(spark, sf_dir, tmp_path):
     assert r["bal_quartile"] == 1
     assert r["bal_pct_rank"] == 0.0
     assert r["bal_cume_dist"] == 1.0
+
+
+def test_join_theta_range_banded_equals_bruteforce(spark, tmp_path):
+    """Property test for the banded bucket join: on random part tables —
+    prices drawn to include exact-boundary band differences (|a−b| = 5.0000,
+    where a lost ±1-bucket probe would silently drop pairs) — the banded
+    join must return exactly the brute-force all-pairs band predicate."""
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # prices on a 2.5 grid force many |diff| == 5.0 boundary pairs, plus
+    # off-grid cents for generic cases
+    price = st.one_of(
+        st.integers(0, 40).map(lambda k: k * 2.5),
+        st.integers(0, 10000).map(lambda c: c / 100.0),
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.tuples(price, st.sampled_from(["B1", "B2"])),
+                    min_size=2, max_size=25))
+    def check(parts):
+        from iot_data_pipeline_spark.operators import relational
+
+        rows = [
+            Row(
+                p_partkey=i,
+                p_brand=b,
+                p_retailprice=float(p),
+                p_name=f"part{i}",
+                p_type="t",
+                p_size=1,
+                p_container="c",
+                p_mfgr="m",
+                p_comment="x",
+            )
+            for i, (p, b) in enumerate(parts)
+        ]
+        tdir = tempfile.mkdtemp(prefix="theta_prop_")
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(
+            tdir + "/part.parquet"
+        )
+        got = sorted(
+            (r["partkey_a"], r["partkey_b"])
+            for r in relational.join_theta_range(spark, tdir).collect()
+        )
+        from decimal import Decimal
+
+        dp = [Decimal(str(p)).quantize(Decimal("0.0001")) for p, _ in parts]
+        want = sorted(
+            (i, j)
+            for i in range(len(parts))
+            for j in range(i + 1, len(parts))
+            if parts[i][1] == parts[j][1] and abs(dp[i] - dp[j]) <= 5
+        )
+        assert got == want
+
+    check()
