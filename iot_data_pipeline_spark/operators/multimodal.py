@@ -1073,10 +1073,65 @@ def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize through the real decode path: synthesize a P6 image per
+    document, decode it, nearest-neighbor-resample to a fixed 3×3 thumbnail
+    (``src = floor(dst · src_dim / 3)`` — the standard NN grid map), and
+    emit integer-exact features of the thumbnail. Resize is the canonical
+    pre-embedding normalization step for vision training data; NN keeps the
+    arithmetic integer-exact so the SQL oracle can recompute every output
+    pixel from the synth formula (bilinear and friends swap in at this same
+    seam with a rows-only oracle).
+
+    100 TB shape: decode → resample → featurize per blob inside one
+    Arrow-batched mapInPandas — no shuffle, output rows are tiny
+    thumbnail summaries, and batch size bounds executor memory."""
+    out_dim = 3
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(4) + F.pmod(F.col("doc_id"), F.lit(5))).alias("w"),
+        (F.lit(3) + F.pmod(F.col("doc_id"), F.lit(4))).alias("h"),
+    )
+
+    def gen_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                blob = synth_ppm(int(mid), int(w), int(h))
+                arr, _meta = decode_media(blob, "image/ppm")
+                rr = (np.arange(out_dim) * int(h)) // out_dim
+                cc = (np.arange(out_dim) * int(w)) // out_dim
+                thumb = arr[np.ix_(rr, cc)].astype(np.int64)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "out_w": out_dim,
+                        "out_h": out_dim,
+                        "px_sum": int(thumb.sum()),
+                        "r_sum": int(thumb[:, :, 0].sum()),
+                        "g_sum": int(thumb[:, :, 1].sum()),
+                        "b_sum": int(thumb[:, :, 2].sum()),
+                        "top_left": int(thumb[0, 0, 0]),
+                        "bottom_right": int(thumb[-1, -1, 2]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen_resize,
+        "media_id LONG, out_w INT, out_h INT, px_sum LONG, r_sum LONG,"
+        " g_sum LONG, b_sum LONG, top_left LONG, bottom_right LONG",
+    )
+
+
 STAGED_QUERIES = {
     "mm_decode_png": mm_decode_png,
     "mm_decode_jpeg": mm_decode_jpeg,
     "mm_audio_frames": mm_audio_frames,
+    "mm_resize": mm_resize,
 }
 
 # Oracle note: document text is pure ASCII (verified), so byte semantics on
@@ -1202,5 +1257,28 @@ STAGED_ORACLES = {
         "          THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,"
         " MAX(ABS(amp)) AS amp_peak"
         " FROM l GROUP BY doc_id, frame_no"
+    ),
+    # NN resize oracle: out pixel (r, c, ch) of the 3x3 thumbnail samples
+    # src (r*h//3, c*w//3); value from the synth_ppm formula.
+    "mm_resize": (
+        "WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h"
+        "           FROM documents),"
+        " g AS (SELECT doc_id, w, h,"
+        "        unnest(generate_series(0, 26)) AS k FROM d),"
+        " v AS (SELECT doc_id, w, h, k // 9 AS r, (k // 3) % 3 AS c,"
+        "        k % 3 AS ch,"
+        "        (doc_id * 7 + ((k // 9) * h // 3) * 31"
+        "         + (((k // 3) % 3) * w // 3) * 13 + (k % 3) * 5) % 256"
+        "          AS val FROM g)"
+        " SELECT doc_id AS media_id, 3 AS out_w, 3 AS out_h,"
+        " CAST(SUM(val) AS BIGINT) AS px_sum,"
+        " CAST(SUM(CASE WHEN ch = 0 THEN val ELSE 0 END) AS BIGINT) AS r_sum,"
+        " CAST(SUM(CASE WHEN ch = 1 THEN val ELSE 0 END) AS BIGINT) AS g_sum,"
+        " CAST(SUM(CASE WHEN ch = 2 THEN val ELSE 0 END) AS BIGINT) AS b_sum,"
+        " CAST(MAX(CASE WHEN r = 0 AND c = 0 AND ch = 0 THEN val END)"
+        "      AS BIGINT) AS top_left,"
+        " CAST(MAX(CASE WHEN r = 2 AND c = 2 AND ch = 2 THEN val END)"
+        "      AS BIGINT) AS bottom_right"
+        " FROM v GROUP BY doc_id"
     ),
 }
