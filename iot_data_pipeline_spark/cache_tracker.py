@@ -27,15 +27,25 @@ def tracked_cache(df: DataFrame) -> DataFrame:
     return cached
 
 
+def _session_stopped(df: DataFrame) -> bool:
+    try:
+        sc = df.sparkSession.sparkContext
+        return sc._jsc is None or sc._jsc.sc().isStopped()
+    except Exception:
+        return True
+
+
 def evict_tracked() -> int:
-    """Unpersist every tracked frame; returns how many were evicted."""
+    """Unpersist every tracked frame; returns how many were evicted.
+
+    Only the stopped-session case is swallowed (nothing left to evict);
+    any other unpersist failure propagates — a silently pinned frame
+    would perturb the next query's plan in bench/verify (ADVICE r4)."""
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            # Session already stopped — nothing left to evict.
-            pass
+        if _session_stopped(df):
+            continue
+        df.unpersist()
+        n += 1
     return n

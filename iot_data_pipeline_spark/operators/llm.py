@@ -1160,7 +1160,14 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     — zero shuffles over the corpus. Everything is cast to double before
     arithmetic so both engines run identical IEEE ops (float/float division
     promotes differently across engines); floor (not round) avoids
-    banker's-rounding divergence."""
+    banker's-rounding divergence.
+
+    Output is LONG FORM ``(vec_id, dim, q)`` — one row per vector
+    component — not an ``array<bigint>`` column: the r4 driver run showed
+    array-typed outputs crash the driver's pandas ``sort_values``
+    canonicalizer (numpy arrays are unhashable), and verify_local now
+    bans driver-unsortable output types registry-wide. ``dim`` is
+    1-based to mirror the oracle's ``generate_series(1, len)``."""
     e = table(spark, sf_dir, "embeddings")
     stats = (
         e.select(F.posexplode("embedding").alias("i", "v"))
@@ -1188,7 +1195,11 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return e.select(
-        "vec_id", F.transform(F.col("embedding"), _q).alias("qvec")
+        "vec_id", F.posexplode(F.transform(F.col("embedding"), _q))
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.col("col").cast("bigint").alias("q"),
     )
 
 
@@ -1715,23 +1726,26 @@ ORACLES = {
         " ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v"
         " FROM embeddings, LATERAL UNNEST(generate_series(1, len(embedding)))"
         "   AS t(i))"
-        " SELECT vec_id,"
-        " list(CASE WHEN mx = mn THEN 0"
-        "      ELSE least(254, CAST(floor((v - mn) / (mx - mn) * 255)"
-        "                          AS BIGINT)) END ORDER BY i) AS qvec"
-        " FROM ex JOIN dims USING (i) GROUP BY vec_id"
+        " SELECT vec_id, CAST(i AS BIGINT) AS dim,"
+        " CASE WHEN mx = mn THEN CAST(0 AS BIGINT)"
+        "      ELSE least(CAST(254 AS BIGINT),"
+        "                 CAST(floor((v - mn) / (mx - mn) * 255)"
+        "                      AS BIGINT)) END AS q"
+        " FROM ex JOIN dims USING (i)"
     ),
 }
 
-# Round-5 staging (registry FROZEN until driver attestation ≥170 — round-2
-# verdict). Pytest-verified against the oracle now; flip into
-# QUERIES/ORACLES after the unfreeze.
-STAGED_QUERIES = {
-    "llm_cross_dedup": llm_cross_dedup,
-}
+# Registered round 5 after the attestation unfreeze (pytest-verified
+# value-for-value vs the oracle since r4 staging).
+QUERIES.update(
+    {
+        "llm_cross_dedup": llm_cross_dedup,
+    }
+)
 
-STAGED_ORACLES = {
-    "llm_cross_dedup": (
+ORACLES.update(
+    {
+        "llm_cross_dedup": (
         "WITH inc AS (SELECT doc_id, lang, lower(trim(text)) AS k"
         "             FROM documents WHERE doc_id % 4 = 0),"
         " ex AS (SELECT DISTINCT lower(trim(text)) AS k FROM documents"
@@ -1744,5 +1758,6 @@ STAGED_ORACLES = {
         "      WHEN rn > 1 THEN 'dup_within_incoming'"
         "      ELSE 'kept' END AS status"
         " FROM r LEFT JOIN ex ON r.k = ex.k"
-    ),
-}
+        ),
+    }
+)

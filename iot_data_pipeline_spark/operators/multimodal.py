@@ -1016,10 +1016,9 @@ QUERIES = {
     "mm_decode_ppm": mm_decode_ppm,
 }
 
-# Round-5 staging (registry FROZEN until driver attestation ≥170 — round-2
-# verdict). These two are fully implemented and oracle-checked by pytest
-# (tests/test_sources.py) now; flipping them into QUERIES/ORACLES after the
-# unfreeze gives the r3 PNG/JPEG decoders their own driver CORRECTNESS rows.
+# Registered round 5 (the round-2 freeze lifted once driver attestation
+# reached 174 green ≥ 170): the real-codec registry twins below give the
+# r2/r3 PNG/JPEG decoders their own driver CORRECTNESS rows.
 def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-frame audio featurization over the real WAV decode path: energy,
     zero-crossing count, and peak amplitude per non-overlapping 400-sample
@@ -1127,12 +1126,16 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STAGED_QUERIES = {
-    "mm_decode_png": mm_decode_png,
-    "mm_decode_jpeg": mm_decode_jpeg,
-    "mm_audio_frames": mm_audio_frames,
-    "mm_resize": mm_resize,
-}
+# Registered round 5 after the attestation unfreeze (pytest-verified
+# value-for-value vs their oracles since r4 staging).
+QUERIES.update(
+    {
+        "mm_decode_png": mm_decode_png,
+        "mm_decode_jpeg": mm_decode_jpeg,
+        "mm_audio_frames": mm_audio_frames,
+        "mm_resize": mm_resize,
+    }
+)
 
 # Oracle note: document text is pure ASCII (verified), so byte semantics on
 # the Spark binary side equal char semantics on the DuckDB varchar side —
@@ -1204,10 +1207,10 @@ ORACLES = {
     ),
 }
 
-# Round-5 staging twins of STAGED_QUERIES (same pixel formulas as the PPM
-# oracle; the PNG chain additionally proves filter+deflate round trips, the
-# JPEG chain proves Huffman+IDCT round trips — both integer-exact).
-STAGED_ORACLES = {
+# Oracles for the round-5-registered codec twins (same pixel formulas as the
+# PPM oracle; the PNG chain additionally proves filter+deflate round trips,
+# the JPEG chain proves Huffman+IDCT round trips — both integer-exact).
+_CODEC_ORACLES = {
     "mm_decode_png": (
         "WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 5 + doc_id % 4 AS h"
         "           FROM documents),"
@@ -1282,3 +1285,4 @@ STAGED_ORACLES = {
         " FROM v GROUP BY doc_id"
     ),
 }
+ORACLES.update(_CODEC_ORACLES)

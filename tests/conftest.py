@@ -2,12 +2,15 @@
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
 from pyspark.sql import SparkSession
 
-SF_DIR = "/root/testdata/sf0.001"
+# Correctness tests run at the smallest sf by default; overridable so the
+# suite keeps working if the testdata root moves (ADVICE r4).
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def pytest_sessionstart(session):

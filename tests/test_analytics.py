@@ -345,15 +345,26 @@ def test_scd2_property(spark, tmp_path):
             ]
         ).write.parquet(str(sf / "events.parquet"))
 
+        # None-safe sort key: current versions carry effective_to=None, and
+        # a same-timestamp state flip (a→b→a at one ts) can tie two tuples
+        # through position 2, making raw-tuple sort compare None < datetime
+        # and raise (the r4 judge-run flake). Map None to datetime.max so
+        # the comparator is total; values themselves are still compared raw.
+        def _key(t):
+            return (t[0], t[1], t[2], t[3] or dt.datetime.max, t[4])
+
         got = sorted(
             (
-                r["user_id"],
-                r["state"],
-                r["effective_from"],
-                r["effective_to"],
-                r["is_current"],
-            )
-            for r in maintenance.dim_scd2(spark, str(sf)).collect()
+                (
+                    r["user_id"],
+                    r["state"],
+                    r["effective_from"],
+                    r["effective_to"],
+                    r["is_current"],
+                )
+                for r in maintenance.dim_scd2(spark, str(sf)).collect()
+            ),
+            key=_key,
         )
 
         expected = []
@@ -370,7 +381,7 @@ def test_scd2_property(spark, tmp_path):
             for i, (state, ts) in enumerate(changes):
                 nxt = changes[i + 1][1] if i + 1 < len(changes) else None
                 expected.append((uid, state, ts, nxt, nxt is None))
-        assert got == sorted(expected)
+        assert got == sorted(expected, key=_key)
 
     check()
 

@@ -72,9 +72,9 @@ def test_verify_local_type_parity_flags_hugeint_and_decimal():
     assert probs and "DECIMAL" in probs[0]
 
 
-def test_all_registry_oracles_use_portable_result_types():
-    """Spark-free sweep of every oracle (registered + staged): DESCRIBE on
-    the sf0.001 views must produce no HUGEINT/UHUGEINT (DuckDB's integer-SUM
+def test_all_registry_oracles_use_portable_result_types(sf_dir):
+    """Spark-free sweep of every registered oracle: DESCRIBE on the test-sf
+    views must produce no HUGEINT/UHUGEINT (DuckDB's integer-SUM
     widening — the round-3 driver hash-FAIL class) and no TIMESTAMP WITH
     TIME ZONE (tz-aware vs Spark's naive session-TZ collect). Runs in
     seconds, so the discipline lives in the default pytest gate, not only
@@ -90,18 +90,15 @@ def test_all_registry_oracles_use_portable_result_types():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    from iot_data_pipeline_spark.operators import llm, multimodal
     from iot_data_pipeline_spark.sources.readers import TABLES
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
     oracles = dict(mod.oracle_sql())
-    oracles.update(multimodal.STAGED_ORACLES)
-    oracles.update(llm.STAGED_ORACLES)
     bad = []
     for name, sql in oracles.items():
         for row in con.execute(f"DESCRIBE {sql}").fetchall():

@@ -240,17 +240,23 @@ def test_stratified_sample_exact_allocation(spark, sf_dir):
 
 
 def test_embed_quantize_range_and_extremes(spark, sf_dir):
+    # Long-form output (vec_id, dim, q) — array outputs crash the driver's
+    # pandas canonicalizer (round-4 FAIL), so the shape itself is asserted.
     rows = llm.llm_embed_quantize(spark, sf_dir).collect()
     assert rows
-    dims = len(rows[0]["qvec"])
-    lo = [min(r["qvec"][i] for r in rows) for i in range(dims)]
-    hi = [max(r["qvec"][i] for r in rows) for i in range(dims)]
-    # every dimension uses the full clamped range: the min vector lands in
-    # bucket 0 and the max vector in the top bucket 254
-    assert all(v == 0 for v in lo)
-    assert all(v == 254 for v in hi)
+    assert set(rows[0].asDict()) == {"vec_id", "dim", "q"}
+    by_dim: dict[int, list[int]] = {}
     for r in rows:
-        assert all(0 <= q <= 254 for q in r["qvec"])
+        by_dim.setdefault(r["dim"], []).append(r["q"])
+    assert min(by_dim) == 1  # 1-based dims, mirroring the oracle
+    n_vecs = len({r["vec_id"] for r in rows})
+    for dim, qs in by_dim.items():
+        assert len(qs) == n_vecs
+        # every dimension uses the full clamped range: the min vector lands
+        # in bucket 0 and the max vector in the top bucket 254
+        assert min(qs) == 0
+        assert max(qs) == 254
+        assert all(0 <= q <= 254 for q in qs)
 
 
 def test_pack_sequences_invariants(spark, sf_dir):
@@ -455,9 +461,9 @@ def test_decontaminate_property(spark, tmp_path):
     check()
 
 
-def test_llm_cross_dedup_staged_matches_oracle(spark, sf_dir):
-    """Round-5 staging gate for llm_cross_dedup (held out of the frozen
-    registry): Spark's sha2-keyed classification must match the oracle's
+def test_llm_cross_dedup_matches_oracle(spark, sf_dir):
+    """llm_cross_dedup (registered round 5 after the unfreeze): Spark's
+    sha2-keyed classification must match the oracle's
     lower(trim(text))-keyed one value-for-value — same parity argument as
     llm_dedup_exact — and the three statuses must partition the incoming
     shard."""
@@ -468,8 +474,8 @@ def test_llm_cross_dedup_staged_matches_oracle(spark, sf_dir):
         "CREATE VIEW documents AS SELECT * FROM"
         f" read_parquet('{sf_dir}/documents.parquet')"
     )
-    sdf = llm.STAGED_QUERIES["llm_cross_dedup"](spark, sf_dir)
-    rel = con.sql(llm.STAGED_ORACLES["llm_cross_dedup"])
+    sdf = llm.QUERIES["llm_cross_dedup"](spark, sf_dir)
+    rel = con.sql(llm.ORACLES["llm_cross_dedup"])
     scols = sdf.columns
     dcols = list(rel.columns)
     assert sorted(scols) == sorted(dcols)
@@ -517,7 +523,7 @@ def test_llm_cross_dedup_property(spark):
         )
         got = {
             r["doc_id"]: r["status"]
-            for r in llm.STAGED_QUERIES["llm_cross_dedup"](
+            for r in llm.QUERIES["llm_cross_dedup"](
                 spark, tdir
             ).collect()
         }

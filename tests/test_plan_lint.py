@@ -39,14 +39,18 @@ BNLJ_BOUNDED = {
 }
 
 
-def _registry():
+def _entry_module():
     spec = importlib.util.spec_from_file_location(
         "__spark_entry_lint__", _ENTRY_PATH
     )
     mod = importlib.util.module_from_spec(spec)
     sys.modules.setdefault("__spark_entry_lint__", mod)
     spec.loader.exec_module(mod)
-    return mod.queries()
+    return mod
+
+
+def _registry():
+    return _entry_module().queries()
 
 
 # Row-at-a-time Python evaluation is the declared slow tier; everything
@@ -78,6 +82,32 @@ def test_no_cartesian_unjustified_nested_loop_or_row_python(spark, sf_dir):
             # runtime this way in round 4). Express a forward carry as a
             # reversed running frame instead.
             offenders[name] = "O(rows^2) unbounded-following window frame"
+    assert not offenders, offenders
+
+
+def test_oracled_outputs_are_driver_sortable(spark, sf_dir):
+    """Canonicalization parity with the driver (round-4 verdict item 3):
+    the driver sorts both result sets with pandas ``sort_values`` over all
+    columns before hashing, and array/map/struct cells (numpy arrays,
+    dicts, Rows) are unhashable there — the query is scored FAIL no matter
+    how correct the values are (``llm_embed_quantize`` r4). Any
+    oracle-checked query must therefore emit only scalar columns; emit
+    long form or ``array_join`` instead. Streaming/sink/source queries
+    execute work when built, so the verify_local sweep (which runs them
+    anyway) applies the identical check there."""
+    mod = _entry_module()
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    offenders: dict[str, list[str]] = {}
+    for name, fn in sorted(qs.items()):
+        if name.startswith(_SKIP_PREFIXES) or name not in oracles:
+            continue
+        bad = [
+            f.name
+            for f in fn(spark, sf_dir).schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if bad:
+            offenders[name] = bad
     assert not offenders, offenders
 
 

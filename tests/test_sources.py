@@ -595,12 +595,10 @@ def test_decode_media_truncated_blobs_raise_valueerror():
             decode_media(jpg[:cut], "image/jpeg")
 
 
-def test_mm_staged_queries_match_oracles(spark, sf_dir):
-    """Round-5 staging gate: every staged multimodal query (codec twins
-    mm_decode_png/jpeg, the mm_audio_frames featurizer — all held out of
-    queries() by the registry freeze) must already match its DuckDB oracle
-    value-for-value, so flipping them in after the unfreeze is a zero-risk
-    diff."""
+def test_mm_codec_queries_match_oracles(spark, sf_dir):
+    """Codec registry twins (mm_decode_png/jpeg, mm_audio_frames,
+    mm_resize — registered in round 5 after the unfreeze) must match
+    their DuckDB oracles value-for-value."""
     import duckdb
 
     con = duckdb.connect()
@@ -608,14 +606,14 @@ def test_mm_staged_queries_match_oracles(spark, sf_dir):
         "CREATE VIEW documents AS SELECT * FROM"
         f" read_parquet('{sf_dir}/documents.parquet')"
     )
-    for qname in sorted(multimodal.STAGED_QUERIES):
-        sdf = multimodal.STAGED_QUERIES[qname](spark, sf_dir)
-        rel = con.sql(multimodal.STAGED_ORACLES[qname])
+    for qname in sorted(multimodal._CODEC_ORACLES):
+        sdf = multimodal.QUERIES[qname](spark, sf_dir)
+        rel = con.sql(multimodal.ORACLES[qname])
         # same no-HUGEINT discipline the verify gate enforces
         assert not any(
             "HUGEINT" in t.upper()
             for t in [r[1] for r in con.sql(
-                f"DESCRIBE {multimodal.STAGED_ORACLES[qname]}"
+                f"DESCRIBE {multimodal.ORACLES[qname]}"
             ).fetchall()]
         ), qname
         scols = sdf.columns

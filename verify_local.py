@@ -103,6 +103,22 @@ def _oracle_type_problems(con, sql, scols, sdtypes):
     return problems
 
 
+def _driver_unsortable_cols(schema) -> list[str]:
+    """Columns the driver's canonicalizer cannot sort.
+
+    The driver canonicalizes both result sets with pandas
+    ``sort_values`` over ALL columns before hashing; array/map/struct
+    columns arrive as numpy arrays / dicts / Rows, which are unhashable,
+    so ``sort_values`` raises and the query is scored FAIL regardless of
+    values (round-4 ``llm_embed_quantize``). Ban the types up front:
+    emit long form or ``array_join`` instead."""
+    return [
+        f.name
+        for f in schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+
+
 def _rows_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
@@ -164,9 +180,25 @@ def main() -> int:
             n_fail += 1
             continue
         dt = time.time() - t0
+        unsortable = _driver_unsortable_cols(sdf.schema)
         if name not in oracles:
-            print(f"rows-only {name}: {len(srows)} rows  ({dt:.1f}s)")
+            note = (
+                f"  [note: non-scalar cols {unsortable} — fine rows-only,"
+                " but never add an oracle without reshaping]"
+                if unsortable
+                else ""
+            )
+            print(f"rows-only {name}: {len(srows)} rows  ({dt:.1f}s){note}")
             n_rows_only += 1
+            continue
+        if unsortable:
+            print(
+                f"FAIL {name}: driver-unsortable output column(s)"
+                f" {unsortable} (array/map/struct crash the driver's"
+                " pandas sort_values canonicalizer — emit long form or"
+                " array_join)"
+            )
+            n_fail += 1
             continue
         try:
             rel = con.sql(oracles[name])
