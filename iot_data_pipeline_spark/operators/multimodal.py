@@ -1126,14 +1126,143 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear image resize through the real decode path — the standard
+    pre-embedding resampler (NN's quality-step sibling at the same seam as
+    ``mm_resize``). Align-corners grid map ``src = dst · (src_dim−1) / 2``
+    for a 3×3 thumbnail: every source coordinate is an integer or exact
+    half, so the 4-tap blend is FIXED POINT with denominator 4 — outputs
+    are emitted in quarter-pixel units (``*4`` columns), keeping the whole
+    chain integer-exact and the SQL oracle able to recompute every output
+    pixel from the synth formula. (Float bilinear differs across engines
+    in rounding; fixed point makes the hash meaningful.)
+
+    100 TB shape: decode → fixed-point blend → featurize per blob inside
+    one Arrow-batched mapInPandas — no shuffle, tiny summary rows."""
+    out_dim = 3
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(4) + F.pmod(F.col("doc_id"), F.lit(5))).alias("w"),
+        (F.lit(3) + F.pmod(F.col("doc_id"), F.lit(4))).alias("h"),
+    )
+
+    def gen_bilinear(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                blob = synth_ppm(int(mid), int(w), int(h))
+                arr, _meta = decode_media(blob, "image/ppm")
+                a = arr.astype(np.int64)
+                w, h = int(w), int(h)
+                # half-unit source coords: r*(h-1)/2 = r0 + fr2/2
+                rr = np.arange(out_dim) * (h - 1)
+                cc = np.arange(out_dim) * (w - 1)
+                r0, fr2 = rr // 2, rr % 2
+                c0, fc2 = cc // 2, cc % 2
+                r1 = np.minimum(r0 + 1, h - 1)  # weight 0 when fr2 == 0
+                c1 = np.minimum(c0 + 1, w - 1)
+                wr0 = (2 - fr2)[:, None, None]
+                wr1 = fr2[:, None, None]
+                wc0 = (2 - fc2)[None, :, None]
+                wc1 = fc2[None, :, None]
+                val4 = (
+                    wr0 * wc0 * a[np.ix_(r0, c0)]
+                    + wr0 * wc1 * a[np.ix_(r0, c1)]
+                    + wr1 * wc0 * a[np.ix_(r1, c0)]
+                    + wr1 * wc1 * a[np.ix_(r1, c1)]
+                )
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "out_w": out_dim,
+                        "out_h": out_dim,
+                        "px4_sum": int(val4.sum()),
+                        "r4_sum": int(val4[:, :, 0].sum()),
+                        "g4_sum": int(val4[:, :, 1].sum()),
+                        "b4_sum": int(val4[:, :, 2].sum()),
+                        "top_left4": int(val4[0, 0, 0]),
+                        # the center tap exercises real fractional weights
+                        "center4": int(val4[1, 1, 1]),
+                        "bottom_right4": int(val4[-1, -1, 2]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen_bilinear,
+        "media_id LONG, out_w INT, out_h INT, px4_sum LONG, r4_sum LONG,"
+        " g4_sum LONG, b4_sum LONG, top_left4 LONG, center4 LONG,"
+        " bottom_right4 LONG",
+    )
+
+
+def mm_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral audio features over the real WAV decode: the first 8
+    natural-order WALSH–HADAMARD coefficients of each blob's leading
+    64 samples, in long form ``(media_id, k, coeff)``. WHT is the
+    integer-exact spectral transform — every basis value is ±1
+    (``(−1)^popcount(i & k)``), so coefficients are plain signed integer
+    sums and the SQL oracle recomputes them exactly from the synth
+    formula via ``bit_count``; a hash match proves decode AND transform
+    sample-exact. (DCT/FFT swap in at this same seam but are float —
+    their oracle would be rows-only; WHT keeps the strong gate.)
+
+    100 TB shape: decode → 8 ±1-dot-products per blob inside one
+    Arrow-batched mapInPandas — no shuffle, bounded 8-row output per
+    blob."""
+    n_taps, n_coef = 64, 8
+    # signs[k][i] = (-1)^popcount(i & k): ±1 Walsh basis, built once
+    # driver-side (8×64 ints) and closed over by the UDF.
+    signs = [
+        [1 - 2 * (bin(i & k).count("1") & 1) for i in range(n_taps)]
+        for k in range(n_coef)
+    ]
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(800) + F.pmod(F.col("doc_id"), F.lit(400))).alias("n_samples"),
+    )
+
+    def gen_spectrum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        smat = np.array(signs, dtype=np.int64)  # (n_coef, n_taps)
+        for pdf in batches:
+            rows = []
+            for mid, n in zip(pdf["media_id"], pdf["n_samples"]):
+                blob = synth_wav(int(mid), int(n))
+                arr, _meta = decode_media(blob, "audio/wav")
+                a = arr[:n_taps].astype(np.int64)
+                coeffs = smat @ a
+                for k in range(n_coef):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "k": k,
+                            "coeff": int(coeffs[k]),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen_spectrum, "media_id LONG, k LONG, coeff LONG"
+    )
+
+
 # Registered round 5 after the attestation unfreeze (pytest-verified
-# value-for-value vs their oracles since r4 staging).
+# value-for-value vs their oracles since r4 staging), plus the two r5-new
+# follow-ons (bilinear resize, WHT spectrum) the codecs unlocked.
 QUERIES.update(
     {
         "mm_decode_png": mm_decode_png,
         "mm_decode_jpeg": mm_decode_jpeg,
         "mm_audio_frames": mm_audio_frames,
         "mm_resize": mm_resize,
+        "mm_resize_bilinear": mm_resize_bilinear,
+        "mm_audio_spectrum": mm_audio_spectrum,
     }
 )
 
@@ -1283,6 +1412,64 @@ _CODEC_ORACLES = {
         " CAST(MAX(CASE WHEN r = 2 AND c = 2 AND ch = 2 THEN val END)"
         "      AS BIGINT) AS bottom_right"
         " FROM v GROUP BY doc_id"
+    ),
+    # Fixed-point bilinear (align-corners to 3x3): src = out*(dim-1)/2 is an
+    # integer or exact half, so the 4-tap blend has denominator 4 — the *4
+    # columns are quarter-pixel units and every term is exact integer
+    # arithmetic on the synth_ppm formula. LEAST clamps the +1 neighbor
+    # where its weight is 0 anyway (frac = 0 at the last row/col).
+    "mm_resize_bilinear": (
+        "WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h"
+        "           FROM documents),"
+        " g AS (SELECT doc_id, w, h,"
+        "        unnest(generate_series(0, 26)) AS kk FROM d),"
+        " m AS (SELECT doc_id, w, h, kk // 9 AS r, (kk // 3) % 3 AS c,"
+        "        kk % 3 AS ch FROM g),"
+        " b AS (SELECT doc_id, w, h, r, c, ch,"
+        "        (r * (h - 1)) // 2 AS r0, (r * (h - 1)) % 2 AS fr2,"
+        "        (c * (w - 1)) // 2 AS c0, (c * (w - 1)) % 2 AS fc2,"
+        "        LEAST((r * (h - 1)) // 2 + 1, h - 1) AS r1,"
+        "        LEAST((c * (w - 1)) // 2 + 1, w - 1) AS c1 FROM m),"
+        " v AS (SELECT doc_id, r, c, ch,"
+        "   (2 - fr2) * (2 - fc2)"
+        "     * ((doc_id * 7 + r0 * 31 + c0 * 13 + ch * 5) % 256)"
+        " + (2 - fr2) * fc2"
+        "     * ((doc_id * 7 + r0 * 31 + c1 * 13 + ch * 5) % 256)"
+        " + fr2 * (2 - fc2)"
+        "     * ((doc_id * 7 + r1 * 31 + c0 * 13 + ch * 5) % 256)"
+        " + fr2 * fc2"
+        "     * ((doc_id * 7 + r1 * 31 + c1 * 13 + ch * 5) % 256) AS val4"
+        "       FROM b)"
+        " SELECT doc_id AS media_id, 3 AS out_w, 3 AS out_h,"
+        " CAST(SUM(val4) AS BIGINT) AS px4_sum,"
+        " CAST(SUM(CASE WHEN ch = 0 THEN val4 ELSE 0 END) AS BIGINT)"
+        "   AS r4_sum,"
+        " CAST(SUM(CASE WHEN ch = 1 THEN val4 ELSE 0 END) AS BIGINT)"
+        "   AS g4_sum,"
+        " CAST(SUM(CASE WHEN ch = 2 THEN val4 ELSE 0 END) AS BIGINT)"
+        "   AS b4_sum,"
+        " CAST(MAX(CASE WHEN r = 0 AND c = 0 AND ch = 0 THEN val4 END)"
+        "      AS BIGINT) AS top_left4,"
+        " CAST(MAX(CASE WHEN r = 1 AND c = 1 AND ch = 1 THEN val4 END)"
+        "      AS BIGINT) AS center4,"
+        " CAST(MAX(CASE WHEN r = 2 AND c = 2 AND ch = 2 THEN val4 END)"
+        "      AS BIGINT) AS bottom_right4"
+        " FROM v GROUP BY doc_id"
+    ),
+    # Walsh-Hadamard spectrum: coefficient k over the first 64 samples is
+    # SUM(amp_i * (-1)^popcount(i & k)) — pure +/- integer arithmetic on
+    # the synth_wav sample formula.
+    "mm_audio_spectrum": (
+        "WITH s AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i"
+        "           FROM documents),"
+        " a AS (SELECT doc_id, i,"
+        "        (doc_id * 131 + i * 7919) % 65536 - 32768 AS amp FROM s),"
+        " x AS (SELECT doc_id, i, amp,"
+        "        unnest(generate_series(0, 7)) AS k FROM a)"
+        " SELECT doc_id AS media_id, CAST(k AS BIGINT) AS k,"
+        " CAST(SUM(amp * CASE WHEN bit_count(CAST(i & k AS BIGINT)) % 2 = 0"
+        "                     THEN 1 ELSE -1 END) AS BIGINT) AS coeff"
+        " FROM x GROUP BY doc_id, k"
     ),
 }
 ORACLES.update(_CODEC_ORACLES)

@@ -72,6 +72,54 @@ def test_verify_local_type_parity_flags_hugeint_and_decimal():
     assert probs and "DECIMAL" in probs[0]
 
 
+def test_verify_local_flags_driver_unsortable_output_shapes():
+    """The local gate must reject the round-4 failure shape: an
+    array/map/struct output column crashes the driver's pandas
+    sort_values canonicalizer, so the pre-fix llm_embed_quantize schema
+    (vec_id + array<bigint> qvec) must FAIL the pre-flight and the
+    post-fix long form must pass."""
+    import importlib.util
+    import os
+
+    from pyspark.sql import types as T
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "verify_local.py",
+    )
+    spec = importlib.util.spec_from_file_location("_vl_shapes", path)
+    vl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vl)
+
+    prefix = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("qvec", T.ArrayType(T.LongType())),
+        ]
+    )
+    assert vl._driver_unsortable_cols(prefix) == ["qvec"]
+    postfix = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("dim", T.LongType()),
+            T.StructField("q", T.LongType()),
+        ]
+    )
+    assert vl._driver_unsortable_cols(postfix) == []
+    mapy = T.StructType(
+        [T.StructField("m", T.MapType(T.StringType(), T.LongType()))]
+    )
+    assert vl._driver_unsortable_cols(mapy) == ["m"]
+    structy = T.StructType(
+        [
+            T.StructField(
+                "s", T.StructType([T.StructField("a", T.LongType())])
+            )
+        ]
+    )
+    assert vl._driver_unsortable_cols(structy) == ["s"]
+
+
 def test_all_registry_oracles_use_portable_result_types(sf_dir):
     """Spark-free sweep of every registered oracle: DESCRIBE on the test-sf
     views must produce no HUGEINT/UHUGEINT (DuckDB's integer-SUM

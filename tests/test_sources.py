@@ -595,6 +595,34 @@ def test_decode_media_truncated_blobs_raise_valueerror():
             decode_media(jpg[:cut], "image/jpeg")
 
 
+def test_mm_bilinear_and_spectrum_invariants(spark, sf_dir):
+    """Structural cross-checks beyond oracle parity: (a) bilinear in
+    quarter-pixel units must equal 4× the source pixel wherever the
+    align-corners grid lands on an integer coordinate — top-left is always
+    such a point, so top_left4 == 4 * P(0,0,0); (b) the k=0
+    Walsh-Hadamard coefficient is the plain sum of the first 64 decoded
+    samples (all basis signs +1)."""
+    bil = {
+        r["media_id"]: r
+        for r in multimodal.mm_resize_bilinear(spark, sf_dir).collect()
+    }
+    assert bil
+    for mid, r in bil.items():
+        p000 = (mid * 7) % 256
+        assert r["top_left4"] == 4 * p000, mid
+        # weights always total 4: px4_sum is bounded by 4*255 per output px
+        assert 0 <= r["px4_sum"] <= 27 * 4 * 255
+
+    spec = multimodal.mm_audio_spectrum(spark, sf_dir).collect()
+    k0 = {r["media_id"]: r["coeff"] for r in spec if r["k"] == 0}
+    assert k0
+    for mid, coeff in list(k0.items())[:25]:
+        want = sum(
+            (mid * 131 + i * 7919) % 65536 - 32768 for i in range(64)
+        )
+        assert coeff == want, mid
+
+
 def test_mm_codec_queries_match_oracles(spark, sf_dir):
     """Codec registry twins (mm_decode_png/jpeg, mm_audio_frames,
     mm_resize — registered in round 5 after the unfreeze) must match
