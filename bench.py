@@ -53,6 +53,10 @@ HEADLINE = [
     # bucket theta join (was per-brand all-pairs).
     "iot_interpolate",
     "join_theta_range",
+    # r5: the heaviest Python-decode path (pure-Python baseline JPEG inside
+    # mapInPandas), registered this round — tracked so codec throughput
+    # can't silently regress.
+    "mm_decode_jpeg",
 ]
 
 
