@@ -1089,6 +1089,59 @@ def llm_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (span-level) deduplication — the C4-style pipeline
+    stage between exact doc-dedup and near-dedup: boilerplate spans
+    repeated ACROSS documents are detected even when no two whole
+    documents match. Spans are the same 64-char/48-stride windows as
+    ``llm_chunk_docs``; a span is a duplicate if its normalized
+    (lowercased) text already occurred at an earlier (doc_id, chunk_idx).
+    Output is one row per document: span count, duplicated-span count,
+    and the duplicate fraction (floor-at-1e-6, the portable-tie
+    discipline from ``llm_quality_score``).
+
+    100 TB shape: explode is per-row bounded (≤ len/48 spans), dedup is
+    ONE hash shuffle on the span digest (keep-first window — identical
+    plan to ``llm_dedup_exact``), then one per-doc agg; no all-pairs
+    anywhere. Keying the window on ``sha2(span)`` rather than the raw
+    span text keeps shuffle rows at 64 fixed bytes regardless of span
+    width (the oracle groups on the raw lowered span — same-key-set
+    parity argument as ``llm_dedup_exact``)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_chunks = (
+        F.ceil(F.greatest(F.length("text") - 16, F.lit(1)) / 48.0)
+        .cast("int")
+    )
+    spans = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("idx"),
+    ).select(
+        "doc_id",
+        F.col("idx").cast("bigint").alias("chunk_idx"),
+        F.sha2(
+            F.lower(F.expr("substring(text, idx * 48 + 1, 64)")), 256
+        ).alias("k"),
+    )
+    w = Window.partitionBy("k").orderBy("doc_id", "chunk_idx")
+    flagged = spans.select(
+        "doc_id",
+        (F.row_number().over(w) > 1).cast("int").alias("is_dup"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_spans"),
+        (
+            F.floor(
+                F.sum("is_dup").cast("double")
+                * 1000000.0
+                / F.count(F.lit(1))
+            )
+            / 1000000.0
+        ).alias("dup_frac"),
+    )
+
+
 def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document: most-frequent-word
     fraction and duplicate-word fraction. ZERO-shuffle formulation: sort
@@ -1380,6 +1433,7 @@ QUERIES = {
     "llm_embed_centroids": llm_embed_centroids,
     "llm_sim_ivf": llm_sim_ivf,
     "llm_chunk_docs": llm_chunk_docs,
+    "llm_span_dedup": llm_span_dedup,
     "llm_repetition": llm_repetition,
     "llm_sample_stratified": llm_sample_stratified,
     "llm_embed_quantize": llm_embed_quantize,
@@ -1666,6 +1720,26 @@ ORACLES = {
         "   CAST(ceil(greatest(length(text) - 16, 1) / 48.0) AS BIGINT)))"
         "   AS t(i)"
         " WHERE text IS NOT NULL"
+    ),
+    # Same chunk formula as llm_chunk_docs; dedup groups on the raw lowered
+    # span where the engine groups on sha2(lowered span) — identical key
+    # sets (the llm_dedup_exact parity argument).
+    "llm_span_dedup": (
+        "WITH ch AS (SELECT doc_id, i AS chunk_idx,"
+        "   lower(substring(text, CAST(i * 48 + 1 AS INT), 64)) AS ck"
+        " FROM documents, LATERAL UNNEST(range(0,"
+        "   CAST(ceil(greatest(length(text) - 16, 1) / 48.0) AS BIGINT)))"
+        "   AS t(i)"
+        " WHERE text IS NOT NULL),"
+        " r AS (SELECT doc_id, chunk_idx,"
+        "   ROW_NUMBER() OVER (PARTITION BY ck ORDER BY doc_id, chunk_idx)"
+        "     AS rn FROM ch)"
+        " SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,"
+        " CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS n_dup_spans,"
+        " FLOOR(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)"
+        "       * 1000000.0 / COUNT(*)) / 1000000.0 AS dup_frac"
+        " FROM r GROUP BY doc_id"
     ),
     # Oracle uses the explode/group formulation; the engine's sorted-array
     # run-length HOF must agree exactly (max run over sorted == max count).

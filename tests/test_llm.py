@@ -259,6 +259,50 @@ def test_embed_quantize_range_and_extremes(spark, sf_dir):
         assert all(0 <= q <= 254 for q in qs)
 
 
+def test_span_dedup_invariants(spark, sf_dir, tmp_path):
+    """Span-level dedup pins: (a) kept spans across the corpus equal the
+    number of distinct normalized spans (keep-first partitions every span
+    group into 1 kept + rest dup); (b) a verbatim copy of an earlier doc
+    has dup_frac == 1.0; (c) a unique-text doc has zero dup spans."""
+    rows = {
+        r["doc_id"]: r for r in llm.llm_span_dedup(spark, sf_dir).collect()
+    }
+    assert rows
+    for r in rows.values():
+        assert 0 <= r["n_dup_spans"] <= r["n_spans"]
+    kept = sum(r["n_spans"] - r["n_dup_spans"] for r in rows.values())
+    import duckdb
+
+    n_distinct = duckdb.sql(
+        "SELECT COUNT(DISTINCT lower(substring(text,"
+        " CAST(i * 48 + 1 AS INT), 64)))"
+        " FROM read_parquet("
+        f"'{sf_dir}/documents.parquet'), LATERAL UNNEST(range(0,"
+        " CAST(ceil(greatest(length(text) - 16, 1) / 48.0) AS BIGINT)))"
+        " AS t(i) WHERE text IS NOT NULL"
+    ).fetchone()[0]
+    assert kept == n_distinct
+
+    # forced-duplicate corpus: doc 2 copies doc 0 verbatim, doc 1 unique
+    texts = ["alpha beta " * 30, "unique words only here " * 12]
+    texts.append(texts[0])
+    tdir = tmp_path / "span_dup"
+    tdir.mkdir()
+    spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+            for i, t in enumerate(texts)
+        ]
+    ).write.parquet(str(tdir / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in llm.llm_span_dedup(spark, str(tdir)).collect()
+    }
+    assert got[2]["dup_frac"] == 1.0
+    assert got[2]["n_dup_spans"] == got[2]["n_spans"]
+    assert got[1]["n_dup_spans"] == 0
+
+
 def test_pack_sequences_invariants(spark, sf_dir):
     rows = llm.llm_pack_sequences(spark, sf_dir).collect()
     assert rows
