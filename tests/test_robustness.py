@@ -41,6 +41,9 @@ QUERIES = {
     "llm_dedup_clusters": llm.llm_dedup_clusters,
     # distributed prefix sum over the day spine feeding cum_users
     "evt_cumulative_users": analytics.evt_cumulative_users,
+    # keep-first over the span-digest window: dup flags must come from the
+    # declared (doc_id, chunk_idx) order, not partition delivery order
+    "llm_span_dedup": llm.llm_span_dedup,
 }
 
 
