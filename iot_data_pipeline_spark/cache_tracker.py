@@ -28,11 +28,15 @@ def tracked_cache(df: DataFrame) -> DataFrame:
 
 
 def _session_stopped(df: DataFrame) -> bool:
+    """True only when the owning session is PROVABLY stopped. If the
+    liveness introspection itself fails (private-API drift, Spark
+    Connect), return False so the caller re-raises the original
+    unpersist error instead of silently skipping eviction."""
     try:
         sc = df.sparkSession.sparkContext
         return sc._jsc is None or sc._jsc.sc().isStopped()
     except Exception:
-        return True
+        return False
 
 
 def evict_tracked() -> int:
@@ -40,12 +44,18 @@ def evict_tracked() -> int:
 
     Only the stopped-session case is swallowed (nothing left to evict);
     any other unpersist failure propagates — a silently pinned frame
-    would perturb the next query's plan in bench/verify (ADVICE r4)."""
+    would perturb the next query's plan in bench/verify (ADVICE r4).
+    The liveness check runs AFTER a failed unpersist, not before, so a
+    session stopping mid-sweep is still treated as benign rather than
+    racing the check."""
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()
-        if _session_stopped(df):
-            continue
-        df.unpersist()
-        n += 1
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            if _session_stopped(df):
+                continue
+            raise
     return n

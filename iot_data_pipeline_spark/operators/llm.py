@@ -1069,6 +1069,15 @@ def llm_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived per row and ``substring`` runs JVM-side in codegen. Output is
     unordered on purpose (a global sort of the chunk table would be the
     only scale hazard here)."""
+    return _span_windows(spark, sf_dir)
+
+
+def _span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE span/window derivation: 64-char windows on a 48-char stride
+    (16 overlap), 1-based start offsets. Single source of truth shared by
+    ``llm_chunk_docs`` and ``llm_span_dedup`` (whose oracles both mirror
+    this exact formula) — the cross-query "same spans" contract lives
+    here, not in duplicated expressions."""
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n_chunks = (
         F.ceil(F.greatest(F.length("text") - 16, F.lit(1)) / 48.0)
@@ -1107,21 +1116,10 @@ def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     span text keeps shuffle rows at 64 fixed bytes regardless of span
     width (the oracle groups on the raw lowered span — same-key-set
     parity argument as ``llm_dedup_exact``)."""
-    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    n_chunks = (
-        F.ceil(F.greatest(F.length("text") - 16, F.lit(1)) / 48.0)
-        .cast("int")
-    )
-    spans = d.select(
+    spans = _span_windows(spark, sf_dir).select(
         "doc_id",
-        "text",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("idx"),
-    ).select(
-        "doc_id",
-        F.col("idx").cast("bigint").alias("chunk_idx"),
-        F.sha2(
-            F.lower(F.expr("substring(text, idx * 48 + 1, 64)")), 256
-        ).alias("k"),
+        "chunk_idx",
+        F.sha2(F.lower("chunk_text"), 256).alias("k"),
     )
     w = Window.partitionBy("k").orderBy("doc_id", "chunk_idx")
     flagged = spans.select(

@@ -95,17 +95,22 @@ def test_oracled_outputs_are_driver_sortable(spark, sf_dir):
     long form or ``array_join`` instead. Streaming/sink/source queries
     execute work when built, so the verify_local sweep (which runs them
     anyway) applies the identical check there."""
+    # reuse verify_local's helper so the banned-type set cannot drift
+    # between the pytest gate and the verify gate
+    vl_spec = importlib.util.spec_from_file_location(
+        "_vl_lint",
+        os.path.join(os.path.dirname(_ENTRY_PATH), "verify_local.py"),
+    )
+    vl = importlib.util.module_from_spec(vl_spec)
+    vl_spec.loader.exec_module(vl)
+
     mod = _entry_module()
     qs, oracles = mod.queries(), mod.oracle_sql()
     offenders: dict[str, list[str]] = {}
     for name, fn in sorted(qs.items()):
         if name.startswith(_SKIP_PREFIXES) or name not in oracles:
             continue
-        bad = [
-            f.name
-            for f in fn(spark, sf_dir).schema.fields
-            if f.dataType.typeName() in ("array", "map", "struct")
-        ]
+        bad = vl._driver_unsortable_cols(fn(spark, sf_dir).schema)
         if bad:
             offenders[name] = bad
     assert not offenders, offenders

@@ -173,6 +173,18 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            unsortable = _driver_unsortable_cols(sdf.schema)
+            if name in oracles and unsortable:
+                # verdict is decidable from the lazy schema — don't pay
+                # for the collect first
+                print(
+                    f"FAIL {name}: driver-unsortable output column(s)"
+                    f" {unsortable} (array/map/struct crash the driver's"
+                    " pandas sort_values canonicalizer — emit long form"
+                    " or array_join)"
+                )
+                n_fail += 1
+                continue
             srows = sdf.collect()
         except Exception:
             print(f"FAIL {name}: spark error")
@@ -180,7 +192,6 @@ def main() -> int:
             n_fail += 1
             continue
         dt = time.time() - t0
-        unsortable = _driver_unsortable_cols(sdf.schema)
         if name not in oracles:
             note = (
                 f"  [note: non-scalar cols {unsortable} — fine rows-only,"
@@ -190,15 +201,6 @@ def main() -> int:
             )
             print(f"rows-only {name}: {len(srows)} rows  ({dt:.1f}s){note}")
             n_rows_only += 1
-            continue
-        if unsortable:
-            print(
-                f"FAIL {name}: driver-unsortable output column(s)"
-                f" {unsortable} (array/map/struct crash the driver's"
-                " pandas sort_values canonicalizer — emit long form or"
-                " array_join)"
-            )
-            n_fail += 1
             continue
         try:
             rel = con.sql(oracles[name])
