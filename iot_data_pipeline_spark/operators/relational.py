@@ -733,6 +733,241 @@ def sql_entry_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_RCTE)
 
 
+# Shared revenue fragment (exact decimal product; see _util determinism notes).
+_REV = (
+    "CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+)
+_REV_SUM = (
+    f"CAST(CAST(FLOOR(SUM({_REV}) * 10000) AS BIGINT) AS DOUBLE) / 10000"
+)
+
+
+_SQL_Q5 = f"""
+SELECT n_name, {_REV_SUM} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP_NTZ '1997-01-01 00:00:00'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
+def sql_entry_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the canonical snowflake 6-way join
+    with a NON-join-key equality (``c_nationkey = s_nationkey``) riding on
+    the lineitem-supplier join. Catalyst broadcasts the three dims
+    (region→nation→supplier collapse into one broadcast chain below the
+    AQE threshold) and the year filter prunes orders at the scan, so the
+    only big shuffle pair is orders⋈lineitem on orderkey. At 100 TB the
+    shape holds: dims stay broadcast-size, facts shuffle once each."""
+    for name in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SQL_Q5)
+
+
+_SQL_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       {_REV_SUM} AS revenue, COUNT(*) AS n_lines
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (   (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def sql_entry_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): the same dimension table joined TWICE
+    under different aliases (supplier nation vs customer nation) with a
+    disjunction ACROSS the two join branches. The per-alias ``n_name``
+    IsNotNull conjuncts push to each broadcast build side, but the cross-
+    branch OR can only evaluate after both joins — exactly the plan a
+    100 TB run wants, since each nation broadcast filters its fact side
+    before the orderkey shuffle. Year extraction groups the exact decimal
+    revenue per (supp, cust, year)."""
+    for name in ("supplier", "lineitem", "orders", "customer", "nation"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SQL_Q7)
+
+
+_SQL_Q10 = f"""
+SELECT c_custkey, c_name, {_REV_SUM} AS revenue, c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP_NTZ '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def sql_entry_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    lost to returns in a half-year window. Both fact filters reach their
+    scans (date range on orders, ``l_returnflag = 'R'`` on lineitem — a
+    dictionary-encoded parquet column, so row groups skip wholesale), the
+    nation dim broadcasts, and the top-20 is TakeOrderedAndProject over
+    the per-customer aggregate — never a global sort. ``revenue DESC,
+    c_custkey`` makes the limit deterministic."""
+    for name in ("customer", "orders", "lineitem", "nation"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SQL_Q10)
+
+
+_SQL_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def sql_entry_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): a LEFT OUTER join
+    whose filter lives in the JOIN CONDITION, not WHERE — pushing it to
+    WHERE would change the semantics (customers with only urgent orders
+    must still appear with count 0). Two cascaded aggregations: the first
+    keyed on the (high-cardinality) custkey reuses the join's shuffle
+    partitioning; the second groups ~50 distinct counts, so its exchange
+    carries almost nothing. The count-of-counts histogram shape is the
+    same plan ``llm_text_stats`` uses over documents."""
+    for name in ("customer", "orders"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SQL_Q13)
+
+
+_SQL_Q14 = f"""
+SELECT promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_pct
+FROM (
+  SELECT CAST(CAST(FLOOR(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV}
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000)
+         AS BIGINT) AS DOUBLE) / 10000 AS promo_revenue,
+         {_REV_SUM} AS total_revenue
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP_NTZ '1996-03-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP_NTZ '1996-04-01 00:00:00'
+) month_rev
+"""
+
+
+def sql_entry_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional aggregation — one scan,
+    two sums split by a dimension attribute, then their ratio. The month
+    filter prunes lineitem before the part join (broadcast at any scale:
+    part is the small side after column pruning to partkey+type). The
+    percentage divides the two FLOOR-exact sums in one IEEE multiply and
+    one divide, so it is bit-identical across engines — a raw double
+    SUM ratio would be summation-order-dependent."""
+    for name in ("lineitem", "part"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SQL_Q14)
+
+
+_SQL_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {_REV_SUM} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP_NTZ '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def sql_entry_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): a named CTE consumed TWICE — once as the
+    join input, once inside an uncorrelated scalar subquery (the max).
+    Spark evaluates the scalar subquery as its own job and injects the
+    result as a literal filter, so the main plan stays one agg + one
+    broadcast join; the equality filter on ``total_revenue`` is exact
+    because the per-supplier revenue is the FLOOR-exact decimal sum
+    (a double sum here could make max-ties engine-dependent)."""
+    for name in ("lineitem", "supplier"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SQL_Q15)
+
+
+_SQL_Q19 = f"""
+SELECT {_REV_SUM} AS revenue, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def sql_entry_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, adapted: the testdata part has
+    no container/shipmode so the disjuncts pair brand+size with quantity
+    bands): an OR-of-ANDs spanning BOTH join sides. Catalyst extracts the
+    common equi-key (the disjunction never degrades to a nested loop) and
+    derives per-side implied filters (brand IN (...), size ≤ 35 to the
+    part scan; quantity ≤ 40 to lineitem) so each scan prunes before the
+    join — the classic disjunctive-pushdown test."""
+    for name in ("lineitem", "part"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SQL_Q19)
+
+
+_SQL_Q22 = """
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode, c_acctbal
+  FROM customer
+  WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6)
+    AND c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4)))
+                                 AS DOUBLE) / COUNT(*)
+                     FROM customer c2
+                     WHERE c2.c_acctbal > 0
+                       AND c2.c_nationkey IN (0, 1, 2, 3, 4, 5, 6))
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+) prospective
+GROUP BY cntrycode ORDER BY cntrycode
+"""
+
+
+def sql_entry_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity, adapted: the testdata
+    customer has no phone so country code is ``c_nationkey % 5`` and the
+    no-orders test is "never placed an URGENT order"): an uncorrelated
+    scalar AVG subquery (evaluated once, injected as a literal) plus a
+    correlated NOT EXISTS that Catalyst decorrelates to a LEFT ANTI join
+    on custkey. The average threshold is deterministic because it divides
+    the exact decimal sum by the count — a plain AVG(double) would be
+    partition-order-dependent and could flip boundary customers."""
+    for name in ("customer", "orders"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SQL_Q22)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -777,6 +1012,14 @@ QUERIES = {
     "sql_entry_tpch_q18": sql_entry_tpch_q18,
     "sql_entry_tpch_q21": sql_entry_tpch_q21,
     "sql_entry_recursive_cte": sql_entry_recursive_cte,
+    "sql_entry_tpch_q5": sql_entry_tpch_q5,
+    "sql_entry_tpch_q7": sql_entry_tpch_q7,
+    "sql_entry_tpch_q10": sql_entry_tpch_q10,
+    "sql_entry_tpch_q13": sql_entry_tpch_q13,
+    "sql_entry_tpch_q14": sql_entry_tpch_q14,
+    "sql_entry_tpch_q15": sql_entry_tpch_q15,
+    "sql_entry_tpch_q19": sql_entry_tpch_q19,
+    "sql_entry_tpch_q22": sql_entry_tpch_q22,
 }
 
 # DuckDB oracles for the subquery-decorrelation suite: identical SQL modulo
@@ -1018,4 +1261,14 @@ ORACLES = {
     "sql_entry_tpch_q18": _SQL_Q18,
     "sql_entry_tpch_q21": _SQL_Q21,
     "sql_entry_recursive_cte": _SQL_RCTE,
+    # Q5/Q7/Q10/Q13/Q14/Q15/Q19/Q22: identical SQL modulo the Spark-only
+    # TIMESTAMP_NTZ literal keyword (same convention as _ORACLE_Q4).
+    "sql_entry_tpch_q5": _SQL_Q5.replace("TIMESTAMP_NTZ", "TIMESTAMP"),
+    "sql_entry_tpch_q7": _SQL_Q7,
+    "sql_entry_tpch_q10": _SQL_Q10.replace("TIMESTAMP_NTZ", "TIMESTAMP"),
+    "sql_entry_tpch_q13": _SQL_Q13,
+    "sql_entry_tpch_q14": _SQL_Q14.replace("TIMESTAMP_NTZ", "TIMESTAMP"),
+    "sql_entry_tpch_q15": _SQL_Q15.replace("TIMESTAMP_NTZ", "TIMESTAMP"),
+    "sql_entry_tpch_q19": _SQL_Q19,
+    "sql_entry_tpch_q22": _SQL_Q22,
 }

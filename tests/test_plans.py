@@ -259,3 +259,56 @@ def test_near_dup_candidates_are_equi_joins(spark, sf_dir):
     plan = executed_plan(near_dup_pairs(sh, 0.5))
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
+
+
+def test_q19_disjunction_stays_equi_join_with_derived_pushdown(spark, sf_dir):
+    """TPC-H Q19's OR-of-ANDs spans both join sides: Catalyst must keep the
+    common p_partkey = l_partkey equi-key (no nested loop / cartesian) and
+    derive the per-side disjunction (quantity bands) down to the lineitem
+    scan so each side prunes before the join."""
+    from iot_data_pipeline_spark.operators import relational
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(relational.sql_entry_tpch_q19(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    # derived per-side filter reaches the parquet scan
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity" in plan
+
+
+def test_q22_plans_anti_join_and_in_pushdown(spark, sf_dir):
+    """TPC-H Q22 shape: the correlated NOT EXISTS decorrelates to a LEFT
+    ANTI join (no per-row subquery), and the nationkey IN-list reaches the
+    customer scan as an In pushdown."""
+    from iot_data_pipeline_spark.operators import relational
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(relational.sql_entry_tpch_q22(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "In(c_nationkey, [0,1,2,3,4,5,6]" in plan
+
+
+def test_q5_pushes_region_and_date_filters(spark, sf_dir):
+    """TPC-H Q5: the region name filter and the order-date year window must
+    reach their scans (partition-pruning surrogates at 100 TB), and the
+    snowflake never degrades to a cartesian."""
+    from iot_data_pipeline_spark.operators import relational
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(relational.sql_entry_tpch_q5(spark, sf_dir))
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_left_outer_keeps_condition_filter_on_right_scan(spark, sf_dir):
+    """TPC-H Q13: the priority exclusion lives in the JOIN condition; for a
+    LEFT OUTER join Catalyst may push it only to the RIGHT (orders) scan —
+    customers with solely urgent orders must survive with count 0."""
+    from iot_data_pipeline_spark.operators import relational
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(relational.sql_entry_tpch_q13(spark, sf_dir))
+    assert "LeftOuter" in plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
