@@ -1172,6 +1172,104 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule GATE: the published corpus-filter recipe of
+    per-document band rules combined into one keep/drop verdict — distinct
+    from ``llm_quality_filter`` (C4 length bands, a WHERE clause) and
+    ``llm_quality_score`` (a weighted rank signal): this emits the per-rule
+    0/1 verdict vector so a pipeline can audit WHICH rule dropped a doc.
+
+    Rules over lowered, trimmed, single-space tokens: word count in
+    [10, 100000]; mean word length in [3, 10]; ≥ 1 English stopword marker;
+    most-frequent-word fraction < 0.2 (the repetition rule, computed with
+    the same zero-shuffle sorted-run HOF as ``llm_repetition``). Everything
+    is exact integer arithmetic plus single IEEE divisions — one narrow
+    scan, zero shuffles, scan-parallel at any corpus size. Flags are BIGINT
+    0/1 (not boolean) to stay in the driver's portable-type envelope."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(normalized_text(), _WS), lambda t: t != "")
+    withw = d.select(
+        "doc_id",
+        F.array_sort(toks).alias("ws"),
+        # non-space chars of the trimmed text == total token length
+        F.length(F.regexp_replace(F.trim("text"), " ", "")).alias("sum_len"),
+        F.size(
+            F.filter(
+                F.split(normalized_text(), _WS),
+                lambda t: t.isin(*_EN_STOP),
+            )
+        ).alias("stop_hits"),
+    )
+    max_run = F.expr(
+        """
+        aggregate(ws,
+          struct(cast('' as string) as prev, 0 as run, 0 as best),
+          (a, w) -> struct(w,
+                           if(w = a.prev, a.run + 1, 1),
+                           greatest(a.best, if(w = a.prev, a.run + 1, 1))),
+          a -> a.best)
+        """
+    )
+    n = F.size("ws")
+    mean_len = F.col("sum_len").cast("double") / n
+    top_frac = max_run.cast("double") / n
+    r_wordcount = ((n >= 10) & (n <= 100_000)).cast("bigint")
+    r_wordlen = ((mean_len >= 3.0) & (mean_len <= 10.0)).cast("bigint")
+    r_stop = (F.col("stop_hits") >= 1).cast("bigint")
+    r_rep = (top_frac < 0.2).cast("bigint")
+    return withw.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        (F.floor(mean_len * 1_000_000) / 1_000_000).alias("mean_word_len"),
+        F.col("stop_hits").cast("bigint").alias("stop_hits"),
+        (F.floor(top_frac * 1_000_000) / 1_000_000).alias("top_frac"),
+        r_wordcount.alias("r_wordcount"),
+        r_wordlen.alias("r_wordlen"),
+        r_stop.alias("r_stop"),
+        r_rep.alias("r_rep"),
+        (r_wordcount * r_wordlen * r_stop * r_rep).alias("gopher_pass"),
+    )
+
+
+def llm_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency document scoring — the unigram-LM quality proxy:
+    pass 1 builds the corpus vocabulary with counts (a map-side-combinable
+    count on token, the shuffle carries |vocab| partials), pass 2 joins
+    each document's tokens back to the vocabulary and aggregates average
+    corpus frequency and rare-token count per doc. Documents full of
+    never-seen-again tokens (OCR noise, boilerplate IDs) score low
+    ``avg_freq`` / high ``n_rare`` — the integer-exact stand-in for
+    perplexity filtering.
+
+    Scale: the token→vocab join is Zipf-skewed (the head token appears
+    everywhere) but the vocab side AFTER aggregation is small relative to
+    the corpus, so AQE broadcasts it — every frequent-token lookup is then
+    map-side, no skewed shuffle partition. Integer sums only; the one
+    division per doc is a single IEEE op on exact operands."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(normalized_text(), _WS), lambda t: t != "")
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("sum_freq"),
+            F.sum((F.col("cnt") <= 2).cast("bigint")).alias("n_rare"),
+            (
+                F.floor((F.sum("cnt") / F.count(F.lit(1))) * 1_000_000)
+                / 1_000_000
+            ).alias("avg_freq"),
+        )
+        .select("doc_id", "n_tokens", "sum_freq", "n_rare", "avg_freq")
+    )
+
+
 def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-count proportional stratified sampling: ceil(10%) of each
     ``lang`` stratum, selected by ranking on ``md5(doc_id)`` — a keyed
@@ -1433,6 +1531,8 @@ QUERIES = {
     "llm_chunk_docs": llm_chunk_docs,
     "llm_span_dedup": llm_span_dedup,
     "llm_repetition": llm_repetition,
+    "llm_gopher_rules": llm_gopher_rules,
+    "llm_unigram_rarity": llm_unigram_rarity,
     "llm_sample_stratified": llm_sample_stratified,
     "llm_embed_quantize": llm_embed_quantize,
     "llm_pack_sequences": llm_pack_sequences,
@@ -1751,6 +1851,51 @@ ORACLES = {
         " 1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_word_frac,"
         " CAST(SUM(c) AS BIGINT) AS n_words"
         " FROM grams GROUP BY doc_id"
+    ),
+    "llm_gopher_rules": (
+        "WITH t AS (SELECT doc_id,"
+        "   list_filter(string_split(lower(trim(text)), ' '),"
+        "       x -> x <> '') AS ws,"
+        "   length(replace(trim(text), ' ', '')) AS sum_len,"
+        "   len(list_filter(string_split(lower(trim(text)), ' '),"
+        "       x -> x IN ('the','and','of','to','is'))) AS stop_hits"
+        " FROM documents),"
+        " c AS (SELECT doc_id, unnest(ws) AS tok FROM t),"
+        " tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM c"
+        "        GROUP BY doc_id, tok),"
+        " top AS (SELECT doc_id, MAX(c) AS top_c FROM tc GROUP BY doc_id),"
+        " r AS (SELECT t.doc_id, len(ws) AS n, sum_len, stop_hits, top_c,"
+        "   CAST(sum_len AS DOUBLE) / len(ws) AS mean_len,"
+        "   CAST(top_c AS DOUBLE) / len(ws) AS top_frac,"
+        "   CAST(len(ws) >= 10 AND len(ws) <= 100000 AS BIGINT)"
+        "     AS r_wordcount,"
+        "   CAST(CAST(sum_len AS DOUBLE) / len(ws) >= 3.0"
+        "    AND CAST(sum_len AS DOUBLE) / len(ws) <= 10.0 AS BIGINT)"
+        "     AS r_wordlen,"
+        "   CAST(stop_hits >= 1 AS BIGINT) AS r_stop,"
+        "   CAST(CAST(top_c AS DOUBLE) / len(ws) < 0.2 AS BIGINT) AS r_rep"
+        " FROM t JOIN top ON t.doc_id = top.doc_id)"
+        " SELECT doc_id, CAST(n AS BIGINT) AS n_words,"
+        " FLOOR(mean_len * 1000000) / 1000000 AS mean_word_len,"
+        " CAST(stop_hits AS BIGINT) AS stop_hits,"
+        " FLOOR(top_frac * 1000000) / 1000000 AS top_frac,"
+        " r_wordcount, r_wordlen, r_stop, r_rep,"
+        " r_wordcount * r_wordlen * r_stop * r_rep AS gopher_pass"
+        " FROM r"
+    ),
+    "llm_unigram_rarity": (
+        "WITH toks AS (SELECT doc_id,"
+        "   unnest(list_filter(string_split(lower(trim(text)), ' '),"
+        "       x -> x <> '')) AS tok FROM documents),"
+        " vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt"
+        "           FROM toks GROUP BY tok)"
+        " SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,"
+        " CAST(SUM(cnt) AS BIGINT) AS sum_freq,"
+        " CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS n_rare,"
+        " FLOOR((CAST(SUM(cnt) AS DOUBLE) / COUNT(*)) * 1000000) / 1000000"
+        "   AS avg_freq"
+        " FROM toks JOIN vocab USING (tok) GROUP BY doc_id"
     ),
     "llm_sample_stratified": (
         "WITH ranked AS (SELECT doc_id, lang, source,"

@@ -590,3 +590,87 @@ def test_llm_cross_dedup_property(spark):
         assert got == want
 
     check()
+
+
+def test_gopher_rules_verdict_composition(spark, sf_dir):
+    """The gate's verdict must be exactly the conjunction of its per-rule
+    flags, every flag must be 0/1, and per-doc stats must be internally
+    consistent (n_words > 0; the truncated mean inside the rule band when
+    the band flag says so)."""
+    rows = llm.llm_gopher_rules(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for k in ("r_wordcount", "r_wordlen", "r_stop", "r_rep", "gopher_pass"):
+            assert r[k] in (0, 1)
+        assert r["gopher_pass"] == (
+            r["r_wordcount"] * r["r_wordlen"] * r["r_stop"] * r["r_rep"]
+        )
+        assert r["n_words"] > 0
+        if r["r_wordlen"]:
+            assert 3.0 <= r["mean_word_len"] <= 10.0
+        if r["r_rep"]:
+            assert r["top_frac"] < 0.2
+    # the gate must have signal on the test corpus — not all-pass/all-drop
+    passed = sum(r["gopher_pass"] for r in rows)
+    assert 0 < passed < len(rows)
+
+
+def test_gopher_rules_flags_degenerate_docs(spark, tmp_path):
+    """A one-word-repeated document must fail the repetition rule; a
+    stopword-free doc must fail the stopword rule; a healthy English-like
+    doc must pass all four."""
+    rows = [
+        Row(doc_id=1, text="spam " * 49 + "spam", lang="en", source="s",
+            n_chars=249),
+        Row(doc_id=2, text=" ".join(f"w{i % 37} blah" for i in range(30)),
+            lang="en", source="s", n_chars=0),
+        Row(doc_id=3, text="the quick brown fox jumps over the lazy dog and "
+            * 5 + "runs home to sleep", lang="en", source="s", n_chars=0),
+    ]
+    tdir = str(tmp_path / "gopher")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        tdir + "/documents.parquet"
+    )
+    got = {r["doc_id"]: r for r in llm.llm_gopher_rules(spark, tdir).collect()}
+    assert got[1]["r_rep"] == 0 and got[1]["gopher_pass"] == 0
+    assert got[2]["r_stop"] == 0 and got[2]["gopher_pass"] == 0
+    assert got[3]["gopher_pass"] == 1
+
+
+def test_unigram_rarity_matches_reference(spark, tmp_path):
+    """Exact cross-check of the two-pass corpus-frequency scorer against a
+    sequential Python reference on a constructed corpus with known token
+    frequencies (including a singleton and a doubleton 'rare' token)."""
+    texts = {
+        1: "alpha alpha beta",
+        2: "alpha beta gamma",
+        3: "gamma gamma singleton",
+    }
+    rows = [
+        Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+        for i, t in texts.items()
+    ]
+    tdir = str(tmp_path / "rarity")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        tdir + "/documents.parquet"
+    )
+    from collections import Counter
+
+    vocab = Counter(
+        tok for t in texts.values() for tok in t.lower().split() if tok
+    )
+    got = {
+        r["doc_id"]: r for r in llm.llm_unigram_rarity(spark, tdir).collect()
+    }
+    for i, t in texts.items():
+        toks = t.lower().split()
+        assert got[i]["n_tokens"] == len(toks)
+        assert got[i]["sum_freq"] == sum(vocab[x] for x in toks)
+        assert got[i]["n_rare"] == sum(1 for x in toks if vocab[x] <= 2)
+        import math
+
+        want_avg = (
+            math.floor(sum(vocab[x] for x in toks) / len(toks) * 1_000_000)
+            / 1_000_000
+        )
+        assert got[i]["avg_freq"] == want_avg

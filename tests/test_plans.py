@@ -312,3 +312,27 @@ def test_q13_left_outer_keeps_condition_filter_on_right_scan(spark, sf_dir):
     plan = executed_plan(relational.sql_entry_tpch_q13(spark, sf_dir))
     assert "LeftOuter" in plan
     assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+
+
+def test_gopher_rules_is_shuffle_free(spark, sf_dir):
+    """The Gopher gate is all per-row expressions (sorted-run HOF for the
+    repetition rule) — any Exchange would mean per-doc stats left their
+    input partition."""
+    from iot_data_pipeline_spark.operators import llm
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(llm.llm_gopher_rules(spark, sf_dir))
+    assert plan.count("Exchange") == 0
+
+
+def test_unigram_rarity_broadcasts_vocab(spark, sf_dir):
+    """The corpus-frequency scorer must join exploded tokens to the
+    aggregated vocabulary with a broadcast hash join (the vocab side is
+    small after aggregation) — a sort-merge join here would shuffle the
+    full token stream a second time on a Zipf-skewed key."""
+    from iot_data_pipeline_spark.operators import llm
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(llm.llm_unigram_rarity(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
