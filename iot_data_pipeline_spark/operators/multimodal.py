@@ -1252,6 +1252,61 @@ def mm_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash (aHash) perceptual image fingerprint over the real PPM
+    decode — the image-modality entry point to the dedup ladder: two
+    near-identical images produce hashes within a small Hamming distance,
+    so downstream image dedup is a groupBy/bucket-join on the hash, the
+    exact shape ``llm_dedup_exact``/``llm_dedup_near`` use for text.
+
+    Per image: integer luma ``299·R + 587·G + 114·B`` (scaled ×1000 — no
+    float rounding), then bit i of the hash is 1 iff pixel i's luma is
+    STRICTLY above the image mean, tested as ``luma·n_px > sum_luma`` to
+    stay in exact integer arithmetic (a divide would round differently at
+    ties). Images here are ≤ 8×6 → ≤ 48 bits, so the hash fits a BIGINT.
+    Shuffle-free mapInPandas; the oracle recomputes every bit in SQL, so a
+    hash match proves decode + luma + threshold bit-for-bit."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(4) + F.pmod(F.col("doc_id"), F.lit(5))).alias("w"),
+        (F.lit(3) + F.pmod(F.col("doc_id"), F.lit(4))).alias("h"),
+    )
+
+    def gen_ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                blob = synth_ppm(int(mid), int(w), int(h))
+                arr, _meta = decode_media(blob, "image/ppm")
+                px = arr.astype("int64")
+                gray = (
+                    px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
+                ).reshape(-1)
+                n = int(gray.size)
+                total = int(gray.sum())
+                bits = gray * n > total
+                ahash = 0
+                for i in range(n):
+                    if bits[i]:
+                        ahash |= 1 << i
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_px": n,
+                        "gray_sum": total,
+                        "n_above": int(bits.sum()),
+                        "ahash": ahash,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen_ahash,
+        "media_id LONG, n_px LONG, gray_sum LONG, n_above LONG, ahash LONG",
+    )
+
+
 # Registered round 5 after the attestation unfreeze (pytest-verified
 # value-for-value vs their oracles since r4 staging), plus the two r5-new
 # follow-ons (bilinear resize, WHT spectrum) the codecs unlocked.
@@ -1263,6 +1318,7 @@ QUERIES.update(
         "mm_resize": mm_resize,
         "mm_resize_bilinear": mm_resize_bilinear,
         "mm_audio_spectrum": mm_audio_spectrum,
+        "mm_image_ahash": mm_image_ahash,
     }
 )
 
@@ -1472,4 +1528,27 @@ _CODEC_ORACLES = {
         " FROM x GROUP BY doc_id, k"
     ),
 }
+# aHash oracle: luma of pixel k (row-major) is pure arithmetic on the
+# synth_ppm formula; the hash bit test stays in integers (luma·n > total).
+_CODEC_ORACLES["mm_image_ahash"] = (
+    "WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h"
+    "           FROM documents),"
+    " g AS (SELECT doc_id, w, h,"
+    "        unnest(generate_series(0, w * h - 1)) AS k FROM d),"
+    " p AS (SELECT doc_id, w * h AS n, k,"
+    "   299 * ((doc_id * 7 + (k // w) * 31 + (k % w) * 13) % 256)"
+    " + 587 * ((doc_id * 7 + (k // w) * 31 + (k % w) * 13 + 5) % 256)"
+    " + 114 * ((doc_id * 7 + (k // w) * 31 + (k % w) * 13 + 10) % 256)"
+    "     AS gray FROM g),"
+    " t AS (SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS total"
+    "       FROM p GROUP BY doc_id)"
+    " SELECT p.doc_id AS media_id, CAST(p.n AS BIGINT) AS n_px,"
+    " t.total AS gray_sum,"
+    " CAST(SUM(CASE WHEN p.gray * p.n > t.total THEN 1 ELSE 0 END)"
+    "      AS BIGINT) AS n_above,"
+    " CAST(SUM(CASE WHEN p.gray * p.n > t.total"
+    "          THEN CAST(1 AS BIGINT) << p.k ELSE 0 END) AS BIGINT) AS ahash"
+    " FROM p JOIN t ON p.doc_id = t.doc_id GROUP BY p.doc_id, p.n, t.total"
+)
+
 ORACLES.update(_CODEC_ORACLES)

@@ -656,3 +656,31 @@ def test_mm_codec_queries_match_oracles(spark, sf_dir):
             tuple(str(r[i]) for i in dorder) for r in rel.fetchall()
         )
         assert got == want, qname
+
+
+def test_image_ahash_invariants(spark, sf_dir):
+    """aHash structural invariants plus a cross-operator check: the luma
+    total must equal the weighted channel sums the PPM decode reports
+    (299·R + 587·G + 114·B), the popcount of the hash must equal the
+    above-mean count, and strictly-above-mean can never cover all pixels."""
+    from iot_data_pipeline_spark.operators import multimodal
+
+    hashes = {
+        r["media_id"]: r
+        for r in multimodal.QUERIES["mm_image_ahash"](spark, sf_dir).collect()
+    }
+    decoded = {
+        r["media_id"]: r
+        for r in multimodal.QUERIES["mm_decode_ppm"](spark, sf_dir).collect()
+    }
+    assert set(hashes) == set(decoded)
+    for mid, r in hashes.items():
+        d = decoded[mid]
+        assert r["n_px"] == d["width"] * d["height"]
+        assert (
+            r["gray_sum"]
+            == 299 * d["r_sum"] + 587 * d["g_sum"] + 114 * d["b_sum"]
+        )
+        assert 0 <= r["ahash"] < (1 << r["n_px"])
+        assert bin(r["ahash"]).count("1") == r["n_above"]
+        assert r["n_above"] < r["n_px"]
