@@ -733,6 +733,62 @@ def sql_entry_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_RCTE)
 
 
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-storage co-located join — the pre-shuffle pattern that pays
+    for itself at 100 TB: write both fact tables bucketed AND sorted on the
+    join key (``bucketBy(8, orderkey).sortBy(orderkey)``), then join the
+    catalog tables back. Matching bucket counts mean the join consumes the
+    on-disk partitioning directly — the executed plan shows ``Bucketed:
+    true`` on both scans and NO Exchange feeding the SortMergeJoin, so a
+    nightly pipeline joining these tables N times shuffles them zero times
+    instead of N. The ``merge`` hint pins the SMJ at toy scale too (the
+    planner would otherwise broadcast the small side and skip the bucket
+    path); at production scale SMJ is what it would pick anyway. The final
+    per-status aggregate shuffles only |groups| partial rows."""
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    (
+        orders.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", base + "/orders")
+        .saveAsTable("bkt_orders")
+    )
+    (
+        lineitem.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", base + "/lineitem")
+        .saveAsTable("bkt_lineitem")
+    )
+    joined = (
+        spark.table("bkt_orders")
+        .hint("merge")
+        .join(
+            spark.table("bkt_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_quantity", "sum_qty"),
+            dsum_prod(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")),
+                "revenue",
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 # Shared revenue fragment (exact decimal product; see _util determinism notes).
 _REV = (
     "CAST(l_extendedprice AS DECIMAL(18,4))"
@@ -1020,6 +1076,7 @@ QUERIES = {
     "sql_entry_tpch_q15": sql_entry_tpch_q15,
     "sql_entry_tpch_q19": sql_entry_tpch_q19,
     "sql_entry_tpch_q22": sql_entry_tpch_q22,
+    "join_bucketed_colocated": join_bucketed_colocated,
 }
 
 # DuckDB oracles for the subquery-decorrelation suite: identical SQL modulo
@@ -1271,4 +1328,13 @@ ORACLES = {
     "sql_entry_tpch_q15": _SQL_Q15.replace("TIMESTAMP_NTZ", "TIMESTAMP"),
     "sql_entry_tpch_q19": _SQL_Q19,
     "sql_entry_tpch_q22": _SQL_Q22,
+    # Bucketing changes the physical layout, never the result: the oracle is
+    # the plain join+agg on the raw views.
+    "join_bucketed_colocated": (
+        "SELECT o_orderstatus, COUNT(*) AS n_lines,"
+        f" {sql_dsum('l_quantity', 'sum_qty')},"
+        f" {sql_dsum_prod(_DISC_PRICE_EXPR, 'revenue')}"
+        " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+        " GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ),
 }

@@ -336,3 +336,18 @@ def test_unigram_rarity_broadcasts_vocab(spark, sf_dir):
     plan = executed_plan(llm.llm_unigram_rarity(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_reads_buckets_without_shuffle(spark, sf_dir):
+    """Both bucketed scans must feed the SortMergeJoin directly — the plan
+    shows ``Bucketed: true`` on each FileScan and no Exchange re-shuffling
+    either side on the join key. That shuffle elimination is the entire
+    point of pre-bucketed storage at 100 TB."""
+    from iot_data_pipeline_spark.operators import relational
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(relational.join_bucketed_colocated(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    assert "hashpartitioning(o_orderkey" not in plan
+    assert "hashpartitioning(l_orderkey" not in plan
