@@ -57,6 +57,9 @@ HEADLINE = [
     # mapInPandas), registered this round — tracked so codec throughput
     # can't silently regress.
     "mm_decode_jpeg",
+    # r5 continuation: the 6-way snowflake (broadcast-chain dims + one big
+    # fact-fact shuffle pair) is the widest join plan in the registry.
+    "sql_entry_tpch_q5",
 ]
 
 

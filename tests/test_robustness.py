@@ -44,6 +44,16 @@ QUERIES = {
     # keep-first over the span-digest window: dup flags must come from the
     # declared (doc_id, chunk_idx) order, not partition delivery order
     "llm_span_dedup": llm.llm_span_dedup,
+    # bucketed co-located join: the result must not depend on whether the
+    # planner consumes the bucket layout (AQE off / broadcast off / small
+    # shuffle counts all change which path runs)
+    "join_bucketed_colocated": relational.join_bucketed_colocated,
+    # vocab-broadcast scorer: with broadcast disabled the token⋈vocab join
+    # degrades to SMJ on a Zipf-skewed key — values must be identical
+    "llm_unigram_rarity": llm.llm_unigram_rarity,
+    # scalar MAX subquery over the FLOOR-exact revenue CTE: the max-tie
+    # winner must be partitioning-independent
+    "sql_entry_tpch_q15": relational.sql_entry_tpch_q15,
 }
 
 
