@@ -1193,12 +1193,10 @@ def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(toks).alias("ws"),
         # non-space chars of the trimmed text == total token length
         F.length(F.regexp_replace(F.trim("text"), " ", "")).alias("sum_len"),
-        F.size(
-            F.filter(
-                F.split(normalized_text(), _WS),
-                lambda t: t.isin(*_EN_STOP),
-            )
-        ).alias("stop_hits"),
+        # '' is not a stopword, so filtering empties first changes nothing
+        F.size(F.filter(toks, lambda t: t.isin(*_EN_STOP))).alias(
+            "stop_hits"
+        ),
     )
     max_run = F.expr(
         """
@@ -1211,12 +1209,21 @@ def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     n = F.size("ws")
-    mean_len = F.col("sum_len").cast("double") / n
-    top_frac = max_run.cast("double") / n
+    # Zero-token docs (empty/whitespace text) must still get a verdict row
+    # with every flag 0 — guard the divisions explicitly so the contract
+    # (0/1 flags, never NULL) holds and the oracle can mirror it exactly.
+    mean_len = F.when(
+        n > 0, F.col("sum_len").cast("double") / n
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(n > 0, max_run.cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
     r_wordcount = ((n >= 10) & (n <= 100_000)).cast("bigint")
-    r_wordlen = ((mean_len >= 3.0) & (mean_len <= 10.0)).cast("bigint")
+    r_wordlen = (
+        (n > 0) & (mean_len >= 3.0) & (mean_len <= 10.0)
+    ).cast("bigint")
     r_stop = (F.col("stop_hits") >= 1).cast("bigint")
-    r_rep = (top_frac < 0.2).cast("bigint")
+    r_rep = ((n > 0) & (top_frac < 0.2)).cast("bigint")
     return withw.select(
         "doc_id",
         n.cast("bigint").alias("n_words"),
@@ -1853,6 +1860,8 @@ ORACLES = {
         " FROM grams GROUP BY doc_id"
     ),
     "llm_gopher_rules": (
+        # LEFT JOIN + n=0 guards mirror the engine's zero-token contract:
+        # empty/whitespace docs keep a verdict row with every flag 0.
         "WITH t AS (SELECT doc_id,"
         "   list_filter(string_split(lower(trim(text)), ' '),"
         "       x -> x <> '') AS ws,"
@@ -1864,23 +1873,30 @@ ORACLES = {
         " tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM c"
         "        GROUP BY doc_id, tok),"
         " top AS (SELECT doc_id, MAX(c) AS top_c FROM tc GROUP BY doc_id),"
-        " r AS (SELECT t.doc_id, len(ws) AS n, sum_len, stop_hits, top_c,"
-        "   CAST(sum_len AS DOUBLE) / len(ws) AS mean_len,"
-        "   CAST(top_c AS DOUBLE) / len(ws) AS top_frac,"
+        " r AS (SELECT t.doc_id, len(ws) AS n, sum_len, stop_hits,"
+        "   CASE WHEN len(ws) > 0"
+        "        THEN CAST(sum_len AS DOUBLE) / len(ws) ELSE 0.0 END"
+        "     AS mean_len,"
+        "   CASE WHEN len(ws) > 0"
+        "        THEN CAST(top.top_c AS DOUBLE) / len(ws) ELSE 0.0 END"
+        "     AS top_frac,"
         "   CAST(len(ws) >= 10 AND len(ws) <= 100000 AS BIGINT)"
         "     AS r_wordcount,"
-        "   CAST(CAST(sum_len AS DOUBLE) / len(ws) >= 3.0"
-        "    AND CAST(sum_len AS DOUBLE) / len(ws) <= 10.0 AS BIGINT)"
-        "     AS r_wordlen,"
-        "   CAST(stop_hits >= 1 AS BIGINT) AS r_stop,"
-        "   CAST(CAST(top_c AS DOUBLE) / len(ws) < 0.2 AS BIGINT) AS r_rep"
-        " FROM t JOIN top ON t.doc_id = top.doc_id)"
+        "   CAST(stop_hits >= 1 AS BIGINT) AS r_stop"
+        " FROM t LEFT JOIN top ON t.doc_id = top.doc_id)"
         " SELECT doc_id, CAST(n AS BIGINT) AS n_words,"
         " FLOOR(mean_len * 1000000) / 1000000 AS mean_word_len,"
         " CAST(stop_hits AS BIGINT) AS stop_hits,"
         " FLOOR(top_frac * 1000000) / 1000000 AS top_frac,"
-        " r_wordcount, r_wordlen, r_stop, r_rep,"
-        " r_wordcount * r_wordlen * r_stop * r_rep AS gopher_pass"
+        " r_wordcount,"
+        " CAST(n > 0 AND mean_len >= 3.0 AND mean_len <= 10.0 AS BIGINT)"
+        "   AS r_wordlen,"
+        " r_stop,"
+        " CAST(n > 0 AND top_frac < 0.2 AS BIGINT) AS r_rep,"
+        " r_wordcount"
+        "   * CAST(n > 0 AND mean_len >= 3.0 AND mean_len <= 10.0 AS BIGINT)"
+        "   * r_stop"
+        "   * CAST(n > 0 AND top_frac < 0.2 AS BIGINT) AS gopher_pass"
         " FROM r"
     ),
     "llm_unigram_rarity": (

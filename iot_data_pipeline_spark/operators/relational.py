@@ -13,6 +13,7 @@ dimension tables are broadcast explicitly, and nothing collects to the driver.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -744,8 +745,15 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of N. The ``merge`` hint pins the SMJ at toy scale too (the
     planner would otherwise broadcast the small side and skip the bucket
     path); at production scale SMJ is what it would pick anyway. The final
-    per-status aggregate shuffles only |groups| partial rows."""
-    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    per-status aggregate shuffles only |groups| partial rows.
+
+    The bucketed copies live at ONE fixed external location that every
+    invocation overwrites in place — a fresh mkdtemp per call would leak a
+    full copy of both facts each run (bench reps, the robustness matrix),
+    and managed tables refuse to re-attach to a warehouse directory left
+    by a previous session. The tables stay registered because the returned
+    DataFrame reads them lazily."""
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
     orders = table(spark, sf_dir, "orders")
     lineitem = table(spark, sf_dir, "lineitem")
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
@@ -755,7 +763,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
-        .option("path", base + "/orders")
+        .option("path", os.path.join(base, "orders"))
         .saveAsTable("bkt_orders")
     )
     (
@@ -763,7 +771,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
-        .option("path", base + "/lineitem")
+        .option("path", os.path.join(base, "lineitem"))
         .saveAsTable("bkt_lineitem")
     )
     joined = (
@@ -789,18 +797,17 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared revenue fragment (exact decimal product; see _util determinism notes).
-_REV = (
+# Shared decimal-product fragment for deterministic revenue sums (used by the
+# TPC-H SQL below and the oracle table at the bottom of the module; the FLOOR
+# recipe itself lives in _util.sql_dsum_prod so a precision fix lands once).
+_DISC_PRICE_EXPR = (
     "CAST(l_extendedprice AS DECIMAL(18,4))"
     " * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
-)
-_REV_SUM = (
-    f"CAST(CAST(FLOOR(SUM({_REV}) * 10000) AS BIGINT) AS DOUBLE) / 10000"
 )
 
 
 _SQL_Q5 = f"""
-SELECT n_name, {_REV_SUM} AS revenue
+SELECT n_name, {sql_dsum_prod(_DISC_PRICE_EXPR, 'revenue')}
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -830,7 +837,7 @@ def sql_entry_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_Q7 = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
-       {_REV_SUM} AS revenue, COUNT(*) AS n_lines
+       {sql_dsum_prod(_DISC_PRICE_EXPR, 'revenue')}, COUNT(*) AS n_lines
 FROM supplier
 JOIN lineitem ON s_suppkey = l_suppkey
 JOIN orders   ON o_orderkey = l_orderkey
@@ -859,7 +866,8 @@ def sql_entry_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_Q10 = f"""
-SELECT c_custkey, c_name, {_REV_SUM} AS revenue, c_acctbal, n_name
+SELECT c_custkey, c_name, {sql_dsum_prod(_DISC_PRICE_EXPR, 'revenue')},
+       c_acctbal, n_name
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -914,10 +922,10 @@ _SQL_Q14 = f"""
 SELECT promo_revenue, total_revenue,
        100.0 * promo_revenue / total_revenue AS promo_pct
 FROM (
-  SELECT CAST(CAST(FLOOR(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV}
-                               ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000)
-         AS BIGINT) AS DOUBLE) / 10000 AS promo_revenue,
-         {_REV_SUM} AS total_revenue
+  SELECT {sql_dsum_prod(
+      "CASE WHEN p_type = 'PROMO' THEN " + _DISC_PRICE_EXPR
+      + " ELSE CAST(0 AS DECIMAL(18,4)) END", 'promo_revenue')},
+         {sql_dsum_prod(_DISC_PRICE_EXPR, 'total_revenue')}
   FROM lineitem JOIN part ON p_partkey = l_partkey
   WHERE l_shipdate >= TIMESTAMP_NTZ '1996-03-01 00:00:00'
     AND l_shipdate <  TIMESTAMP_NTZ '1996-04-01 00:00:00'
@@ -940,7 +948,8 @@ def sql_entry_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_Q15 = f"""
 WITH revenue AS (
-  SELECT l_suppkey AS supplier_no, {_REV_SUM} AS total_revenue
+  SELECT l_suppkey AS supplier_no,
+         {sql_dsum_prod(_DISC_PRICE_EXPR, 'total_revenue')}
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP_NTZ '1996-04-01 00:00:00'
@@ -966,7 +975,7 @@ def sql_entry_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_Q19 = f"""
-SELECT {_REV_SUM} AS revenue, COUNT(*) AS n_lines
+SELECT {sql_dsum_prod(_DISC_PRICE_EXPR, 'revenue')}, COUNT(*) AS n_lines
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 1 AND 21)
@@ -1082,12 +1091,6 @@ QUERIES = {
 # DuckDB oracles for the subquery-decorrelation suite: identical SQL modulo
 # the timestamp-literal keyword (Spark TIMESTAMP_NTZ vs DuckDB TIMESTAMP).
 _ORACLE_Q4 = _SQL_Q4.replace("TIMESTAMP_NTZ", "TIMESTAMP")
-
-# Shared decimal-product fragment for deterministic revenue sums.
-_DISC_PRICE_EXPR = (
-    "CAST(l_extendedprice AS DECIMAL(18,4))"
-    " * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
-)
 
 ORACLES = {
     "sql_entry_tpch_q1": (

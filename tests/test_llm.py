@@ -618,7 +618,9 @@ def test_gopher_rules_verdict_composition(spark, sf_dir):
 def test_gopher_rules_flags_degenerate_docs(spark, tmp_path):
     """A one-word-repeated document must fail the repetition rule; a
     stopword-free doc must fail the stopword rule; a healthy English-like
-    doc must pass all four."""
+    doc must pass all four; a whitespace-only doc must keep its verdict
+    row with every flag 0 (never NULL) — and the DuckDB oracle must agree
+    row-for-row on exactly this degenerate corpus."""
     rows = [
         Row(doc_id=1, text="spam " * 49 + "spam", lang="en", source="s",
             n_chars=249),
@@ -626,6 +628,7 @@ def test_gopher_rules_flags_degenerate_docs(spark, tmp_path):
             lang="en", source="s", n_chars=0),
         Row(doc_id=3, text="the quick brown fox jumps over the lazy dog and "
             * 5 + "runs home to sleep", lang="en", source="s", n_chars=0),
+        Row(doc_id=4, text="   ", lang="en", source="s", n_chars=3),
     ]
     tdir = str(tmp_path / "gopher")
     spark.createDataFrame(rows).write.mode("overwrite").parquet(
@@ -635,6 +638,31 @@ def test_gopher_rules_flags_degenerate_docs(spark, tmp_path):
     assert got[1]["r_rep"] == 0 and got[1]["gopher_pass"] == 0
     assert got[2]["r_stop"] == 0 and got[2]["gopher_pass"] == 0
     assert got[3]["gopher_pass"] == 1
+    empty = got[4]
+    assert empty["n_words"] == 0
+    for k in ("r_wordcount", "r_wordlen", "r_stop", "r_rep", "gopher_pass"):
+        assert empty[k] == 0, k
+    assert empty["mean_word_len"] == 0.0 and empty["top_frac"] == 0.0
+
+    # oracle parity on the degenerate corpus (the zero-token doc is the
+    # case the driver's generated data never exercises)
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tdir}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: tuple(str(v) for v in r)
+        for r in con.sql(llm.ORACLES["llm_gopher_rules"]).fetchall()
+    }
+    cols = llm.llm_gopher_rules(spark, tdir).columns
+    got_t = {
+        r["doc_id"]: tuple(str(r[c]) for c in cols)
+        for r in llm.llm_gopher_rules(spark, tdir).collect()
+    }
+    assert got_t == want
 
 
 def test_unigram_rarity_matches_reference(spark, tmp_path):
