@@ -1252,6 +1252,33 @@ def mm_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ahash_record(mid: int, w: int, h: int) -> dict:
+    """Decode one synthesized PPM and fingerprint it: integer luma
+    (299R+587G+114B), strict-above-mean bit per pixel in row-major order
+    (``luma·n > total`` keeps the threshold in exact integers). Shared by
+    ``mm_image_ahash`` (per-image rows) and ``mm_corpus_stats`` (rollup)."""
+    blob = synth_ppm(mid, w, h)
+    arr, _meta = decode_media(blob, "image/ppm")
+    px = arr.astype("int64")
+    gray = (
+        px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
+    ).reshape(-1)
+    n = int(gray.size)
+    total = int(gray.sum())
+    bits = gray * n > total
+    ahash = 0
+    for i in range(n):
+        if bits[i]:
+            ahash |= 1 << i
+    return {
+        "media_id": mid,
+        "n_px": n,
+        "gray_sum": total,
+        "n_above": int(bits.sum()),
+        "ahash": ahash,
+    }
+
+
 def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average-hash (aHash) perceptual image fingerprint over the real PPM
     decode — the image-modality entry point to the dedup ladder: two
@@ -1275,35 +1302,60 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gen_ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
-                blob = synth_ppm(int(mid), int(w), int(h))
-                arr, _meta = decode_media(blob, "image/ppm")
-                px = arr.astype("int64")
-                gray = (
-                    px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
-                ).reshape(-1)
-                n = int(gray.size)
-                total = int(gray.sum())
-                bits = gray * n > total
-                ahash = 0
-                for i in range(n):
-                    if bits[i]:
-                        ahash |= 1 << i
-                rows.append(
-                    {
-                        "media_id": int(mid),
-                        "n_px": n,
-                        "gray_sum": total,
-                        "n_above": int(bits.sum()),
-                        "ahash": ahash,
-                    }
-                )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                [
+                    _ahash_record(int(mid), int(w), int(h))
+                    for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"])
+                ]
+            )
 
     return base.mapInPandas(
         gen_ahash,
         "media_id LONG, n_px LONG, gray_sum LONG, n_above LONG, ahash LONG",
+    )
+
+
+def mm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal capstone — decode → fingerprint → corpus rollup as ONE
+    plan (the image-side twin of ``llm_corpus_pipeline``): every image is
+    decoded with the real PPM parser and aHash-fingerprinted inside a
+    single shuffle-free mapInPandas pass, then one aggregation reports
+    corpus-level curation stats: image/pixel counts, exact distinct
+    fingerprints (the dedup signal), and mean luma as a single IEEE
+    division of exact integer sums. Scale shape: the decode never
+    shuffles; the only exchange carries per-partition partials of a
+    5-column aggregate. Distinct-hash counting is exact two-phase
+    (partial sets are tiny — 48-bit hashes)."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(4) + F.pmod(F.col("doc_id"), F.lit(5))).alias("w"),
+        (F.lit(3) + F.pmod(F.col("doc_id"), F.lit(4))).alias("h"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    _ahash_record(int(mid), int(w), int(h))
+                    for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"])
+                ]
+            )
+
+    per_image = base.mapInPandas(
+        gen,
+        "media_id LONG, n_px LONG, gray_sum LONG, n_above LONG, ahash LONG",
+    )
+    return per_image.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("n_px").alias("total_px"),
+        F.count_distinct(F.col("ahash")).alias("n_distinct_hash"),
+        (
+            F.floor(
+                (F.sum("gray_sum") / F.sum("n_px")) * 1_000_000
+            ) / 1_000_000
+        ).alias("mean_luma"),
+        F.max("ahash").alias("max_hash"),
     )
 
 
@@ -1319,6 +1371,7 @@ QUERIES.update(
         "mm_resize_bilinear": mm_resize_bilinear,
         "mm_audio_spectrum": mm_audio_spectrum,
         "mm_image_ahash": mm_image_ahash,
+        "mm_corpus_stats": mm_corpus_stats,
     }
 )
 
@@ -1549,6 +1602,35 @@ _CODEC_ORACLES["mm_image_ahash"] = (
     " CAST(SUM(CASE WHEN p.gray * p.n > t.total"
     "          THEN CAST(1 AS BIGINT) << p.k ELSE 0 END) AS BIGINT) AS ahash"
     " FROM p JOIN t ON p.doc_id = t.doc_id GROUP BY p.doc_id, p.n, t.total"
+)
+
+# Capstone oracle: one rollup over the same per-image luma arithmetic.
+_CODEC_ORACLES["mm_corpus_stats"] = (
+    "WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h"
+    "           FROM documents),"
+    " g AS (SELECT doc_id, w, h,"
+    "        unnest(generate_series(0, w * h - 1)) AS k FROM d),"
+    " p AS (SELECT doc_id, w * h AS n, k,"
+    "   299 * ((doc_id * 7 + (k // w) * 31 + (k % w) * 13) % 256)"
+    " + 587 * ((doc_id * 7 + (k // w) * 31 + (k % w) * 13 + 5) % 256)"
+    " + 114 * ((doc_id * 7 + (k // w) * 31 + (k % w) * 13 + 10) % 256)"
+    "     AS gray FROM g),"
+    " t AS (SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS total"
+    "       FROM p GROUP BY doc_id),"
+    " img AS (SELECT p.doc_id, CAST(p.n AS BIGINT) AS n_px,"
+    "   t.total AS gray_sum,"
+    "   CAST(SUM(CASE WHEN p.gray * p.n > t.total"
+    "            THEN CAST(1 AS BIGINT) << p.k ELSE 0 END) AS BIGINT)"
+    "     AS ahash"
+    "   FROM p JOIN t ON p.doc_id = t.doc_id"
+    "   GROUP BY p.doc_id, p.n, t.total)"
+    " SELECT CAST(COUNT(*) AS BIGINT) AS n_images,"
+    " CAST(SUM(n_px) AS BIGINT) AS total_px,"
+    " CAST(COUNT(DISTINCT ahash) AS BIGINT) AS n_distinct_hash,"
+    " FLOOR((CAST(SUM(gray_sum) AS DOUBLE) / CAST(SUM(n_px) AS DOUBLE))"
+    "       * 1000000) / 1000000 AS mean_luma,"
+    " MAX(ahash) AS max_hash"
+    " FROM img"
 )
 
 ORACLES.update(_CODEC_ORACLES)

@@ -303,3 +303,44 @@ def test_join_theta_range_banded_equals_bruteforce(spark, tmp_path):
         assert got == want
 
     check()
+
+
+def test_q13_join_condition_semantics(spark, tmp_path):
+    """Q13's defining subtlety: the priority exclusion is part of the JOIN
+    condition, so a customer whose orders are ALL urgent must still appear
+    with count 0 (a WHERE-clause filter would silently drop them). Built
+    corpus: c1 has only urgent orders, c2 has no orders at all, c3 has two
+    countable orders plus one urgent."""
+    import datetime
+
+    from iot_data_pipeline_spark.operators import relational
+
+    customers = [
+        Row(c_custkey=i, c_name=f"c{i}", c_nationkey=0, c_acctbal=0.0,
+            c_mktsegment="B")
+        for i in (1, 2, 3)
+    ]
+    ts = datetime.datetime(1996, 1, 1)
+    orders = [
+        Row(o_orderkey=10, o_custkey=1, o_orderstatus="O", o_totalprice=1.0,
+            o_orderdate=ts, o_orderpriority="1-URGENT"),
+        Row(o_orderkey=11, o_custkey=3, o_orderstatus="O", o_totalprice=1.0,
+            o_orderdate=ts, o_orderpriority="5-LOW"),
+        Row(o_orderkey=12, o_custkey=3, o_orderstatus="O", o_totalprice=1.0,
+            o_orderdate=ts, o_orderpriority="2-HIGH"),
+        Row(o_orderkey=13, o_custkey=3, o_orderstatus="O", o_totalprice=1.0,
+            o_orderdate=ts, o_orderpriority="1-URGENT"),
+    ]
+    tdir = str(tmp_path / "q13")
+    spark.createDataFrame(customers).write.mode("overwrite").parquet(
+        tdir + "/customer.parquet"
+    )
+    spark.createDataFrame(orders).write.mode("overwrite").parquet(
+        tdir + "/orders.parquet"
+    )
+    got = {
+        r["c_count"]: r["custdist"]
+        for r in relational.sql_entry_tpch_q13(spark, tdir).collect()
+    }
+    # c1 (all-urgent) and c2 (orderless) both land in the 0-orders bucket
+    assert got == {0: 2, 2: 1}
