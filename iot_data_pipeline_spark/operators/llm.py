@@ -1252,7 +1252,12 @@ def llm_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     everywhere) but the vocab side AFTER aggregation is small relative to
     the corpus, so AQE broadcasts it — every frequent-token lookup is then
     map-side, no skewed shuffle partition. Integer sums only; the one
-    division per doc is a single IEEE op on exact operands."""
+    division per doc is a single IEEE op on exact operands.
+
+    Zero-token documents have no rows after the explode and so no output
+    row — the oracle's inner join + group agrees exactly (unlike
+    ``llm_gopher_rules``, whose gate contract requires a verdict row for
+    every doc and therefore guards n = 0 explicitly)."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
