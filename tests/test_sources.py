@@ -684,3 +684,28 @@ def test_image_ahash_invariants(spark, sf_dir):
         assert 0 <= r["ahash"] < (1 << r["n_px"])
         assert bin(r["ahash"]).count("1") == r["n_above"]
         assert r["n_above"] < r["n_px"]
+
+
+def test_mm_corpus_stats_matches_per_image_rollup(spark, sf_dir):
+    """The capstone's corpus rollup must equal aggregating the per-image
+    fingerprint operator's output in Python — counts, distinct hashes,
+    and the truncated mean luma."""
+    import math
+
+    from iot_data_pipeline_spark.operators import multimodal
+
+    per_img = multimodal.QUERIES["mm_image_ahash"](spark, sf_dir).collect()
+    (stats,) = multimodal.QUERIES["mm_corpus_stats"](spark, sf_dir).collect()
+    assert stats["n_images"] == len(per_img)
+    assert stats["total_px"] == sum(r["n_px"] for r in per_img)
+    assert stats["n_distinct_hash"] == len({r["ahash"] for r in per_img})
+    assert stats["max_hash"] == max(r["ahash"] for r in per_img)
+    want_mean = (
+        math.floor(
+            sum(r["gray_sum"] for r in per_img)
+            / sum(r["n_px"] for r in per_img)
+            * 1_000_000
+        )
+        / 1_000_000
+    )
+    assert stats["mean_luma"] == want_mean
