@@ -797,6 +797,57 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-≤1 similarity self-join (entity resolution /
+    near-identical-string dedup) via the SymSpell deletion-neighborhood:
+    each name explodes into itself plus its |len| one-character-deletion
+    variants, candidates equi-join on the variant, and the exact
+    ``levenshtein`` filter runs ONLY on bucket-local candidates. Any two
+    strings within edit distance 1 share a deletion variant (delete the
+    differing position on the appropriate side), so the banding is
+    lossless — the brute-force all-pairs oracle proves it value-for-value.
+
+    Scale shape: corpus × (len+1) candidate rows, one hash shuffle on the
+    variant key, never an all-pairs join — the difference between linear
+    and n² at a 100 TB entity table. Variant keys inherit the name's
+    uniqueness (shared-prefix deletions keep the distinguishing suffix),
+    so the join is skew-free; a pathological hot variant would fall to
+    AQE skew-join splitting."""
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("s_name")),
+        lambda i: F.concat(
+            F.col("s_name").substr(F.lit(1), i - 1),
+            F.col("s_name").substr(i + 1, F.length("s_name")),
+        ),
+    )
+    v = s.select(
+        "s_suppkey",
+        "s_name",
+        F.explode(
+            F.array_union(F.array(F.col("s_name")), dels)
+        ).alias("variant"),
+    )
+    a = v.select(
+        F.col("s_suppkey").alias("suppkey_a"),
+        F.col("s_name").alias("name_a"),
+        "variant",
+    )
+    b = v.select(
+        F.col("s_suppkey").alias("suppkey_b"),
+        F.col("s_name").alias("name_b"),
+        "variant",
+    )
+    return (
+        a.join(b, "variant")
+        .filter(F.col("suppkey_a") < F.col("suppkey_b"))
+        .select("suppkey_a", "suppkey_b", "name_a", "name_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .filter(F.col("dist") <= 1)
+    )
+
+
 # Shared decimal-product fragment for deterministic revenue sums (used by the
 # TPC-H SQL below and the oracle table at the bottom of the module; the FLOOR
 # recipe itself lives in _util.sql_dsum_prod so a precision fix lands once).
@@ -1086,6 +1137,7 @@ QUERIES = {
     "sql_entry_tpch_q19": sql_entry_tpch_q19,
     "sql_entry_tpch_q22": sql_entry_tpch_q22,
     "join_bucketed_colocated": join_bucketed_colocated,
+    "join_edit_distance": join_edit_distance,
 }
 
 # DuckDB oracles for the subquery-decorrelation suite: identical SQL modulo
@@ -1333,6 +1385,15 @@ ORACLES = {
     "sql_entry_tpch_q22": _SQL_Q22,
     # Bucketing changes the physical layout, never the result: the oracle is
     # the plain join+agg on the raw views.
+    # Brute-force all-pairs reference: proves the deletion-neighborhood
+    # banding loses no pair.
+    "join_edit_distance": (
+        "SELECT a.s_suppkey AS suppkey_a, b.s_suppkey AS suppkey_b,"
+        " a.s_name AS name_a, b.s_name AS name_b,"
+        " CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist"
+        " FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey"
+        " WHERE levenshtein(a.s_name, b.s_name) <= 1"
+    ),
     "join_bucketed_colocated": (
         "SELECT o_orderstatus, COUNT(*) AS n_lines,"
         f" {sql_dsum('l_quantity', 'sum_qty')},"

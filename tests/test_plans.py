@@ -351,3 +351,15 @@ def test_bucketed_join_reads_buckets_without_shuffle(spark, sf_dir):
     assert plan.count("Bucketed: true") == 2
     assert "hashpartitioning(o_orderkey" not in plan
     assert "hashpartitioning(l_orderkey" not in plan
+
+
+def test_edit_distance_join_is_variant_equi_join(spark, sf_dir):
+    """The deletion-neighborhood join must plan as a plain equi hash join
+    on the variant key — an all-pairs nested loop here is exactly the n²
+    blowup the banding exists to avoid."""
+    from iot_data_pipeline_spark.operators import relational
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(relational.join_edit_distance(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan

@@ -344,3 +344,57 @@ def test_q13_join_condition_semantics(spark, tmp_path):
     }
     # c1 (all-urgent) and c2 (orderless) both land in the 0-orders bucket
     assert got == {0: 2, 2: 1}
+
+
+def test_edit_distance_banding_equals_bruteforce(spark, tmp_path):
+    """Property test for the deletion-neighborhood join: on random short
+    strings (drawn from a 3-letter alphabet to force many near-collisions,
+    including equal strings, pure insertions, deletions, substitutions,
+    and distance-2 pairs that must NOT appear) the banded join returns
+    exactly the brute-force distance-≤1 pair set."""
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(word, min_size=2, max_size=20))
+    def check(names):
+        from iot_data_pipeline_spark.operators import relational
+
+        rows = [
+            Row(s_suppkey=i, s_name=n, s_nationkey=0, s_acctbal=0.0)
+            for i, n in enumerate(names)
+        ]
+        tdir = tempfile.mkdtemp(prefix="editdist_prop_")
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(
+            tdir + "/supplier.parquet"
+        )
+        got = sorted(
+            (r["suppkey_a"], r["suppkey_b"], r["dist"])
+            for r in relational.join_edit_distance(spark, tdir).collect()
+        )
+
+        def lev(x, y):
+            prev = list(range(len(y) + 1))
+            for i, cx in enumerate(x, 1):
+                cur = [i]
+                for j, cy in enumerate(y, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[j - 1] + 1,
+                            prev[j - 1] + (cx != cy))
+                    )
+                prev = cur
+            return prev[-1]
+
+        want = sorted(
+            (i, j, lev(names[i], names[j]))
+            for i in range(len(names))
+            for j in range(i + 1, len(names))
+            if lev(names[i], names[j]) <= 1
+        )
+        assert got == want
+
+    check()
