@@ -522,6 +522,33 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(out)
 
 
+def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + read-back through Spark 4's NATIVE XML data source (no
+    external package): write ``nation`` as an XML document per partition
+    (rowTag/rootTag), read it back with the same rowTag. The reader infers
+    integers as BIGINT, so the read side casts back to the source schema —
+    the oracle (plain SELECT from nation) then proves the text round trip
+    lossless. XML is the interchange format the schema-inference path is
+    weakest on; pinning it with a hash oracle keeps regressions loud."""
+    n = table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="sink_xml_") + "/nation"
+    (
+        n.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(out)
+    )
+    raw = (
+        spark.read.format("xml").option("rowTag", "nation").load(out)
+    )
+    return raw.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        F.col("n_name").cast("string").alias("n_name"),
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+
 def sink_parquet_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout-optimized write: ``repartitionByRange`` on the filter column +
     ``sortWithinPartitions`` before the parquet write, so each file owns a
@@ -610,6 +637,7 @@ QUERIES = {
     "sink_csv_roundtrip": sink_csv_roundtrip,
     "sink_json_roundtrip": sink_json_roundtrip,
     "sink_orc_roundtrip": sink_orc_roundtrip,
+    "sink_xml_roundtrip": sink_xml_roundtrip,
     "sink_parquet_sorted": sink_parquet_sorted,
     "sink_compact_files": sink_compact_files,
     "sink_parquet_partitioned": sink_parquet_partitioned,
@@ -803,6 +831,7 @@ ORACLES = {
     "sink_csv_roundtrip": "SELECT * FROM nation",
     "sink_json_roundtrip": "SELECT * FROM supplier",
     "sink_orc_roundtrip": "SELECT * FROM customer",
+    "sink_xml_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "sink_compact_files": (
         "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice"
         " FROM lineitem"
