@@ -1325,28 +1325,10 @@ def mm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     division of exact integer sums. Scale shape: the decode never
     shuffles; the only exchange carries per-partition partials of a
     5-column aggregate. Distinct-hash counting is exact two-phase
-    (partial sets are tiny — 48-bit hashes)."""
-    d = table(spark, sf_dir, "documents")
-    base = d.select(
-        F.col("doc_id").alias("media_id"),
-        (F.lit(4) + F.pmod(F.col("doc_id"), F.lit(5))).alias("w"),
-        (F.lit(3) + F.pmod(F.col("doc_id"), F.lit(4))).alias("h"),
-    )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                [
-                    _ahash_record(int(mid), int(w), int(h))
-                    for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"])
-                ]
-            )
-
-    per_image = base.mapInPandas(
-        gen,
-        "media_id LONG, n_px LONG, gray_sum LONG, n_above LONG, ahash LONG",
-    )
-    return per_image.agg(
+    (partial sets are tiny — 48-bit hashes). The per-image pass IS
+    ``mm_image_ahash`` — the capstone only adds the rollup, so the two
+    operators can never desynchronize."""
+    return mm_image_ahash(spark, sf_dir).agg(
         F.count(F.lit(1)).alias("n_images"),
         F.sum("n_px").alias("total_px"),
         F.count_distinct(F.col("ahash")).alias("n_distinct_hash"),
@@ -1604,33 +1586,16 @@ _CODEC_ORACLES["mm_image_ahash"] = (
     " FROM p JOIN t ON p.doc_id = t.doc_id GROUP BY p.doc_id, p.n, t.total"
 )
 
-# Capstone oracle: one rollup over the same per-image luma arithmetic.
+# Capstone oracle: a rollup COMPOSED over the per-image aHash oracle, so
+# the synth_ppm pixel/luma arithmetic lives in exactly one SQL place.
 _CODEC_ORACLES["mm_corpus_stats"] = (
-    "WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h"
-    "           FROM documents),"
-    " g AS (SELECT doc_id, w, h,"
-    "        unnest(generate_series(0, w * h - 1)) AS k FROM d),"
-    " p AS (SELECT doc_id, w * h AS n, k,"
-    "   299 * ((doc_id * 7 + (k // w) * 31 + (k % w) * 13) % 256)"
-    " + 587 * ((doc_id * 7 + (k // w) * 31 + (k % w) * 13 + 5) % 256)"
-    " + 114 * ((doc_id * 7 + (k // w) * 31 + (k % w) * 13 + 10) % 256)"
-    "     AS gray FROM g),"
-    " t AS (SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS total"
-    "       FROM p GROUP BY doc_id),"
-    " img AS (SELECT p.doc_id, CAST(p.n AS BIGINT) AS n_px,"
-    "   t.total AS gray_sum,"
-    "   CAST(SUM(CASE WHEN p.gray * p.n > t.total"
-    "            THEN CAST(1 AS BIGINT) << p.k ELSE 0 END) AS BIGINT)"
-    "     AS ahash"
-    "   FROM p JOIN t ON p.doc_id = t.doc_id"
-    "   GROUP BY p.doc_id, p.n, t.total)"
-    " SELECT CAST(COUNT(*) AS BIGINT) AS n_images,"
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_images,"
     " CAST(SUM(n_px) AS BIGINT) AS total_px,"
     " CAST(COUNT(DISTINCT ahash) AS BIGINT) AS n_distinct_hash,"
     " FLOOR((CAST(SUM(gray_sum) AS DOUBLE) / CAST(SUM(n_px) AS DOUBLE))"
     "       * 1000000) / 1000000 AS mean_luma,"
     " MAX(ahash) AS max_hash"
-    " FROM img"
+    f" FROM ({_CODEC_ORACLES['mm_image_ahash']}) img"
 )
 
 ORACLES.update(_CODEC_ORACLES)

@@ -1383,8 +1383,6 @@ ORACLES = {
     "sql_entry_tpch_q15": _SQL_Q15.replace("TIMESTAMP_NTZ", "TIMESTAMP"),
     "sql_entry_tpch_q19": _SQL_Q19,
     "sql_entry_tpch_q22": _SQL_Q22,
-    # Bucketing changes the physical layout, never the result: the oracle is
-    # the plain join+agg on the raw views.
     # Brute-force all-pairs reference: proves the deletion-neighborhood
     # banding loses no pair.
     "join_edit_distance": (
@@ -1394,6 +1392,8 @@ ORACLES = {
         " FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey"
         " WHERE levenshtein(a.s_name, b.s_name) <= 1"
     ),
+    # Bucketing changes the physical layout, never the result: the oracle is
+    # the plain join+agg on the raw views.
     "join_bucketed_colocated": (
         "SELECT o_orderstatus, COUNT(*) AS n_lines,"
         f" {sql_dsum('l_quantity', 'sum_qty')},"
