@@ -885,6 +885,95 @@ def sql_entry_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q5)
 
 
+_SQL_Q6 = """
+SELECT CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+            * CAST(l_discount AS DECIMAL(18,4))) * 10000) AS BIGINT)
+       AS DOUBLE) / 10000 AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP_NTZ '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def sql_entry_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical predicate-
+    pushdown benchmark — a single scan whose three conjuncts (date range,
+    discount band, quantity cap) must ALL reach the parquet reader so row
+    groups skip on min/max stats before any row is materialized, followed
+    by a scalar aggregate whose shuffle carries one partial per task. The
+    discount band compares stored doubles to the same double literals in
+    both engines, so the row set is bit-identical; the revenue product is
+    the exact-decimal FLOOR recipe."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SQL_Q6)
+
+
+_SQL_Q8 = f"""
+WITH vol AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         n2.n_name AS supp_nation,
+         {_DISC_PRICE_EXPR} AS volume
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'PROMO')
+SELECT o_year,
+       CAST(CAST(FLOOR(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000)
+            AS BIGINT) AS DOUBLE) / 10000 AS nation_volume,
+       CAST(CAST(FLOOR(SUM(volume) * 10000) AS BIGINT) AS DOUBLE) / 10000
+         AS total_volume
+FROM vol GROUP BY o_year ORDER BY o_year
+"""
+
+
+def sql_entry_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share, adapted: no partsupp so the part
+    filter is the PROMO type): the WIDEST join graph in the suite — seven
+    tables, the nation dim joined twice (customer region gate vs supplier
+    nationality), a region filter that prunes the customer side before the
+    fact shuffles, and a per-year conditional-share aggregation. The
+    market-share ratio is left to the consumer (or computed as in Q14)
+    since both sums are FLOOR-exact and engine-identical."""
+    for name in (
+        "part", "lineitem", "orders", "customer", "nation", "region",
+        "supplier",
+    ):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SQL_Q8)
+
+
+_SQL_Q12 = """
+SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate
+GROUP BY ship_year ORDER BY ship_year
+"""
+
+
+def sql_entry_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-priority audit, adapted: the testdata has
+    no shipmode/commit/receipt dates, so the group key is the ship year and
+    "late" is ``l_shipdate > o_orderdate``): one fact-fact join with a
+    non-equi residual, then the canonical split conditional count (high vs
+    low priority) per group. Integer CASE sums — no float anywhere."""
+    for name in ("orders", "lineitem"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SQL_Q12)
+
+
 _SQL_Q7 = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
@@ -1138,6 +1227,9 @@ QUERIES = {
     "sql_entry_tpch_q22": sql_entry_tpch_q22,
     "join_bucketed_colocated": join_bucketed_colocated,
     "join_edit_distance": join_edit_distance,
+    "sql_entry_tpch_q6": sql_entry_tpch_q6,
+    "sql_entry_tpch_q8": sql_entry_tpch_q8,
+    "sql_entry_tpch_q12": sql_entry_tpch_q12,
 }
 
 # DuckDB oracles for the subquery-decorrelation suite: identical SQL modulo
@@ -1383,6 +1475,9 @@ ORACLES = {
     "sql_entry_tpch_q15": _SQL_Q15.replace("TIMESTAMP_NTZ", "TIMESTAMP"),
     "sql_entry_tpch_q19": _SQL_Q19,
     "sql_entry_tpch_q22": _SQL_Q22,
+    "sql_entry_tpch_q6": _SQL_Q6.replace("TIMESTAMP_NTZ", "TIMESTAMP"),
+    "sql_entry_tpch_q8": _SQL_Q8,
+    "sql_entry_tpch_q12": _SQL_Q12,
     # Brute-force all-pairs reference: proves the deletion-neighborhood
     # banding loses no pair.
     "join_edit_distance": (

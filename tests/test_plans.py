@@ -363,3 +363,23 @@ def test_edit_distance_join_is_variant_equi_join(spark, sf_dir):
     plan = executed_plan(relational.join_edit_distance(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
+
+
+def test_q6_pushes_all_three_predicates(spark, sf_dir):
+    """TPC-H Q6 is the canonical pushdown benchmark: the date range, the
+    discount band, and the quantity cap must ALL reach the parquet scan
+    (PushedFilters), and aggregation must be two-phase."""
+    from iot_data_pipeline_spark.operators import relational
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    # the default 100-char metadata truncation cuts the filter list off
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = executed_plan(relational.sql_entry_tpch_q6(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert "partial_sum" in plan
