@@ -505,8 +505,77 @@ def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_generator_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in generator (table-valued) functions — the JVM-side UDTF
+    family: ``posexplode_outer`` over an array, ``stack`` (the columns→rows
+    unpivot generator), and ``inline`` over an array of structs, all
+    unified into one long-form (gen, pos, k, v) result. Generators run
+    inside the scan projection — zero shuffles, each output row derived
+    from exactly one input row (linear at any scale)."""
+    n = table(spark, sf_dir, "nation")
+    pose = n.select(
+        "n_nationkey",
+        F.lit("posexplode").alias("gen"),
+        F.posexplode_outer(
+            F.array(F.col("n_name"), F.upper("n_name"))
+        ).alias("pos", "v"),
+    ).select(
+        "n_nationkey", "gen", F.col("pos").cast("bigint").alias("pos"),
+        F.lit("elem").alias("k"), "v",
+    )
+    stacked = n.selectExpr(
+        "n_nationkey",
+        "'stack' AS gen",
+        "stack(2, 'name', n_name, 'region',"
+        " CAST(n_regionkey AS STRING)) AS (k, v)",
+    ).select(
+        "n_nationkey", "gen", F.lit(None).cast("bigint").alias("pos"),
+        "k", "v",
+    )
+    inlined = n.select(
+        "n_nationkey",
+        F.lit("inline").alias("gen"),
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("nk").alias("k"),
+                    F.col("n_nationkey").cast("string").alias("v"),
+                ),
+                F.struct(
+                    F.lit("rk").alias("k"),
+                    F.col("n_regionkey").cast("string").alias("v"),
+                ),
+            )
+        ),
+    ).select(
+        "n_nationkey", "gen", F.lit(None).cast("bigint").alias("pos"),
+        "k", "v",
+    )
+    return pose.unionByName(stacked).unionByName(inlined)
+
+
+_SQL_PIVOT = """
+SELECT o_orderpriority, COALESCE(n_f, 0) AS n_f, COALESCE(n_o, 0) AS n_o,
+       COALESCE(n_p, 0) AS n_p
+FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+PIVOT (COUNT(*) FOR o_orderstatus IN ('F' AS n_f, 'O' AS n_o, 'P' AS n_p))
+ORDER BY o_orderpriority
+"""
+
+
+def sql_entry_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``PIVOT`` clause (distinct surface from the DataFrame
+    ``groupBy().pivot()`` used by ``agg_pivot``): explicit IN-list keeps
+    the output schema static — no distinct-scan job — and the plan is the
+    same single partial+final pivot aggregate either way."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_PIVOT)
+
+
 QUERIES = {
     "scan_csv_opts": scan_csv_opts,
+    "fn_generator_suite": fn_generator_suite,
+    "sql_entry_pivot": sql_entry_pivot,
     "fn_null_suite": fn_null_suite,
     "fn_date_arith": fn_date_arith,
     "fn_bitwise_trig": fn_bitwise_trig,
@@ -531,6 +600,33 @@ QUERIES = {
 
 ORACLES = {
     "scan_csv_opts": SCAN_CSV_ORACLE_SQL,
+    # Fixed-size arrays → literal UNION ALL branches (no WITH ORDINALITY
+    # needed); NULL pos for the non-positional generators.
+    "fn_generator_suite": (
+        "SELECT n_nationkey, 'posexplode' AS gen, CAST(0 AS BIGINT) AS pos,"
+        " 'elem' AS k, n_name AS v FROM nation"
+        " UNION ALL"
+        " SELECT n_nationkey, 'posexplode', 1, 'elem', upper(n_name)"
+        " FROM nation"
+        " UNION ALL"
+        " SELECT n_nationkey, 'stack', NULL, 'name', n_name FROM nation"
+        " UNION ALL"
+        " SELECT n_nationkey, 'stack', NULL, 'region',"
+        " CAST(n_regionkey AS VARCHAR) FROM nation"
+        " UNION ALL"
+        " SELECT n_nationkey, 'inline', NULL, 'nk',"
+        " CAST(n_nationkey AS VARCHAR) FROM nation"
+        " UNION ALL"
+        " SELECT n_nationkey, 'inline', NULL, 'rk',"
+        " CAST(n_regionkey AS VARCHAR) FROM nation"
+    ),
+    "sql_entry_pivot": (
+        "SELECT o_orderpriority,"
+        " COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,"
+        " COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,"
+        " COUNT(*) FILTER (o_orderstatus = 'P') AS n_p"
+        " FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
     "fn_null_suite": (
         "SELECT c_custkey, o_orderkey,"
         " COALESCE(o_totalprice, 0.0) AS price_or_zero,"
