@@ -517,7 +517,7 @@ def fn_generator_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         F.lit("posexplode").alias("gen"),
         F.posexplode_outer(
-            F.array(F.col("n_name"), F.upper("n_name"))
+            F.array(F.col("n_name"), F.lower("n_name"))
         ).alias("pos", "v"),
     ).select(
         "n_nationkey", "gen", F.col("pos").cast("bigint").alias("pos"),
@@ -606,7 +606,7 @@ ORACLES = {
         "SELECT n_nationkey, 'posexplode' AS gen, CAST(0 AS BIGINT) AS pos,"
         " 'elem' AS k, n_name AS v FROM nation"
         " UNION ALL"
-        " SELECT n_nationkey, 'posexplode', 1, 'elem', upper(n_name)"
+        " SELECT n_nationkey, 'posexplode', 1, 'elem', lower(n_name)"
         " FROM nation"
         " UNION ALL"
         " SELECT n_nationkey, 'stack', NULL, 'name', n_name FROM nation"

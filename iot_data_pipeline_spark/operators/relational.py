@@ -885,10 +885,10 @@ def sql_entry_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q5)
 
 
-_SQL_Q6 = """
-SELECT CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-            * CAST(l_discount AS DECIMAL(18,4))) * 10000) AS BIGINT)
-       AS DOUBLE) / 10000 AS revenue,
+_SQL_Q6 = f"""
+SELECT {sql_dsum_prod(
+    "CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * CAST(l_discount AS DECIMAL(18,4))", 'revenue')},
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
@@ -926,11 +926,10 @@ WITH vol AS (
   JOIN nation n2 ON s_nationkey = n2.n_nationkey
   WHERE r_name = 'AMERICA' AND p_type = 'PROMO')
 SELECT o_year,
-       CAST(CAST(FLOOR(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
-                            ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000)
-            AS BIGINT) AS DOUBLE) / 10000 AS nation_volume,
-       CAST(CAST(FLOOR(SUM(volume) * 10000) AS BIGINT) AS DOUBLE) / 10000
-         AS total_volume
+       {sql_dsum_prod(
+    "CASE WHEN supp_nation = 'NATION_2' THEN volume"
+    " ELSE CAST(0 AS DECIMAL(18,4)) END", 'nation_volume')},
+       {sql_dsum_prod('volume', 'total_volume')}
 FROM vol GROUP BY o_year ORDER BY o_year
 """
 

@@ -381,5 +381,6 @@ def test_q6_pushes_all_three_predicates(spark, sf_dir):
         spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     assert "GreaterThanOrEqual(l_shipdate" in plan
     assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThanOrEqual(l_discount,0.07)" in plan
     assert "LessThan(l_quantity,24.0)" in plan
     assert "partial_sum" in plan
