@@ -12,6 +12,9 @@ partition-aware, so the same plans run on 1000 executors.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
 from typing import Any, Mapping
 
 from pyspark.sql import SparkSession
@@ -60,6 +63,40 @@ def build_session(
     return builder.getOrCreate()
 
 
+def _ship_package_to_workers(spark: SparkSession) -> None:
+    """Make this package importable on Python WORKERS regardless of the
+    driver's cwd. mapInPandas/pandas_udf closures reference module-level
+    helpers, and cloudpickle serializes those as imports of
+    ``iot_data_pipeline_spark.*`` — which fails on workers when the driver
+    was launched outside the repo (its ``sys.path`` fix never reaches the
+    worker processes). ``addPyFile`` distributes a zip of the package and
+    appends it to every worker's ``sys.path`` at runtime; once per
+    SparkContext (re-adding the same path is a no-op but skip the zip work)."""
+    sc = spark.sparkContext
+    flag = "_idp_spark_pkg_shipped"
+    if getattr(sc, flag, False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), "iot_data_pipeline_spark_pkg.zip"
+    )
+    tmp_path = zip_path + ".tmp"
+    with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                rel = os.path.join(
+                    "iot_data_pipeline_spark",
+                    os.path.relpath(full, pkg_dir),
+                )
+                zf.write(full, rel)
+    os.replace(tmp_path, zip_path)
+    sc.addPyFile(zip_path)
+    setattr(sc, flag, True)
+
+
 def prepare(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conventions to an externally-built session.
 
@@ -69,4 +106,5 @@ def prepare(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    _ship_package_to_workers(spark)
     return spark

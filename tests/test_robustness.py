@@ -137,3 +137,52 @@ def test_registry_survives_hostile_tz_and_cwd(spark, sf_dir, qname):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.catalog.clearCache()
     assert hostile == base
+
+
+def test_python_workers_import_package_from_foreign_cwd(tmp_path):
+    """Launch a FRESH driver process from a foreign cwd (new JVM, so the
+    Python workers' import path owes nothing to the repo checkout) and run
+    a mapInPandas query end-to-end. Pins the addPyFile package shipping in
+    ``session.prepare``: without it every pandas-UDF closure fails on the
+    workers with ModuleNotFoundError when the driver runs outside the
+    repo — exactly how the external driver invokes ``__spark_entry__``."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = textwrap.dedent(
+        f"""
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "entrymod", {os.path.join(repo, "__spark_entry__.py")!r})
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[2]")
+                 .appName("foreign_cwd_smoke")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .getOrCreate())
+        rows = m.queries()["mm_image_ahash"](
+            spark, "/root/testdata/sf0.001").collect()
+        print("WORKER_IMPORT_OK", len(rows))
+        spark.stop()
+        """
+    )
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH",)
+    }
+    run = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert run.returncode == 0, run.stderr[-2000:]
+    assert "WORKER_IMPORT_OK 500" in run.stdout
