@@ -80,7 +80,7 @@ def _ship_package_to_workers(spark: SparkSession) -> None:
     zip_path = os.path.join(
         tempfile.gettempdir(), "iot_data_pipeline_spark_pkg.zip"
     )
-    tmp_path = zip_path + ".tmp"
+    tmp_path = f"{zip_path}.{os.getpid()}.tmp"  # concurrent-process safe
     with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             for fname in files:
