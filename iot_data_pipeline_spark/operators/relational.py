@@ -1172,6 +1172,35 @@ def sql_entry_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q22)
 
 
+_SQL_SCRIPTING = """
+BEGIN
+  DECLARE threshold BIGINT DEFAULT 1;
+  DECLARE half BIGINT;
+  DECLARE below BIGINT DEFAULT 0;
+  SET half = (SELECT COUNT(*) DIV 2 FROM orders);
+  WHILE below < half DO
+    SET threshold = threshold * 2;
+    SET below = (SELECT COUNT(*) FROM orders WHERE o_totalprice < threshold);
+  END WHILE;
+  SELECT threshold, below AS n_below, half;
+END
+"""
+
+
+def sql_entry_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (new in Spark 4): a BEGIN…END block with DECLAREd
+    variables and a WHILE loop, each iteration a full distributed query —
+    finds the smallest power-of-two price threshold covering half the
+    orders (a driver-side control-flow + cluster-side query pattern that
+    previously needed Python glue). Integer-only state (BIGINT counts,
+    DIV) so the loop exit is bit-deterministic; the oracle enumerates the
+    same powers of two declaratively. Bounded: ≤ ~40 iterations for any
+    price magnitude, each a scan-pushable count."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_SCRIPTING)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1229,6 +1258,7 @@ QUERIES = {
     "sql_entry_tpch_q6": sql_entry_tpch_q6,
     "sql_entry_tpch_q8": sql_entry_tpch_q8,
     "sql_entry_tpch_q12": sql_entry_tpch_q12,
+    "sql_entry_scripting": sql_entry_scripting,
 }
 
 # DuckDB oracles for the subquery-decorrelation suite: identical SQL modulo
@@ -1477,6 +1507,19 @@ ORACLES = {
     "sql_entry_tpch_q6": _SQL_Q6.replace("TIMESTAMP_NTZ", "TIMESTAMP"),
     "sql_entry_tpch_q8": _SQL_Q8,
     "sql_entry_tpch_q12": _SQL_Q12,
+    # Declarative twin of the scripting loop: enumerate the powers of two
+    # and take the first whose below-count reaches half.
+    "sql_entry_scripting": (
+        "WITH n AS (SELECT COUNT(*) // 2 AS half FROM orders),"
+        " ps AS (SELECT CAST(POW(2, g) AS BIGINT) AS p"
+        "        FROM generate_series(1, 40) t(g)),"
+        " c AS (SELECT p, (SELECT COUNT(*) FROM orders"
+        "                  WHERE o_totalprice < p) AS below FROM ps)"
+        " SELECT p AS threshold, below AS n_below,"
+        " (SELECT half FROM n) AS half"
+        " FROM c WHERE below >= (SELECT half FROM n)"
+        " ORDER BY p LIMIT 1"
+    ),
     # Brute-force all-pairs reference: proves the deletion-neighborhood
     # banding loses no pair.
     "join_edit_distance": (
