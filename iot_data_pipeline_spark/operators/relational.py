@@ -1172,6 +1172,27 @@ def sql_entry_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q22)
 
 
+def sql_entry_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (``spark.sql(query, args=...)``): named markers
+    bound server-side — the injection-safe templating surface an external
+    driver should use instead of string interpolation. The parameters land
+    as literals in the plan, so constant folding and scan pushdown see
+    them exactly like inline values (the oracle inlines the same
+    constants)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice > :floor
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"status": "F", "floor": 1000.0},
+    )
+
+
 _SQL_SCRIPTING = """
 BEGIN
   DECLARE threshold BIGINT DEFAULT 1;
@@ -1259,6 +1280,7 @@ QUERIES = {
     "sql_entry_tpch_q8": sql_entry_tpch_q8,
     "sql_entry_tpch_q12": sql_entry_tpch_q12,
     "sql_entry_scripting": sql_entry_scripting,
+    "sql_entry_parameterized": sql_entry_parameterized,
 }
 
 # DuckDB oracles for the subquery-decorrelation suite: identical SQL modulo
@@ -1507,6 +1529,15 @@ ORACLES = {
     "sql_entry_tpch_q6": _SQL_Q6.replace("TIMESTAMP_NTZ", "TIMESTAMP"),
     "sql_entry_tpch_q8": _SQL_Q8,
     "sql_entry_tpch_q12": _SQL_Q12,
+    # Same query with the parameters inlined.
+    "sql_entry_parameterized": (
+        "SELECT o_orderpriority, COUNT(*) AS n_orders,"
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"
+        "   AS total_price"
+        " FROM orders"
+        " WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0"
+        " GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
     # Declarative twin of the scripting loop: enumerate the powers of two
     # and take the first whose below-count reaches half.
     "sql_entry_scripting": (
