@@ -71,28 +71,43 @@ def _ship_package_to_workers(spark: SparkSession) -> None:
     was launched outside the repo (its ``sys.path`` fix never reaches the
     worker processes). ``addPyFile`` distributes a zip of the package and
     appends it to every worker's ``sys.path`` at runtime; once per
-    SparkContext (re-adding the same path is a no-op but skip the zip work)."""
-    sc = spark.sparkContext
+    SparkContext (re-adding the same path is a no-op but skip the zip work).
+
+    The zip's name is PER-PROCESS (pid suffix): a fixed shared /tmp name
+    would fail for a second user (sticky-bit /tmp forbids replacing another
+    user's file) and could ship another concurrent checkout's code. Spark
+    copies the file into its own staging dir at addPyFile time, so
+    overwriting the path later (same pid, new SparkContext) is safe. Spark
+    Connect sessions have no ``sparkContext``; shipping is skipped there
+    (Connect ships artifacts via its own ``addArtifacts`` channel, and
+    ``prepare``'s conf pinning still applies)."""
+    try:
+        sc = spark.sparkContext
+    except Exception:  # Spark Connect: sparkContext is NOT_IMPLEMENTED
+        return
     flag = "_idp_spark_pkg_shipped"
     if getattr(sc, flag, False):
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zip_path = os.path.join(
-        tempfile.gettempdir(), "iot_data_pipeline_spark_pkg.zip"
+        tempfile.gettempdir(), f"idp_spark_pkg_{os.getpid()}.zip"
     )
-    tmp_path = f"{zip_path}.{os.getpid()}.tmp"  # concurrent-process safe
-    with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for fname in files:
-                if not fname.endswith(".py"):
-                    continue
-                full = os.path.join(root, fname)
-                rel = os.path.join(
-                    "iot_data_pipeline_spark",
-                    os.path.relpath(full, pkg_dir),
-                )
-                zf.write(full, rel)
-    os.replace(tmp_path, zip_path)
+    try:
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fname)
+                    rel = os.path.join(
+                        "iot_data_pipeline_spark",
+                        os.path.relpath(full, pkg_dir),
+                    )
+                    zf.write(full, rel)
+    except BaseException:
+        if os.path.exists(zip_path):
+            os.remove(zip_path)  # no half-written zip left behind
+        raise
     sc.addPyFile(zip_path)
     setattr(sc, flag, True)
 

@@ -151,6 +151,8 @@ def test_python_workers_import_package_from_foreign_cwd(tmp_path):
     import sys
     import textwrap
 
+    from tests.conftest import SF_DIR
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = textwrap.dedent(
         f"""
@@ -165,8 +167,8 @@ def test_python_workers_import_package_from_foreign_cwd(tmp_path):
                  .config("spark.ui.enabled", "false")
                  .config("spark.sql.shuffle.partitions", "2")
                  .getOrCreate())
-        rows = m.queries()["mm_image_ahash"](
-            spark, "/root/testdata/sf0.001").collect()
+        rows = m.queries()["mm_image_ahash"](spark, {SF_DIR!r}).collect()
+        assert rows, "empty result"
         print("WORKER_IMPORT_OK", len(rows))
         spark.stop()
         """
