@@ -458,17 +458,20 @@ def llm_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _min_label_propagation(
-    edges: DataFrame, max_iters: int = 15, check_every: int = 3
+    edges: DataFrame, max_iters: int = 15, check_every: int = 1
 ) -> DataFrame:
     """Connected components via iterative min-label propagation over a
     symmetrized (doc_a, doc_b) edge list → (doc_id, label).
 
     Each iteration is one join on the edge list with localCheckpoint lineage
-    truncation. The driver-side convergence ``count()`` costs a job per
-    check, so it runs only every ``check_every`` rounds (dup clusters in web
-    corpora have small diameter — most runs converge before the second
-    check). Exiting at ``max_iters`` without a clean convergence check logs
-    a warning instead of silently returning possibly-unconverged labels."""
+    truncation. Convergence is read from a ``chg`` flag computed INSIDE the
+    update projection (new label ≠ old label), so a check is one ``count()``
+    over the already-materialized checkpoint — no extra labels-vs-labels
+    join — which makes per-iteration checking (``check_every=1``) cheaper
+    than the old every-3rd-round joined check and exits one round after the
+    labels stabilize (small-diameter dup clusters typically stabilize in
+    1-2 rounds). Exiting at ``max_iters`` without a clean convergence check
+    logs a warning instead of silently returning unconverged labels."""
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -482,24 +485,20 @@ def _min_label_propagation(
             .groupBy("doc_a")
             .agg(F.min("label").alias("nlabel"))
         )
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+        )
         updated = (
             labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
             .select(
                 labels.doc_id,
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label != F.col("label")).alias("chg"),
             )
             .localCheckpoint()
         )
         if it % check_every == 0 or it == max_iters:
-            changed = (
-                updated.alias("u")
-                .join(labels.alias("l"), "doc_id")
-                .filter(F.col("u.label") != F.col("l.label"))
-                .count()
-            )
-            if changed == 0:
+            if updated.filter(F.col("chg")).count() == 0:
                 labels = updated
                 converged = True
                 break
@@ -511,7 +510,7 @@ def _min_label_propagation(
             "> max_iters)",
             max_iters,
         )
-    return labels
+    return labels.select("doc_id", "label")
 
 
 _IVF_NPROBE = 2
