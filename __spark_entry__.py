@@ -59,15 +59,20 @@ _MODULES = [
 ]
 
 
-def _attested_ids() -> set[str]:
-    """Query ids that already have a driver-verified row in any prior round's
+def _attestation_round() -> dict[str, int]:
+    """Latest round in which each query id earned a driver-verified row in
     CORRECTNESS_r*.json (hash-green, or ran under the declared rows-only
     check). The driver verifies a bounded prefix of the registry per round
-    (r1 covered exactly the first 50 insertion-order ids), so ``queries()``
-    orders never-attested ids first — across rounds every id gets a
-    driver-green row while results stay stable within a round."""
-    attested: set[str] = set()
+    (50 ids), so ``queries()`` orders ids by STALEST attestation first:
+    never-attested ids lead (round 0), then ids whose newest green row is
+    oldest — across rounds every id's attestation keeps rotating onto
+    current code instead of resting on the round that introduced it."""
+    latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(path)[len("CORRECTNESS_r") : -len(".json")])
+        except ValueError:
+            continue
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -81,20 +86,22 @@ def _attested_ids() -> set[str]:
                 row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             )
             if hash_green or rows_only_ran:
-                attested.add(qid)
-    return attested
+                latest[qid] = max(rnd, latest.get(qid, 0))
+    return latest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2B/§2C,
-    never-driver-attested ids first (see ``_attested_ids``)."""
+    """One entry per implemented operator from SURVEY.md §2B/§2C, ordered
+    stalest-driver-attestation first (see ``_attestation_round``); ties
+    keep registry insertion order so results are stable within a round."""
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
         merged.update(mod.QUERIES)
-    done = _attested_ids()
-    fresh = {k: v for k, v in merged.items() if k not in done}
-    fresh.update({k: v for k, v in merged.items() if k in done})
-    return fresh
+    rounds = _attestation_round()
+    order = sorted(
+        enumerate(merged.items()), key=lambda t: (rounds.get(t[1][0], 0), t[0])
+    )
+    return {k: v for _, (k, v) in order}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -747,24 +747,30 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     path); at production scale SMJ is what it would pick anyway. The final
     per-status aggregate shuffles only |groups| partial rows.
 
-    The bucketed copies live at ONE fixed external location that every
-    invocation overwrites in place — a fresh mkdtemp per call would leak a
-    full copy of both facts each run (bench reps, the robustness matrix),
-    and managed tables refuse to re-attach to a warehouse directory left
-    by a previous session. The tables stay registered because the returned
+    The bucketed copies live at ONE fixed PER-USER external location that
+    every invocation overwrites in place — a fresh mkdtemp per call would
+    leak a full copy of both facts each run (bench reps, the robustness
+    matrix), and managed tables refuse to re-attach to a warehouse
+    directory left by a previous session. The uid suffix (same hazard
+    class as ``session._ship_package_to_workers``) keeps two concurrent
+    processes/users from overwriting each other's bucketed data mid-query
+    — within one user in-place overwrite is preserved, so the no-leak
+    property holds. The tables stay registered because the returned
     DataFrame reads them lazily."""
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_{uid}")
+    t_orders, t_lineitem = f"bkt_orders_{uid}", f"bkt_lineitem_{uid}"
     orders = table(spark, sf_dir, "orders")
     lineitem = table(spark, sf_dir, "lineitem")
-    spark.sql("DROP TABLE IF EXISTS bkt_orders")
-    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+    spark.sql(f"DROP TABLE IF EXISTS {t_lineitem}")
     (
         orders.write.mode("overwrite")
         .format("parquet")
         .bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
         .option("path", os.path.join(base, "orders"))
-        .saveAsTable("bkt_orders")
+        .saveAsTable(t_orders)
     )
     (
         lineitem.write.mode("overwrite")
@@ -772,13 +778,13 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
         .option("path", os.path.join(base, "lineitem"))
-        .saveAsTable("bkt_lineitem")
+        .saveAsTable(t_lineitem)
     )
     joined = (
-        spark.table("bkt_orders")
+        spark.table(t_orders)
         .hint("merge")
         .join(
-            spark.table("bkt_lineitem"),
+            spark.table(t_lineitem),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
     )
@@ -1216,8 +1222,9 @@ def sql_entry_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     previously needed Python glue). Integer-only state (BIGINT counts,
     DIV) so the loop exit is bit-deterministic; the oracle enumerates the
     same powers of two declaratively. Bounded: ≤ ~40 iterations for any
-    price magnitude, each a scan-pushable count."""
-    spark.conf.set("spark.sql.scripting.enabled", "true")
+    price magnitude, each a scan-pushable count. The scripting conf is a
+    session convention pinned by ``session.prepare`` (via ``table``), so
+    this entry leaks no conf change into the shared session."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SQL_SCRIPTING)
 
@@ -1542,8 +1549,10 @@ ORACLES = {
     # and take the first whose below-count reaches half.
     "sql_entry_scripting": (
         "WITH n AS (SELECT COUNT(*) // 2 AS half FROM orders),"
+        # start at 2^0 so the empty-table edge (half = 0 -> the script's
+        # WHILE never runs and returns threshold = 1) agrees value-for-value
         " ps AS (SELECT CAST(POW(2, g) AS BIGINT) AS p"
-        "        FROM generate_series(1, 40) t(g)),"
+        "        FROM generate_series(0, 40) t(g)),"
         " c AS (SELECT p, (SELECT COUNT(*) FROM orders"
         "                  WHERE o_totalprice < p) AS below FROM ps)"
         " SELECT p AS threshold, below AS n_below,"

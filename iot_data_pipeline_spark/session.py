@@ -121,5 +121,9 @@ def prepare(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # SQL scripting (BEGIN…END blocks) is a session convention like the
+    # others: pinned here rather than toggled ad hoc by the one entry that
+    # needs it, so no query leaks a conf change into the shared session.
+    spark.conf.set("spark.sql.scripting.enabled", "true")
     _ship_package_to_workers(spark)
     return spark

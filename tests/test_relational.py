@@ -352,12 +352,13 @@ def test_edit_distance_banding_equals_bruteforce(spark, tmp_path):
     including equal strings, pure insertions, deletions, substitutions,
     and distance-2 pairs that must NOT appear) the banded join returns
     exactly the brute-force distance-≤1 pair set."""
-    import tempfile
+    from itertools import count
 
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
     word = st.text(alphabet="abc", min_size=1, max_size=6)
+    example_no = count()
 
     @settings(max_examples=10, deadline=None)
     @given(st.lists(word, min_size=2, max_size=20))
@@ -368,7 +369,9 @@ def test_edit_distance_banding_equals_bruteforce(spark, tmp_path):
             Row(s_suppkey=i, s_name=n, s_nationkey=0, s_acctbal=0.0)
             for i, n in enumerate(names)
         ]
-        tdir = tempfile.mkdtemp(prefix="editdist_prop_")
+        # one subdir per example under the pytest-managed tmp_path so the
+        # parquet data is cleaned up with the test (no per-example leak)
+        tdir = str(tmp_path / f"ex{next(example_no)}")
         spark.createDataFrame(rows).write.mode("overwrite").parquet(
             tdir + "/supplier.parquet"
         )
