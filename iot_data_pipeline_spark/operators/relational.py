@@ -1230,6 +1230,225 @@ def sql_entry_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Derived partsupp: the five partsupp-dependent TPC-H queries (22/22)
+# ---------------------------------------------------------------------------
+
+# The driver's testdata ships no partsupp table, so the five TPC-H queries
+# that need one (Q2/Q9/Q11/Q16/Q20) derive it DETERMINISTICALLY from the
+# existing keys, with dbgen's shape: each part gets exactly 4 distinct
+# suppliers striped across the supplier space (offsets i*floor(S/4), i<4 —
+# all distinct mod S for S≥4), availqty in 1..9999 and supplycost in
+# 1.00..1000.00 as pure integer functions of (partkey, suppkey, stripe).
+# Every expression is integer arithmetic (+ one exact int→double divide by
+# 100), so Spark and DuckDB evaluate the SAME SQL text to bit-identical
+# rows: Spark registers it as the ``partsupp`` temp view, the oracle
+# carries it as a ``WITH partsupp AS (…)`` prefix over the same parquet.
+#
+# Plan shape: part CROSS JOIN a 1-row supplier-count aggregate CROSS JOIN a
+# 4-row stripe spine — both broadcast nested-loop joins with scale-
+# INDEPENDENT build sides (1 and 4 rows), so the derivation is a linear,
+# shuffle-free map over part at any scale (justified in
+# tests/test_plan_lint.py::BNLJ_BOUNDED).
+_PARTSUPP_BODY = """
+SELECT ps_partkey, ps_suppkey,
+       (ps_partkey * 7 + ps_suppkey * 3 + ps_seq) % 9999 + 1 AS ps_availqty,
+       CAST((ps_partkey * 31 + ps_suppkey * 17 + ps_seq * 5) % 99900 + 100
+            AS DOUBLE) / 100 AS ps_supplycost
+FROM (
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey + quad.i * CAST(FLOOR(s_cnt / 4.0) AS BIGINT)) % s_cnt
+           AS ps_suppkey,
+         quad.i AS ps_seq
+  FROM part
+  CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS s_cnt FROM supplier) sc
+  CROSS JOIN (VALUES (0), (1), (2), (3)) AS quad(i)
+) ps0
+"""
+
+
+def _partsupp_views(spark: SparkSession, sf_dir: str, *extra: str) -> None:
+    """Register ``partsupp`` (plus its part/supplier inputs and ``extra``
+    base tables) as temp views for a partsupp-dependent SQL entry."""
+    for name in ("part", "supplier", *extra):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    spark.sql("CREATE OR REPLACE TEMP VIEW partsupp AS " + _PARTSUPP_BODY)
+
+
+def _partsupp_oracle(query_sql: str) -> str:
+    """DuckDB oracle: the same query text over a partsupp CTE."""
+    return (
+        "WITH partsupp AS (" + _PARTSUPP_BODY + ")\n"
+        + query_sql.replace("TIMESTAMP_NTZ", "TIMESTAMP")
+    )
+
+
+_SQL_Q2 = """
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+FROM part
+JOIN partsupp ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND r_name = 'EUROPE'
+  AND ps_supplycost = (SELECT MIN(ps_supplycost)
+                       FROM partsupp, supplier, nation, region
+                       WHERE ps_partkey = p_partkey
+                         AND s_suppkey = ps_suppkey
+                         AND s_nationkey = n_nationkey
+                         AND n_regionkey = r_regionkey
+                         AND r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+
+
+def sql_entry_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier, adapted: no p_mfgr/comment columns
+    so the part gate is ``p_size = 15``): a correlated scalar MIN subquery
+    over the SAME join graph as the outer query. Catalyst decorrelates it
+    into a per-part min-cost aggregate joined back on ``p_partkey`` — the
+    region-filtered partsupp side is computed once, never per outer row.
+    The derived partsupp is a broadcast-crossed linear map over part (see
+    ``_PARTSUPP_BODY``), so at 100 TB the whole plan is two passes over
+    the part-scaled derivation plus broadcast dims. ``s_acctbal DESC,
+    n_name, s_name, p_partkey`` makes the LIMIT deterministic (s_name is
+    unique per supplier; p_partkey breaks multi-part ties)."""
+    _partsupp_views(spark, sf_dir, "nation", "region")
+    return spark.sql(_SQL_Q2)
+
+
+_Q9_AMOUNT = (
+    "CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+    " - CAST(ps_supplycost AS DECIMAL(18,4))"
+    " * CAST(l_quantity AS DECIMAL(18,4))"
+)
+
+_SQL_Q9 = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       {sql_dsum_prod(_Q9_AMOUNT, 'sum_profit')}
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+def sql_entry_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): the one join shape nothing else in
+    the suite exercises — a fact joined through a DERIVED two-column-keyed
+    dimension (``(ps_partkey, ps_suppkey)``) plus four more tables, with a
+    profit expression mixing fact and dimension columns. The derived
+    partsupp keeps dbgen's stripe structure, so only lineitems whose
+    supplier is one of the part's 4 stripes match (a sparser join than
+    dbgen's by construction — identically sparse in the oracle). The
+    ``%red%`` name filter pushes to the part scan and AQE sizes the
+    partsupp side at runtime; profit uses the exact-decimal FLOOR recipe
+    so per-(nation, year) sums are bit-identical across engines."""
+    _partsupp_views(spark, sf_dir, "lineitem", "orders", "nation")
+    return spark.sql(_SQL_Q9)
+
+
+_Q11_VALUE = "CAST(ps_supplycost AS DECIMAL(18,4)) * ps_availqty"
+
+_SQL_Q11 = f"""
+SELECT ps_partkey, {sql_dsum_prod(_Q11_VALUE, 'value')}
+FROM partsupp
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY ps_partkey
+HAVING SUM({_Q11_VALUE}) >
+       (SELECT SUM({_Q11_VALUE}) * 0.0005
+        FROM partsupp, supplier, nation, region
+        WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey AND r_name = 'ASIA')
+ORDER BY value DESC, ps_partkey
+"""
+
+
+def sql_entry_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock, adapted: the gate is a region rather
+    than dbgen's single nation so every scale factor keeps a non-empty
+    supplier side): a grouped aggregate HAVING-compared against an
+    UNCORRELATED scalar subquery over the same join — Catalyst computes
+    the total once (one extra aggregate, broadcast as a literal join), not
+    per group. Both sides sum the identical exact-decimal product, and the
+    0.0005 fraction multiplies the exact total in IEEE double on both
+    engines, so the group survivor set is bit-deterministic."""
+    _partsupp_views(spark, sf_dir, "nation", "region")
+    return spark.sql(_SQL_Q11)
+
+
+_SQL_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'ECONOMY'
+  AND p_size IN (5, 11, 17, 23, 29, 35, 41, 47)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                         WHERE s_acctbal < 500.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def sql_entry_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship, adapted: the excluded-
+    supplier gate is ``s_acctbal < 500`` since the testdata has no comment
+    column): NOT IN over a nullable-free key column plans as a null-aware
+    anti join against the (tiny, broadcast) bad-supplier list, then a
+    COUNT(DISTINCT) per (brand, type, size) — Spark expands the distinct
+    into a two-phase aggregate, so the shuffle carries (group, suppkey)
+    pairs once each, never raw partsupp rows twice."""
+    _partsupp_views(spark, sf_dir)
+    return spark.sql(_SQL_Q16)
+
+
+_SQL_Q20 = """
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_regionkey = 2
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (SELECT p_partkey FROM part
+                         WHERE p_name LIKE 'small%')
+      AND ps_availqty > (SELECT 0.5 * SUM(l_quantity) FROM lineitem
+                         WHERE l_partkey = ps_partkey
+                           AND l_suppkey = ps_suppkey
+                           AND l_shipdate >=
+                               TIMESTAMP_NTZ '1996-01-01 00:00:00'
+                           AND l_shipdate <
+                               TIMESTAMP_NTZ '1997-01-01 00:00:00'))
+ORDER BY s_name
+"""
+
+
+def sql_entry_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion, adapted: the supplier gate is
+    the ASIA region — ``n_regionkey = 2`` — so every scale factor keeps
+    a non-empty supplier pool): THREE nesting levels — an IN over
+    partsupp, itself filtered by an IN over part and by a scalar aggregate
+    correlated on BOTH join columns (``(ps_partkey, ps_suppkey)``).
+    Catalyst decorrelates the inner sum into a grouped aggregate over the
+    date-filtered lineitem joined back on the pair key, and the outer INs
+    become semi joins — zero per-row subquery execution. Pairs with no
+    1996 shipments compare NULL and drop, identically in both engines;
+    the half-shipped-quantity threshold is an exact small-integer sum in
+    doubles."""
+    _partsupp_views(spark, sf_dir, "nation", "lineitem")
+    return spark.sql(_SQL_Q20)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1288,6 +1507,11 @@ QUERIES = {
     "sql_entry_tpch_q12": sql_entry_tpch_q12,
     "sql_entry_scripting": sql_entry_scripting,
     "sql_entry_parameterized": sql_entry_parameterized,
+    "sql_entry_tpch_q2": sql_entry_tpch_q2,
+    "sql_entry_tpch_q9": sql_entry_tpch_q9,
+    "sql_entry_tpch_q11": sql_entry_tpch_q11,
+    "sql_entry_tpch_q16": sql_entry_tpch_q16,
+    "sql_entry_tpch_q20": sql_entry_tpch_q20,
 }
 
 # DuckDB oracles for the subquery-decorrelation suite: identical SQL modulo
@@ -1578,4 +1802,12 @@ ORACLES = {
         " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
         " GROUP BY o_orderstatus ORDER BY o_orderstatus"
     ),
+    # partsupp-dependent TPC-H: the SAME query text over a partsupp CTE
+    # (DuckDB evaluates the identical integer derivation — see
+    # _PARTSUPP_BODY — so the rows are bit-identical by construction).
+    "sql_entry_tpch_q2": _partsupp_oracle(_SQL_Q2),
+    "sql_entry_tpch_q9": _partsupp_oracle(_SQL_Q9),
+    "sql_entry_tpch_q11": _partsupp_oracle(_SQL_Q11),
+    "sql_entry_tpch_q16": _partsupp_oracle(_SQL_Q16),
+    "sql_entry_tpch_q20": _partsupp_oracle(_SQL_Q20),
 }

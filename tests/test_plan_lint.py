@@ -36,6 +36,15 @@ BNLJ_BOUNDED = {
     "iot_interpolate": "same broadcast calendar-spine cross as iot_gap_fill",
     "join_cross": "the declared cross-join operator (25x5 dimension tables)",
     "win_ntile_dist": "1-row n_total aggregate joined to every ranked row",
+    # the derived-partsupp TPC-H entries: partsupp is part broadcast-crossed
+    # with a 1-row supplier-count aggregate and a 4-row stripe spine (both
+    # scale-independent build sides) — linear in part at any scale
+    "sql_entry_tpch_q2": "derived-partsupp spine (1-row count x 4-row stripes)",
+    "sql_entry_tpch_q9": "derived-partsupp spine (1-row count x 4-row stripes)",
+    "sql_entry_tpch_q11": "derived-partsupp spine, plus the 1-row total-value"
+    " aggregate the HAVING threshold joins against",
+    "sql_entry_tpch_q16": "derived-partsupp spine (1-row count x 4-row stripes)",
+    "sql_entry_tpch_q20": "derived-partsupp spine (1-row count x 4-row stripes)",
 }
 
 

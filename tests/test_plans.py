@@ -384,3 +384,59 @@ def test_q6_pushes_all_three_predicates(spark, sf_dir):
     assert "LessThanOrEqual(l_discount,0.07)" in plan
     assert "LessThan(l_quantity,24.0)" in plan
     assert "partial_sum" in plan
+
+
+def test_q9_joins_derived_partsupp_as_hash_joins(spark, sf_dir):
+    """TPC-H Q9 (derived partsupp): the fact joins the two-column-keyed
+    derived dimension with HASH joins only — the sole nested-loop is the
+    bounded partsupp spine (1-row count x 4-row stripes) — and the
+    ``%red%`` part-name gate reaches the part scan as a Contains
+    pushdown."""
+    from iot_data_pipeline_spark.operators import relational
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(relational.sql_entry_tpch_q9(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "StringContains(p_name,red)" in plan
+    # every non-spine join is a hash join; the spine BNLJ is the justified
+    # bounded build (tests/test_plan_lint.py::BNLJ_BOUNDED)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q2_decorrelates_min_cost_subquery(spark, sf_dir):
+    """TPC-H Q2: the correlated scalar MIN subquery must decorrelate into a
+    per-part aggregate joined back (no per-row execution), with the size
+    gate pushed to the part scan."""
+    from iot_data_pipeline_spark.operators import relational
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(relational.sql_entry_tpch_q2(spark, sf_dir))
+    assert "EqualTo(p_size,15)" in plan
+    assert "min(ps_supplycost" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_plans_semi_joins_with_date_pushdown(spark, sf_dir):
+    """TPC-H Q20: the stacked INs must plan as semi joins and the shipdate
+    year window must reach the lineitem scan."""
+    from iot_data_pipeline_spark.operators import relational
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(relational.sql_entry_tpch_q20(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "StringStartsWith(p_name,small)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_plans_anti_join_for_not_in(spark, sf_dir):
+    """TPC-H Q16: NOT IN over the excluded-supplier list must plan as a
+    (null-aware) anti join against the tiny broadcast list, with the
+    bad-supplier predicate pushed to the supplier scan."""
+    from iot_data_pipeline_spark.operators import relational
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(relational.sql_entry_tpch_q16(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "LessThan(s_acctbal,500.0)" in plan
+    assert "CartesianProduct" not in plan

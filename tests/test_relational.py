@@ -401,3 +401,27 @@ def test_edit_distance_banding_equals_bruteforce(spark, tmp_path):
         assert got == want
 
     check()
+
+
+def test_partsupp_derivation_invariants(spark, sf_dir):
+    """The derived partsupp must keep dbgen's structure: exactly 4 DISTINCT
+    suppliers per part (striped across the supplier space), availqty in
+    1..9999, supplycost in [1.00, 1000.00), and every suppkey a real
+    supplier key."""
+    from iot_data_pipeline_spark.operators import relational
+
+    relational._partsupp_views(spark, sf_dir)
+    ps = spark.table("partsupp").collect()
+    supp_keys = {
+        r["s_suppkey"] for r in spark.table("supplier").select("s_suppkey").collect()
+    }
+    n_parts = spark.table("part").count()
+    assert len(ps) == 4 * n_parts
+    per_part: dict[int, set[int]] = {}
+    for r in ps:
+        per_part.setdefault(r["ps_partkey"], set()).add(r["ps_suppkey"])
+        assert 1 <= r["ps_availqty"] <= 9999
+        assert 1.0 <= r["ps_supplycost"] < 1000.0
+        assert r["ps_suppkey"] in supp_keys
+    assert all(len(s) == 4 for s in per_part.values())
+    assert len(per_part) == n_parts
