@@ -1599,3 +1599,125 @@ _CODEC_ORACLES["mm_corpus_stats"] = (
 )
 
 ORACLES.update(_CODEC_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# binaryFile directory scan — the production media-ingest source shape
+# ---------------------------------------------------------------------------
+
+
+def _stage_media_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage one deterministic ``media_{key}.ppm`` per supplier (sharded
+    into ``shard=N/`` subdirs, plus a non-media decoy) under a per-user,
+    per-sf directory. Test fixture only: in production the object-store
+    prefix already exists and this staging step disappears. Writes are
+    tmp-file + ``os.replace`` so a concurrent same-uid reader never sees a
+    torn file; content is a pure function of the key, so re-staging is
+    idempotent."""
+    import os
+    import tempfile
+
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_media_{uid}", tag)
+    keys = [
+        r[0]
+        for r in table(spark, sf_dir, "supplier").select("s_suppkey").collect()
+    ]
+    for k in keys:
+        k = int(k)
+        shard = os.path.join(base, f"shard={k % 4}")
+        os.makedirs(shard, exist_ok=True)
+        dest = os.path.join(shard, f"media_{k}.ppm")
+        tmp = dest + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(synth_ppm(k, 4 + k % 5, 3 + k % 4))
+        os.replace(tmp, dest)
+    decoy = os.path.join(base, "README.txt")
+    with open(decoy + ".tmp", "wb") as fh:
+        fh.write(b"not media\n")
+    os.replace(decoy + ".tmp", decoy)
+    return base
+
+
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.read.format("binaryFile")`` over a staged media directory —
+    the source shape a production media corpus starts from (an object-store
+    prefix of image files), where the synth-blob mm_* family starts from a
+    parquet binary column instead. ``pathGlobFilter`` excludes non-media
+    files at LISTING time (the decoy README is never opened),
+    ``recursiveFileLookup`` walks the shard subdirs, and the filename key
+    is parsed JVM-side before the real PPM decode runs in one
+    Arrow-batched mapInPandas.
+
+    100 TB shape: binaryFile packs many small files into each task by
+    ``spark.sql.files.openCostInBytes`` / ``maxPartitionBytes`` (partition
+    count scales with the listing — plan-tested), and never splits a
+    single file, so each blob is decoded exactly once by one task. The
+    driver stages the fixture files (dimension-table-sized, test-only);
+    the scan itself lists and reads fully distributed."""
+    base = _stage_media_dir(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")
+        .option("recursiveFileLookup", "true")
+        .load(base)
+        .select(
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.ppm$", 1)
+            .cast("long")
+            .alias("media_id"),
+            "content",
+        )
+    )
+
+    def gen_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(blob)
+                arr, meta = decode_media(data, "image/ppm")
+                flat = arr.reshape(-1).astype("int64")
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "n_bytes": len(data),
+                        "px_sum": int(flat.sum()),
+                        "r_sum": int(arr[:, :, 0].sum()),
+                        "g_sum": int(arr[:, :, 1].sum()),
+                        "b_sum": int(arr[:, :, 2].sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        gen_decode,
+        "media_id LONG, width INT, height INT, n_bytes LONG,"
+        " px_sum LONG, r_sum LONG, g_sum LONG, b_sum LONG",
+    )
+
+
+QUERIES["scan_binary_files"] = scan_binary_files
+
+# The staged bytes are synth_ppm(s_suppkey, ...), so the oracle recomputes
+# every decoded pixel from the supplier keys — same arithmetic as the
+# mm_decode_ppm oracle, proving the file round trip (stage → list → read →
+# decode) is lossless end to end.
+ORACLES["scan_binary_files"] = (
+    "WITH d AS (SELECT s_suppkey AS mid, 4 + s_suppkey % 5 AS w,"
+    "           3 + s_suppkey % 4 AS h FROM supplier),"
+    " px AS (SELECT mid, w, h,"
+    "        unnest(generate_series(0, w * h * 3 - 1)) AS k FROM d),"
+    " v AS (SELECT mid, w, h, k % 3 AS ch,"
+    "       (mid * 7 + ((k // 3) // w) * 31 + ((k // 3) % w) * 13"
+    "        + (k % 3) * 5) % 256 AS val FROM px)"
+    " SELECT mid AS media_id, CAST(MAX(w) AS INTEGER) AS width,"
+    " CAST(MAX(h) AS INTEGER) AS height,"
+    " 11 + MAX(w) * MAX(h) * 3 AS n_bytes,"
+    " CAST(SUM(val) AS BIGINT) AS px_sum,"
+    " CAST(SUM(CASE WHEN ch = 0 THEN val ELSE 0 END) AS BIGINT) AS r_sum,"
+    " CAST(SUM(CASE WHEN ch = 1 THEN val ELSE 0 END) AS BIGINT) AS g_sum,"
+    " CAST(SUM(CASE WHEN ch = 2 THEN val ELSE 0 END) AS BIGINT) AS b_sum"
+    " FROM v GROUP BY mid"
+)

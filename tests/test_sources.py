@@ -709,3 +709,31 @@ def test_mm_corpus_stats_matches_per_image_rollup(spark, sf_dir):
         / 1_000_000
     )
     assert stats["mean_luma"] == want_mean
+
+
+def test_binaryfile_scan_lists_filters_and_scales_partitions(spark, sf_dir):
+    """The binaryFile media-ingest source: pathGlobFilter must exclude the
+    staged non-media decoy at listing time, every supplier's file must
+    appear exactly once with a parsed key, and the scan's partition count
+    must scale with the number of listed files (one shard subdir lists
+    fewer files -> no more partitions than the full recursive listing)."""
+    base = multimodal._stage_media_dir(spark, sf_dir)
+
+    def scan(path):
+        return (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.ppm")
+            .option("recursiveFileLookup", "true")
+            .load(path)
+        )
+
+    full = scan(base)
+    n_suppliers = table(spark, sf_dir, "supplier").count()
+    assert full.count() == n_suppliers  # decoy README.txt never listed
+    ids = [r[0] for r in multimodal.scan_binary_files(spark, sf_dir)
+           .select("media_id").collect()]
+    assert sorted(ids) == list(range(n_suppliers))  # every file, parsed key
+    p_full = full.rdd.getNumPartitions()
+    p_shard = scan(os.path.join(base, "shard=0")).rdd.getNumPartitions()
+    assert p_shard <= p_full
+    assert p_full > 1  # many small files do not collapse into one task
