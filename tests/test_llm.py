@@ -119,6 +119,38 @@ def test_ann_recall_floor(spark, sf_dir):
     assert len(e & a) / len(e) >= 0.2
 
 
+def test_pq_recall_floor_determinism_and_exact_scores(spark, sf_dir):
+    """IVF+PQ with exact re-rank: recall floored by the shared nprobe=2
+    coarse probe (~20% of the corpus scored), bit-stable across runs, and
+    every reported cosine must EQUAL the exact scan's cosine for that pair
+    (PQ may drop candidates, never distort a reported score)."""
+    exact = llm.llm_sim_topk(spark, sf_dir)
+    pq = llm.llm_sim_pq(spark, sf_dir)
+    assert pq.columns == exact.columns
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    first = {tuple(r) for r in pq.collect()}
+    a = {(q, v) for q, v, _, _ in first}
+    assert len(e & a) / len(e) >= 0.2
+    again = {tuple(r) for r in llm.llm_sim_pq(spark, sf_dir).collect()}
+    assert again == first
+    # re-ranked scores are true cosines: cross-check against a brute-force
+    # cosine of the same pairs (llm_sim_topk only covers its own top-10)
+    import math
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in llm.table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    for q, v, cos, _ in first:
+        qe, ve = emb[q], emb[v]
+        dot = sum(float(x) * float(y) for x, y in zip(qe, ve))
+        na = math.sqrt(sum(float(x) ** 2 for x in qe))
+        nb = math.sqrt(sum(float(y) ** 2 for y in ve))
+        assert abs(cos - round(dot / (na * nb), 4)) < 1e-9
+
+
 def test_dedup_idempotence_property(spark, tmp_path):
     """SURVEY §5.4: dedup(dedup(x)) == dedup(x), on generated corpora with
     forced duplicates."""

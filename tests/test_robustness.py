@@ -54,6 +54,10 @@ QUERIES = {
     # scalar MAX subquery over the FLOOR-exact revenue CTE: the max-tie
     # winner must be partitioning-independent
     "sql_entry_tpch_q15": relational.sql_entry_tpch_q15,
+    # IVF+PQ refinement: batch-local ADC top-k feeds a global candidate
+    # window — the final top-10 must not depend on Arrow batch boundaries
+    # or on whether the re-rank join broadcasts
+    "llm_sim_pq": llm.llm_sim_pq,
 }
 
 
