@@ -36,6 +36,8 @@ BNLJ_BOUNDED = {
     "iot_interpolate": "same broadcast calendar-spine cross as iot_gap_fill",
     "join_cross": "the declared cross-join operator (25x5 dimension tables)",
     "win_ntile_dist": "1-row n_total aggregate joined to every ranked row",
+    "llm_tfidf": "1-row corpus-count aggregate broadcast-crossed into the"
+    " scoring projection (keeps plan-build lazy; no driver action)",
     # the derived-partsupp TPC-H entries: partsupp is part broadcast-crossed
     # with a 1-row supplier-count aggregate and a 4-row stripe spine (both
     # scale-independent build sides) — linear in part at any scale
