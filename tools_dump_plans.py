@@ -94,6 +94,24 @@ PICKS = {
         " partials, then broadcasts back to the token stream (BHJ — the"
         " Zipf-skewed key never re-shuffles the corpus)"
     ),
+    "sql_entry_tpch_q9": (
+        "derived-partsupp profit join: partsupp is a linear broadcast-"
+        "crossed map over part (1-row count + 4-row stripe spine); the"
+        " fact joins the two-column-keyed dimension with hash joins only,"
+        " %red% pushed to the part scan as Contains"
+    ),
+    "scan_binary_files": (
+        "binaryFile media ingest: glob-filtered recursive listing packs"
+        " small files per task by openCostInBytes; filename key parsed"
+        " JVM-side; real PPM decode in one Arrow-batched mapInPandas —"
+        " shuffle-free"
+    ),
+    "llm_sim_pq": (
+        "IVF+PQ: probed rows encoded to M codes and ADC-scored from"
+        " broadcast lookup tables (batch-local top-k), global candidate"
+        " window, exact-cosine re-rank via broadcast joins — vectors never"
+        " shuffle"
+    ),
 }
 
 
