@@ -24,6 +24,17 @@ from iot_data_pipeline_spark.sources.readers import load_table
 DEC = "decimal(18,4)"
 
 
+def per_user_tmp_suffix() -> int:
+    """Suffix for world-shared /tmp artifact paths and catalog table names:
+    two users on one host must never overwrite each other's staged data
+    (sticky-bit /tmp also forbids it), while one user's processes reuse and
+    overwrite in place (no per-run leak). Shared by the bucketed-join
+    tables and the staged media directory."""
+    import os
+
+    return os.getuid() if hasattr(os, "getuid") else 0
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table with session conventions pinned."""
     prepare(spark)

@@ -343,6 +343,8 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score(batches):
         for pdf in batches:
+            if not len(pdf):  # 0-row Arrow batch -> np.array is 1-D
+                continue
             v = np.array(list(pdf["embedding"]), dtype=np.float64)
             v_norm = np.sqrt((v * v).sum(axis=1))
             cos = np.round((v @ q_mat.T) / np.outer(v_norm, q_norm), 4)
@@ -582,6 +584,8 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
+            if not len(pdf):  # 0-row Arrow batch -> np.array is 1-D
+                continue
             v = np.array(list(pdf["embedding"]), dtype=np.float64)
             v_norm = np.sqrt((v * v).sum(axis=1))
             cos = np.round((v @ q_mat.T) / np.outer(v_norm, q_norm), 4)
@@ -665,21 +669,20 @@ def llm_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     e = table(spark, sf_dir, "embeddings")
-    q_rows = sorted(
-        e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect(),
-        key=lambda r: r["vec_id"],
-    )
-    q_ids = np.array([r["vec_id"] for r in q_rows])
-    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
-    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
-    allowed = _ivf_allowed(e, q_mat, q_ids)
-
+    # one bounded collect serves both roles: the 5 query vectors are a
+    # prefix of the _PQ_K codebook seeds (vec_id < 5 ⊂ vec_id < _PQ_K)
     seed_rows = sorted(
         e.filter(F.col("vec_id") < _PQ_K)
         .select("vec_id", "embedding")
         .collect(),
         key=lambda r: r["vec_id"],
     )
+    q_rows = [r for r in seed_rows if r["vec_id"] < 5]
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    allowed = _ivf_allowed(e, q_mat, q_ids)
+
     seed_mat = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
     dim = seed_mat.shape[1]
     sub = dim // _PQ_M
@@ -697,6 +700,8 @@ def llm_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
+            if not len(pdf):  # 0-row Arrow batch -> np.array is 1-D
+                continue
             vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
             codes = _encode(vecs, seed_cb)
             n = len(vecs)
@@ -732,13 +737,15 @@ def llm_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     def adc_scan(batches):
         import pandas as pd
 
+        m_cols = np.arange(_PQ_M)[None, :]
         for pdf in batches:
+            if not len(pdf):  # 0-row Arrow batch -> np.array is 1-D
+                continue
             vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
             vec_ids = pdf["vec_id"].to_numpy()
             row_lbls = pdf["label"].to_numpy()
             codes = _encode(vecs, cb)
-            rows_m = np.arange(len(vecs))[:, None], np.arange(_PQ_M)[None, :]
-            approx_n = np.sqrt(cb_norm2[rows_m[1], codes].sum(axis=1))
+            approx_n = np.sqrt(cb_norm2[m_cols, codes].sum(axis=1))
             frames = []
             for qi in range(len(q_ids)):
                 mask = np.isin(row_lbls, list(allowed[int(q_ids[qi])]))

@@ -1614,29 +1614,47 @@ def _stage_media_dir(spark: SparkSession, sf_dir: str) -> str:
     tmp-file + ``os.replace`` so a concurrent same-uid reader never sees a
     torn file; content is a pure function of the key, so re-staging is
     idempotent."""
+    import glob
     import os
     import tempfile
 
-    uid = os.getuid() if hasattr(os, "getuid") else 0
+    from iot_data_pipeline_spark.operators._util import per_user_tmp_suffix
+
+    uid = per_user_tmp_suffix()
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     base = os.path.join(tempfile.gettempdir(), f"spark_graft_media_{uid}", tag)
-    keys = [
-        r[0]
+    keys = {
+        int(r[0])
         for r in table(spark, sf_dir, "supplier").select("s_suppkey").collect()
-    ]
-    for k in keys:
-        k = int(k)
+    }
+
+    def _write(dest: str, data: bytes) -> None:
+        # pid-unique tmp name: two same-uid stagers (bench + tests) must
+        # not interleave writes into one tmp file or race the rename; the
+        # final os.replace keeps readers from ever seeing a torn file.
+        tmp = f"{dest}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, dest)
+
+    for k in sorted(keys):
         shard = os.path.join(base, f"shard={k % 4}")
         os.makedirs(shard, exist_ok=True)
-        dest = os.path.join(shard, f"media_{k}.ppm")
-        tmp = dest + ".tmp"
-        with open(tmp, "wb") as fh:
-            fh.write(synth_ppm(k, 4 + k % 5, 3 + k % 4))
-        os.replace(tmp, dest)
-    decoy = os.path.join(base, "README.txt")
-    with open(decoy + ".tmp", "wb") as fh:
-        fh.write(b"not media\n")
-    os.replace(decoy + ".tmp", decoy)
+        _write(
+            os.path.join(shard, f"media_{k}.ppm"),
+            synth_ppm(k, 4 + k % 5, 3 + k % 4),
+        )
+    # Reconcile: a regenerated testdata set (fewer suppliers) or a basename
+    # collision must not leave orphan .ppm files for the listing to decode
+    # — the oracle is built from the CURRENT supplier table.
+    for path in glob.glob(os.path.join(base, "**", "media_*.ppm"), recursive=True):
+        stem = os.path.basename(path)[len("media_") : -len(".ppm")]
+        if not stem.isdigit() or int(stem) not in keys:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+    _write(os.path.join(base, "README.txt"), b"not media\n")
     return base
 
 

@@ -757,7 +757,9 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     — within one user in-place overwrite is preserved, so the no-leak
     property holds. The tables stay registered because the returned
     DataFrame reads them lazily."""
-    uid = os.getuid() if hasattr(os, "getuid") else 0
+    from iot_data_pipeline_spark.operators._util import per_user_tmp_suffix
+
+    uid = per_user_tmp_suffix()
     base = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_{uid}")
     t_orders, t_lineitem = f"bkt_orders_{uid}", f"bkt_lineitem_{uid}"
     orders = table(spark, sf_dir, "orders")
@@ -1773,10 +1775,12 @@ ORACLES = {
     # and take the first whose below-count reaches half.
     "sql_entry_scripting": (
         "WITH n AS (SELECT COUNT(*) // 2 AS half FROM orders),"
-        # start at 2^0 so the empty-table edge (half = 0 -> the script's
-        # WHILE never runs and returns threshold = 1) agrees value-for-value
+        # the 2^0 row exists ONLY for the empty-table edge (half = 0 -> the
+        # script's WHILE never runs and returns threshold = 1); for half > 0
+        # the script doubles BEFORE counting so 1 is unreachable — gate it
         " ps AS (SELECT CAST(POW(2, g) AS BIGINT) AS p"
-        "        FROM generate_series(0, 40) t(g)),"
+        "        FROM generate_series(0, 40) t(g)"
+        "        WHERE g > 0 OR (SELECT half FROM n) = 0),"
         " c AS (SELECT p, (SELECT COUNT(*) FROM orders"
         "                  WHERE o_totalprice < p) AS below FROM ps)"
         " SELECT p AS threshold, below AS n_below,"
