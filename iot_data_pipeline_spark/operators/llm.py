@@ -1262,6 +1262,84 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WIN_K, _WIN_W, _WIN_B, _WIN_M = 5, 4, 31, 1 << 20
+
+
+def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    local fingerprinting algorithm) — the ROLLING-HASH member of the
+    fingerprint family (``llm_fingerprint`` is whole-document hashes):
+    every K-char gram gets a polynomial rolling hash (Horner, base 31,
+    mod 2^20 — pure integer arithmetic), each window of W consecutive
+    gram hashes contributes its MINIMUM, and the per-document fingerprint
+    set is the distinct selected values. The winnowing guarantee: any two
+    documents sharing a substring of at least K+W-1 chars share at least
+    one fingerprint — pinned by a constructed-case test.
+
+    Shuffle-free narrow map emitting the compact per-doc summary
+    (distinct-fp count, sum, min, max), all exact integers so the DuckDB
+    oracle recomputes every value. Implementation tier: a pure-HOF form
+    (transform/aggregate/slice/array_min) was built first and is
+    value-identical, but Spark evaluates higher-order lambdas interpreted
+    (no codegen) — 18 s at sf0.1 — so the registered form is the
+    Arrow-batched numpy tier (vectorized shifted-slice rolling hash +
+    stacked-window minima, ~10×; same tier as the media codecs). Corpus
+    text is pure ASCII (verified round 5), so byte codes equal the
+    codepoints both the HOF form and the oracle hash. At 100 TB the cost
+    is O(len·K) per document inside the scan stage; the fingerprint SETS
+    (doc_id, fp) explode at selection density 2/(W+1) when a downstream
+    index wants them — same plan, one extra explode."""
+    import numpy as np
+
+    d = table(spark, sf_dir, "documents")
+    k, w, m = _WIN_K, _WIN_W, _WIN_M
+    powers = np.array(
+        [_WIN_B ** (k - 1 - j) for j in range(k)], dtype=np.int64
+    )
+
+    def winnow(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                t = str(txt).strip().lower()
+                n = len(t)
+                if n < k + w - 1:
+                    continue
+                codes = np.frombuffer(
+                    t.encode("utf-8"), dtype=np.uint8
+                ).astype(np.int64)
+                ng = n - k + 1
+                h = np.zeros(ng, dtype=np.int64)
+                for j in range(k):
+                    h += codes[j : j + ng] * powers[j]
+                h %= m
+                nw = ng - w + 1
+                mins = np.min(
+                    np.stack([h[s : s + nw] for s in range(w)]), axis=0
+                )
+                fps = np.unique(mins)
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "n_grams": ng,
+                        "n_fp": len(fps),
+                        "fp_sum": int(fps.sum()),
+                        "fp_min": int(fps[0]),
+                        "fp_max": int(fps[-1]),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return d.select("doc_id", "text").mapInPandas(
+        winnow,
+        "doc_id LONG, n_grams INT, n_fp INT, fp_sum LONG,"
+        " fp_min LONG, fp_max LONG",
+    )
+
+
 def llm_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-window document chunking (context-length prep): 64-char chunks
     on a 48-char stride (16 overlap), each with its 1-based start offset.
@@ -1728,6 +1806,7 @@ QUERIES = {
     "llm_quality_filter": llm_quality_filter,
     "llm_lang_id": llm_lang_id,
     "llm_fingerprint": llm_fingerprint,
+    "llm_winnow_fingerprint": llm_winnow_fingerprint,
     "llm_text_normalize": llm_text_normalize,
     "llm_redact": llm_redact,
     "llm_dedup_clusters": llm_dedup_clusters,
@@ -1879,6 +1958,31 @@ ORACLES = {
         " md5(array_to_string(list_sort(list_distinct("
         "   string_split(lower(trim(text)), ' '))), ' ')) AS bag_fp"
         " FROM documents"
+    ),
+    # Winnowing recomputed declaratively: polynomial K-gram hash as a
+    # power-weighted sum (== the engine's Horner form pre-mod), window
+    # minima over list slices, distinct selection — all exact integers.
+    "llm_winnow_fingerprint": (
+        "WITH t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents"
+        "           WHERE length(lower(trim(text))) >= 8),"
+        " g AS (SELECT doc_id,"
+        "        list_transform(generate_series(1, length(txt) - 4), i ->"
+        "          CAST(list_sum(list_transform(generate_series(0, 4), j ->"
+        "            CAST(unicode(substring(txt, CAST(i + j AS INTEGER), 1))"
+        "                 AS BIGINT)"
+        "            * CAST(pow(31, 4 - j) AS BIGINT))) % 1048576 AS BIGINT))"
+        "          AS hs"
+        "       FROM t),"
+        " w AS (SELECT doc_id, hs,"
+        "        list_distinct(list_transform(generate_series(1, len(hs) - 3),"
+        "          s -> list_min(hs[CAST(s AS INTEGER):CAST(s + 3 AS INTEGER)])))"
+        "          AS fps"
+        "       FROM g)"
+        " SELECT doc_id, CAST(len(hs) AS INTEGER) AS n_grams,"
+        " CAST(len(fps) AS INTEGER) AS n_fp,"
+        " CAST(list_sum(fps) AS BIGINT) AS fp_sum,"
+        " list_min(fps) AS fp_min, list_max(fps) AS fp_max"
+        " FROM w"
     ),
     "llm_text_normalize": (
         "WITH n AS (SELECT doc_id, text,"

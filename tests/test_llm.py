@@ -734,3 +734,62 @@ def test_unigram_rarity_matches_reference(spark, tmp_path):
             / 1_000_000
         )
         assert got[i]["avg_freq"] == want_avg
+
+
+def test_winnow_fingerprint_reference_and_guarantee(spark, tmp_path):
+    """Winnowing vs an independent pure-Python reference on crafted docs:
+    per-doc summaries must match exactly, and the MOSS guarantee must hold
+    on the reference sets — two docs sharing a >= K+W-1 char substring
+    share at least one selected fingerprint."""
+    from pyspark.sql import Row
+
+    K, W, B, M = 5, 4, 31, 1 << 20
+    shared = "the quick brown fox jumps"
+    texts = {
+        1: f"aaa {shared} bbb ccc ddd eee",
+        2: f"zzz yyy {shared} xxx www",
+        3: "completely different content with no overlap at all qqq",
+        4: "short",  # below K+W-1: must be absent from the output
+        5: f"aaa {shared} bbb ccc ddd eee",  # exact dup of 1
+    }
+    rows = [
+        Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+        for i, t in texts.items()
+    ]
+    sf = tmp_path / "winnow_sf"
+    sf.mkdir()
+    spark.createDataFrame(rows).write.parquet(str(sf / "documents.parquet"))
+
+    def ref_fps(text):
+        t = text.strip().lower()
+        if len(t) < K + W - 1:
+            return None
+        hs = []
+        for i in range(len(t) - K + 1):
+            h = 0
+            for ch in t[i : i + K]:
+                h = h * B + ord(ch)
+            hs.append(h % M)
+        mins = [min(hs[s : s + W]) for s in range(len(hs) - W + 1)]
+        return hs, sorted(set(mins))
+
+    got = {
+        r["doc_id"]: r
+        for r in llm.llm_winnow_fingerprint(spark, str(sf)).collect()
+    }
+    assert set(got) == {1, 2, 3, 5}  # doc 4 filtered (too short)
+    refs = {}
+    for i, t in texts.items():
+        r = ref_fps(t)
+        if r is None:
+            continue
+        hs, fps = r
+        refs[i] = set(fps)
+        assert got[i]["n_grams"] == len(hs)
+        assert got[i]["n_fp"] == len(fps)
+        assert got[i]["fp_sum"] == sum(fps)
+        assert got[i]["fp_min"] == fps[0]
+        assert got[i]["fp_max"] == fps[-1]
+    # MOSS guarantee on the reference sets (proven operator-consistent above)
+    assert refs[1] & refs[2]  # shared >= 8-char substring -> shared fp
+    assert refs[1] == refs[5]  # identical text -> identical fingerprints
