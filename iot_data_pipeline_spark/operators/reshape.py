@@ -608,8 +608,58 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_W, _CMS_P = 256, (1 << 61) - 1
+_CMS_A = [2654435761, 40503, 2246822519, 3266489917]
+_CMS_B = [99991, 911, 7919, 104729]
+
+
+def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) — the heavy-hitter
+    frequency sketch missing from the family (HLL = distinct, KSP = freq
+    items, GK = quantiles): d=4 pairwise-independent-style rows of w=256
+    counters, point estimate = min over rows. The hashes are FIXED integer
+    affine maps mod a Mersenne prime, so unlike the engine-internal
+    sketches this one is bit-deterministic and the DuckDB oracle rebuilds
+    the identical sketch — a hash-green sketch row, not rows-only.
+
+    Scale shape: construction is one partial+final aggregate over
+    (row, bucket) — the sketch is d·w rows regardless of input size (the
+    point of a sketch), broadcast back to the probe keys for estimation.
+    The posexplode is a 1→4 narrow expansion, no join on the build side.
+    The probe set (user_id < 20) stands in for the downstream heavy-hitter
+    candidates; the CMS guarantee est ≥ exact is pinned in tests."""
+    e = table(spark, sf_dir, "events").select("user_id")
+
+    def bkt(i: int):
+        return (
+            (F.col("user_id") * _CMS_A[i] + _CMS_B[i]) % _CMS_P
+        ) % _CMS_W
+
+    buckets = F.array(*[bkt(i) for i in range(len(_CMS_A))])
+    sketch = (
+        e.select(F.posexplode(buckets).alias("row_i", "bucket"))
+        .groupBy("row_i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = (
+        e.where(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    probe_h = probes.select(
+        "user_id", "exact_cnt", F.posexplode(buckets).alias("row_i", "bucket")
+    )
+    return (
+        probe_h.join(F.broadcast(sketch), ["row_i", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "meta_profile": meta_profile,
+    "agg_countmin": agg_countmin,
     "join_cross": join_cross,
     "join_null_safe": join_null_safe,
     "fn_string_suite2": fn_string_suite2,
@@ -643,7 +693,31 @@ QUERIES = {
     "sink_parquet_partitioned": sink_parquet_partitioned,
 }
 
+_CMS_HASH_SQL = (
+    "((user_id * CASE quad.i WHEN 0 THEN 2654435761 WHEN 1 THEN 40503"
+    " WHEN 2 THEN 2246822519 ELSE 3266489917 END"
+    " + CASE quad.i WHEN 0 THEN 99991 WHEN 1 THEN 911 WHEN 2 THEN 7919"
+    " ELSE 104729 END) % 2305843009213693951) % 256"
+)
+
 ORACLES = {
+    # The oracle REBUILDS the identical sketch (same affine hashes mod the
+    # same Mersenne prime) and takes the same min-over-rows estimate.
+    "agg_countmin": (
+        "WITH h AS (SELECT quad.i AS row_i, " + _CMS_HASH_SQL + " AS bucket"
+        "           FROM events"
+        "           CROSS JOIN (VALUES (0), (1), (2), (3)) AS quad(i)),"
+        " sk AS (SELECT row_i, bucket, COUNT(*) AS cnt FROM h"
+        "        GROUP BY row_i, bucket),"
+        " pr AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events"
+        "        WHERE user_id < 20 GROUP BY user_id),"
+        " ph AS (SELECT pr.user_id, pr.exact_cnt, quad.i AS row_i, "
+        + _CMS_HASH_SQL + " AS bucket"
+        "        FROM pr CROSS JOIN (VALUES (0), (1), (2), (3)) AS quad(i))"
+        " SELECT ph.user_id, ph.exact_cnt, MIN(sk.cnt) AS cms_est"
+        " FROM ph JOIN sk ON ph.row_i = sk.row_i AND ph.bucket = sk.bucket"
+        " GROUP BY ph.user_id, ph.exact_cnt ORDER BY ph.user_id"
+    ),
     "meta_profile": (
         "WITH base AS (SELECT COUNT(*) AS n_rows FROM customer)"
         " SELECT u.col_name, u.n_nonnull, u.n_distinct, u.min_num, u.max_num,"
