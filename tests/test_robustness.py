@@ -58,6 +58,13 @@ QUERIES = {
     # window — the final top-10 must not depend on Arrow batch boundaries
     # or on whether the re-rank join broadcasts
     "llm_sim_pq": llm.llm_sim_pq,
+    # derived-partsupp 6-table profit join: with broadcast disabled every
+    # dim degrades to SMJ and the 4-row stripe spine must still produce
+    # identical rows under any partitioning
+    "sql_entry_tpch_q9": relational.sql_entry_tpch_q9,
+    # CMS sketch: bucket counts are partial+final sums — estimates must be
+    # identical whether 3 or 32 shuffle partitions carried the partials
+    "agg_countmin": reshape.agg_countmin,
 }
 
 
