@@ -737,3 +737,18 @@ def test_binaryfile_scan_lists_filters_and_scales_partitions(spark, sf_dir):
     p_shard = scan(os.path.join(base, "shard=0")).rdd.getNumPartitions()
     assert p_shard <= p_full
     assert p_full > 1  # many small files do not collapse into one task
+
+
+def test_binaryfile_staging_reconciles_orphans(spark, sf_dir):
+    """Review fix pin: a stale media_*.ppm whose key is no longer in the
+    supplier table (regenerated testdata / basename collision) must be
+    deleted on re-stage, so the listing never decodes orphan files."""
+    base = multimodal._stage_media_dir(spark, sf_dir)
+    orphan = os.path.join(base, "shard=0", "media_99999999.ppm")
+    with open(orphan, "wb") as fh:
+        fh.write(multimodal.synth_ppm(99999999 % 997, 4, 3))
+    assert os.path.exists(orphan)
+    multimodal._stage_media_dir(spark, sf_dir)
+    assert not os.path.exists(orphan)
+    n_suppliers = table(spark, sf_dir, "supplier").count()
+    assert multimodal.scan_binary_files(spark, sf_dir).count() == n_suppliers
