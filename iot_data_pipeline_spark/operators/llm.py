@@ -1303,13 +1303,18 @@ def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                t = str(txt).strip().lower()
+                # strip(" ") not strip(): SQL trim() removes SPACES only,
+                # and the whole family normalizes with lower(trim(text))
+                t = str(txt).strip(" ").lower()
                 n = len(t)
                 if n < k + w - 1:
                     continue
-                codes = np.frombuffer(
-                    t.encode("utf-8"), dtype=np.uint8
-                ).astype(np.int64)
+                b = t.encode("utf-8")
+                if len(b) == n:  # pure ASCII: bytes == codepoints
+                    codes = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                else:  # non-ASCII: hash codepoints, matching the oracle's
+                    # unicode() — correct by construction, not by audit
+                    codes = np.fromiter(map(ord, t), dtype=np.int64, count=n)
                 ng = n - k + 1
                 h = np.zeros(ng, dtype=np.int64)
                 for j in range(k):
@@ -1962,20 +1967,26 @@ ORACLES = {
     # Winnowing recomputed declaratively: polynomial K-gram hash as a
     # power-weighted sum (== the engine's Horner form pre-mod), window
     # minima over list slices, distinct selection — all exact integers.
+    # Generated from _WIN_* so a parameter tweak cannot desynchronize it.
     "llm_winnow_fingerprint": (
         "WITH t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents"
-        "           WHERE length(lower(trim(text))) >= 8),"
+        f"           WHERE length(lower(trim(text))) >= {_WIN_K + _WIN_W - 1}),"
         " g AS (SELECT doc_id,"
-        "        list_transform(generate_series(1, length(txt) - 4), i ->"
-        "          CAST(list_sum(list_transform(generate_series(0, 4), j ->"
+        f"        list_transform(generate_series(1, length(txt) - {_WIN_K - 1}),"
+        " i ->"
+        f"          CAST(list_sum(list_transform(generate_series(0, {_WIN_K - 1}),"
+        " j ->"
         "            CAST(unicode(substring(txt, CAST(i + j AS INTEGER), 1))"
         "                 AS BIGINT)"
-        "            * CAST(pow(31, 4 - j) AS BIGINT))) % 1048576 AS BIGINT))"
+        f"            * CAST(pow({_WIN_B}, {_WIN_K - 1} - j) AS BIGINT)))"
+        f" % {_WIN_M} AS BIGINT))"
         "          AS hs"
         "       FROM t),"
         " w AS (SELECT doc_id, hs,"
-        "        list_distinct(list_transform(generate_series(1, len(hs) - 3),"
-        "          s -> list_min(hs[CAST(s AS INTEGER):CAST(s + 3 AS INTEGER)])))"
+        "        list_distinct(list_transform("
+        f"generate_series(1, len(hs) - {_WIN_W - 1}),"
+        f"          s -> list_min(hs[CAST(s AS INTEGER):CAST(s + {_WIN_W - 1}"
+        " AS INTEGER)])))"
         "          AS fps"
         "       FROM g)"
         " SELECT doc_id, CAST(len(hs) AS INTEGER) AS n_grams,"

@@ -1646,10 +1646,17 @@ def _stage_media_dir(spark: SparkSession, sf_dir: str) -> str:
         )
     # Reconcile: a regenerated testdata set (fewer suppliers) or a basename
     # collision must not leave orphan .ppm files for the listing to decode
-    # — the oracle is built from the CURRENT supplier table.
+    # — the oracle is built from the CURRENT supplier table. The check is
+    # the full expected path (key AND shard placement): a valid key in the
+    # wrong shard directory would otherwise be listed TWICE.
     for path in glob.glob(os.path.join(base, "**", "media_*.ppm"), recursive=True):
         stem = os.path.basename(path)[len("media_") : -len(".ppm")]
-        if not stem.isdigit() or int(stem) not in keys:
+        expected = (
+            os.path.join(base, f"shard={int(stem) % 4}", f"media_{stem}.ppm")
+            if stem.isdigit()
+            else None
+        )
+        if expected is None or int(stem) not in keys or path != expected:
             try:
                 os.remove(path)
             except OSError:

@@ -693,11 +693,14 @@ QUERIES = {
     "sink_parquet_partitioned": sink_parquet_partitioned,
 }
 
+# Generated from the engine's constants so a parameter tweak can never
+# desynchronize the oracle's sketch from the engine's.
 _CMS_HASH_SQL = (
-    "((user_id * CASE quad.i WHEN 0 THEN 2654435761 WHEN 1 THEN 40503"
-    " WHEN 2 THEN 2246822519 ELSE 3266489917 END"
-    " + CASE quad.i WHEN 0 THEN 99991 WHEN 1 THEN 911 WHEN 2 THEN 7919"
-    " ELSE 104729 END) % 2305843009213693951) % 256"
+    "((user_id * CASE quad.i "
+    + " ".join(f"WHEN {i} THEN {a}" for i, a in enumerate(_CMS_A[:-1]))
+    + f" ELSE {_CMS_A[-1]} END + CASE quad.i "
+    + " ".join(f"WHEN {i} THEN {b}" for i, b in enumerate(_CMS_B[:-1]))
+    + f" ELSE {_CMS_B[-1]} END) % {_CMS_P}) % {_CMS_W}"
 )
 
 ORACLES = {

@@ -751,6 +751,12 @@ def test_winnow_fingerprint_reference_and_guarantee(spark, tmp_path):
         3: "completely different content with no overlap at all qqq",
         4: "short",  # below K+W-1: must be absent from the output
         5: f"aaa {shared} bbb ccc ddd eee",  # exact dup of 1
+        # SQL trim() removes SPACES only: the trailing newline/tab must be
+        # hashed, not stripped (round-6 review finding)
+        6: "edge whitespace case\n",
+        7: "tabbed\tcontent\there\t",
+        # non-ASCII: hashes must use codepoints (é = 233), not UTF-8 bytes
+        8: "café au lait été again café",
     }
     rows = [
         Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
@@ -761,7 +767,7 @@ def test_winnow_fingerprint_reference_and_guarantee(spark, tmp_path):
     spark.createDataFrame(rows).write.parquet(str(sf / "documents.parquet"))
 
     def ref_fps(text):
-        t = text.strip().lower()
+        t = text.strip(" ").lower()  # space-only, matching SQL trim()
         if len(t) < K + W - 1:
             return None
         hs = []
@@ -777,7 +783,7 @@ def test_winnow_fingerprint_reference_and_guarantee(spark, tmp_path):
         r["doc_id"]: r
         for r in llm.llm_winnow_fingerprint(spark, str(sf)).collect()
     }
-    assert set(got) == {1, 2, 3, 5}  # doc 4 filtered (too short)
+    assert set(got) == {1, 2, 3, 5, 6, 7, 8}  # doc 4 filtered (too short)
     refs = {}
     for i, t in texts.items():
         r = ref_fps(t)
