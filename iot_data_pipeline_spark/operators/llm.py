@@ -810,6 +810,148 @@ def llm_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HNSW_KG, _HNSW_BEAM, _HNSW_HOPS, _HNSW_L1_MOD = 8, 16, 2, 16
+
+
+def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical navigable-small-world ANN (Malkov & Yashunin 2016,
+    HNSW) — the GRAPH-based family member (topk = exact, ann = LSH, ivf =
+    coarse lists, pq = compressed refinement, hnsw = proximity-graph beam
+    search), built and searched with deterministic Spark primitives:
+
+    - **Layer 0 graph**: each vector's exact ``_HNSW_KG`` nearest
+      neighbors WITHIN its IVF list (bounded groups → one
+      ``applyInPandas`` per list; numpy pairwise cosine, ties to the
+      lower vec_id). Edges symmetrized.
+    - **Layer 1 graph**: the deterministic ~1/16 subset
+      (``xxhash64(vec_id) % 16 == 0`` — the HNSW level assignment with a
+      hash instead of RNG) gets its own exact kNN graph across lists —
+      the long-range links that route between regions.
+    - **Search**: greedy beam search, entry at the lowest-key layer-1
+      node: 2 hops over layer-1 edges then 2 hops over layer-0 edges,
+      beam ``_HNSW_BEAM``; every candidate is scored with TRUE cosine
+      (tiny frontier broadcasts into the edge join, vectors never
+      shuffle), final top-10 from everything visited.
+
+    At 100 TB: layer-0 build stays list-local (the same sharding as IVF);
+    the layer-1 subset is 1/16 of the corpus, whose own build recurses
+    into layers in a production HNSW — two layers here, the seam
+    documented. Per-hop cost is |frontier|·degree scored rows. rows-only
+    oracle (graph construction is not SQL-portable); recall and
+    double-run bit-stability pinned in tests; partition/AQE-invariant
+    (robustness matrix)."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings")
+    q_rows = sorted(
+        e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    q_ids = [int(r["vec_id"]) for r in q_rows]
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+
+    kg = _HNSW_KG
+
+    def knn_edges(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        """Exact kNN edge list within one bounded group (ties → lower id)."""
+        if len(pdf) < 2:
+            return pd.DataFrame({"src": [], "dst": []}).astype("int64")
+        v = np.array(list(pdf["embedding"]), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        vn = np.sqrt((v * v).sum(axis=1))
+        cos = (v @ v.T) / np.outer(vn, vn)
+        np.fill_diagonal(cos, -2.0)
+        k = min(kg, len(pdf) - 1)
+        srcs, dsts = [], []
+        for r in range(len(pdf)):
+            order = np.lexsort((ids, -cos[r]))[:k]
+            srcs.extend([ids[r]] * k)
+            dsts.extend(ids[order])
+        return pd.DataFrame({"src": srcs, "dst": dsts})
+
+    def symmetrize(edges: DataFrame) -> DataFrame:
+        back = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        return edges.unionByName(back).distinct()
+
+    edges0 = tracked_cache(
+        symmetrize(
+            e.select("label", "vec_id", "embedding")
+            .groupBy("label")
+            .applyInPandas(knn_edges, "src LONG, dst LONG")
+        )
+    )
+    l1_nodes = e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(_HNSW_L1_MOD)) == 0)
+    edges1 = tracked_cache(
+        symmetrize(
+            l1_nodes.select(F.lit(0).alias("g"), "vec_id", "embedding")
+            .groupBy("g")
+            .applyInPandas(knn_edges, "src LONG, dst LONG")
+        )
+    )
+    entry = l1_nodes.agg(F.min("vec_id")).first()[0]
+
+    q_frame = spark.createDataFrame(
+        [(i, [float(x) for x in q_mat[k]]) for k, i in enumerate(q_ids)],
+        "query_id LONG, q_emb ARRAY<DOUBLE>",
+    )
+    embd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = e.select("vec_id", embd.alias("emb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("q_emb"), F.col("emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    na = F.sqrt(F.aggregate(F.col("q_emb"), F.lit(0.0), lambda a, x: a + x * x))
+    nb = F.sqrt(F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x))
+
+    def score(cand: DataFrame) -> DataFrame:
+        j = F.broadcast(cand).join(v, "vec_id").join(
+            F.broadcast(q_frame), "query_id"
+        )
+        return j.select(
+            "query_id", "vec_id", (dot / (na * nb)).alias("cosine")
+        )
+
+    frontier = spark.createDataFrame(
+        [(i, int(entry)) for i in q_ids], "query_id LONG, vec_id LONG"
+    )
+    visited = score(frontier).localCheckpoint()
+    w_beam = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    for layer_edges in (edges1, edges1, edges0, edges0)[
+        : 2 * _HNSW_HOPS
+    ]:
+        cand = (
+            layer_edges.join(
+                F.broadcast(frontier.withColumnRenamed("vec_id", "src")),
+                "src",
+            )
+            .select("query_id", F.col("dst").alias("vec_id"))
+            .distinct()
+        )
+        visited = (
+            visited.unionByName(score(cand)).distinct().localCheckpoint()
+        )
+        frontier = (
+            visited.withColumn("rk", F.row_number().over(w_beam))
+            .filter(F.col("rk") <= _HNSW_BEAM)
+            .select("query_id", "vec_id")
+        )
+    return (
+        visited.filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", F.round(F.col("cosine"), 4).alias("cosine")
+        )
+        .withColumn("rk", F.row_number().over(w_beam))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the near-dup pair graph,
     then a canonical (lowest-id) doc per cluster — the step that turns
@@ -1826,6 +1968,7 @@ QUERIES = {
     "llm_embed_centroids": llm_embed_centroids,
     "llm_sim_ivf": llm_sim_ivf,
     "llm_sim_pq": llm_sim_pq,
+    "llm_sim_hnsw": llm_sim_hnsw,
     "llm_chunk_docs": llm_chunk_docs,
     "llm_span_dedup": llm_span_dedup,
     "llm_repetition": llm_repetition,

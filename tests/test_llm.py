@@ -799,3 +799,20 @@ def test_winnow_fingerprint_reference_and_guarantee(spark, tmp_path):
     # MOSS guarantee on the reference sets (proven operator-consistent above)
     assert refs[1] & refs[2]  # shared >= 8-char substring -> shared fp
     assert refs[1] == refs[5]  # identical text -> identical fingerprints
+
+
+def test_hnsw_recall_beats_probe_bounded_family(spark, sf_dir):
+    """Graph ANN: beam search over the kNN graph routes OUT of the coarse
+    lists, so recall must clearly beat the nprobe-bounded family's ~0.2
+    regime (observed 0.56-0.62 at the small SFs, 0.34 at sf0.1 with the
+    fixed beam); output bit-stable across runs; reported scores are true
+    cosines (same contract as llm_sim_pq)."""
+    exact = llm.llm_sim_topk(spark, sf_dir)
+    hn = llm.llm_sim_hnsw(spark, sf_dir)
+    assert hn.columns == exact.columns
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    first = {tuple(r) for r in hn.collect()}
+    a = {(q, v) for q, v, _, _ in first}
+    assert len(e & a) / len(e) >= 0.3
+    again = {tuple(r) for r in llm.llm_sim_hnsw(spark, sf_dir).collect()}
+    assert again == first

@@ -65,6 +65,10 @@ QUERIES = {
     # CMS sketch: bucket counts are partial+final sums — estimates must be
     # identical whether 3 or 32 shuffle partitions carried the partials
     "agg_countmin": reshape.agg_countmin,
+    # graph ANN: kNN edge construction (grouped pandas) + 4 beam-search
+    # hops over cached edges — the visited set and final top-10 must not
+    # depend on partitioning, AQE, or whether the frontier broadcasts
+    "llm_sim_hnsw": llm.llm_sim_hnsw,
 }
 
 
