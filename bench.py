@@ -63,6 +63,11 @@ HEADLINE = [
     # r6: the derived-partsupp profit query — the fact joined through a
     # two-column-keyed derived dimension (the shape TPC-H Q9 exists for).
     "sql_entry_tpch_q9",
+    # r7: the two deepest ANN plans (round-6 verdict item 1) — IVF+PQ ADC
+    # refinement and the graph beam search — tracked so ANN regressions
+    # show up round-over-round.
+    "llm_sim_pq",
+    "llm_sim_hnsw",
 ]
 
 # Queries whose single-rep time exceeds ~1.5 s at sf0.1 get a third rep:
@@ -73,6 +78,7 @@ BEST_OF_3 = {
     "llm_corpus_pipeline",
     "mm_decode_jpeg",
     "stream_stream_join",
+    "llm_sim_hnsw",
 }
 
 

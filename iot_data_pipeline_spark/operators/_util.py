@@ -29,10 +29,25 @@ def per_user_tmp_suffix() -> int:
     two users on one host must never overwrite each other's staged data
     (sticky-bit /tmp also forbids it), while one user's processes reuse and
     overwrite in place (no per-run leak). Shared by the bucketed-join
-    tables and the staged media directory."""
+    tables and the staged media directory.
+
+    Where ``os.getuid`` is unavailable (Windows), fall back to a stable
+    per-user token derived from the login name — NOT a constant, which
+    would collapse every user onto one shared suffix and reintroduce the
+    cross-user overwrite hazard this helper exists to prevent (ADVICE r6).
+    """
     import os
 
-    return os.getuid() if hasattr(os, "getuid") else 0
+    if hasattr(os, "getuid"):
+        return os.getuid()
+    import getpass
+    import zlib
+
+    try:
+        user = getpass.getuser()
+    except Exception:
+        user = os.environ.get("USERNAME") or os.environ.get("USER") or "anon"
+    return zlib.crc32(user.encode("utf-8", "surrogatepass"))
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -810,7 +810,103 @@ def llm_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HNSW_KG, _HNSW_BEAM, _HNSW_HOPS, _HNSW_L1_MOD = 8, 16, 2, 16
+_HNSW_KG, _HNSW_BEAM, _HNSW_L1_MOD = 8, 32, 16
+# Layer-1 build sharding: every (round, bucket) applyInPandas group holds
+# ≤ ~_HNSW_L1_CAP vectors (hash-balanced), never a corpus fraction; the
+# union of _HNSW_L1_ROUNDS independent bucketings merges into one top-kg
+# graph, so cross-bucket neighborhoods are recovered by re-bucketing, not
+# by widening any single group (NN-descent-style sharded kNN merge).
+_HNSW_L1_CAP, _HNSW_L1_ROUNDS = 1024, 3
+_HNSW_ENTRIES = 8  # per-query entry points from the probed-list layer-1 nodes
+# Hop schedule: layer-1 long-range routing first, then layer-0 local
+# refinement. Each entry is one cluster job expanding the beam's 1- AND
+# 2-hop out-edges (fused: no beam re-selection between the two hops —
+# slightly MORE exploration per job, one third of the job-scheduling
+# constant of single-hop rounds).
+_HNSW_SCHEDULE = (1, 0)
+
+
+def _hnsw_knn_edges(pdf: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
+    """Exact kNN edge list within one bounded group (ties → lower id).
+
+    Emits the cosine so multi-round builds can merge to a global top-k;
+    rounded to 9 decimals so BLAS blocking jitter across different group
+    shapes can never reorder the merge window."""
+    import numpy as np
+    import pandas as pd
+
+    if len(pdf) < 2:
+        return pd.DataFrame(
+            {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64"),
+             "cos": pd.Series(dtype="float64")}
+        )
+    v = np.array(list(pdf["embedding"]), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    vn = np.sqrt((v * v).sum(axis=1))
+    cos = np.round((v @ v.T) / np.outer(vn, vn), 9)
+    np.fill_diagonal(cos, -2.0)
+    k = min(_HNSW_KG, len(pdf) - 1)
+    srcs, dsts, coss = [], [], []
+    for r in range(len(pdf)):
+        order = np.lexsort((ids, -cos[r]))[:k]
+        srcs.extend([ids[r]] * k)
+        dsts.extend(ids[order])
+        coss.extend(cos[r][order])
+    return pd.DataFrame({"src": srcs, "dst": dsts, "cos": coss})
+
+
+def _hnsw_symmetrize(edges: DataFrame) -> DataFrame:
+    """Union of forward and reversed scored edges, then a per-node degree
+    cap at 2·kg (HNSW's M_max back-link prune, by cosine): without the cap
+    a hub node selected by many neighbors gets unbounded degree, and
+    per-hop expansion cost (|frontier|·degree per hop, squared for the
+    fused 2-hop) loses its bound. A mutual-kNN pair appears twice in the
+    union and burns two of the 2·kg slots — harmless (the beam dedupes
+    candidates), and cheaper than a dedup shuffle before the window."""
+    back = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "cos"
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    return (
+        edges.unionByName(back)
+        .withColumn("deg", F.row_number().over(w))
+        .filter(F.col("deg") <= 2 * _HNSW_KG)
+        .select("src", "dst")
+    )
+
+
+def _hnsw_l1_buckets(n1: int) -> int:
+    """Bucket count for the layer-1 build: ≥2 always (the plan must show
+    multiple build tasks), and grows with the subset so no group exceeds
+    ~_HNSW_L1_CAP rows at any scale."""
+    return max(2, -(-n1 // _HNSW_L1_CAP))
+
+
+def _hnsw_l1_edges(spark: SparkSession, l1: DataFrame, n1: int) -> DataFrame:
+    """Sharded layer-1 kNN graph: _HNSW_L1_ROUNDS independent hash
+    bucketings (xxhash64(vec_id, round) % B), exact kNN within each
+    bounded bucket, then a global per-src top-kg merge over the union.
+    No single applyInPandas group ever holds a corpus fraction — the
+    round-6 single-task build (groupBy(lit(0)) over the whole 1/16
+    subset) was the one OOM-class ceiling in the registry."""
+    b = _hnsw_l1_buckets(n1)
+    rounds = spark.range(_HNSW_L1_ROUNDS).withColumnRenamed("id", "rnd")
+    rep = l1.select("vec_id", "embedding").crossJoin(F.broadcast(rounds))
+    raw = (
+        rep.withColumn(
+            "bkt", F.pmod(F.xxhash64(F.col("vec_id"), F.col("rnd")), F.lit(b))
+        )
+        .groupBy("rnd", "bkt")
+        .applyInPandas(_hnsw_knn_edges, "src LONG, dst LONG, cos DOUBLE")
+    )
+    merged = raw.groupBy("src", "dst").agg(F.max("cos").alias("cos"))
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    top = (
+        merged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HNSW_KG)
+        .select("src", "dst", "cos")
+    )
+    return _hnsw_symmetrize(top)
 
 
 def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,80 +921,62 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
       lower vec_id). Edges symmetrized.
     - **Layer 1 graph**: the deterministic ~1/16 subset
       (``xxhash64(vec_id) % 16 == 0`` — the HNSW level assignment with a
-      hash instead of RNG) gets its own exact kNN graph across lists —
-      the long-range links that route between regions.
-    - **Search**: greedy beam search, entry at the lowest-key layer-1
-      node: 2 hops over layer-1 edges then 2 hops over layer-0 edges,
-      beam ``_HNSW_BEAM``; every candidate is scored with TRUE cosine
-      (tiny frontier broadcasts into the edge join, vectors never
-      shuffle), final top-10 from everything visited.
+      hash instead of RNG) gets a SHARDED cross-list kNN graph
+      (:func:`_hnsw_l1_edges`): multiple bounded hash-bucket builds whose
+      union merges to a per-node top-kg — the long-range links that route
+      between regions, with no single build task ever holding a corpus
+      fraction.
+    - **Entry points**: per query, the top ``_HNSW_ENTRIES`` layer-1
+      nodes inside its IVF-probed lists (the shared ``_ivf_allowed``
+      coarse probe — the hybrid IVF+graph entry used when the hierarchy
+      is shallow), falling back to the globally lowest vec_id when the
+      probed lists hold no layer-1 node (or the subset is empty).
+    - **Search**: beam search over the hop schedule ``_HNSW_SCHEDULE``
+      (layer-1 routing hops, then layer-0 refinement hops), beam
+      ``_HNSW_BEAM``. The frontier/visited bookkeeping is tiny driver
+      state (≤ beam·degree·|queries| rows per hop — the same bounded-
+      closure pattern as the IVF centroid collect); each hop runs two
+      cluster jobs on cached frames: adjacency expansion (edge scan ⋈
+      broadcast frontier) and TRUE-cosine scoring of the new candidates
+      (corpus scan ⋈ broadcast candidates — vectors never shuffle and
+      never reach the driver).
 
-    At 100 TB: layer-0 build stays list-local (the same sharding as IVF);
-    the layer-1 subset is 1/16 of the corpus, whose own build recurses
-    into layers in a production HNSW — two layers here, the seam
-    documented. Per-hop cost is |frontier|·degree scored rows. rows-only
-    oracle (graph construction is not SQL-portable); recall and
-    double-run bit-stability pinned in tests; partition/AQE-invariant
+    At 100 TB: layer-0 build stays list-local (the same sharding as
+    IVF), the layer-1 build is bucket-bounded, and per-hop cost is
+    |frontier|·degree scored rows. rows-only oracle (graph construction
+    is not SQL-portable); the recall-vs-scale curve and double-run
+    bit-stability are pinned in tests; partition/AQE-invariant
     (robustness matrix)."""
     import numpy as np
-    import pandas as pd
 
+    out_schema = "query_id LONG, vec_id LONG, cosine DOUBLE, rk INT"
     e = table(spark, sf_dir, "embeddings")
     q_rows = sorted(
         e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect(),
         key=lambda r: r["vec_id"],
     )
+    if not q_rows:
+        return spark.createDataFrame([], out_schema)
     q_ids = [int(r["vec_id"]) for r in q_rows]
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
 
-    kg = _HNSW_KG
-
-    def knn_edges(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        """Exact kNN edge list within one bounded group (ties → lower id)."""
-        if len(pdf) < 2:
-            return pd.DataFrame({"src": [], "dst": []}).astype("int64")
-        v = np.array(list(pdf["embedding"]), dtype=np.float64)
-        ids = pdf["vec_id"].to_numpy()
-        vn = np.sqrt((v * v).sum(axis=1))
-        cos = (v @ v.T) / np.outer(vn, vn)
-        np.fill_diagonal(cos, -2.0)
-        k = min(kg, len(pdf) - 1)
-        srcs, dsts = [], []
-        for r in range(len(pdf)):
-            order = np.lexsort((ids, -cos[r]))[:k]
-            srcs.extend([ids[r]] * k)
-            dsts.extend(ids[order])
-        return pd.DataFrame({"src": srcs, "dst": dsts})
-
-    def symmetrize(edges: DataFrame) -> DataFrame:
-        back = edges.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst")
-        )
-        return edges.unionByName(back).distinct()
-
     edges0 = tracked_cache(
-        symmetrize(
+        _hnsw_symmetrize(
             e.select("label", "vec_id", "embedding")
             .groupBy("label")
-            .applyInPandas(knn_edges, "src LONG, dst LONG")
+            .applyInPandas(_hnsw_knn_edges, "src LONG, dst LONG, cos DOUBLE")
         )
     )
     l1_nodes = e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(_HNSW_L1_MOD)) == 0)
-    edges1 = tracked_cache(
-        symmetrize(
-            l1_nodes.select(F.lit(0).alias("g"), "vec_id", "embedding")
-            .groupBy("g")
-            .applyInPandas(knn_edges, "src LONG, dst LONG")
-        )
-    )
-    entry = l1_nodes.agg(F.min("vec_id")).first()[0]
+    n1 = l1_nodes.count()
+    edges1 = tracked_cache(_hnsw_l1_edges(spark, l1_nodes, n1))
 
     q_frame = spark.createDataFrame(
         [(i, [float(x) for x in q_mat[k]]) for k, i in enumerate(q_ids)],
         "query_id LONG, q_emb ARRAY<DOUBLE>",
     )
     embd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    v = e.select("vec_id", embd.alias("emb"))
+    v = tracked_cache(e.select("vec_id", embd.alias("emb")))
     dot = F.aggregate(
         F.zip_with(F.col("q_emb"), F.col("emb"), lambda x, y: x * y),
         F.lit(0.0),
@@ -915,41 +993,104 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "vec_id", (dot / (na * nb)).alias("cosine")
         )
 
-    frontier = spark.createDataFrame(
-        [(i, int(entry)) for i in q_ids], "query_id LONG, vec_id LONG"
+    # --- entry points: top-_HNSW_ENTRIES probed-list layer-1 nodes -------
+    allowed = _ivf_allowed(e, q_mat, np.array(q_ids))
+    allowed_df = spark.createDataFrame(
+        sorted((q, int(lbl)) for q in q_ids for lbl in allowed[q]),
+        "query_id LONG, label INT",
     )
-    visited = score(frontier).localCheckpoint()
     w_beam = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
-    for layer_edges in (edges1, edges1, edges0, edges0)[
-        : 2 * _HNSW_HOPS
-    ]:
-        cand = (
-            layer_edges.join(
-                F.broadcast(frontier.withColumnRenamed("vec_id", "src")),
-                "src",
-            )
+
+    def expand(edges: DataFrame, fdf: DataFrame) -> DataFrame:
+        """1-hop ∪ 2-hop out-neighbors of the (query_id, src) frontier;
+        distinct is bounded by |reachable| per query, so the multi-path
+        duplicates never reach the driver."""
+        one = edges.join(F.broadcast(fdf), "src").select(
+            "query_id", F.col("dst").alias("vec_id")
+        )
+        two = (
+            edges.withColumnRenamed("dst", "mid")
+            .join(F.broadcast(fdf), "src")
+            .select("query_id", F.col("mid").alias("src"))
+            .join(edges, "src")
             .select("query_id", F.col("dst").alias("vec_id"))
-            .distinct()
         )
-        visited = (
-            visited.unionByName(score(cand)).distinct().localCheckpoint()
-        )
-        frontier = (
-            visited.withColumn("rk", F.row_number().over(w_beam))
-            .filter(F.col("rk") <= _HNSW_BEAM)
+        return one.unionByName(two).distinct()
+
+    # --- fused entry + first routing hop: ONE cluster job ---------------
+    # Entry candidates (top-_HNSW_ENTRIES probed-list layer-1 nodes per
+    # query, selected by an in-plan window) are expanded over the layer-1
+    # graph in the same plan, so entry selection never pays its own
+    # job-scheduling round trip.
+    ent = (
+        score(
+            l1_nodes.select("label", "vec_id")
+            .join(F.broadcast(allowed_df), "label")
             .select("query_id", "vec_id")
         )
-    return (
-        visited.filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", "vec_id", F.round(F.col("cosine"), 4).alias("cosine")
-        )
         .withColumn("rk", F.row_number().over(w_beam))
-        .filter(F.col("rk") <= 10)
-        .select("query_id", "vec_id", "cosine", "rk")
+        .filter(F.col("rk") <= _HNSW_ENTRIES)
+        .select("query_id", "vec_id")
     )
+    first_layer, rest_schedule = _HNSW_SCHEDULE[0], _HNSW_SCHEDULE[1:]
+    first_edges = edges1 if first_layer == 1 else edges0
+    entry_rows = score(
+        ent.unionByName(
+            expand(first_edges, ent.withColumnRenamed("vec_id", "src"))
+        ).distinct()
+    ).collect()
+    covered = {r["query_id"] for r in entry_rows}
+    missing = [q for q in q_ids if q not in covered]
+    if missing:
+        # ADVICE r6: degrade gracefully when the probed lists (or the whole
+        # layer-1 subset) hold no node — enter at the global lowest vec_id
+        # (the remaining layer-0 hops expand from it).
+        gmin = e.agg(F.min("vec_id")).first()[0]
+        if gmin is None:
+            return spark.createDataFrame([], out_schema)
+        fb = spark.createDataFrame(
+            [(q, int(gmin)) for q in missing], "query_id LONG, vec_id LONG"
+        )
+        entry_rows = entry_rows + score(fb).collect()
+
+    # --- beam search with bounded driver-side frontier state -------------
+    visited: dict[tuple[int, int], float] = {
+        (r["query_id"], r["vec_id"]): r["cosine"] for r in entry_rows
+    }
+
+    def best(q: int, limit: int) -> list[tuple[int, int]]:
+        mine = [(c, v_) for (q_, v_), c in visited.items() if q_ == q]
+        mine.sort(key=lambda t: (-t[0], t[1]))
+        return [(q, v_) for _, v_ in mine[:limit]]
+
+    for layer in rest_schedule:
+        edges = edges1 if layer == 1 else edges0
+        frontier = [p for q in q_ids for p in best(q, _HNSW_BEAM)]
+        fdf = spark.createDataFrame(sorted(frontier), "query_id LONG, src LONG")
+        # One cluster job per schedule entry: expansion + scoring fused
+        # over the cached edge/vector frames; the driver map dedupes
+        # against prior hops.
+        hop = score(expand(edges, fdf)).collect()
+        grew = False
+        for r in hop:
+            k = (r["query_id"], r["vec_id"])
+            if k not in visited:
+                visited[k] = r["cosine"]
+                grew = True
+        if not grew:
+            break
+
+    out = []
+    for q in q_ids:
+        hits = [(c, v_) for (q_, v_), c in visited.items() if q_ == q and v_ != q]
+        hits.sort(key=lambda t: (-t[0], t[1]))
+        out.extend(
+            (q, v_, round(c, 4), rk + 1)
+            for rk, (c, v_) in enumerate(hits[:10])
+        )
+    return spark.createDataFrame(out, out_schema)
 
 
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

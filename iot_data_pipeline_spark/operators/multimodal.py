@@ -1613,7 +1613,12 @@ def _stage_media_dir(spark: SparkSession, sf_dir: str) -> str:
     prefix already exists and this staging step disappears. Writes are
     tmp-file + ``os.replace`` so a concurrent same-uid reader never sees a
     torn file; content is a pure function of the key, so re-staging is
-    idempotent."""
+    idempotent. The whole stage-and-reconcile pass holds an exclusive
+    ``flock`` on a per-directory lockfile (ADVICE r6): without it, process
+    A's orphan-reconcile sweep could delete a file process B had just
+    staged (the tmp-file protocol only prevents torn files, not that
+    delete race); with it, concurrent stagers serialize and each leaves
+    the directory in the full staged state before the next one scans."""
     import glob
     import os
     import tempfile
@@ -1627,6 +1632,7 @@ def _stage_media_dir(spark: SparkSession, sf_dir: str) -> str:
         int(r[0])
         for r in table(spark, sf_dir, "supplier").select("s_suppkey").collect()
     }
+    os.makedirs(base, exist_ok=True)
 
     def _write(dest: str, data: bytes) -> None:
         # pid-unique tmp name: two same-uid stagers (bench + tests) must
@@ -1637,31 +1643,44 @@ def _stage_media_dir(spark: SparkSession, sf_dir: str) -> str:
             fh.write(data)
         os.replace(tmp, dest)
 
-    for k in sorted(keys):
-        shard = os.path.join(base, f"shard={k % 4}")
-        os.makedirs(shard, exist_ok=True)
-        _write(
-            os.path.join(shard, f"media_{k}.ppm"),
-            synth_ppm(k, 4 + k % 5, 3 + k % 4),
-        )
-    # Reconcile: a regenerated testdata set (fewer suppliers) or a basename
-    # collision must not leave orphan .ppm files for the listing to decode
-    # — the oracle is built from the CURRENT supplier table. The check is
-    # the full expected path (key AND shard placement): a valid key in the
-    # wrong shard directory would otherwise be listed TWICE.
-    for path in glob.glob(os.path.join(base, "**", "media_*.ppm"), recursive=True):
-        stem = os.path.basename(path)[len("media_") : -len(".ppm")]
-        expected = (
-            os.path.join(base, f"shard={int(stem) % 4}", f"media_{stem}.ppm")
-            if stem.isdigit()
-            else None
-        )
-        if expected is None or int(stem) not in keys or path != expected:
-            try:
-                os.remove(path)
-            except OSError:
-                pass
-    _write(os.path.join(base, "README.txt"), b"not media\n")
+    try:
+        import fcntl
+    except ImportError:  # non-POSIX: no flock; tmp+replace still holds
+        fcntl = None
+    lock_fh = open(os.path.join(base, ".stage.lock"), "a")
+    try:
+        if fcntl is not None:
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+        for k in sorted(keys):
+            shard = os.path.join(base, f"shard={k % 4}")
+            os.makedirs(shard, exist_ok=True)
+            _write(
+                os.path.join(shard, f"media_{k}.ppm"),
+                synth_ppm(k, 4 + k % 5, 3 + k % 4),
+            )
+        # Reconcile: a regenerated testdata set (fewer suppliers) or a
+        # basename collision must not leave orphan .ppm files for the
+        # listing to decode — the oracle is built from the CURRENT supplier
+        # table. The check is the full expected path (key AND shard
+        # placement): a valid key in the wrong shard directory would
+        # otherwise be listed TWICE.
+        for path in glob.glob(
+            os.path.join(base, "**", "media_*.ppm"), recursive=True
+        ):
+            stem = os.path.basename(path)[len("media_") : -len(".ppm")]
+            expected = (
+                os.path.join(base, f"shard={int(stem) % 4}", f"media_{stem}.ppm")
+                if stem.isdigit()
+                else None
+            )
+            if expected is None or int(stem) not in keys or path != expected:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+        _write(os.path.join(base, "README.txt"), b"not media\n")
+    finally:
+        lock_fh.close()  # releases the flock
     return base
 
 

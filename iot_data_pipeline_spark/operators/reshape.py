@@ -609,6 +609,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CMS_W, _CMS_P = 256, (1 << 61) - 1
+_CMS_KMOD = 1 << 31  # pre-reduction keeps key·A+B inside int64 (ADVICE r6)
 _CMS_A = [2654435761, 40503, 2246822519, 3266489917]
 _CMS_B = [99991, 911, 7919, 104729]
 
@@ -631,8 +632,14 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select("user_id")
 
     def bkt(i: int):
+        # ADVICE r6: reduce the key below 2^31 BEFORE the affine map —
+        # (2^31-1)·max(_CMS_A)+max(_CMS_B) ≈ 7.0e18 < 2^63-1, so the
+        # product can never wrap in Spark (non-ANSI silent) nor error in
+        # DuckDB (BIGINT overflow); keys < 2^31 hash identically to the
+        # unreduced form, larger keys fold mod 2^31 first (a documented
+        # key-domain reduction, not a correctness loss for a sketch).
         return (
-            (F.col("user_id") * _CMS_A[i] + _CMS_B[i]) % _CMS_P
+            ((F.col("user_id") % _CMS_KMOD) * _CMS_A[i] + _CMS_B[i]) % _CMS_P
         ) % _CMS_W
 
     buckets = F.array(*[bkt(i) for i in range(len(_CMS_A))])
@@ -696,7 +703,7 @@ QUERIES = {
 # Generated from the engine's constants so a parameter tweak can never
 # desynchronize the oracle's sketch from the engine's.
 _CMS_HASH_SQL = (
-    "((user_id * CASE quad.i "
+    f"(((user_id % {_CMS_KMOD}) * CASE quad.i "
     + " ".join(f"WHEN {i} THEN {a}" for i, a in enumerate(_CMS_A[:-1]))
     + f" ELSE {_CMS_A[-1]} END + CASE quad.i "
     + " ".join(f"WHEN {i} THEN {b}" for i, b in enumerate(_CMS_B[:-1]))

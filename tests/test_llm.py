@@ -3,6 +3,7 @@ dedup idempotence, ANN recall floor."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -801,18 +802,86 @@ def test_winnow_fingerprint_reference_and_guarantee(spark, tmp_path):
     assert refs[1] == refs[5]  # identical text -> identical fingerprints
 
 
-def test_hnsw_recall_beats_probe_bounded_family(spark, sf_dir):
-    """Graph ANN: beam search over the kNN graph routes OUT of the coarse
-    lists, so recall must clearly beat the nprobe-bounded family's ~0.2
-    regime (observed 0.56-0.62 at the small SFs, 0.34 at sf0.1 with the
-    fixed beam); output bit-stable across runs; reported scores are true
-    cosines (same contract as llm_sim_pq)."""
+@pytest.mark.parametrize(
+    "sf,floor",
+    [("sf0.001", 0.8), ("sf0.01", 0.8), ("sf0.1", 0.6)],
+)
+def test_hnsw_recall_vs_scale_curve(spark, sf, floor):
+    """Graph ANN recall-vs-scale curve (round-6 verdict item 4): beam
+    search over the kNN graph routes OUT of the coarse lists, so recall
+    must clearly beat the nprobe-bounded family's ~0.2 regime at EVERY
+    scale, and must no longer collapse at sf0.1 (observed 0.92/0.96/0.76
+    with the fused 2-hop schedule; the r6 single-hop chain fell to 0.34).
+    Output bit-stable across runs; reported scores are true cosines (same
+    contract as llm_sim_pq)."""
+    sf_dir = f"/root/testdata/{sf}"
     exact = llm.llm_sim_topk(spark, sf_dir)
     hn = llm.llm_sim_hnsw(spark, sf_dir)
     assert hn.columns == exact.columns
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     first = {tuple(r) for r in hn.collect()}
     a = {(q, v) for q, v, _, _ in first}
-    assert len(e & a) / len(e) >= 0.3
+    assert len(e & a) / len(e) >= floor
     again = {tuple(r) for r in llm.llm_sim_hnsw(spark, sf_dir).collect()}
     assert again == first
+
+
+def test_hnsw_l1_build_is_sharded(spark, sf_dir):
+    """Round-6 verdict item 1: the layer-1 kNN build must never run as a
+    single applyInPandas group holding a corpus fraction. Pins (a) the
+    bucket-count law — ≥2 always, and growing as ceil(n/cap) so a group
+    can never exceed ~cap rows hash-balanced, (b) that the actual build
+    plan at this SF distributes rows over multiple (round, bucket)
+    groups, (c) that the merged graph degree stays ≤ kg per direction."""
+    assert llm._hnsw_l1_buckets(1) == 2
+    assert llm._hnsw_l1_buckets(10**9) == -(-(10**9) // llm._HNSW_L1_CAP)
+
+    e = llm.table(spark, sf_dir, "embeddings")
+    l1 = e.filter(
+        F.pmod(F.xxhash64("vec_id"), F.lit(llm._HNSW_L1_MOD)) == 0
+    )
+    n1 = l1.count()
+    b = llm._hnsw_l1_buckets(n1)
+    assert b >= 2
+    rounds = spark.range(llm._HNSW_L1_ROUNDS).withColumnRenamed("id", "rnd")
+    groups = (
+        l1.select("vec_id")
+        .crossJoin(rounds)
+        .withColumn(
+            "bkt", F.pmod(F.xxhash64(F.col("vec_id"), F.col("rnd")), F.lit(b))
+        )
+        .groupBy("rnd", "bkt")
+        .count()
+        .collect()
+    )
+    assert len(groups) >= 2  # multiple build tasks, not groupBy(lit(0))
+    assert max(r["count"] for r in groups) < n1  # no group holds the subset
+    edges = llm._hnsw_l1_edges(spark, l1, n1)
+    out_deg = edges.groupBy("src").count().agg(F.max("count")).first()[0]
+    # symmetrized union can double a node's degree at most
+    assert out_deg <= 2 * llm._HNSW_KG
+
+
+def test_hnsw_degenerate_inputs(spark, tmp_path):
+    """ADVICE r6: an embeddings table whose layer-1 subset is empty must
+    degrade to the global-min entry point, not raise on int(None); an
+    empty table must return an empty frame with the contract schema."""
+    # vec_ids < 5 (queries exist) and none hashing to the layer-1 level:
+    # sf0.001's own layer-1 subset starts well above 5, so any prefix of
+    # vec_ids [0,5) with xxhash64 % 16 != 0 works — filter those out.
+    src = llm.table(spark, "/root/testdata/sf0.001", "embeddings")
+    tiny = src.filter(
+        (F.col("vec_id") < 40)
+        & (F.pmod(F.xxhash64("vec_id"), F.lit(llm._HNSW_L1_MOD)) != 0)
+    )
+    d = str(tmp_path / "no_l1")
+    tiny.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = llm.llm_sim_hnsw(spark, d)
+    assert out.columns == ["query_id", "vec_id", "cosine", "rk"]
+    assert out.count() > 0  # searched from the fallback entry, no crash
+
+    d2 = str(tmp_path / "empty")
+    src.limit(0).write.mode("overwrite").parquet(f"{d2}/embeddings.parquet")
+    empty = llm.llm_sim_hnsw(spark, d2)
+    assert empty.columns == ["query_id", "vec_id", "cosine", "rk"]
+    assert empty.count() == 0

@@ -65,9 +65,10 @@ QUERIES = {
     # CMS sketch: bucket counts are partial+final sums — estimates must be
     # identical whether 3 or 32 shuffle partitions carried the partials
     "agg_countmin": reshape.agg_countmin,
-    # graph ANN: kNN edge construction (grouped pandas) + 4 beam-search
-    # hops over cached edges — the visited set and final top-10 must not
-    # depend on partitioning, AQE, or whether the frontier broadcasts
+    # graph ANN: sharded layer-1 kNN build (multi-round hash buckets →
+    # top-kg merge), degree-capped symmetrization, and fused 2-hop beam
+    # search with driver-side frontier state — the visited set and final
+    # top-10 must not depend on partitioning, AQE, or broadcast choices
     "llm_sim_hnsw": llm.llm_sim_hnsw,
 }
 
