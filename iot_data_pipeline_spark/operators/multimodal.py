@@ -1742,7 +1742,62 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_binary_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` over the SAME staged media directory read as a
+    PARTITIONED table (round-6 verdict stretch): the ``shard=N`` subdirs
+    are hive-style partition directories, so without
+    ``recursiveFileLookup`` Spark infers a ``shard`` partition column and
+    the ``shard = 1`` predicate prunes three quarters of the listing at
+    PLAN time (PartitionFilters, plan-tested) — the production shape for
+    an object-store media corpus laid out by date/shard, where a day's
+    job must never list the whole bucket. The decode then runs only on
+    the surviving files, carrying the directory-derived partition value
+    through to the output (so a misplaced file would surface as a
+    shard/key mismatch against the oracle)."""
+    base = _stage_media_dir(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")
+        .load(base)
+        .filter(F.col("shard") == 1)
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.ppm$", 1)
+            .cast("long")
+            .alias("media_id"),
+            "content",
+        )
+    )
+
+    def gen_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for shard, mid, blob in zip(
+                pdf["shard"], pdf["media_id"], pdf["content"]
+            ):
+                data = bytes(blob)
+                arr, meta = decode_media(data, "image/ppm")
+                rows.append(
+                    {
+                        "shard": int(shard),
+                        "media_id": int(mid),
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "n_bytes": len(data),
+                        "px_sum": int(arr.reshape(-1).astype("int64").sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        gen_decode,
+        "shard INT, media_id LONG, width INT, height INT,"
+        " n_bytes LONG, px_sum LONG",
+    )
+
+
 QUERIES["scan_binary_files"] = scan_binary_files
+QUERIES["scan_binary_partitioned"] = scan_binary_partitioned
 
 # The staged bytes are synth_ppm(s_suppkey, ...), so the oracle recomputes
 # every decoded pixel from the supplier keys — same arithmetic as the
@@ -1763,5 +1818,25 @@ ORACLES["scan_binary_files"] = (
     " CAST(SUM(CASE WHEN ch = 0 THEN val ELSE 0 END) AS BIGINT) AS r_sum,"
     " CAST(SUM(CASE WHEN ch = 1 THEN val ELSE 0 END) AS BIGINT) AS g_sum,"
     " CAST(SUM(CASE WHEN ch = 2 THEN val ELSE 0 END) AS BIGINT) AS b_sum"
+    " FROM v GROUP BY mid"
+)
+
+# Same synthetic-pixel arithmetic, restricted to the shard=1 partition
+# (s_suppkey % 4 = 1 by the staging layout) — proves both the pruned read
+# and that the directory-derived partition value matches the key.
+ORACLES["scan_binary_partitioned"] = (
+    "WITH d AS (SELECT s_suppkey AS mid, 4 + s_suppkey % 5 AS w,"
+    "           3 + s_suppkey % 4 AS h FROM supplier"
+    "           WHERE s_suppkey % 4 = 1),"
+    " px AS (SELECT mid, w, h,"
+    "        unnest(generate_series(0, w * h * 3 - 1)) AS k FROM d),"
+    " v AS (SELECT mid, w, h,"
+    "       (mid * 7 + ((k // 3) // w) * 31 + ((k // 3) % w) * 13"
+    "        + (k % 3) * 5) % 256 AS val FROM px)"
+    " SELECT CAST(1 AS INTEGER) AS shard, mid AS media_id,"
+    " CAST(MAX(w) AS INTEGER) AS width,"
+    " CAST(MAX(h) AS INTEGER) AS height,"
+    " 11 + MAX(w) * MAX(h) * 3 AS n_bytes,"
+    " CAST(SUM(val) AS BIGINT) AS px_sum"
     " FROM v GROUP BY mid"
 )

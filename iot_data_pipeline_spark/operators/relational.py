@@ -312,6 +312,83 @@ def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap JOIN banded on the calendar grid: pairs of orders
+    from the same customer whose activity windows [orderdate, orderdate +
+    3 + o_orderkey % 11 days] overlap — the interval × interval shape the
+    registry's adjacent operators do NOT cover (join_asof_event is
+    point→latest-point, join_theta_range is a scalar band,
+    evt_active_windows is a sweep-line COUNT that never forms pairs).
+
+    Scalable shape (the same grid-banding idea databases use for range
+    joins): each interval explodes into the calendar MONTHS it covers
+    (≤ 2 cells for a ≤ 14-day window), the join is a plain equi-join on
+    (custkey, month_cell), and each overlapping pair is emitted EXACTLY
+    once — in the month of the later start, which both intervals provably
+    cover — so no dedup shuffle is needed. Work scales with cell-local
+    pair density, never per-customer all-pairs; the exact overlap
+    predicate runs only on cell-local candidates."""
+    o = table(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(
+            F.to_date("o_orderdate"),
+            (F.lit(3) + F.col("o_orderkey") % 11).cast("int"),
+        ).alias("e"),
+    )
+    cells = iv.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.trunc("s", "MM"), F.trunc("e", "MM"), F.expr("interval 1 month")
+            )
+        ),
+    )
+    a = cells.select(
+        F.col("o_custkey").alias("custkey"),
+        "cell",
+        F.col("o_orderkey").alias("a_orderkey"),
+        F.col("s").alias("a_start"),
+        F.col("e").alias("a_end"),
+    )
+    b = cells.select(
+        F.col("o_custkey").alias("custkey"),
+        "cell",
+        F.col("o_orderkey").alias("b_orderkey"),
+        F.col("s").alias("b_start"),
+        F.col("e").alias("b_end"),
+    )
+    return (
+        a.join(b, ["custkey", "cell"])
+        .filter(
+            (F.col("a_orderkey") < F.col("b_orderkey"))
+            & (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+            # once-only emission: the later start's month is covered by
+            # BOTH intervals, so exactly one shared cell survives
+            & (
+                F.col("cell")
+                == F.greatest(
+                    F.trunc("a_start", "MM"), F.trunc("b_start", "MM")
+                )
+            )
+        )
+        .select(
+            "custkey",
+            "a_orderkey",
+            "b_orderkey",
+            (
+                F.datediff(
+                    F.least("a_end", "b_end"), F.greatest("a_start", "b_start")
+                )
+                + 1
+            ).alias("overlap_days"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (partial+final hash agg with codegen — planner-chosen)
 # ---------------------------------------------------------------------------
@@ -1471,6 +1548,7 @@ QUERIES = {
     "join_theta_range": join_theta_range,
     "join_multiway": join_multiway,
     "join_asof_event": join_asof_event,
+    "join_interval_overlap": join_interval_overlap,
     "agg_count_star": agg_count_star,
     "agg_groupby_label": agg_groupby_label,
     "agg_distinct": agg_distinct,
@@ -1639,6 +1717,21 @@ ORACLES = {
         "  FROM u)"
         " SELECT o_orderkey, uid AS o_custkey, ts AS o_orderdate, last_event_id"
         " FROM w WHERE is_order = 1"
+    ),
+    # The oracle is the direct (unbanded) overlap self-join — same pairs,
+    # found by DuckDB's inequality join instead of the calendar-grid cells.
+    "join_interval_overlap": (
+        "WITH iv AS (SELECT o_orderkey, o_custkey,"
+        "  CAST(o_orderdate AS DATE) AS s,"
+        "  CAST(o_orderdate AS DATE) + INTERVAL (3 + o_orderkey % 11) DAY AS e"
+        " FROM orders)"
+        " SELECT a.o_custkey AS custkey, a.o_orderkey AS a_orderkey,"
+        "  b.o_orderkey AS b_orderkey,"
+        "  CAST(DATEDIFF('day', GREATEST(a.s, b.s), LEAST(a.e, b.e)) + 1"
+        "       AS INTEGER) AS overlap_days"
+        " FROM iv a JOIN iv b ON a.o_custkey = b.o_custkey"
+        "  AND a.o_orderkey < b.o_orderkey"
+        "  AND a.s <= b.e AND b.s <= a.e"
     ),
     "agg_count_star": "SELECT COUNT(*) AS cnt FROM lineitem",
     "agg_groupby_label": (

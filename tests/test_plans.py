@@ -55,6 +55,17 @@ def test_theta_join_not_cartesian(spark, sf_dir):
     assert "HashJoin" in plan  # brand equality is the hash key, band residual
 
 
+def test_interval_overlap_join_not_cartesian(spark, sf_dir):
+    """The calendar-grid band join must run as an equi-join on
+    (custkey, cell) — never a per-customer all-pairs nested loop."""
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(relational.join_interval_overlap(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_global_topk_is_take_ordered(spark, sf_dir):
     assert has_take_ordered(relational.sort_limit(spark, sf_dir))
 

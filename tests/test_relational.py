@@ -305,6 +305,74 @@ def test_join_theta_range_banded_equals_bruteforce(spark, tmp_path):
     check()
 
 
+def test_join_interval_overlap_banded_equals_bruteforce(spark, tmp_path):
+    """Property test for the calendar-grid interval join: on random order
+    tables whose windows straddle month AND year boundaries (where a
+    wrong cell explode or a wrong once-only filter silently drops or
+    double-counts pairs), the banded join must return exactly the
+    brute-force overlap predicate, each pair exactly once."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = dt.date(2023, 11, 20)  # +0..70 days crosses two month bounds + NYE
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 70)),
+            min_size=2,
+            max_size=25,
+        )
+    )
+    def check(orders):
+        rows = [
+            Row(
+                o_orderkey=i,
+                o_custkey=ck,
+                o_orderstatus="O",
+                o_totalprice=1.0,
+                o_orderdate=dt.datetime.combine(
+                    base + dt.timedelta(days=off), dt.time()
+                ),
+                o_orderpriority="1-URGENT",
+            )
+            for i, (ck, off) in enumerate(orders)
+        ]
+        tdir = str(tmp_path / "ivl")
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(
+            tdir + "/orders.parquet"
+        )
+        got = sorted(
+            (r["a_orderkey"], r["b_orderkey"], r["overlap_days"])
+            for r in relational.join_interval_overlap(spark, tdir).collect()
+        )
+        spans = [
+            (
+                base + dt.timedelta(days=off),
+                base + dt.timedelta(days=off + 3 + i % 11),
+            )
+            for i, (_, off) in enumerate(orders)
+        ]
+        want = sorted(
+            (
+                i,
+                j,
+                (min(spans[i][1], spans[j][1]) - max(spans[i][0], spans[j][0])).days
+                + 1,
+            )
+            for i in range(len(orders))
+            for j in range(i + 1, len(orders))
+            if orders[i][0] == orders[j][0]
+            and spans[i][0] <= spans[j][1]
+            and spans[j][0] <= spans[i][1]
+        )
+        assert got == want
+
+    check()
+
+
 def test_q13_join_condition_semantics(spark, tmp_path):
     """Q13's defining subtlety: the priority exclusion is part of the JOIN
     condition, so a customer whose orders are ALL urgent must still appear

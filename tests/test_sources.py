@@ -739,6 +739,27 @@ def test_binaryfile_scan_lists_filters_and_scales_partitions(spark, sf_dir):
     assert p_full > 1  # many small files do not collapse into one task
 
 
+def test_binaryfile_partitioned_scan_prunes_shards(spark, sf_dir):
+    """Round-7 stretch pin: read as a hive-partitioned table, the shard=1
+    predicate must prune the OTHER shard directories at plan time (a
+    non-empty PartitionFilters on shard, not a post-scan row filter), and
+    the result must carry the directory-derived partition value — every
+    key ≡ 1 (mod 4), each exactly once."""
+    import re
+
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    df = multimodal.scan_binary_partitioned(spark, sf_dir)
+    plan = executed_plan(df)
+    m = re.search(r"PartitionFilters: \[[^\]]*shard[^\]]*\]", plan)
+    assert m is not None, plan
+    rows = df.collect()
+    n_suppliers = table(spark, sf_dir, "supplier").count()
+    want = [k for k in range(n_suppliers) if k % 4 == 1]
+    assert sorted(r["media_id"] for r in rows) == want
+    assert all(r["shard"] == 1 for r in rows)
+
+
 def test_binaryfile_staging_reconciles_orphans(spark, sf_dir):
     """Review fix pin: a stale media_*.ppm whose key is no longer in the
     supplier table (regenerated testdata / basename collision) must be
