@@ -112,6 +112,17 @@ PICKS = {
         " window, exact-cosine re-rank via broadcast joins — vectors never"
         " shuffle"
     ),
+    "join_interval_overlap": (
+        "calendar-grid interval overlap: each window explodes into its"
+        " <=2 covered months, equi-hash join on (custkey, cell), once-only"
+        " emission at the later start's month — no dedup shuffle, no"
+        " nested loop"
+    ),
+    "scan_binary_partitioned": (
+        "hive-partitioned binaryFile scan: shard=N directories become a"
+        " partition column and the shard predicate prunes the listing at"
+        " plan time (PartitionFilters), decode only on surviving files"
+    ),
 }
 
 
