@@ -967,6 +967,25 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
             .applyInPandas(_hnsw_knn_edges, "src LONG, dst LONG, cos DOUBLE")
         )
     )
+    # Prefetch the layer-0 edge cache on a helper thread: it is first
+    # needed only at the SECOND search hop, so its materialization (the
+    # biggest build job) overlaps the coarse probe + entry + first hop
+    # instead of serializing in front of hop 2. Purely a scheduling
+    # overlap — the cached contents are a deterministic function of the
+    # data, so results cannot depend on the interleaving; the join below
+    # re-raises any build failure on the caller's thread.
+    import threading
+
+    prefetch_err: list[BaseException] = []
+
+    def _fill() -> None:
+        try:
+            edges0.count()
+        except BaseException as ex:  # noqa: BLE001 — re-raised at join
+            prefetch_err.append(ex)
+
+    prefetch = threading.Thread(target=_fill, daemon=True)
+    prefetch.start()
     l1_nodes = e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(_HNSW_L1_MOD)) == 0)
     n1 = l1_nodes.count()
     edges1 = tracked_cache(_hnsw_l1_edges(spark, l1_nodes, n1))
@@ -1041,6 +1060,11 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
             expand(first_edges, ent.withColumnRenamed("vec_id", "src"))
         ).distinct()
     ).collect()
+    def _join_prefetch() -> None:
+        prefetch.join()
+        if prefetch_err:
+            raise prefetch_err[0]
+
     covered = {r["query_id"] for r in entry_rows}
     missing = [q for q in q_ids if q not in covered]
     if missing:
@@ -1049,6 +1073,7 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (the remaining layer-0 hops expand from it).
         gmin = e.agg(F.min("vec_id")).first()[0]
         if gmin is None:
+            _join_prefetch()
             return spark.createDataFrame([], out_schema)
         fb = spark.createDataFrame(
             [(q, int(gmin)) for q in missing], "query_id LONG, vec_id LONG"
@@ -1065,6 +1090,7 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         mine.sort(key=lambda t: (-t[0], t[1]))
         return [(q, v_) for _, v_ in mine[:limit]]
 
+    _join_prefetch()
     for layer in rest_schedule:
         edges = edges1 if layer == 1 else edges0
         frontier = [p for q in q_ids for p in best(q, _HNSW_BEAM)]
