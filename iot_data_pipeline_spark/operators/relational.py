@@ -389,6 +389,98 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_M, _BLOOM_K = 1 << 17, 5  # 131072 bits (2048 longs), 5 hash probes
+
+
+def bloom_filter_words(
+    build: DataFrame, key: str, m: int = _BLOOM_M, k: int = _BLOOM_K
+) -> list[int]:
+    """Driver-side Bloom bitset over the build side's join keys: each key
+    sets ``k`` bits at ``pmod(xxhash64(key, seed), m)``. The collect is
+    bounded by ``min(k·ndv, m)`` DISTINCT positions (the same bounded
+    closure-broadcast pattern as the IVF centroid fetch) — never by the
+    build row count, because the distinct happens engine-side. Returned
+    as ``m/64`` signed int64 words for an array literal in the plan."""
+    pos = build.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(m))
+                    for s in range(k)
+                ]
+            )
+        ).alias("pos")
+    ).distinct()
+    words = [0] * (m // 64)
+    for r in pos.collect():
+        p = int(r["pos"])
+        words[p // 64] |= 1 << (p % 64)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_might_contain(key_col, words: list[int], k: int = _BLOOM_K):
+    """Membership predicate against a Bloom bitset literal: all ``k``
+    probed bits set ⇒ maybe-member (false positives possible, false
+    negatives impossible). Pure Catalyst — ``getbit`` over an
+    ``element_at`` of the word-array literal — so the predicate stays
+    inside whole-stage codegen and is pushable below joins."""
+    m = len(words) * 64
+    bitset = F.lit(words)
+    pred = None
+    for s in range(k):
+        p = F.pmod(F.xxhash64(key_col, F.lit(s)), F.lit(m))
+        word = F.element_at(bitset, F.floor(p / 64).cast("int") + 1)
+        hit = F.getbit(word, F.pmod(p, F.lit(64))) == 1
+        pred = hit if pred is None else pred & hit
+    return pred
+
+
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pre-reduction — the shuffle-volume killer
+    for selective fact⋈fact joins at 100 TB: a selective predicate keeps
+    ~8% of orders, whose orderkeys are Bloom-summarized into a fixed 16 KB
+    bitset (:func:`bloom_filter_words`); the probe side (lineitem) is
+    filtered by :func:`bloom_might_contain` BEFORE the exact shuffle join,
+    so ~92% of the big side never enters the exchange. Correctness never
+    depends on the sketch: Bloom filters admit false positives but no
+    false negatives, so the exact equi-join after the prefilter returns
+    precisely the plain-join rows — the oracle IS the plain join.
+
+    At 100 TB the build side's keyset is far too big to broadcast as a
+    hash relation, but its Bloom summary broadcasts at any scale: size m
+    to the build NDV (bits ≈ 10·ndv for ~1% FPR) and ship it as a real
+    broadcast variable once the bitset outgrows a plan literal; an
+    UNDERSIZED m only raises the false-positive rate toward a no-op
+    prefilter — results stay exact. Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` injects this
+    same shape automatically when stats justify it; this operator is the
+    explicit, stats-independent form. The executed plan (plan-tested)
+    shows the getbit predicate as a Filter directly on the lineitem scan,
+    below the join."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    build = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 300000)
+    )
+    words = bloom_filter_words(build, "o_orderkey")
+    pre = li.filter(bloom_might_contain(F.col("l_orderkey"), words))
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        pre.join(
+            build.select("o_orderkey"), pre.l_orderkey == F.col("o_orderkey")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity", "sum_qty"),
+            dsum_prod(
+                dec("l_extendedprice") * (one - dec("l_discount")), "revenue"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (partial+final hash agg with codegen — planner-chosen)
 # ---------------------------------------------------------------------------
@@ -1549,6 +1641,7 @@ QUERIES = {
     "join_multiway": join_multiway,
     "join_asof_event": join_asof_event,
     "join_interval_overlap": join_interval_overlap,
+    "join_bloom_prefilter": join_bloom_prefilter,
     "agg_count_star": agg_count_star,
     "agg_groupby_label": agg_groupby_label,
     "agg_distinct": agg_distinct,
@@ -1732,6 +1825,17 @@ ORACLES = {
         " FROM iv a JOIN iv b ON a.o_custkey = b.o_custkey"
         "  AND a.o_orderkey < b.o_orderkey"
         "  AND a.s <= b.e AND b.s <= a.e"
+    ),
+    # Oracle is the PLAIN join — the Bloom prefilter is a conservative
+    # reduction (no false negatives), so the exact join after it returns
+    # byte-identical results.
+    "join_bloom_prefilter": (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,"
+        f" {sql_dsum('l_quantity', 'sum_qty')},"
+        f" {sql_dsum_prod(_DISC_PRICE_EXPR, 'revenue')}"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000"
+        " GROUP BY l_returnflag, l_linestatus"
     ),
     "agg_count_star": "SELECT COUNT(*) AS cnt FROM lineitem",
     "agg_groupby_label": (

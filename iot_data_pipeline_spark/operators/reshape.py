@@ -574,6 +574,77 @@ def sink_parquet_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zorder_key(x, y):
+    """Morton/Z-order key: interleave the low 16 bits of two non-negative
+    int columns (x → even bit positions, y → odd) into one 32-bit value.
+    Pure shift/mask Catalyst arithmetic — 64 codegen terms, no UDF — and
+    bit-for-bit reproducible in ANSI SQL, so the oracle recomputes it."""
+    xl = x.cast("long").bitwiseAND(F.lit(0xFFFF))
+    yl = y.cast("long").bitwiseAND(F.lit(0xFFFF))
+    acc = F.lit(0).cast("long")
+    for i in range(16):
+        acc = acc + F.shiftleft(F.shiftright(xl, i).bitwiseAND(F.lit(1)), 2 * i)
+        acc = acc + F.shiftleft(
+            F.shiftright(yl, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return acc
+
+
+def _sql_zorder_key(x: str, y: str) -> str:
+    """DuckDB twin of :func:`zorder_key` — the identical 32-term shift/mask
+    sum, so engine and oracle agree on every bit."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((({x} & 65535) >> {i}) & 1) << {2 * i}")
+        terms.append(f"((({y} & 65535) >> {i}) & 1) << {2 * i + 1}")
+    return "(" + " + ".join(f"({t})" for t in terms) + ")"
+
+
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered write + 2-D box read — the MULTI-column data-
+    skipping layout ``sink_parquet_sorted`` points at: interleaving the
+    bits of (custkey, order-day) into one Morton key (:func:`zorder_key`)
+    and range-partitioning + sorting on it gives every file a LOCALIZED
+    bounding box in BOTH dimensions, so a predicate on either column (or
+    a 2-D box) skips files from parquet footer min/max stats alone. A
+    single-column sort prunes only its own column — the skipping contrast
+    (z-ordered files prune on custkey, date-sorted files cannot) is
+    asserted from real footer stats in tests/test_reshape.py.
+
+    At 100 TB the shape is identical — the Morton key is a narrow
+    projection (no shuffle beyond the one range-exchange the write needs
+    anyway), and the range partitioner's sampled bounds only move file
+    boundaries, never values. 16-bit quantization per dimension (65536
+    cells per axis) is the standard lakehouse default; widen the masks
+    for higher-cardinality clustering columns. The read-back box filter
+    returns byte-identical rows to the oracle's direct filter, with the
+    z-key recomputed in SQL bit for bit."""
+    o = table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    keyed = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        zorder_key(F.col("o_custkey"), day).alias("zval"),
+    )
+    out = tempfile.mkdtemp(prefix="sink_zorder_") + "/orders"
+    (
+        keyed.repartitionByRange(16, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.filter(
+        F.col("o_custkey").between(20, 120)
+        & F.col("o_orderdate").between(
+            F.lit("1997-01-01").cast("timestamp_ntz"),
+            F.lit("1997-12-31").cast("timestamp_ntz"),
+        )
+    )
+
+
 def sink_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction — the lake-maintenance job every streaming
     ingest eventually needs: a 64-file fragmented table is rewritten to 4
@@ -696,6 +767,7 @@ QUERIES = {
     "sink_orc_roundtrip": sink_orc_roundtrip,
     "sink_xml_roundtrip": sink_xml_roundtrip,
     "sink_parquet_sorted": sink_parquet_sorted,
+    "sink_zorder_layout": sink_zorder_layout,
     "sink_compact_files": sink_compact_files,
     "sink_parquet_partitioned": sink_parquet_partitioned,
 }
@@ -927,5 +999,17 @@ ORACLES = {
     "sink_parquet_partitioned": (
         "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
         " o_orderdate FROM orders WHERE o_orderstatus = 'F'"
+    ),
+    # The z-key is recomputed in SQL with the identical 32-term shift/mask
+    # sum, so a formula tweak can never desynchronize engine and oracle.
+    "sink_zorder_layout": (
+        "SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, "
+        + _sql_zorder_key(
+            "o_custkey", "DATEDIFF('day', DATE '1992-01-01', o_orderdate)"
+        )
+        + " AS zval FROM orders"
+        " WHERE o_custkey BETWEEN 20 AND 120"
+        " AND o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'"
+        " AND TIMESTAMP '1997-12-31 00:00:00'"
     ),
 }

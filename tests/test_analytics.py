@@ -529,3 +529,82 @@ def test_countmin_sketch_guarantee(spark, sf_dir):
     for r in rows:
         assert r["cms_est"] >= r["exact_cnt"]
         assert r["cms_est"] - r["exact_cnt"] <= max(1, int(0.02 * n))
+
+
+def test_zorder_key_matches_python_reference(spark):
+    """The Catalyst shift/mask Morton key equals a pure-Python bit
+    interleave on edge and interior values (incl. the 16-bit mask path)."""
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.operators import reshape
+
+    def morton(x: int, y: int) -> int:
+        x, y, z = x & 0xFFFF, y & 0xFFFF, 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    vals = [
+        (x, y)
+        for x in (0, 1, 2, 3, 255, 256, 12345, 65535, 65536 + 7)
+        for y in (0, 1, 777, 4095, 65535)
+    ]
+    df = spark.createDataFrame(vals, "x INT, y INT").select(
+        "x", "y", reshape.zorder_key(F.col("x"), F.col("y")).alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == morton(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_layout_prunes_on_the_second_dimension(spark, tmp_path):
+    """The data-skipping contrast that justifies Z-order over a single-
+    column sort: on synthetic uniform 2-D data written 16 files each way,
+    a predicate on dimension B alone prunes z-ordered files from parquet
+    footer min/max stats, while the A-sorted layout's files ALL intersect
+    the B-range (every file spans B's full domain)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.operators import reshape
+
+    df = (
+        spark.range(32768)
+        .select(
+            ((F.col("id") * 997) % 4096).alias("a"),
+            ((F.col("id") * 613) % 4096).alias("b"),
+        )
+        .withColumn("zval", reshape.zorder_key(F.col("a"), F.col("b")))
+    )
+    z_dir, a_dir = str(tmp_path / "zorder"), str(tmp_path / "asorted")
+    (
+        df.repartitionByRange(16, "zval")
+        .sortWithinPartitions("zval")
+        .write.parquet(z_dir)
+    )
+    (
+        df.repartitionByRange(16, "a")
+        .sortWithinPartitions("a")
+        .write.parquet(a_dir)
+    )
+
+    def matched_files(d: str, col: str, lo: int, hi: int) -> tuple[int, int]:
+        files = sorted(glob.glob(d + "/*.parquet"))
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            mins = [md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups)]
+            maxs = [md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups)]
+            if min(mins) <= hi and max(maxs) >= lo:
+                hit += 1
+        return hit, len(files)
+
+    z_hit, z_total = matched_files(z_dir, "b", 0, 255)
+    a_hit, a_total = matched_files(a_dir, "b", 0, 255)
+    assert a_hit == a_total, "a-sorted files all span b — nothing prunes"
+    assert z_hit <= z_total // 2, (
+        f"z-order should prune most files on b alone ({z_hit}/{z_total})"
+    )

@@ -493,3 +493,82 @@ def test_partsupp_derivation_invariants(spark, sf_dir):
         assert r["ps_suppkey"] in supp_keys
     assert all(len(s) == 4 for s in per_part.values())
     assert len(per_part) == n_parts
+
+
+def test_bloom_prefilter_conservative_under_false_positives(spark):
+    """Bloom membership is CONSERVATIVE: with a deliberately undersized
+    bitset (m=64, k=2 — false positives guaranteed), every true member
+    still passes (no false negatives, the property join correctness rests
+    on), some non-members pass (the FP path is genuinely exercised), and
+    the filter still rejects a meaningful share of non-members."""
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.operators import relational as R
+
+    build = spark.range(0, 50, 7).withColumnRenamed("id", "k")
+    probe = spark.range(0, 200).withColumnRenamed("id", "k")
+    words = R.bloom_filter_words(build, "k", m=64, k=2)
+    assert len(words) == 1
+    passed = {
+        r["k"]
+        for r in probe.filter(
+            R.bloom_might_contain(F.col("k"), words, k=2)
+        ).collect()
+    }
+    members = {r["k"] for r in build.collect()}
+    assert members <= passed, "false negative — Bloom invariant broken"
+    assert len(passed) > len(members), "undersized m must force FPs"
+    assert len(passed) < 200, "filter must still reject non-members"
+
+
+def test_bloom_prefilter_plan_reduction_and_exactness(spark, sf_dir):
+    """The registered query's plan carries the getbit bitset Filter on the
+    probe (lineitem) side BELOW the join; at the default m the prefilter
+    passes every true-match row and far fewer than the full table; and the
+    final aggregate equals the plain-join aggregate (the oracle shape)."""
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.operators import relational as R
+    from iot_data_pipeline_spark.operators._util import table
+
+    plan = R.join_bloom_prefilter(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "getbit" in plan
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    build = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 300000)
+    )
+    words = R.bloom_filter_words(build, "o_orderkey")
+    total = li.count()
+    passed = li.filter(
+        R.bloom_might_contain(F.col("l_orderkey"), words)
+    ).count()
+    exact = li.join(
+        build.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    ).count()
+    assert exact <= passed, "prefilter dropped a true match"
+    assert passed < total * 0.25, "prefilter should cut most of the probe"
+
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["n_items"], r["sum_qty"])
+        for r in R.join_bloom_prefilter(spark, sf_dir).collect()
+    }
+    want = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["n_items"], r["sum_qty"])
+        for r in (
+            li.join(build.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
