@@ -68,6 +68,10 @@ HEADLINE = [
     # show up round-over-round.
     "llm_sim_pq",
     "llm_sim_hnsw",
+    # r7 continuation: the runtime Bloom prefilter join — the explicit
+    # shuffle-reduction pattern, tracked so the bitset-build constant and
+    # the prefiltered join can't silently regress.
+    "join_bloom_prefilter",
 ]
 
 # Queries whose single-rep time exceeds ~1.5 s at sf0.1 get a third rep:

@@ -70,6 +70,10 @@ QUERIES = {
     # search with driver-side frontier state — the visited set and final
     # top-10 must not depend on partitioning, AQE, or broadcast choices
     "llm_sim_hnsw": llm.llm_sim_hnsw,
+    # runtime Bloom prefilter: the bitset literal is built from a driver
+    # collect — the final aggregate must be identical whether the exact
+    # join broadcasts or shuffles, and under AQE re-planning
+    "join_bloom_prefilter": relational.join_bloom_prefilter,
 }
 
 
