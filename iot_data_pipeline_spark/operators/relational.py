@@ -389,18 +389,32 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BLOOM_M, _BLOOM_K = 1 << 17, 5  # 131072 bits (2048 longs), 5 hash probes
+_BLOOM_M, _BLOOM_K = 1 << 17, 5  # floor: 131072 bits (2048 longs), 5 probes
+_BLOOM_M_CAP = 1 << 21  # literal-size ceiling: 32768 longs ≈ 256 KB of plan
 
 
 def bloom_filter_words(
-    build: DataFrame, key: str, m: int = _BLOOM_M, k: int = _BLOOM_K
+    build: DataFrame, key: str, m: int | None = None, k: int = _BLOOM_K
 ) -> list[int]:
     """Driver-side Bloom bitset over the build side's join keys: each key
     sets ``k`` bits at ``pmod(xxhash64(key, seed), m)``. The collect is
     bounded by ``min(k·ndv, m)`` DISTINCT positions (the same bounded
     closure-broadcast pattern as the IVF centroid fetch) — never by the
     build row count, because the distinct happens engine-side. Returned
-    as ``m/64`` signed int64 words for an array literal in the plan."""
+    as ``m/64`` signed int64 words for an array literal in the plan.
+
+    With ``m=None`` the bitset AUTO-SIZES to the build NDV (≈ 10 bits per
+    key for ~1% FPR, power-of-two, floored at ``_BLOOM_M``) so a bigger
+    build side cannot silently saturate the filter into a no-op; the
+    ``_BLOOM_M_CAP`` ceiling keeps the plan literal bounded — beyond it
+    the FPR degrades gracefully and results stay exact either way (the
+    ndv count is one exact aggregate job over the already-filtered build
+    side)."""
+    if m is None:
+        ndv = build.select(key).distinct().count()
+        m = _BLOOM_M
+        while m < min(10 * max(ndv, 1), _BLOOM_M_CAP):
+            m *= 2
     pos = build.select(
         F.explode(
             F.array(
@@ -425,7 +439,9 @@ def bloom_might_contain(key_col, words: list[int], k: int = _BLOOM_K):
     ``element_at`` of the word-array literal — so the predicate stays
     inside whole-stage codegen and is pushable below joins."""
     m = len(words) * 64
-    bitset = F.lit(words)
+    # explicit element type: an all-zero bitset would otherwise infer
+    # array<int>, whose getbit range is [0, 32)
+    bitset = F.lit(words).cast("array<bigint>")
     pred = None
     for s in range(k):
         p = F.pmod(F.xxhash64(key_col, F.lit(s)), F.lit(m))

@@ -572,3 +572,32 @@ def test_bloom_prefilter_plan_reduction_and_exactness(spark, sf_dir):
         )
     }
     assert got == want
+
+
+def test_bloom_autosizing_and_empty_build(spark):
+    """m=None sizes the bitset to the build NDV (~10 bits/key, power of
+    two, floored at _BLOOM_M, capped at _BLOOM_M_CAP) so a larger build
+    side can't saturate the filter into a no-op; an EMPTY build side
+    yields an all-zero bitset whose predicate rejects everything —
+    matching the empty plain join."""
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.operators import relational as R
+
+    small = spark.range(100).withColumnRenamed("id", "k")
+    words = R.bloom_filter_words(small, "k")
+    assert len(words) * 64 == R._BLOOM_M
+
+    big = spark.range(200_000).withColumnRenamed("id", "k")
+    words_big = R.bloom_filter_words(big, "k")
+    assert len(words_big) * 64 == R._BLOOM_M_CAP
+    # auto-sized filter keeps FPR useful even at this NDV: a disjoint
+    # probe range passes only a small fraction
+    probe = spark.range(200_000, 210_000).withColumnRenamed("id", "k")
+    fp = probe.filter(R.bloom_might_contain(F.col("k"), words_big)).count()
+    assert fp < 10_000 * 0.05, f"FPR too high after auto-sizing ({fp}/10000)"
+
+    empty = spark.range(0).withColumnRenamed("id", "k")
+    words_e = R.bloom_filter_words(empty, "k")
+    assert all(w == 0 for w in words_e)
+    assert probe.filter(R.bloom_might_contain(F.col("k"), words_e)).count() == 0
