@@ -83,6 +83,7 @@ BEST_OF_3 = {
     "mm_decode_jpeg",
     "stream_stream_join",
     "llm_sim_hnsw",
+    "join_bloom_prefilter",
 }
 
 
