@@ -425,11 +425,26 @@ def bloom_filter_words(
             )
         ).alias("pos")
     ).distinct()
+    # Fold positions into int64 words ENGINE-side: positions are distinct,
+    # so within a word the bit values are distinct powers of two and their
+    # SUM equals their OR (signed — bit 63 contributes -2^63; every partial
+    # sum stays in int64, so non-ANSI wrap never triggers). The collect is
+    # then ≤ m/64 ≤ 32768 word rows however many positions are set.
+    word_rows = (
+        pos.groupBy(F.floor(F.col("pos") / 64).cast("int").alias("w"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+                )
+            ).alias("bits")
+        )
+        .collect()
+    )
     words = [0] * (m // 64)
-    for r in pos.collect():
-        p = int(r["pos"])
-        words[p // 64] |= 1 << (p % 64)
-    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    for r in word_rows:
+        words[r["w"]] = int(r["bits"])
+    return words
 
 
 def bloom_might_contain(key_col, words: list[int], k: int = _BLOOM_K):
