@@ -407,13 +407,14 @@ def bloom_filter_words(
     key for ~1% FPR, power-of-two, floored at ``_BLOOM_M``) so a bigger
     build side cannot silently saturate the filter into a no-op; the
     ``_BLOOM_M_CAP`` ceiling keeps the plan literal bounded — beyond it
-    the FPR degrades gracefully and results stay exact either way (the
-    ndv count is one exact aggregate job over the already-filtered build
-    side)."""
+    the FPR degrades gracefully and results stay exact either way. The
+    sizing pass is ``approx_count_distinct`` — an HLL register-merge
+    aggregate (order-insensitive, so still deterministic) that never
+    shuffles keys; m only tunes the FPR, results don't depend on it."""
     if m is None:
-        ndv = build.select(key).distinct().count()
+        ndv = build.agg(F.approx_count_distinct(key).alias("n")).first()["n"]
         m = _BLOOM_M
-        while m < min(10 * max(ndv, 1), _BLOOM_M_CAP):
+        while m < min(10 * max(int(ndv), 1), _BLOOM_M_CAP):
             m *= 2
     pos = build.select(
         F.explode(
