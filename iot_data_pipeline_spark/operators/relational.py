@@ -513,6 +513,49 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the PARTITION-level runtime filter that
+    completes the family (``sink_parquet_partitioned`` = static pruning
+    from a literal predicate; ``join_bloom_prefilter`` = row-level runtime
+    filter): the fact table is laid out partitioned by order year, the
+    dimension is filtered on a NON-partition attribute (``era``), and
+    Catalyst injects the dim's surviving join keys into the fact scan's
+    PartitionFilters at RUNTIME — ``dynamicpruningexpression(o_year IN
+    dynamicpruning#N)`` reuses the broadcast exchange, so fact partitions
+    for other years are never listed or read (plan-tested).
+
+    At 100 TB this is the canonical star-join access path: the date/tenant
+    partition column can't be filtered statically (the predicate lives on
+    dim attributes), and without DPP the fact scan reads the lake. The
+    write here exists to create the partitioned layout at test scale; in
+    production the fact already lives partitioned. Pruning is semantics-
+    preserving, so the oracle is the plain year-join."""
+    o = table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="dpp_orders_") + "/orders_by_year"
+    (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [(y, "current" if y == 1997 else "historical") for y in range(1995, 2002)],
+        "d_year INT, era STRING",
+    )
+    return (
+        fact.join(
+            dim.filter(F.col("era") == "current"),
+            fact.o_year == F.col("d_year"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (partial+final hash agg with codegen — planner-chosen)
 # ---------------------------------------------------------------------------
@@ -1674,6 +1717,7 @@ QUERIES = {
     "join_asof_event": join_asof_event,
     "join_interval_overlap": join_interval_overlap,
     "join_bloom_prefilter": join_bloom_prefilter,
+    "join_dpp_partitioned": join_dpp_partitioned,
     "agg_count_star": agg_count_star,
     "agg_groupby_label": agg_groupby_label,
     "agg_distinct": agg_distinct,
@@ -1868,6 +1912,19 @@ ORACLES = {
         " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
         " WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000"
         " GROUP BY l_returnflag, l_linestatus"
+    ),
+    # Pruning is semantics-preserving: the oracle is the plain year-join
+    # against the same literal dimension.
+    "join_dpp_partitioned": (
+        "SELECT o_orderpriority, COUNT(*) AS n_orders,"
+        f" {sql_dsum('o_totalprice', 'sum_price')}"
+        " FROM orders"
+        " JOIN (VALUES (1995,'historical'),(1996,'historical'),"
+        "  (1997,'current'),(1998,'historical'),(1999,'historical'),"
+        "  (2000,'historical'),(2001,'historical')) AS d(d_year, era)"
+        " ON year(o_orderdate) = d_year"
+        " WHERE era = 'current'"
+        " GROUP BY o_orderpriority"
     ),
     "agg_count_star": "SELECT COUNT(*) AS cnt FROM lineitem",
     "agg_groupby_label": (

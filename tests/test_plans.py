@@ -451,3 +451,17 @@ def test_q16_plans_anti_join_for_not_in(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "LessThan(s_acctbal,500.0)" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dpp_join_prunes_fact_partitions_at_runtime(spark, sf_dir):
+    """join_dpp_partitioned must carry a dynamicpruningexpression on the
+    fact scan's PartitionFilters (the dim's surviving keys injected at
+    runtime), proving the other years' partitions are pruned rather than
+    scanned-and-filtered; and the join must not degrade to a cartesian."""
+    from iot_data_pipeline_spark.operators import relational
+    from iot_data_pipeline_spark.plans import executed_plan
+
+    plan = executed_plan(relational.join_dpp_partitioned(spark, sf_dir))
+    assert "dynamicpruning" in plan
+    assert "PartitionFilters" in plan
+    assert "CartesianProduct" not in plan
