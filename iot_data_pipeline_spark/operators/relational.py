@@ -416,6 +416,10 @@ def bloom_filter_words(
         m = _BLOOM_M
         while m < min(10 * max(int(ndv), 1), _BLOOM_M_CAP):
             m *= 2
+    if m % 64 != 0:
+        # probers re-derive m as len(words)*64 — a non-multiple would set
+        # bits the probe side never tests (silent false negatives)
+        raise ValueError(f"bloom m must be a multiple of 64, got {m}")
     pos = build.select(
         F.explode(
             F.array(
@@ -470,8 +474,9 @@ def bloom_might_contain(key_col, words: list[int], k: int = _BLOOM_K):
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime Bloom-filter join pre-reduction — the shuffle-volume killer
     for selective fact⋈fact joins at 100 TB: a selective predicate keeps
-    ~8% of orders, whose orderkeys are Bloom-summarized into a fixed 16 KB
-    bitset (:func:`bloom_filter_words`); the probe side (lineitem) is
+    ~8% of orders, whose orderkeys are Bloom-summarized into an NDV-auto-
+    sized bitset — 16 KB floor, 256 KB cap (:func:`bloom_filter_words`) —
+    and the probe side (lineitem) is
     filtered by :func:`bloom_might_contain` BEFORE the exact shuffle join,
     so ~92% of the big side never enters the exchange. Correctness never
     depends on the sketch: Bloom filters admit false positives but no

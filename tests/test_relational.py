@@ -530,8 +530,9 @@ def test_bloom_prefilter_plan_reduction_and_exactness(spark, sf_dir):
 
     from iot_data_pipeline_spark.operators import relational as R
     from iot_data_pipeline_spark.operators._util import table
+    from iot_data_pipeline_spark.plans import executed_plan
 
-    plan = R.join_bloom_prefilter(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    plan = executed_plan(R.join_bloom_prefilter(spark, sf_dir))
     assert "getbit" in plan
 
     o = table(spark, sf_dir, "orders")

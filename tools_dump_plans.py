@@ -124,10 +124,16 @@ PICKS = {
         " plan time (PartitionFilters), decode only on surviving files"
     ),
     "join_bloom_prefilter": (
-        "runtime Bloom prefilter: 16 KB bitset literal from the selective"
-        " build side; getbit Filter on the probe scan BELOW the join cuts"
-        " ~92% of the big side before the exchange — no false negatives,"
-        " oracle is the plain join"
+        "runtime Bloom prefilter: NDV-auto-sized bitset literal (16 KB"
+        " floor, 256 KB cap) from the selective build side; getbit Filter"
+        " on the probe scan BELOW the join cuts ~92% of the big side before"
+        " the exchange — no false negatives, oracle is the plain join"
+    ),
+    "join_dpp_partitioned": (
+        "dynamic partition pruning: the era-filtered broadcast dim injects"
+        " its surviving years into the fact scan's PartitionFilters at"
+        " runtime (dynamicpruningexpression) — other years' partitions are"
+        " never listed or read"
     ),
     "sink_zorder_layout": (
         "Morton-key clustered write: range-exchange + in-partition sort on"
