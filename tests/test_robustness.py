@@ -116,6 +116,8 @@ TZ_SMOKE_SAMPLE = [
     "evt_latest_snapshot", # max-ts dedup
     "fn_date_suite",       # date/timestamp scalar functions
     "join_asof_event",     # event-time as-of join
+    "sink_zorder_layout",  # datediff-derived Morton key + timestamp box read
+    "join_dpp_partitioned",  # year() partition values derived from timestamps
     "sort_limit",          # control: no timestamps at all
 ]
 
