@@ -390,7 +390,8 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BLOOM_M, _BLOOM_K = 1 << 17, 5  # floor: 131072 bits (2048 longs), 5 probes
-_BLOOM_M_CAP = 1 << 21  # literal-size ceiling: 32768 longs ≈ 256 KB of plan
+_BLOOM_M_CAP = 1 << 21  # literal-TIER ceiling: 32768 longs ≈ 256 KB of plan
+_BLOOM_BC_CAP = 1 << 27  # broadcast-variable tier ceiling: 16 MB bitset
 
 
 def bloom_filter_words(
@@ -414,7 +415,7 @@ def bloom_filter_words(
     if m is None:
         ndv = build.agg(F.approx_count_distinct(key).alias("n")).first()["n"]
         m = _BLOOM_M
-        while m < min(10 * max(int(ndv), 1), _BLOOM_M_CAP):
+        while m < min(10 * max(int(ndv), 1), _BLOOM_BC_CAP):
             m *= 2
     if m % 64 != 0:
         # probers re-derive m as len(words)*64 — a non-multiple would set
@@ -471,22 +472,77 @@ def bloom_might_contain(key_col, words: list[int], k: int = _BLOOM_K):
     return pred
 
 
+def bloom_might_contain_bc(spark: SparkSession, key_col, words: list[int],
+                           k: int = _BLOOM_K):
+    """Broadcast-variable tier of the Bloom probe, for bitsets too big for
+    a plan literal (m > ``_BLOOM_M_CAP``): the words ship ONCE per
+    executor as a real Spark broadcast (16 MB at ``_BLOOM_BC_CAP``), bit
+    positions are still computed JVM-side with the SAME ``xxhash64``
+    expressions as the build (so hashing can never diverge between
+    build and probe), and only the gather-and-test runs in a vectorized
+    Arrow-batched pandas UDF over the k-position array column. Same
+    contract as :func:`bloom_might_contain`: no false negatives."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as _F
+
+    m = len(words) * 64
+    bits = np.array(
+        [w + (1 << 64) if w < 0 else w for w in words], dtype=np.uint64
+    )
+    bc = spark.sparkContext.broadcast(bits)
+
+    # explicit SCALAR type: the module-wide `from __future__ import
+    # annotations` stringifies type hints and the locally-imported pd
+    # can't resolve, so hint-based inference is unavailable here
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+
+        @_F.pandas_udf("boolean", _F.PandasUDFType.SCALAR)
+        def _test(pos):
+            w = bc.value
+            arr = np.vstack(pos.to_numpy())  # (rows, k) int64 positions
+            hit = (
+                w[arr >> 6] >> (arr.astype(np.uint64) & np.uint64(63))
+            ) & np.uint64(1)
+            return pd.Series(hit.all(axis=1))
+
+    pos_arr = F.array(
+        *[F.pmod(F.xxhash64(key_col, F.lit(s)), F.lit(m)) for s in range(k)]
+    )
+    return _test(pos_arr)
+
+
+def bloom_prefilter_pred(spark: SparkSession, key_col, words: list[int],
+                         k: int = _BLOOM_K):
+    """Tier dispatch for the Bloom probe: codegen literal+getbit while the
+    bitset fits a plan literal, vectorized broadcast-variable tier above."""
+    if len(words) * 64 <= _BLOOM_M_CAP:
+        return bloom_might_contain(key_col, words, k)
+    return bloom_might_contain_bc(spark, key_col, words, k)
+
+
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime Bloom-filter join pre-reduction — the shuffle-volume killer
     for selective fact⋈fact joins at 100 TB: a selective predicate keeps
     ~8% of orders, whose orderkeys are Bloom-summarized into an NDV-auto-
-    sized bitset — 16 KB floor, 256 KB cap (:func:`bloom_filter_words`) —
-    and the probe side (lineitem) is
-    filtered by :func:`bloom_might_contain` BEFORE the exact shuffle join,
-    so ~92% of the big side never enters the exchange. Correctness never
-    depends on the sketch: Bloom filters admit false positives but no
-    false negatives, so the exact equi-join after the prefilter returns
-    precisely the plain-join rows — the oracle IS the plain join.
+    sized bitset — 16 KB floor, 16 MB cap (:func:`bloom_filter_words`) —
+    and the probe side (lineitem) is filtered by
+    :func:`bloom_prefilter_pred` BEFORE the exact shuffle join, so ~92%
+    of the big side never enters the exchange. The probe is TWO-tier:
+    codegen literal+getbit while the bitset fits a plan literal
+    (m ≤ 2^21), and a vectorized Arrow bit-test over a real broadcast
+    variable above that (build ndv ≳ 200k — positions still computed
+    JVM-side with the same xxhash64, so hashing can never diverge).
+    Correctness never depends on the sketch: Bloom filters admit false
+    positives but no false negatives, so the exact equi-join after the
+    prefilter returns precisely the plain-join rows — the oracle IS the
+    plain join.
 
     At 100 TB the build side's keyset is far too big to broadcast as a
-    hash relation, but its Bloom summary broadcasts at any scale: size m
-    to the build NDV (bits ≈ 10·ndv for ~1% FPR) and ship it as a real
-    broadcast variable once the bitset outgrows a plan literal; an
+    hash relation, but its Bloom summary broadcasts at any scale; an
     UNDERSIZED m only raises the false-positive rate toward a no-op
     prefilter — results stay exact. Spark's own
     ``spark.sql.optimizer.runtime.bloomFilter.enabled`` injects this
@@ -501,7 +557,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_totalprice") > 300000)
     )
     words = bloom_filter_words(build, "o_orderkey")
-    pre = li.filter(bloom_might_contain(F.col("l_orderkey"), words))
+    pre = li.filter(bloom_prefilter_pred(spark, F.col("l_orderkey"), words))
     one = F.lit(1).cast("decimal(18,4)")
     return (
         pre.join(

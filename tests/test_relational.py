@@ -602,3 +602,36 @@ def test_bloom_autosizing_and_empty_build(spark):
     words_e = R.bloom_filter_words(empty, "k")
     assert all(w == 0 for w in words_e)
     assert probe.filter(R.bloom_might_contain(F.col("k"), words_e)).count() == 0
+
+
+def test_bloom_broadcast_tier_matches_literal_tier(spark):
+    """The Arrow broadcast-variable probe tier must agree BIT-FOR-BIT with
+    the codegen literal tier on the same words (positions are the same
+    JVM-side xxhash64 either way; only the gather/test site differs), and
+    the tier dispatch must route an over-literal-cap bitset through the
+    broadcast tier while preserving the no-false-negative contract."""
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.operators import relational as R
+
+    build = spark.range(0, 3000, 3).withColumnRenamed("id", "k")
+    probe = spark.range(0, 6000).withColumnRenamed("id", "k")
+    words = R.bloom_filter_words(build, "k", m=1 << 18)
+    lit_pass = {
+        r["k"]
+        for r in probe.filter(R.bloom_might_contain(F.col("k"), words)).collect()
+    }
+    bc_pass = {
+        r["k"]
+        for r in probe.filter(
+            R.bloom_might_contain_bc(spark, F.col("k"), words)
+        ).collect()
+    }
+    assert bc_pass == lit_pass
+
+    big_words = R.bloom_filter_words(build, "k", m=R._BLOOM_M_CAP * 2)
+    pred = R.bloom_prefilter_pred(spark, F.col("k"), big_words)
+    passed = {r["k"] for r in probe.filter(pred).collect()}
+    members = {r["k"] for r in build.collect()}
+    assert members <= passed, "broadcast tier dropped a true member"
+    assert len(passed) < 6000, "broadcast tier must still reject"

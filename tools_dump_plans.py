@@ -124,9 +124,10 @@ PICKS = {
         " plan time (PartitionFilters), decode only on surviving files"
     ),
     "join_bloom_prefilter": (
-        "runtime Bloom prefilter: NDV-auto-sized bitset literal (16 KB"
-        " floor, 256 KB cap) from the selective build side; getbit Filter"
-        " on the probe scan BELOW the join cuts ~92% of the big side before"
+        "runtime Bloom prefilter: NDV-auto-sized bitset (16 KB floor; plan"
+        " literal + getbit codegen to 256 KB, Arrow broadcast-variable tier"
+        " to 16 MB) from the selective build side; the Filter sits on the"
+        " probe scan BELOW the join and cuts ~92% of the big side before"
         " the exchange — no false negatives, oracle is the plain join"
     ),
     "join_dpp_partitioned": (
