@@ -10,6 +10,8 @@ pure registry.
 from __future__ import annotations
 
 import glob
+import hashlib
+import inspect
 import json
 import os
 import sys
@@ -59,14 +61,56 @@ _MODULES = [
 ]
 
 
-def _attestation_round() -> dict[str, int]:
+_SIMPLE_CONST_TYPES = (int, float, str, bytes, bool, tuple, list, dict, frozenset)
+
+
+def src_fingerprint(fn: Callable) -> str:
+    """Stable sha1 over the registered callable's source PLUS the sources of
+    every same-module function it (transitively) references and the reprs of
+    the simple module-level constants it reads (caps, schedules, seeds).
+
+    This is the rework detector for attestation ordering: a driver-green row
+    only attests the code that produced it, so when an operator's
+    implementation changes, its fingerprint changes and the id re-enters the
+    never-attested group (see ``_attestation_round``). One-module-deep by
+    design — cross-module helpers are shared infrastructure whose reworks get
+    their own ids re-attested via their own callers' fingerprints."""
+    parts: list[str] = []
+    seen_fns: set[int] = set()
+    seen_names: set[str] = set()
+    stack = [fn]
+    mod = sys.modules.get(getattr(fn, "__module__", "") or "")
+    while stack:
+        f = stack.pop()
+        if id(f) in seen_fns:
+            continue
+        seen_fns.add(id(f))
+        try:
+            parts.append(inspect.getsource(f))
+        except (OSError, TypeError):
+            parts.append(repr(getattr(f, "__qualname__", f)))
+            continue
+        code = getattr(f, "__code__", None)
+        if code is None or mod is None:
+            continue
+        for name in code.co_names:
+            if name in seen_names:
+                continue
+            seen_names.add(name)
+            obj = getattr(mod, name, None)
+            if obj is None:
+                continue
+            if inspect.isfunction(obj) and obj.__module__ == fn.__module__:
+                stack.append(obj)
+            elif isinstance(obj, _SIMPLE_CONST_TYPES):
+                parts.append(f"{name}={obj!r}")
+    return hashlib.sha1("\n".join(sorted(parts)).encode("utf-8")).hexdigest()
+
+
+def latest_attested_round() -> dict[str, int]:
     """Latest round in which each query id earned a driver-verified row in
     CORRECTNESS_r*.json (hash-green, or ran under the declared rows-only
-    check). The driver verifies a bounded prefix of the registry per round
-    (50 ids), so ``queries()`` orders ids by STALEST attestation first:
-    never-attested ids lead (round 0), then ids whose newest green row is
-    oldest — across rounds every id's attestation keeps rotating onto
-    current code instead of resting on the round that introduced it."""
+    check)."""
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
         try:
@@ -90,6 +134,44 @@ def _attestation_round() -> dict[str, int]:
     return latest
 
 
+def _attestation_round(
+    registry: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, int]:
+    """Effective attestation round per id, REWORK-AWARE: the sidecar
+    ATTESTATIONS.json (regenerated each round by tools_attest.py) records,
+    alongside each id's latest driver-green round, the ``src_fingerprint`` of
+    the implementing callable as of that attestation. An id whose current
+    fingerprint no longer matches orders as round 0 (never attested) so the
+    driver's 50-id prefix re-touches reworked code immediately instead of
+    resting on a row earned by a previous implementation.
+
+    Falls back to round-only ordering (no rework detection) when the sidecar
+    is absent or unreadable — the driver contract must never break on a
+    missing artifact."""
+    latest = latest_attested_round()
+    sidecar_path = os.path.join(_REPO_ROOT, "ATTESTATIONS.json")
+    try:
+        with open(sidecar_path) as fh:
+            sidecar = json.load(fh)
+    except (OSError, ValueError):
+        return latest
+    effective: dict[str, int] = {}
+    for qid, fn in registry.items():
+        entry = sidecar.get(qid)
+        rnd = latest.get(qid, 0)
+        if not rnd or not isinstance(entry, dict):
+            continue
+        try:
+            current_fp = src_fingerprint(fn)
+        except Exception:
+            effective[qid] = rnd  # never let fingerprinting break the driver
+            continue
+        if entry.get("fp") == current_fp:
+            effective[qid] = rnd
+        # else: code changed since the attested round -> stays at round 0
+    return effective
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2B/§2C, ordered
     stalest-driver-attestation first (see ``_attestation_round``); ties
@@ -97,7 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
         merged.update(mod.QUERIES)
-    rounds = _attestation_round()
+    rounds = _attestation_round(merged)
     order = sorted(
         enumerate(merged.items()), key=lambda t: (rounds.get(t[1][0], 0), t[0])
     )
