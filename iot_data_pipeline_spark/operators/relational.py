@@ -391,27 +391,36 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BLOOM_M, _BLOOM_K = 1 << 17, 5  # floor: 131072 bits (2048 longs), 5 probes
 _BLOOM_M_CAP = 1 << 21  # literal-TIER ceiling: 32768 longs ≈ 256 KB of plan
-_BLOOM_BC_CAP = 1 << 27  # broadcast-variable tier ceiling: 16 MB bitset
+_BLOOM_BC_CAP = 1 << 30  # broadcast-variable tier ceiling: 128 MB bitset
+_BLOOM_CHUNK_WORDS = 2048  # words per collected blob: 16 KB fixed-size chunks
 
 
-def bloom_filter_words(
+def bloom_filter_bits(
     build: DataFrame, key: str, m: int | None = None, k: int = _BLOOM_K
-) -> list[int]:
-    """Driver-side Bloom bitset over the build side's join keys: each key
-    sets ``k`` bits at ``pmod(xxhash64(key, seed), m)``. The collect is
-    bounded by ``min(k·ndv, m)`` DISTINCT positions (the same bounded
-    closure-broadcast pattern as the IVF centroid fetch) — never by the
-    build row count, because the distinct happens engine-side. Returned
-    as ``m/64`` signed int64 words for an array literal in the plan.
+):
+    """Bloom bitset over the build side's join keys as a numpy uint64
+    array: each key sets ``k`` bits at ``pmod(xxhash64(key, seed), m)``.
+
+    The fold is fully ENGINE-side and CHUNKED: distinct positions →
+    per-word OR (distinct powers of two, so SUM == OR; signed int64 never
+    wraps because bit 63 contributes -2^63 exactly once) → per-chunk
+    fixed-size 16 KB binary blobs (``_BLOOM_CHUNK_WORDS`` words each,
+    built linearly via transform+array_join over hex, never a quadratic
+    concat-accumulate). The driver therefore collects at most
+    ``m/(64·2048)`` binary rows — 8192 blobs at the 2^30 cap — instead of
+    up to m/64 = 16.7M individual word Rows; all-zero chunks produce no
+    row at all, so a sparse bitset collects only its occupied chunks.
 
     With ``m=None`` the bitset AUTO-SIZES to the build NDV (≈ 10 bits per
-    key for ~1% FPR, power-of-two, floored at ``_BLOOM_M``) so a bigger
-    build side cannot silently saturate the filter into a no-op; the
-    ``_BLOOM_M_CAP`` ceiling keeps the plan literal bounded — beyond it
-    the FPR degrades gracefully and results stay exact either way. The
+    key for ~1% FPR, power-of-two, floored at ``_BLOOM_M``, capped at
+    ``_BLOOM_BC_CAP`` — the ndv ≈ 10^8 regime) so a bigger build side
+    cannot silently saturate the filter into a no-op; beyond the cap the
+    FPR degrades gracefully and results stay exact either way. The
     sizing pass is ``approx_count_distinct`` — an HLL register-merge
     aggregate (order-insensitive, so still deterministic) that never
     shuffles keys; m only tunes the FPR, results don't depend on it."""
+    import numpy as np
+
     if m is None:
         ndv = build.agg(F.approx_count_distinct(key).alias("n")).first()["n"]
         m = _BLOOM_M
@@ -421,6 +430,8 @@ def bloom_filter_words(
         # probers re-derive m as len(words)*64 — a non-multiple would set
         # bits the probe side never tests (silent false negatives)
         raise ValueError(f"bloom m must be a multiple of 64, got {m}")
+    n_words = m // 64
+    c = min(_BLOOM_CHUNK_WORDS, n_words)  # m ≥ 2^17 ⇒ c | n_words
     pos = build.select(
         F.explode(
             F.array(
@@ -431,13 +442,8 @@ def bloom_filter_words(
             )
         ).alias("pos")
     ).distinct()
-    # Fold positions into int64 words ENGINE-side: positions are distinct,
-    # so within a word the bit values are distinct powers of two and their
-    # SUM equals their OR (signed — bit 63 contributes -2^63; every partial
-    # sum stays in int64, so non-ANSI wrap never triggers). The collect is
-    # then ≤ m/64 ≤ 32768 word rows however many positions are set.
-    word_rows = (
-        pos.groupBy(F.floor(F.col("pos") / 64).cast("int").alias("w"))
+    chunk_rows = (
+        pos.groupBy(F.floor(F.col("pos") / 64).cast("bigint").alias("w"))
         .agg(
             F.sum(
                 F.expr(
@@ -445,12 +451,45 @@ def bloom_filter_words(
                 )
             ).alias("bits")
         )
+        .groupBy((F.col("w") / c).cast("bigint").alias("chunk"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.pmod(F.col("w"), F.lit(c)).cast("int").alias("i"),
+                        F.col("bits"),
+                    )
+                )
+            ).alias("mp")
+        )
+        .select(
+            "chunk",
+            F.expr(
+                f"unhex(array_join(transform(sequence(0, {c - 1}), "
+                "i -> lpad(hex(coalesce(element_at(mp, i), 0L)), 16, '0')), "
+                "''))"
+            ).alias("blob"),
+        )
         .collect()
     )
-    words = [0] * (m // 64)
-    for r in word_rows:
-        words[r["w"]] = int(r["bits"])
-    return words
+    bits = np.zeros(n_words, dtype=np.uint64)
+    for r in chunk_rows:
+        lo = int(r["chunk"]) * c
+        bits[lo : lo + c] = np.frombuffer(r["blob"], dtype=">u8")
+    return bits
+
+
+def bloom_filter_words(
+    build: DataFrame, key: str, m: int | None = None, k: int = _BLOOM_K
+) -> list[int]:
+    """Literal-tier convenience wrapper over :func:`bloom_filter_bits`:
+    the bitset as ``m/64`` SIGNED int64 words, the form a plan array
+    literal needs. Only sensible while m stays literal-sized (≤ 2^21);
+    the broadcast tier consumes the numpy array directly."""
+    import numpy as np
+
+    bits = bloom_filter_bits(build, key, m=m, k=k)
+    return [int(w) for w in bits.view(np.int64)]
 
 
 def bloom_might_contain(key_col, words: list[int], k: int = _BLOOM_K):
@@ -472,55 +511,56 @@ def bloom_might_contain(key_col, words: list[int], k: int = _BLOOM_K):
     return pred
 
 
-def bloom_might_contain_bc(spark: SparkSession, key_col, words: list[int],
+def _bloom_as_uint64(words):
+    """Normalize a bitset given as signed-int64 list OR numpy uint64 array
+    to the uint64 array the broadcast tier ships."""
+    import numpy as np
+
+    if isinstance(words, np.ndarray):
+        return words.astype(np.uint64, copy=False)
+    return np.array(words, dtype=np.int64).view(np.uint64)
+
+
+def bloom_might_contain_bc(spark: SparkSession, key_col, words,
                            k: int = _BLOOM_K):
     """Broadcast-variable tier of the Bloom probe, for bitsets too big for
     a plan literal (m > ``_BLOOM_M_CAP``): the words ship ONCE per
-    executor as a real Spark broadcast (16 MB at ``_BLOOM_BC_CAP``), bit
+    executor as a real Spark broadcast (128 MB at ``_BLOOM_BC_CAP``), bit
     positions are still computed JVM-side with the SAME ``xxhash64``
     expressions as the build (so hashing can never diverge between
     build and probe), and only the gather-and-test runs in a vectorized
-    Arrow-batched pandas UDF over the k-position array column. Same
-    contract as :func:`bloom_might_contain`: no false negatives."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as _F
-
-    m = len(words) * 64
-    bits = np.array(
-        [w + (1 << 64) if w < 0 else w for w in words], dtype=np.uint64
+    Arrow-batched pandas UDF over the k-position array column
+    (:func:`_arrow_udfs.make_bloom_test_udf` — hint-based API, empty-batch
+    safe). Same contract as :func:`bloom_might_contain`: no false
+    negatives."""
+    from iot_data_pipeline_spark.operators._arrow_udfs import (
+        make_bloom_test_udf,
     )
+
+    bits = _bloom_as_uint64(words)
+    m = len(bits) * 64
     bc = spark.sparkContext.broadcast(bits)
-
-    # explicit SCALAR type: the module-wide `from __future__ import
-    # annotations` stringifies type hints and the locally-imported pd
-    # can't resolve, so hint-based inference is unavailable here
-    import warnings
-
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", UserWarning)
-
-        @_F.pandas_udf("boolean", _F.PandasUDFType.SCALAR)
-        def _test(pos):
-            w = bc.value
-            arr = np.vstack(pos.to_numpy())  # (rows, k) int64 positions
-            hit = (
-                w[arr >> 6] >> (arr.astype(np.uint64) & np.uint64(63))
-            ) & np.uint64(1)
-            return pd.Series(hit.all(axis=1))
-
+    test = make_bloom_test_udf(bc)
     pos_arr = F.array(
         *[F.pmod(F.xxhash64(key_col, F.lit(s)), F.lit(m)) for s in range(k)]
     )
-    return _test(pos_arr)
+    return test(pos_arr)
 
 
-def bloom_prefilter_pred(spark: SparkSession, key_col, words: list[int],
+def bloom_prefilter_pred(spark: SparkSession, key_col, words,
                          k: int = _BLOOM_K):
     """Tier dispatch for the Bloom probe: codegen literal+getbit while the
-    bitset fits a plan literal, vectorized broadcast-variable tier above."""
+    bitset fits a plan literal, vectorized broadcast-variable tier above.
+    Accepts the bitset as a signed-int64 list or a numpy uint64 array."""
+    import numpy as np
+
     if len(words) * 64 <= _BLOOM_M_CAP:
-        return bloom_might_contain(key_col, words, k)
+        as_list = (
+            [int(w) for w in words.view(np.int64)]
+            if isinstance(words, np.ndarray)
+            else words
+        )
+        return bloom_might_contain(key_col, as_list, k)
     return bloom_might_contain_bc(spark, key_col, words, k)
 
 
@@ -528,8 +568,9 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime Bloom-filter join pre-reduction — the shuffle-volume killer
     for selective fact⋈fact joins at 100 TB: a selective predicate keeps
     ~8% of orders, whose orderkeys are Bloom-summarized into an NDV-auto-
-    sized bitset — 16 KB floor, 16 MB cap (:func:`bloom_filter_words`) —
-    and the probe side (lineitem) is filtered by
+    sized bitset — 16 KB floor, 128 MB cap (:func:`bloom_filter_bits`,
+    collected as ≤ m/(64·2048) fixed-size 16 KB binary chunks) — and the
+    probe side (lineitem) is filtered by
     :func:`bloom_prefilter_pred` BEFORE the exact shuffle join, so ~92%
     of the big side never enters the exchange. The probe is TWO-tier:
     codegen literal+getbit while the bitset fits a plan literal
@@ -556,8 +597,8 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderpriority") == "1-URGENT")
         & (F.col("o_totalprice") > 300000)
     )
-    words = bloom_filter_words(build, "o_orderkey")
-    pre = li.filter(bloom_prefilter_pred(spark, F.col("l_orderkey"), words))
+    bits = bloom_filter_bits(build, "o_orderkey")
+    pre = li.filter(bloom_prefilter_pred(spark, F.col("l_orderkey"), bits))
     one = F.lit(1).cast("decimal(18,4)")
     return (
         pre.join(
