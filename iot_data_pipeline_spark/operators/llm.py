@@ -810,7 +810,13 @@ def llm_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HNSW_KG, _HNSW_BEAM, _HNSW_L1_MOD = 8, 32, 16
+# Beam 64 (was 32): the frontier width is the cheap recall knob — it widens
+# the per-hop expand/score jobs (same job COUNT, more rows per job, absorbed
+# by executor parallelism) instead of adding scheduling rounds; measured at
+# r8: recall 0.92/0.96/0.92 across sf0.001/0.01/0.1 at ≤ 3.2 s, vs
+# 0.92/0.94/0.68 at beam 32 (an extra layer-0 hop bought only 0.76 at sf0.1
+# for +0.9 s).
+_HNSW_KG, _HNSW_BEAM, _HNSW_L1_MOD = 8, 64, 16
 # Layer-1 build sharding: every (round, bucket) applyInPandas group holds
 # ≤ ~_HNSW_L1_CAP vectors (hash-balanced), never a corpus fraction; the
 # union of _HNSW_L1_ROUNDS independent bucketings merges into one top-kg

@@ -1618,7 +1618,12 @@ def _stage_media_dir(spark: SparkSession, sf_dir: str) -> str:
     A's orphan-reconcile sweep could delete a file process B had just
     staged (the tmp-file protocol only prevents torn files, not that
     delete race); with it, concurrent stagers serialize and each leaves
-    the directory in the full staged state before the next one scans."""
+    the directory in the full staged state before the next one scans.
+    Scope: the lock is POSIX-only (``fcntl`` absent → stagers fall back
+    to tmp+replace atomicity alone, re-opening the stage/reconcile race;
+    use an atomic lock-dir there if it ever matters) and serializes
+    STAGERS only — an external reader listing the directory mid-reconcile
+    of another process is out of scope for this test fixture."""
     import glob
     import os
     import tempfile

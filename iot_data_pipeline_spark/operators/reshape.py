@@ -609,7 +609,8 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 2-D box) skips files from parquet footer min/max stats alone. A
     single-column sort prunes only its own column — the skipping contrast
     (z-ordered files prune on custkey, date-sorted files cannot) is
-    asserted from real footer stats in tests/test_reshape.py.
+    asserted from real footer stats in tests/test_analytics.py
+    (test_zorder_layout_prunes_on_the_second_dimension).
 
     At 100 TB the shape is identical — the Morton key is a narrow
     projection (no shuffle beyond the one range-exchange the write needs
