@@ -11,7 +11,7 @@ tests/test_skew.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iot_data_pipeline_spark.operators._util import table
@@ -62,6 +62,52 @@ def salted_join(
     return salted_big.join(exploded_small, [key, "_salt"]).drop("_salt")
 
 
+def bounded_topk(
+    df: DataFrame, key: str, order_cols: list[Column], k: int = 3
+) -> DataFrame:
+    """Skew-resilient top-k per key: a per-(key, input-partition) partial
+    top-k bounds every global window partition at k·n_input_partitions rows
+    before the global rank runs — the window analogue of map-side combine.
+
+    Correct for ANY input partitioning: every row of the true global top-k
+    is, a fortiori, within its own input partition's top-k, so the partial
+    prune never drops a winner; ranks are then re-derived on the pruned set,
+    where the surviving rows keep their relative order. ``order_cols`` must
+    be a total order per key (unique tiebreak) for deterministic output.
+
+    This is the shape that survives a hot window key at 100 TB: a window
+    partition is indivisible — AQE's skew-split cannot touch it (it splits
+    JOIN partitions) — so the plain rank-then-filter's single hot partition
+    eventually exceeds one executor's sort budget. Here the first window's
+    partition key includes ``spark_partition_id()`` (a free, deterministic-
+    per-row salt), spreading the hot key across reducers, and the second
+    window sees at most k rows per key per input partition however hot the
+    key is. Probe (tools_skew_probe.py, NOTES_r08): at 25x/125x with 20% of
+    rows on one key the plain window is still inside parallel headroom and
+    this variant costs one extra pass — use it when a key's row count
+    approaches a single executor's capacity, not before."""
+    part = df.withColumn("_p", F.spark_partition_id())
+    wp = Window.partitionBy(key, "_p").orderBy(*order_cols)
+    pruned = (
+        part.withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") <= k)
+        .drop("_p", "_rn")
+    )
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    return pruned.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def skew_topk_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-3 events per user via the bounded two-phase top-k. The oracle
+    is the PLAIN window top-k SQL — proving the partial prune changes the
+    physical bound and nothing else. (ts DESC, event_id) is a total order
+    (event_id unique), so ranks are deterministic."""
+    e = table(spark, sf_dir, "events")
+    return bounded_topk(
+        e, "user_id", [F.col("ts").desc(), F.col("event_id")], k=3
+    ).select("user_id", "event_id", "rn")
+
+
 def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase sum+count per user over events — the hot-key
     aggregation pattern, registered so the oracle proves the salted plan is
@@ -99,6 +145,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "skew_salted_agg": skew_salted_agg,
     "skew_salted_join": skew_salted_join,
+    "skew_topk_bounded": skew_topk_bounded,
 }
 
 ORACLES = {
@@ -110,5 +157,12 @@ ORACLES = {
     "skew_salted_join": (
         "SELECT event_id, user_id, c_mktsegment, value"
         " FROM events JOIN customer ON user_id = c_custkey"
+    ),
+    "skew_topk_bounded": (
+        "SELECT user_id, event_id, rn FROM ("
+        "  SELECT user_id, event_id,"
+        "  ROW_NUMBER() OVER (PARTITION BY user_id"
+        "                     ORDER BY ts DESC, event_id) AS rn"
+        "  FROM events) WHERE rn <= 3"
     ),
 }

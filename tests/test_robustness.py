@@ -20,6 +20,7 @@ from iot_data_pipeline_spark.operators import (
     maintenance,
     relational,
     reshape,
+    skew,
 )
 
 CASES = [
@@ -74,6 +75,10 @@ QUERIES = {
     # collect — the final aggregate must be identical whether the exact
     # join broadcasts or shuffles, and under AQE re-planning
     "join_bloom_prefilter": relational.join_bloom_prefilter,
+    # two-phase bounded top-k: the partial prune groups on
+    # spark_partition_id() — literally the physical placement — so ranks
+    # must be identical under any partition count or AQE choice
+    "skew_topk_bounded": skew.skew_topk_bounded,
 }
 
 
