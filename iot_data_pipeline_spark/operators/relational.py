@@ -404,9 +404,14 @@ def bloom_filter_bits(
     The fold is fully ENGINE-side and CHUNKED: distinct positions →
     per-word OR (distinct powers of two, so SUM == OR; signed int64 never
     wraps because bit 63 contributes -2^63 exactly once) → per-chunk
-    fixed-size 16 KB binary blobs (``_BLOOM_CHUNK_WORDS`` words each,
-    built linearly via transform+array_join over hex, never a quadratic
-    concat-accumulate). The driver therefore collects at most
+    fixed-size 16 KB binary blobs (``_BLOOM_CHUNK_WORDS`` words each).
+    Blob assembly is LINEAR in the chunk size: the chunk's occupied words
+    arrive as a SORTED entry array and gaps are zero-filled by a
+    zip-with-previous pass (array_repeat per gap), then one
+    transform+array_join over hex — never a per-index ``element_at`` on a
+    map, which is a linear scan per lookup in Spark and made the
+    assembly O(c²) per chunk (measured 13–18 s at m=2^24; this form is
+    1.9 s, bit-identical). The driver therefore collects at most
     ``m/(64·2048)`` binary rows — 8192 blobs at the 2^30 cap — instead of
     up to m/64 = 16.7M individual word Rows; all-zero chunks produce no
     row at all, so a sparse bitset collects only its occupied chunks.
@@ -442,6 +447,25 @@ def bloom_filter_bits(
             )
         ).alias("pos")
     ).distinct()
+    # sorted occupied entries + zip-with-previous gap fill: prepend a
+    # sentinel at index -1, pair each entry with its predecessor, emit
+    # (gap zeros, word) per pair, pad the tail to c words — every step
+    # linear in the chunk, and slice(es, 1, size-1) is empty for a
+    # single-entry chunk so the sentinel pairs with the first entry.
+    blob_expr = f"""
+      unhex(array_join(transform(
+        concat(
+          flatten(zip_with(
+            es,
+            concat(array(struct(cast(-1 as int) as i, cast(0 as bigint) as bits)),
+                   slice(es, 1, size(es) - 1)),
+            (e, p) -> concat(array_repeat(cast(0 as bigint), e.i - p.i - 1),
+                             array(e.bits))
+          )),
+          array_repeat(cast(0 as bigint), {c} - 1 - element_at(es, -1).i)
+        ),
+        w -> lpad(hex(w), 16, '0')), ''))
+    """
     chunk_rows = (
         pos.groupBy(F.floor(F.col("pos") / 64).cast("bigint").alias("w"))
         .agg(
@@ -453,23 +477,16 @@ def bloom_filter_bits(
         )
         .groupBy((F.col("w") / c).cast("bigint").alias("chunk"))
         .agg(
-            F.map_from_entries(
+            F.sort_array(
                 F.collect_list(
                     F.struct(
                         F.pmod(F.col("w"), F.lit(c)).cast("int").alias("i"),
                         F.col("bits"),
                     )
                 )
-            ).alias("mp")
+            ).alias("es")
         )
-        .select(
-            "chunk",
-            F.expr(
-                f"unhex(array_join(transform(sequence(0, {c - 1}), "
-                "i -> lpad(hex(coalesce(element_at(mp, i), 0L)), 16, '0')), "
-                "''))"
-            ).alias("blob"),
-        )
+        .select("chunk", F.expr(blob_expr).alias("blob"))
         .collect()
     )
     bits = np.zeros(n_words, dtype=np.uint64)
