@@ -126,7 +126,8 @@ PICKS = {
     "join_bloom_prefilter": (
         "runtime Bloom prefilter: NDV-auto-sized bitset (16 KB floor; plan"
         " literal + getbit codegen to 256 KB, Arrow broadcast-variable tier"
-        " to 16 MB) from the selective build side; the Filter sits on the"
+        " to 128 MB, fold collected as 16 KB chunk blobs assembled linearly)"
+        " from the selective build side; the Filter sits on the"
         " probe scan BELOW the join and cuts ~92% of the big side before"
         " the exchange — no false negatives, oracle is the plain join"
     ),
