@@ -61,13 +61,34 @@ _MODULES = [
 ]
 
 
-_SIMPLE_CONST_TYPES = (int, float, str, bytes, bool, tuple, list, dict, frozenset)
+# NOTE: no set/frozenset here — their repr is PYTHONHASHSEED-ordered, which
+# would make the fingerprint process-dependent (review finding, round 8).
+_SIMPLE_CONST_TYPES = (int, float, str, bytes, bool, tuple, list, dict)
+
+
+def _code_names(code) -> set[str]:
+    """All global names a code object references, INCLUDING inside nested
+    code objects (comprehensions, lambdas, inner functions live as child
+    code objects in co_consts and keep their own co_names — the outer
+    co_names alone misses e.g. a module constant read only inside a list
+    comprehension, which is the dominant shape in pandas-UDF operators;
+    review finding, round 8)."""
+    import types
+
+    names: set[str] = set(code.co_names)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            names |= _code_names(const)
+    return names
 
 
 def src_fingerprint(fn: Callable) -> str:
     """Stable sha1 over the registered callable's source PLUS the sources of
     every same-module function it (transitively) references and the reprs of
     the simple module-level constants it reads (caps, schedules, seeds).
+    Name discovery walks nested code objects too (``_code_names``), so a
+    constant read only inside a comprehension or an inner pandas-UDF body
+    still flips the fingerprint when it changes.
 
     This is the rework detector for attestation ordering: a driver-green row
     only attests the code that produced it, so when an operator's
@@ -93,7 +114,7 @@ def src_fingerprint(fn: Callable) -> str:
         code = getattr(f, "__code__", None)
         if code is None or mod is None:
             continue
-        for name in code.co_names:
+        for name in sorted(_code_names(code)):
             if name in seen_names:
                 continue
             seen_names.add(name)

@@ -436,7 +436,7 @@ def bloom_filter_bits(
         # bits the probe side never tests (silent false negatives)
         raise ValueError(f"bloom m must be a multiple of 64, got {m}")
     n_words = m // 64
-    c = min(_BLOOM_CHUNK_WORDS, n_words)  # m ≥ 2^17 ⇒ c | n_words
+    c = min(_BLOOM_CHUNK_WORDS, n_words)  # last chunk may be partial (clipped below)
     pos = build.select(
         F.explode(
             F.array(
@@ -492,7 +492,12 @@ def bloom_filter_bits(
     bits = np.zeros(n_words, dtype=np.uint64)
     for r in chunk_rows:
         lo = int(r["chunk"]) * c
-        bits[lo : lo + c] = np.frombuffer(r["blob"], dtype=">u8")
+        # every blob is tail-padded to exactly c words, but when c does not
+        # divide n_words (an explicit non-power-of-two m, e.g. 192 KB) the
+        # LAST chunk owns fewer than c words — clip to the destination
+        # (padding past n_words is provably zero: positions are < m)
+        seg = bits[lo : lo + c]
+        seg[:] = np.frombuffer(r["blob"], dtype=">u8")[: len(seg)]
     return bits
 
 

@@ -85,13 +85,23 @@ def bounded_topk(
     key is. Probe (tools_skew_probe.py, NOTES_r08): at 25x/125x with 20% of
     rows on one key the plain window is still inside parallel headroom and
     this variant costs one extra pass — use it when a key's row count
-    approaches a single executor's capacity, not before."""
-    part = df.withColumn("_p", F.spark_partition_id())
-    wp = Window.partitionBy(key, "_p").orderBy(*order_cols)
+    approaches a single executor's capacity, not before.
+
+    The result adds (or REPLACES) a ``rn`` rank column; a pre-existing
+    ``rn`` or internal-name collision raises rather than silently
+    overwriting caller data."""
+    for col in ("rn", "__btk_p", "__btk_rn"):
+        if col in df.columns:
+            raise ValueError(
+                f"bounded_topk: input already has a {col!r} column — rename "
+                "it first (rn is the output rank; __btk_* are internal)"
+            )
+    part = df.withColumn("__btk_p", F.spark_partition_id())
+    wp = Window.partitionBy(key, "__btk_p").orderBy(*order_cols)
     pruned = (
-        part.withColumn("_rn", F.row_number().over(wp))
-        .where(F.col("_rn") <= k)
-        .drop("_p", "_rn")
+        part.withColumn("__btk_rn", F.row_number().over(wp))
+        .where(F.col("__btk_rn") <= k)
+        .drop("__btk_p", "__btk_rn")
     )
     w = Window.partitionBy(key).orderBy(*order_cols)
     return pruned.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)

@@ -680,3 +680,41 @@ def test_bloom_chunked_fold_matches_reference_bits(spark):
         np.array(words, dtype=np.int64).view(np.uint64),
         R.bloom_filter_bits(build, "k", m=1 << 17),
     )
+
+
+def test_bloom_explicit_non_power_of_two_m(spark):
+    """An explicit m that is a multiple of 64 but whose word count is not a
+    multiple of the 2048-word chunk (e.g. 192 Kib -> 3072 words) must build
+    correctly: the LAST chunk owns fewer than c words and its tail-padded
+    blob is clipped to the destination (review finding, round 8 — this
+    crashed with a numpy broadcast ValueError before the clip)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.operators import relational as R
+
+    build = spark.range(0, 4000, 3).withColumnRenamed("id", "k")
+    m = 192 * 1024  # 3072 words: chunk 0 full (2048), chunk 1 partial (1024)
+    got = R.bloom_filter_bits(build, "k", m=m)
+    assert len(got) == m // 64
+    pos_rows = (
+        build.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col("k"), F.lit(s)), F.lit(m))
+                        for s in range(R._BLOOM_K)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    want = np.zeros(m // 64, dtype=np.uint64)
+    for r in pos_rows:
+        p = int(r["pos"])
+        want[p >> 6] |= np.uint64(1) << np.uint64(p & 63)
+    assert np.array_equal(got, want)
+    # the partial chunk really was exercised
+    assert want[2048:].any()

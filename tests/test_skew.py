@@ -104,3 +104,13 @@ def test_skew_topk_bounded_registered_query(spark, sf_dir):
     )
     got = skew.skew_topk_bounded(spark, sf_dir)
     assert _sorted(plain.collect()) == _sorted(got.collect())
+
+
+def test_bounded_topk_rejects_colliding_columns(spark):
+    # rn is the output contract; __btk_* are internals — silent overwrite of
+    # caller data is worse than an error (review finding, round 8).
+    import pytest
+
+    df = spark.createDataFrame([(1, 1, 1.0)], ["id", "key", "rn"])
+    with pytest.raises(ValueError, match="rn"):
+        skew.bounded_topk(df, "key", [F.col("id")], k=1)

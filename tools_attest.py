@@ -64,11 +64,20 @@ def main() -> None:
         if rnd < maxr and isinstance(prior, dict) and prior.get("round") == rnd:
             sidecar[qid] = prior  # attestation unchanged; keep the old-code fp
             kept += 1
-        else:
-            # Attested at the just-landed round (head == driver-executed code),
-            # or bootstrap/missed stamping: stamp the current fingerprint.
+        elif rnd == maxr:
+            # Attested at the just-landed round (head == driver-executed
+            # code): stamping the current fingerprint is faithful.
             sidecar[qid] = {"round": rnd, "fp": entry_mod.src_fingerprint(fn)}
             stamped += 1
+        else:
+            # rnd < maxr but no matching prior entry (a regen was skipped a
+            # round, or the sidecar was lost): the head may have diverged
+            # from the code round-rnd executed, so stamping the current fp
+            # would silently certify possibly-reworked code. Fail
+            # CONSERVATIVE: the stale sentinel orders the id never-attested
+            # and the next driver row re-attests it (review finding, r8).
+            sidecar[qid] = {"round": rnd, "fp": f"stale:unstamped-r{rnd}"}
+            overridden += 1
 
     with open(_SIDECAR, "w") as fh:
         json.dump(sidecar, fh, indent=1, sort_keys=True)

@@ -133,6 +133,7 @@ def _queries(spark, d):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from iot_data_pipeline_spark.operators import skew
     from iot_data_pipeline_spark.operators._util import table
     from iot_data_pipeline_spark.operators.skew import salted_join
 
@@ -164,18 +165,8 @@ def _queries(spark, d):
         )
 
     def agg_salted():
-        e = table(spark, d, "events")
-        salted = e.withColumn(
-            "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(8))
-        )
-        partial = salted.groupBy("user_id", "_salt").agg(
-            F.count(F.lit(1)).alias("_pc"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("_ps"),
-        )
-        return partial.groupBy("user_id").agg(
-            F.sum("_pc").alias("n"),
-            F.sum("_ps").cast("double").alias("total"),
-        )
+        # the REGISTERED operator, so the probe times exactly what ships
+        return skew.skew_salted_agg(spark, d)
 
     def ord_join():
         o = table(spark, d, "orders")
@@ -196,29 +187,9 @@ def _queries(spark, d):
         )
 
     def win_topk_twophase():
-        # Skew-resilient top-k: per-(key, input-partition) partial top-k
-        # bounds every window partition at k * n_input_partitions rows
-        # before the global window runs — the window analogue of map-side
-        # combine, since row_number's top-k survives any partial prune that
-        # keeps each partition's own top-k.
-        e = table(spark, d, "events")
-        part = e.withColumn("_p", F.spark_partition_id())
-        wp = Window.partitionBy("user_id", "_p").orderBy(
-            F.col("ts").desc(), F.col("event_id")
-        )
-        pruned = (
-            part.withColumn("_rn", F.row_number().over(wp))
-            .where(F.col("_rn") <= 3)
-            .drop("_p", "_rn")
-        )
-        w = Window.partitionBy("user_id").orderBy(
-            F.col("ts").desc(), F.col("event_id")
-        )
-        return (
-            pruned.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= 3)
-            .select("user_id", "event_id", "rn")
-        )
+        # the REGISTERED skew_topk_bounded operator (skew.bounded_topk),
+        # so the probe times exactly the shipped mitigation
+        return skew.skew_topk_bounded(spark, d)
 
     return {
         "join_plain": join_plain,
@@ -267,7 +238,10 @@ def correctness(spark, copies: int = COPIES) -> None:
     n_salted = q["join_salted"]().count()
     assert n_plain == n_salted, (n_plain, n_salted)
     a = {r["user_id"]: (r["n"], r["total"]) for r in q["agg_plain"]().collect()}
-    b = {r["user_id"]: (r["n"], r["total"]) for r in q["agg_salted"]().collect()}
+    b = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in q["agg_salted"]().collect()
+    }
     assert a == b, "salted agg diverged from plain agg"
     t1 = sorted(map(tuple, q["win_topk"]().collect()))
     t2 = sorted(map(tuple, q["win_topk_twophase"]().collect()))
