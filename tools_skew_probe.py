@@ -259,7 +259,12 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--skip-stage", action="store_true")
     ap.add_argument("--copies", type=int, default=COPIES)
-    ap.add_argument("--match", default="", help="run only cells containing this")
+    ap.add_argument(
+        "--match",
+        default="",
+        help="comma-separated substrings; run only cells containing any "
+        "(plain substrings, NOT regex — 'a|b' matches nothing)",
+    )
     ap.add_argument(
         "--driver-memory",
         default="4g",
@@ -291,7 +296,9 @@ def main() -> None:
     defaults = {k: spark.conf.get(k, None) for cfg in CONFIGS.values() for k in cfg}
     for shape, cfg_name in MATRIX:
         cell = f"{shape}@{cfg_name}"
-        if args.match and args.match not in cell:
+        if args.match and not any(
+            s in cell for s in args.match.split(",") if s
+        ):
             continue
         results[cell] = {}
         for variant in ("uniform", "hotkey"):
