@@ -13,6 +13,17 @@ attestation ids, e.g. llm_sim_hnsw whose r6 row predates its r7 rewrite).
 mismatches its stamped one as never-attested, pulling reworked code back
 into the driver's 50-id verification prefix immediately.
 
+If the FINGERPRINT ALGORITHM itself changes (``src_fingerprint`` /
+``_code_names``), a plain regen is NOT enough: kept entries were stamped
+under the old algorithm and would all mismatch, flooding the prefix with
+false-stale ids. Regenerate FAITHFULLY instead, as done in round 8: for
+each attested round R, `git worktree add <dir> <round-R driver commit>^`
+(the code the round-R driver actually executed), compute each id's
+fingerprint THERE with the NEW algorithm (standalone copy of the
+fingerprint functions, cwd = worktree), and rebuild the sidecar from
+those per-round stamps. Ids genuinely reworked since their attestation
+then surface as stale on their own merits.
+
 Usage: python tools_attest.py [--stale id1,id2,...]
 """
 
