@@ -82,6 +82,14 @@ def _code_names(code) -> set[str]:
     return names
 
 
+# Source cannot change within a process, so fingerprints are memoized per
+# callable: queries() recomputes the ordering on every invocation and the
+# transitive inspect.getsource walk over ~hundreds of ids is otherwise repeated
+# re-parsing at driver startup (r8 ADVICE item 2). Keyed on the function object
+# itself (registry callables are module-level and live for the process).
+_FP_CACHE: dict[Callable, str] = {}
+
+
 def src_fingerprint(fn: Callable) -> str:
     """Stable sha1 over the registered callable's source PLUS the sources of
     every same-module function it (transitively) references and the reprs of
@@ -96,6 +104,9 @@ def src_fingerprint(fn: Callable) -> str:
     never-attested group (see ``_attestation_round``). One-module-deep by
     design — cross-module helpers are shared infrastructure whose reworks get
     their own ids re-attested via their own callers' fingerprints."""
+    cached = _FP_CACHE.get(fn)
+    if cached is not None:
+        return cached
     parts: list[str] = []
     seen_fns: set[int] = set()
     seen_names: set[str] = set()
@@ -125,7 +136,9 @@ def src_fingerprint(fn: Callable) -> str:
                 stack.append(obj)
             elif isinstance(obj, _SIMPLE_CONST_TYPES):
                 parts.append(f"{name}={obj!r}")
-    return hashlib.sha1("\n".join(sorted(parts)).encode("utf-8")).hexdigest()
+    fp = hashlib.sha1("\n".join(sorted(parts)).encode("utf-8")).hexdigest()
+    _FP_CACHE[fn] = fp
+    return fp
 
 
 def latest_attested_round() -> dict[str, int]:

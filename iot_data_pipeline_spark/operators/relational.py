@@ -539,6 +539,11 @@ def _bloom_as_uint64(words):
     import numpy as np
 
     if isinstance(words, np.ndarray):
+        if words.dtype == np.int64:
+            # Bit REINTERPRETATION, not value conversion: astype on signed
+            # negatives relies on numpy's value-wrap behavior (which numpy
+            # has been tightening); view is the exact intended cast.
+            return words.view(np.uint64)
         return words.astype(np.uint64, copy=False)
     return np.array(words, dtype=np.int64).view(np.uint64)
 

@@ -79,8 +79,13 @@ def bounded_topk(
     partition is indivisible — AQE's skew-split cannot touch it (it splits
     JOIN partitions) — so the plain rank-then-filter's single hot partition
     eventually exceeds one executor's sort budget. Here the first window's
-    partition key includes ``spark_partition_id()`` (a free, deterministic-
-    per-row salt), spreading the hot key across reducers, and the second
+    partition key includes ``spark_partition_id()`` — a free salt that Spark
+    marks NONDETERMINISTIC (a row's id can change if its partition is
+    recomputed on stage retry/loss) but that is correctness-neutral: any
+    complete partition-id assignment preserves the true top-k, because every
+    global winner is within whatever partition it lands in — the usual
+    recompute caveat shared by rand()-salted plans. It spreads the hot key
+    across reducers, and the second
     window sees at most k rows per key per input partition however hot the
     key is. Probe (tools_skew_probe.py, NOTES_r08): at 25x/125x with 20% of
     rows on one key the plain window is still inside parallel headroom and

@@ -239,3 +239,70 @@ def test_attestation_is_rework_aware(tmp_path):
     (tmp_path / "ATTESTATIONS.json").unlink()
     fallback = mod._attestation_round(registry)
     assert fallback.get(stale_id) == 1 and fallback.get(fresh_id) == 1
+
+
+def test_attest_regen_keeps_prior_stamp_at_max_round():
+    """A second regen later in the round must NOT re-stamp the current
+    fingerprint over a prior entry for the same (just-landed) round: the
+    driver earned that row against pre-edit code, and restamping post-edit
+    fingerprints would silently certify reworked code (r8 ADVICE item 1)."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "_tools_attest", os.path.join(root, "tools_attest.py")
+    )
+    ta = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ta)
+
+    registry = {"a": lambda: None, "b": lambda: None, "c": lambda: None}
+    latest = {"a": 2, "b": 2, "c": 1}
+    existing = {
+        "a": {"round": 2, "fp": "fp-earned-pre-edit"},  # maxr, prior stamp
+        "c": {"round": 1, "fp": "fp-old-round"},
+    }
+    calls = []
+
+    def fingerprint(fn):
+        calls.append(fn)
+        return "fp-current-head"
+
+    sidecar, stamped, kept, overridden = ta.regenerate(
+        registry, latest, existing, set(), fingerprint
+    )
+    # a: prior same-round entry KEPT verbatim, fingerprint() never called on it
+    assert sidecar["a"] == {"round": 2, "fp": "fp-earned-pre-edit"}
+    # b: first stamp for the just-landed round -> current fp is faithful
+    assert sidecar["b"] == {"round": 2, "fp": "fp-current-head"}
+    # c: old round with matching prior -> kept
+    assert sidecar["c"] == {"round": 1, "fp": "fp-old-round"}
+    assert (stamped, kept, overridden) == (1, 2, 0)
+    assert calls == [registry["b"]]
+
+    # Old round WITHOUT a matching prior -> conservative stale sentinel
+    # (maxr pinned to 2 by id "b" so "c"'s round 1 is genuinely old).
+    sidecar2, _, _, over2 = ta.regenerate(
+        {"b": registry["b"], "c": registry["c"]},
+        {"b": 2, "c": 1},
+        {},
+        set(),
+        fingerprint,
+    )
+    assert sidecar2["c"]["fp"].startswith("stale:unstamped")
+    assert over2 == 1
+
+
+def test_src_fingerprint_is_memoized():
+    """queries() recomputes ordering per invocation; the transitive
+    getsource walk must run once per callable per process (r8 ADVICE)."""
+    mod = _load_entry_mod()
+    registry = {}
+    for m in mod._MODULES:
+        registry.update(m.QUERIES)
+    fn = registry["scan_parquet"]
+    first = mod.src_fingerprint(fn)
+    assert mod._FP_CACHE[fn] == first
+    # Poison the cache: a second call must hit it, not recompute.
+    mod._FP_CACHE[fn] = "cached-sentinel"
+    assert mod.src_fingerprint(fn) == "cached-sentinel"

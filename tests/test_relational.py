@@ -718,3 +718,27 @@ def test_bloom_explicit_non_power_of_two_m(spark):
     assert np.array_equal(got, want)
     # the partial chunk really was exercised
     assert want[2048:].any()
+
+
+def test_bloom_as_uint64_signed_is_bit_reinterpretation():
+    """A signed int64 ndarray (the literal-tier word view) must be BIT
+    reinterpreted, not value-converted: astype on negative values relies on
+    numpy's value-wrap behavior, which numpy has been tightening (r8 ADVICE).
+    """
+    import numpy as np
+
+    from iot_data_pipeline_spark.operators.relational import _bloom_as_uint64
+
+    signed = np.array([-1, -(2**63), 0, 7], dtype=np.int64)
+    got = _bloom_as_uint64(signed)
+    assert got.dtype == np.uint64
+    want = np.array([2**64 - 1, 2**63, 0, 7], dtype=np.uint64)
+    assert np.array_equal(got, want)
+    # view shares the buffer (no copy) — the exact intended reinterpretation
+    assert got.base is signed or got is signed
+    # already-unsigned input passes through unchanged, also copy-free
+    unsigned = np.array([1, 2], dtype=np.uint64)
+    out = _bloom_as_uint64(unsigned)
+    assert out is unsigned
+    # plain Python signed list keeps the documented view semantics
+    assert np.array_equal(_bloom_as_uint64([-1]), np.array([2**64 - 1], dtype=np.uint64))

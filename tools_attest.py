@@ -38,6 +38,47 @@ import __spark_entry__ as entry_mod
 _SIDECAR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ATTESTATIONS.json")
 
 
+def regenerate(registry, latest, existing, stale, fingerprint):
+    """Pure sidecar rebuild: returns (sidecar, stamped, kept, overridden).
+
+    A prior entry whose round matches the id's latest attested round is
+    ALWAYS kept — including at the just-landed max round. A second regen
+    later in the round (after code edits) must not re-stamp post-edit
+    fingerprints onto rows the driver earned against pre-edit code; that
+    would silently certify reworked code and defeat the rework detector
+    this tool exists to serve (r8 ADVICE item 1)."""
+    maxr = max(latest.values(), default=0)
+    sidecar: dict[str, dict] = {}
+    stamped = kept = overridden = 0
+    for qid, fn in registry.items():
+        rnd = latest.get(qid, 0)
+        if rnd == 0:
+            continue  # never attested; orders first already
+        if qid in stale:
+            sidecar[qid] = {"round": rnd, "fp": f"stale:reworked-after-r{rnd}"}
+            overridden += 1
+            continue
+        prior = existing.get(qid)
+        if isinstance(prior, dict) and prior.get("round") == rnd:
+            sidecar[qid] = prior  # attestation unchanged; keep the earned fp
+            kept += 1
+        elif rnd == maxr:
+            # FIRST stamp for the just-landed round (head == the
+            # driver-executed code, so the current fingerprint is faithful).
+            sidecar[qid] = {"round": rnd, "fp": fingerprint(fn)}
+            stamped += 1
+        else:
+            # rnd < maxr but no matching prior entry (a regen was skipped a
+            # round, or the sidecar was lost): the head may have diverged
+            # from the code round-rnd executed, so stamping the current fp
+            # would silently certify possibly-reworked code. Fail
+            # CONSERVATIVE: the stale sentinel orders the id never-attested
+            # and the next driver row re-attests it (review finding, r8).
+            sidecar[qid] = {"round": rnd, "fp": f"stale:unstamped-r{rnd}"}
+            overridden += 1
+    return sidecar, stamped, kept, overridden
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -53,7 +94,6 @@ def main() -> None:
     for mod in entry_mod._MODULES:
         registry.update(mod.QUERIES)
     latest = entry_mod.latest_attested_round()
-    maxr = max(latest.values(), default=0)
 
     try:
         with open(_SIDECAR) as fh:
@@ -61,34 +101,10 @@ def main() -> None:
     except (OSError, ValueError):
         existing = {}
 
-    sidecar: dict[str, dict] = {}
-    stamped = kept = overridden = 0
-    for qid, fn in registry.items():
-        rnd = latest.get(qid, 0)
-        if rnd == 0:
-            continue  # never attested; orders first already
-        if qid in stale:
-            sidecar[qid] = {"round": rnd, "fp": f"stale:reworked-after-r{rnd}"}
-            overridden += 1
-            continue
-        prior = existing.get(qid)
-        if rnd < maxr and isinstance(prior, dict) and prior.get("round") == rnd:
-            sidecar[qid] = prior  # attestation unchanged; keep the old-code fp
-            kept += 1
-        elif rnd == maxr:
-            # Attested at the just-landed round (head == driver-executed
-            # code): stamping the current fingerprint is faithful.
-            sidecar[qid] = {"round": rnd, "fp": entry_mod.src_fingerprint(fn)}
-            stamped += 1
-        else:
-            # rnd < maxr but no matching prior entry (a regen was skipped a
-            # round, or the sidecar was lost): the head may have diverged
-            # from the code round-rnd executed, so stamping the current fp
-            # would silently certify possibly-reworked code. Fail
-            # CONSERVATIVE: the stale sentinel orders the id never-attested
-            # and the next driver row re-attests it (review finding, r8).
-            sidecar[qid] = {"round": rnd, "fp": f"stale:unstamped-r{rnd}"}
-            overridden += 1
+    sidecar, stamped, kept, overridden = regenerate(
+        registry, latest, existing, stale, entry_mod.src_fingerprint
+    )
+    maxr = max(latest.values(), default=0)
 
     with open(_SIDECAR, "w") as fh:
         json.dump(sidecar, fh, indent=1, sort_keys=True)
