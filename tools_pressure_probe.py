@@ -1,0 +1,318 @@
+"""Memory-pressure (spill) + small-files (bin-packing) probes — round 9.
+
+Two scale-killer classes no prior ritual exercised directly:
+
+``mem`` — **does a memory-tight executor spill or die?** At 100 TB an
+executor's share of a shuffle partition routinely exceeds execution memory;
+the difference between a plan that SPILLS (UnsafeExternalSorter /
+hash-agg fallback) and one that OOMs is the difference between a slow stage
+and a dead job. The probe stages the 125x uniform fact (12.5M events /
+18.75M orders, via tools_skew_probe staging) and runs four memory-hungry
+shapes — global sort, no-broadcast sort-merge join, 12.5M-group hash
+aggregate, per-key window rank — in FRESH subprocess JVMs pinned to small
+heaps (default 1g/16g) under two shuffle widths (32 vs 256) AND two
+task-slot counts (32 vs 4): heap/slots is the per-task memory floor, i.e.
+the executor cores-per-GB sizing knob. Per cell it records ok/OOM, wall
+seconds, and the stage-aggregated memory/disk spill bytes from the local
+REST status API. The 100 TB story the numbers test: below a per-task floor
+(1g/32 slots ≈ 13 MB/task) Spark's sorters cannot even allocate a page and
+the JVM dies with heap OOM — no amount of spilling saves an executor sized
+too many-cores-per-GB — while at a sane slots-per-GB the same shapes
+complete by SPILLING, and widening ``spark.sql.shuffle.partitions`` shrinks
+per-task footprint further. "Size shuffle partitions AND cores-per-GB so
+partitions fit in executor memory", measured.
+
+``files`` — **does the scan survive a fragmented object store?** Streaming
+ingest at 100 TB leaves millions of small files. The probe writes the 25x
+events fact as 4096 tiny parquet files and measures the same scan+aggregate
+three ways: Spark's default file bin-packing (openCostInBytes packs many
+files per task), a deliberately defeated packing (maxPartitionBytes below
+the file size -> one task per file, the pathological listing), and after a
+``coalesce`` compaction rewrite (the ``sink_compact_files`` maintenance
+shape). Scan task counts are recorded alongside wall time, so the datum is
+structural (task explosion), not just a local timing.
+
+Usage:
+  python tools_pressure_probe.py mem   [--copies 125] [--heaps 1g,16g]
+                                       [--shuffles 32,256] [--skip-stage]
+  python tools_pressure_probe.py files [--copies 25] [--nfiles 4096]
+  (``mem --child ...`` is the internal subprocess entry.)
+
+Writes one JSON line per cell and a summary table to stdout; NOTES_r09
+records the tables.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SHAPES = ("sort_global", "join_smj", "agg_highcard", "window_rank")
+
+
+def _mem_queries(spark, d: str):
+    """Shape name -> lazily-built DataFrame over staging dir ``d``. All four
+    are deliberately memory-hungry per task: wide sorts, an SMJ whose both
+    sides sort, a hash aggregate with one group per input row (guaranteed
+    fallback past any in-memory map), and a window whose every partition
+    must sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{d}/events.parquet")
+    od = spark.read.parquet(f"{d}/orders.parquet")
+
+    def sort_global():
+        return ev.orderBy("value", "event_id")
+
+    def join_smj():
+        return ev.join(od, ev.user_id == od.o_custkey).select(
+            "event_id", "o_orderkey", "value", "o_totalprice"
+        )
+
+    def agg_highcard():
+        # one group per event_id: the hash map can never hold the groups
+        return ev.groupBy("event_id").agg(
+            F.sum("value").alias("v"), F.count("*").alias("n")
+        )
+
+    def window_rank():
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), "event_id")
+        return ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+
+    return {
+        "sort_global": sort_global,
+        "join_smj": join_smj,
+        "agg_highcard": agg_highcard,
+        "window_rank": window_rank,
+    }
+
+
+def _spill_bytes(spark) -> tuple[int, int]:
+    """Sum memory/disk spill over all completed stages via the local REST
+    status API (the listener-backed numbers the UI shows)."""
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return (-1, -1)
+    try:
+        apps = json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages")
+        )
+        mem = sum(s.get("memoryBytesSpilled", 0) for s in stages)
+        disk = sum(s.get("diskBytesSpilled", 0) for s in stages)
+        return (mem, disk)
+    except Exception:
+        return (-1, -1)
+
+
+def _child(args) -> None:
+    """Fresh-JVM cell runner: pins driver memory (local mode: THE heap),
+    runs one shape to a noop sink, prints one JSON result line."""
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName(f"pressure_{args.shape}_{args.heap}")
+        .master(f"local[{args.cpus}]")
+        .config("spark.driver.memory", args.heap)
+        .config("spark.sql.shuffle.partitions", str(args.shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    build = _mem_queries(spark, args.dir)[args.shape]
+    # warm once (scan cache, codegen), then measure
+    build().write.format("noop").mode("overwrite").save()
+    t0 = time.monotonic()
+    build().write.format("noop").mode("overwrite").save()
+    wall = time.monotonic() - t0
+    mem, disk = _spill_bytes(spark)
+    print(
+        "RESULT " + json.dumps(
+            {
+                "shape": args.shape,
+                "heap": args.heap,
+                "shuffle": args.shuffle,
+                "ok": True,
+                "wall_s": round(wall, 2),
+                "spill_mem_mb": round(mem / 1e6, 1),
+                "spill_disk_mb": round(disk / 1e6, 1),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+def mem_probe(args) -> None:
+    import tools_skew_probe as skew
+
+    if not args.skip_stage:
+        skew.stage(args.copies)
+    d = os.path.join(skew.base_dir(args.copies), "uniform")
+    rows = []
+    for heap in args.heaps.split(","):
+        for cpus in (int(c) for c in args.cpus_list.split(",")):
+            for shuffle in (int(s) for s in args.shuffles.split(",")):
+                for shape in SHAPES:
+                    cmd = [
+                        sys.executable, os.path.abspath(__file__), "mem",
+                        "--child", "--shape", shape, "--heap", heap,
+                        "--shuffle", str(shuffle), "--dir", d,
+                        "--cpus", str(cpus),
+                    ]
+                    proc = subprocess.run(
+                        cmd, capture_output=True, text=True, timeout=1200,
+                        cwd=REPO,
+                    )
+                    res = None
+                    for line in proc.stdout.splitlines():
+                        if line.startswith("RESULT "):
+                            res = json.loads(line[len("RESULT "):])
+                    if res is None:
+                        full = (proc.stderr or "") + (proc.stdout or "")
+                        res = {
+                            "shape": shape, "heap": heap, "shuffle": shuffle,
+                            "cpus": cpus, "ok": False, "rc": proc.returncode,
+                            "oom": "OutOfMemoryError" in full,
+                        }
+                    else:
+                        res["cpus"] = cpus
+                    rows.append(res)
+                    print(json.dumps(res), flush=True)
+    print(
+        "\n| shape | heap | slots | shuffle | ok | wall s "
+        "| spill mem MB | spill disk MB |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        outcome = "ok" if r["ok"] else ("OOM" if r.get("oom") else "fail")
+        print(
+            f"| {r['shape']} | {r['heap']} | {r['cpus']} | {r['shuffle']} "
+            f"| {outcome} | {r.get('wall_s', '-')} "
+            f"| {r.get('spill_mem_mb', '-')} | {r.get('spill_disk_mb', '-')} |"
+        )
+
+
+def files_probe(args) -> None:
+    import duckdb
+
+    from iot_data_pipeline_spark.operators._util import per_user_tmp_suffix
+    from iot_data_pipeline_spark.session import build_session
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_files_{per_user_tmp_suffix()}"
+    )
+    os.makedirs(root, exist_ok=True)
+    staged = os.path.join(root, f"events_{args.copies}x.parquet")
+    duckdb.sql(
+        f"""COPY (SELECT e.event_id + i*10000000 AS event_id, e.ts,
+                   e.user_id + i*100000 AS user_id, e.event_type, e.value
+            FROM '{sf_dir}/events.parquet' e, range({args.copies}) t(i))
+            TO '{staged}' (FORMAT parquet)"""
+    )
+    spark = build_session("files_probe", master=f"local[{args.cpus}]",
+                          shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    frag = os.path.join(root, "fragmented")
+    ev = spark.read.parquet(staged)
+    n_rows = ev.count()
+    ev.repartition(args.nfiles).write.mode("overwrite").parquet(frag)
+    n_files = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    compacted = os.path.join(root, "compact")
+
+    def scan_agg(path):
+        df = spark.read.parquet(path)
+        return df.groupBy("event_type").agg({"value": "sum", "*": "count"})
+
+    def run(label, path, conf):
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        try:
+            df = spark.read.parquet(path)
+            n_tasks = df.rdd.getNumPartitions()
+            scan_agg(path).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.monotonic()
+            scan_agg(path).write.format("noop").mode("overwrite").save()
+            wall = time.monotonic() - t0
+        finally:
+            for k in conf:
+                spark.conf.unset(k)
+        res = {"case": label, "scan_tasks": n_tasks, "wall_s": round(wall, 2)}
+        print(json.dumps(res), flush=True)
+        return res
+
+    rows = [
+        run("packed_default", frag, {}),
+        # defeat packing: openCost as large as maxPartitionBytes means no
+        # second file ever fits in a partition, while maxPartitionBytes
+        # stays above the ~12 KB file size so files aren't range-split ->
+        # exactly one task per file, the pathological listing
+        run(
+            "per_file_tasks", frag,
+            {"spark.sql.files.maxPartitionBytes": "24k",
+             "spark.sql.files.openCostInBytes": "24k"},
+        ),
+    ]
+    spark.read.parquet(frag).coalesce(args.cpus).write.mode(
+        "overwrite"
+    ).parquet(compacted)
+    rows.append(run("after_compaction", compacted, {}))
+    back = spark.read.parquet(compacted).count()
+    assert back == n_rows, (back, n_rows)
+    print(f"\nrows={n_rows}, fragmented files={n_files}")
+    print("| case | scan tasks | wall s |")
+    print("|---|---|---|")
+    for r in rows:
+        print(f"| {r['case']} | {r['scan_tasks']} | {r['wall_s']} |")
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("probe", choices=["mem", "files"])
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--shape", choices=SHAPES)
+    ap.add_argument("--heap", default="1g")
+    ap.add_argument("--heaps", default="1g,16g")
+    ap.add_argument("--shuffle", type=int, default=32)
+    ap.add_argument("--shuffles", default="32,256")
+    ap.add_argument(
+        "--cpus-list", default="32,4", dest="cpus_list",
+        help="mem probe: task-slot counts per fresh JVM — heap/slots is the "
+        "per-task memory floor, the executor cores-per-GB sizing knob",
+    )
+    ap.add_argument("--dir")
+    ap.add_argument("--copies", type=int, default=None)
+    ap.add_argument("--nfiles", type=int, default=4096)
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--skip-stage", action="store_true")
+    args = ap.parse_args()
+    if args.probe == "mem":
+        if args.copies is None:
+            args.copies = 125
+        if args.child:
+            _child(args)
+        else:
+            mem_probe(args)
+    else:
+        if args.copies is None:
+            args.copies = 25
+        files_probe(args)
+
+
+if __name__ == "__main__":
+    main()
