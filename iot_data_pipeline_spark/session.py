@@ -121,6 +121,13 @@ def prepare(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # ANSI SQL semantics (the Spark 4 default) — every oracle attestation was
+    # earned under ANSI-on, so a legacy driver session (ansi=false: silent
+    # overflow wrap, null div-zero, lax casts) must not be able to flip
+    # arithmetic/cast semantics under the registered queries. Measured
+    # ANSI-neutral on the operator surface (12 arithmetic/cast/date-heavy ids
+    # A/B-identical either way, NOTES_r09), pinned for uniformity regardless.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     # SQL scripting (BEGIN…END blocks) is a session convention like the
     # others: pinned here rather than toggled ad hoc by the one entry that
     # needs it, so no query leaks a conf change into the shared session.

@@ -215,3 +215,36 @@ def test_python_workers_import_package_from_foreign_cwd(tmp_path):
     )
     assert run.returncode == 0, run.stderr[-2000:]
     assert "WORKER_IMPORT_OK 500" in run.stdout
+
+
+ANSI_SMOKE_SAMPLE = [
+    "project_cast_arith",  # double casts + arithmetic projection
+    "fn_try_arith",        # explicit try_* tier (semantics-identical anyway)
+    "fn_math_suite",       # pow/log/trig edges
+    "sql_entry_tpch_q1",   # agg arithmetic over lineitem
+]
+
+
+@pytest.mark.parametrize("qname", ANSI_SMOKE_SAMPLE)
+def test_registry_self_pins_ansi_semantics(spark, sf_dir, qname):
+    """Every oracle attestation was earned under ANSI-on (the Spark 4
+    default). A legacy driver session (ansi=false: silent overflow wrap,
+    null div-zero, lax casts) must not be able to flip arithmetic/cast
+    semantics under a registered query — ``session.prepare`` pins
+    spark.sql.ansi.enabled=true at query entry (round 9)."""
+    fn = _entry_queries()[qname]
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    spark.catalog.clearCache()
+    base = sorted(tuple(map(repr, r)) for r in fn(spark, sf_dir).collect())
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.catalog.clearCache()
+        hostile = sorted(
+            tuple(map(repr, r)) for r in fn(spark, sf_dir).collect()
+        )
+        # prepare() must have re-pinned the conf during the hostile run
+        assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        spark.catalog.clearCache()
+    assert hostile == base
