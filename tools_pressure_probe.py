@@ -34,7 +34,12 @@ structural (task explosion), not just a local timing.
 
 Usage:
   python tools_pressure_probe.py mem   [--copies 125] [--heaps 1g,16g]
-                                       [--shuffles 32,256] [--skip-stage]
+                                       [--shuffles 32,256] [--cpus-list 32,4]
+                                       [--skip-stage]
+  python tools_pressure_probe.py mem   --registry id1,id2,...  # REGISTERED
+      engine operators instead of the generic shapes, run against a hybrid
+      staging dir (125x events/orders/customer + sf0.1 symlinks for every
+      other table) so any registry id runs with the big facts scaled
   python tools_pressure_probe.py files [--copies 25] [--nfiles 4096]
   (``mem --child ...`` is the internal subprocess entry.)
 
@@ -116,7 +121,9 @@ def _spill_bytes(spark) -> tuple[int, int]:
 
 def _child(args) -> None:
     """Fresh-JVM cell runner: pins driver memory (local mode: THE heap),
-    runs one shape to a noop sink, prints one JSON result line."""
+    runs one shape — a generic memory-hungry skeleton, or (``--registry``)
+    a REGISTERED engine operator against a hybrid staging dir — to a noop
+    sink, prints one JSON result line."""
     from pyspark.sql import SparkSession
 
     spark = (
@@ -131,7 +138,13 @@ def _child(args) -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    build = _mem_queries(spark, args.dir)[args.shape]
+    if args.registry:
+        import __spark_entry__ as entry_mod
+
+        qfn = entry_mod.queries()[args.shape]
+        build = lambda: qfn(spark, args.dir)  # noqa: E731
+    else:
+        build = _mem_queries(spark, args.dir)[args.shape]
     # warm once (scan cache, codegen), then measure
     build().write.format("noop").mode("overwrite").save()
     t0 = time.monotonic()
@@ -155,12 +168,40 @@ def _child(args) -> None:
     spark.stop()
 
 
+def _hybrid_dir(copies: int) -> str:
+    """Staging dir for registered-operator cells: the 125x uniform
+    events/orders/customer plus symlinks to the sf0.1 originals for every
+    other table, so ANY registry id can run with the big-3 facts scaled."""
+    import tools_skew_probe as skew
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    big = os.path.join(skew.base_dir(copies), "uniform")
+    hybrid = os.path.join(skew.base_dir(copies), "hybrid")
+    os.makedirs(hybrid, exist_ok=True)
+    for name in os.listdir(sf_dir):
+        if not name.endswith(".parquet"):
+            continue
+        dst = os.path.join(hybrid, name)
+        src = os.path.join(big, name)
+        if not os.path.exists(src):
+            src = os.path.join(sf_dir, name)
+        if os.path.islink(dst) or os.path.exists(dst):
+            os.remove(dst)
+        os.symlink(src, dst)
+    return hybrid
+
+
 def mem_probe(args) -> None:
     import tools_skew_probe as skew
 
     if not args.skip_stage:
         skew.stage(args.copies)
-    d = os.path.join(skew.base_dir(args.copies), "uniform")
+    if args.registry:
+        d = _hybrid_dir(args.copies)
+        global SHAPES
+        SHAPES = tuple(s for s in args.registry.split(",") if s)
+    else:
+        d = os.path.join(skew.base_dir(args.copies), "uniform")
     rows = []
     for heap in args.heaps.split(","):
         for cpus in (int(c) for c in args.cpus_list.split(",")):
@@ -172,6 +213,8 @@ def mem_probe(args) -> None:
                         "--shuffle", str(shuffle), "--dir", d,
                         "--cpus", str(cpus),
                     ]
+                    if args.registry:
+                        cmd += ["--registry", args.registry]
                     proc = subprocess.run(
                         cmd, capture_output=True, text=True, timeout=1200,
                         cwd=REPO,
@@ -284,7 +327,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("probe", choices=["mem", "files"])
     ap.add_argument("--child", action="store_true")
-    ap.add_argument("--shape", choices=SHAPES)
+    ap.add_argument("--shape")
+    ap.add_argument(
+        "--registry", default="",
+        help="mem probe: comma-separated REGISTERED query ids to run under "
+        "pressure against the hybrid staging dir (125x events/orders/"
+        "customer + sf0.1 for the rest) instead of the generic shapes",
+    )
     ap.add_argument("--heap", default="1g")
     ap.add_argument("--heaps", default="1g,16g")
     ap.add_argument("--shuffle", type=int, default=32)
