@@ -397,23 +397,53 @@ def iot_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v")
     )
     bounds = r.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
-    hours = bounds.select(
-        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+    # PAIR EXPANSION (same rework as iot_interpolate, NOTES_r09): lead()
+    # over the OBSERVED readings bounds each reading's carry block, and the
+    # filled cells are generated narrowly after the window — the dense
+    # device x global-hour-span grid, its left join, and the grid-wide
+    # carry sort never exist. Shuffled rows are the observations only;
+    # every filled cell inherits its block's reading directly (LOCF).
+    w = Window.partitionBy("device_id").orderBy("hour")
+    obs = (
+        r.crossJoin(F.broadcast(bounds))
+        .select(
+            "device_id",
+            "hour",
+            "v",
+            "lo",
+            "hi",
+            F.lead("hour").over(w).alias("nt"),
+            F.row_number().over(w).alias("rn"),
+        )
     )
-    devices = r.select("device_id").distinct()
-    grid = devices.crossJoin(F.broadcast(hours))
-    j = grid.join(r, ["device_id", "hour"], "left")
-    w = (
-        Window.partitionBy("device_id")
-        .orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Leading gaps: cells before the first reading carry nothing (NULL).
+    lead_cells = obs.where(
+        (F.col("rn") == 1) & (F.col("hour") > F.col("lo"))
+    ).select(
+        "device_id",
+        F.explode(
+            F.expr("sequence(lo, hour - interval 1 hour, interval 1 hour)")
+        ).alias("hour"),
+        F.lit(None).cast("double").alias("v_filled"),
+        F.lit(True).alias("is_gap"),
     )
-    return j.select(
+    block = obs.select(
+        "device_id",
+        F.col("hour").alias("pt"),
+        F.col("v").alias("pv"),
+        F.explode(
+            F.expr(
+                "sequence(hour, coalesce(nt - interval 1 hour, hi),"
+                " interval 1 hour)"
+            )
+        ).alias("hour"),
+    )
+    return block.select(
         "device_id",
         "hour",
-        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
-        F.col("v").isNull().alias("is_gap"),
-    )
+        F.col("pv").alias("v_filled"),
+        (F.col("hour") != F.col("pt")).alias("is_gap"),
+    ).unionByName(lead_cells)
 
 
 def iot_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,48 +465,69 @@ def iot_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v")
     )
     bounds = r.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
-    hours = bounds.select(
-        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+    # PAIR EXPANSION, not a dense-grid carry: one lead() window over the
+    # OBSERVED readings pairs each reading with its successor, then the
+    # missing cells between the pair are generated narrowly (explode AFTER
+    # the window, no shuffle). The previous formulation left-joined a
+    # devices x global-hour-span grid and ran two IGNORE-NULLS carry
+    # windows over it — at a 125x fact that grid's two sorts spilled
+    # ~40 GB (NOTES_r09 pressure probe) purely to re-derive, at every
+    # empty cell, the pair this window reads off directly. Shuffled rows
+    # are now the observations, never the grid; output is bit-identical
+    # (same blend arithmetic on the same long-epoch operands).
+    w = Window.partitionBy("device_id").orderBy("hour")
+    obs = (
+        r.crossJoin(F.broadcast(bounds))
+        .select(
+            "device_id",
+            "hour",
+            "v",
+            "lo",
+            "hi",
+            F.lead("hour").over(w).alias("nt"),
+            F.lead("v").over(w).alias("nv"),
+            F.row_number().over(w).alias("rn"),
+        )
     )
-    grid = r.select("device_id").distinct().crossJoin(F.broadcast(hours))
-    j = grid.join(r, ["device_id", "hour"], "left")
-    back = (
-        Window.partitionBy("device_id")
-        .orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # Forward carry as a REVERSED running frame: `first(...) over
-    # (currentRow, unboundedFollowing)` is a non-shrinkable frame that
-    # Spark recomputes from scratch per row — O(rows²) per device
-    # partition (5× the whole query's runtime at sf0.1). `last(...)` over
-    # the desc-ordered prefix is the same value in O(rows): both window
-    # passes are running frames, one exchange + two sorts.
-    fwd = (
-        Window.partitionBy("device_id")
-        .orderBy(F.col("hour").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
-    w = j.select(
+    # Cells before a device's first reading exist in the global span with
+    # NULL v_interp (no left neighbor) — emitted once from the rn==1 row.
+    lead_cells = obs.where(
+        (F.col("rn") == 1) & (F.col("hour") > F.col("lo"))
+    ).select(
         "device_id",
-        "hour",
-        "v",
-        F.last("v", ignorenulls=True).over(back).alias("pv"),
-        F.last(obs_hour, ignorenulls=True).over(back).alias("pt"),
-        F.last("v", ignorenulls=True).over(fwd).alias("nv"),
-        F.last(obs_hour, ignorenulls=True).over(fwd).alias("nt"),
+        F.explode(
+            F.expr("sequence(lo, hour - interval 1 hour, interval 1 hour)")
+        ).alias("hour"),
+        F.lit(None).cast("double").alias("v_interp"),
+    )
+    # [reading, next reading) — or [last reading, global hi] for the tail,
+    # whose cells past the reading have no right neighbor (NULL).
+    block = obs.select(
+        "device_id",
+        F.col("hour").alias("pt"),
+        F.col("v").alias("pv"),
+        "nt",
+        "nv",
+        F.explode(
+            F.expr(
+                "sequence(hour, coalesce(nt - interval 1 hour, hi),"
+                " interval 1 hour)"
+            )
+        ).alias("hour"),
     )
     ratio = (
         F.col("hour").cast("long") - F.col("pt").cast("long")
     ) / (F.col("nt").cast("long") - F.col("pt").cast("long"))
     v_interp = (
-        F.when(F.col("v").isNotNull(), F.col("v"))
+        F.when(F.col("hour") == F.col("pt"), F.col("pv"))
         .when(
-            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("nv").isNotNull(),
             F.col("pv") + (F.col("nv") - F.col("pv")) * ratio,
         )
     )
-    return w.select("device_id", "hour", v_interp.alias("v_interp"))
+    return block.select(
+        "device_id", "hour", v_interp.alias("v_interp")
+    ).unionByName(lead_cells)
 
 
 QUERIES = {
