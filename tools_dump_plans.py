@@ -68,8 +68,9 @@ PICKS = {
         " row_number + broadcast offset join — no single-task global window"
     ),
     "iot_interpolate": (
-        "two RUNNING window frames (asc + desc prefix) — no O(rows²)"
-        " unbounded-following frame; one exchange, two sorts"
+        "pair expansion: one lead() window over OBSERVED readings, missing"
+        " cells exploded narrowly after the window — the dense device×hour"
+        " grid, its join, and the grid-wide carry sorts never exist"
     ),
     "graph_pagerank": (
         "iterative: degree folded into the cached src-partitioned edge"
