@@ -377,17 +377,11 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def iot_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series gap filling with LOCF (the hypertable ``locf()`` shape):
-    hourly per-device averages land on a dense device × hour grid, missing
-    buckets carry the last observation forward via ``last(..., ignorenulls)``
-    over an ordered window; leading gaps stay NULL (nothing to carry). The
-    grid is devices × a BOUNDED hour spine (the calendar again, not the
-    data), built by cross-joining the broadcast spine — at 100 TB the
-    readings aggregation dominates and is one partial+final shuffle; the
-    LOCF window partitions by device so state is one value per key."""
+def _hourly_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(device, hour) average readings — the shared input of the
+    gap-fill / interpolate pair."""
     e = table(spark, sf_dir, "events")
-    r = e.groupBy(
+    return e.groupBy(
         F.col("user_id").alias("device_id"),
         F.date_trunc("hour", F.col("ts")).alias("hour"),
     ).agg(
@@ -396,16 +390,23 @@ def iot_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("v")
     )
-    bounds = r.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
-    # PAIR EXPANSION (same rework as iot_interpolate, NOTES_r09): lead()
-    # over the OBSERVED readings bounds each reading's carry block, and the
-    # filled cells are generated narrowly after the window — the dense
-    # device x global-hour-span grid, its left join, and the grid-wide
-    # carry sort never exist. Shuffled rows are the observations only;
-    # every filled cell inherits its block's reading directly (LOCF).
+
+
+def _pair_obs(r: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Pair-expansion spine shared by gap-fill and interpolate: the
+    NON-NULL readings of each device, each paired with its successor via
+    one lead() window, carrying the broadcast global [lo, hi] span.
+
+    NULL-valued readings (an hour bucket whose every event value is NULL)
+    are NOT observations: the previous dense-grid formulation's
+    ``last(..., ignorenulls)`` carries skipped them, so they must not
+    anchor a block here either — their cells fall inside a neighboring
+    block and are treated as gaps, exactly as before (round-9 review
+    finding 1)."""
     w = Window.partitionBy("device_id").orderBy("hour")
-    obs = (
-        r.crossJoin(F.broadcast(bounds))
+    return (
+        r.where(F.col("v").isNotNull())
+        .crossJoin(F.broadcast(bounds))
         .select(
             "device_id",
             "hour",
@@ -413,9 +414,50 @@ def iot_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lo",
             "hi",
             F.lead("hour").over(w).alias("nt"),
+            F.lead("v").over(w).alias("nv"),
             F.row_number().over(w).alias("rn"),
         )
     )
+
+
+def _all_null_device_cells(r: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Full-span cells for devices with NO non-NULL reading: the previous
+    grid formulation emitted their whole [lo, hi] span with nothing to
+    carry; the pair expansion would otherwise drop them (round-9 review
+    finding 1). Empty on any corpus where values are never all-NULL per
+    device; device-level rows only, so the explode is bounded by
+    devices x span like any other block."""
+    return (
+        r.groupBy("device_id")
+        .agg(F.max(F.col("v").isNotNull()).alias("any_obs"))
+        .where(~F.col("any_obs"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "device_id",
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 hour)")
+            ).alias("hour"),
+        )
+    )
+
+
+def iot_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with LOCF (the hypertable ``locf()`` shape):
+    every hour in the global span gets the device's last reading carried
+    forward; leading gaps stay NULL (nothing to carry).
+
+    PAIR EXPANSION, not a dense-grid carry (reworked round 9): one lead()
+    window over the OBSERVED readings bounds each reading's carry block,
+    and the filled cells are generated narrowly after the window — the
+    dense device x global-hour-span grid, its left join, and the grid-wide
+    IGNORE-NULLS carry sort never exist. Shuffled rows are the
+    observations only; every filled cell inherits its block's reading
+    directly (LOCF). At 125x facts the old grid's carry sort spilled
+    ~25 GB at the default memory profile; this plan spills zero
+    (NOTES_r09)."""
+    r = _hourly_readings(spark, sf_dir)
+    bounds = r.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    obs = _pair_obs(r, bounds)
     # Leading gaps: cells before the first reading carry nothing (NULL).
     lead_cells = obs.where(
         (F.col("rn") == 1) & (F.col("hour") > F.col("lo"))
@@ -424,6 +466,12 @@ def iot_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr("sequence(lo, hour - interval 1 hour, interval 1 hour)")
         ).alias("hour"),
+        F.lit(None).cast("double").alias("v_filled"),
+        F.lit(True).alias("is_gap"),
+    )
+    null_dev_cells = _all_null_device_cells(r, bounds).select(
+        "device_id",
+        "hour",
         F.lit(None).cast("double").alias("v_filled"),
         F.lit(True).alias("is_gap"),
     )
@@ -438,57 +486,37 @@ def iot_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hour"),
     )
-    return block.select(
-        "device_id",
-        "hour",
-        F.col("pv").alias("v_filled"),
-        (F.col("hour") != F.col("pt")).alias("is_gap"),
-    ).unionByName(lead_cells)
+    return (
+        block.select(
+            "device_id",
+            "hour",
+            F.col("pv").alias("v_filled"),
+            (F.col("hour") != F.col("pt")).alias("is_gap"),
+        )
+        .unionByName(lead_cells)
+        .unionByName(null_dev_cells)
+    )
 
 
 def iot_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation across sensor gaps — the ``interpolate()`` twin
-    of ``iot_gap_fill``: each missing grid cell takes the time-weighted
-    blend of the nearest reading before and after it (edges stay NULL).
-    Two window passes per device (backward carry + forward carry with
-    IGNORE NULLS), same bounded grid as gap-fill. The blend ratio divides
-    integer epoch seconds, and its operands are already engine-identical,
-    so the interpolated doubles hash-match bit for bit."""
-    e = table(spark, sf_dir, "events")
-    r = e.groupBy(
-        F.col("user_id").alias("device_id"),
-        F.date_trunc("hour", F.col("ts")).alias("hour"),
-    ).agg(
-        (
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("v")
-    )
+    of ``iot_gap_fill``: each missing cell takes the time-weighted blend
+    of the nearest reading before and after it (edges stay NULL).
+
+    PAIR EXPANSION, not a dense-grid carry (reworked round 9): one lead()
+    window over the OBSERVED readings pairs each reading with its
+    successor, then the missing cells between the pair are generated
+    narrowly (explode AFTER the window, no shuffle). The previous
+    formulation left-joined a devices x global-hour-span grid and ran two
+    IGNORE-NULLS carry windows over it — at a 125x fact that grid's two
+    sorts spilled ~40 GB at the default memory profile purely to
+    re-derive, at every empty cell, the pair this window reads off
+    directly (NOTES_r09). Output is identical (same blend arithmetic on
+    the same long-epoch operands; NULL-valued readings excluded from the
+    observation spine exactly as ignorenulls skipped them)."""
+    r = _hourly_readings(spark, sf_dir)
     bounds = r.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
-    # PAIR EXPANSION, not a dense-grid carry: one lead() window over the
-    # OBSERVED readings pairs each reading with its successor, then the
-    # missing cells between the pair are generated narrowly (explode AFTER
-    # the window, no shuffle). The previous formulation left-joined a
-    # devices x global-hour-span grid and ran two IGNORE-NULLS carry
-    # windows over it — at a 125x fact that grid's two sorts spilled
-    # ~40 GB (NOTES_r09 pressure probe) purely to re-derive, at every
-    # empty cell, the pair this window reads off directly. Shuffled rows
-    # are now the observations, never the grid; output is bit-identical
-    # (same blend arithmetic on the same long-epoch operands).
-    w = Window.partitionBy("device_id").orderBy("hour")
-    obs = (
-        r.crossJoin(F.broadcast(bounds))
-        .select(
-            "device_id",
-            "hour",
-            "v",
-            "lo",
-            "hi",
-            F.lead("hour").over(w).alias("nt"),
-            F.lead("v").over(w).alias("nv"),
-            F.row_number().over(w).alias("rn"),
-        )
-    )
+    obs = _pair_obs(r, bounds)
     # Cells before a device's first reading exist in the global span with
     # NULL v_interp (no left neighbor) — emitted once from the rn==1 row.
     lead_cells = obs.where(
@@ -525,9 +553,16 @@ def iot_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pv") + (F.col("nv") - F.col("pv")) * ratio,
         )
     )
-    return block.select(
-        "device_id", "hour", v_interp.alias("v_interp")
-    ).unionByName(lead_cells)
+    null_dev_cells = _all_null_device_cells(r, bounds).select(
+        "device_id",
+        "hour",
+        F.lit(None).cast("double").alias("v_interp"),
+    )
+    return (
+        block.select("device_id", "hour", v_interp.alias("v_interp"))
+        .unionByName(lead_cells)
+        .unionByName(null_dev_cells)
+    )
 
 
 QUERIES = {

@@ -608,3 +608,112 @@ def test_zorder_layout_prunes_on_the_second_dimension(spark, tmp_path):
     assert z_hit <= z_total // 2, (
         f"z-order should prune most files on b alone ({z_hit}/{z_total})"
     )
+
+
+def test_gap_fill_interpolate_null_reading_semantics(spark, tmp_path):
+    """A NULL-valued reading (an hour bucket whose every event value is
+    NULL) must NOT anchor a pair-expansion block: the previous dense-grid
+    formulation's ignorenulls carries skipped such buckets, so its cell is
+    a GAP (LOCF-filled / interpolated from non-NULL neighbors), and a
+    device with NO non-NULL reading still owns its full-span NULL rows
+    (round-9 review findings 1-2). The old grid formulation is
+    re-implemented inline as the reference oracle."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.operators import analytics as A
+
+    h = lambda k: pd.Timestamp(f"2024-01-01 {k:02d}:00:00")  # noqa: E731
+    rows = [
+        # device 1: reading, NULL bucket mid-gap, reading, trailing gap
+        (1, h(0), 10.0), (1, h(2), None), (1, h(4), 30.0),
+        # device 2: LEADING null bucket before its first real reading
+        (2, h(1), None), (2, h(3), 8.0),
+        # device 3: no non-NULL reading at all
+        (3, h(2), None),
+    ]
+    ev = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [r[1] for r in rows],
+            "user_id": [r[0] for r in rows],
+            "event_type": "m",
+            "value": [r[2] for r in rows],
+            "props": "{}",
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet")
+    sf = str(tmp_path)
+
+    # --- reference: the pre-round-9 dense-grid formulation, verbatim ---
+    r = A._hourly_readings(spark, sf)
+    bounds = r.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+    )
+    grid = r.select("device_id").distinct().crossJoin(F.broadcast(hours))
+    j = grid.join(r, ["device_id", "hour"], "left")
+    back = (
+        Window.partitionBy("device_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("device_id")
+        .orderBy(F.col("hour").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    wref = j.select(
+        "device_id", "hour", "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(back).alias("pt"),
+        F.last("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.last(obs_hour, ignorenulls=True).over(fwd).alias("nt"),
+    )
+    ratio = (
+        F.col("hour").cast("long") - F.col("pt").cast("long")
+    ) / (F.col("nt").cast("long") - F.col("pt").cast("long"))
+    ref_interp = sorted(
+        map(
+            tuple,
+            wref.select(
+                "device_id",
+                "hour",
+                F.when(F.col("v").isNotNull(), F.col("v"))
+                .when(
+                    F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+                    F.col("pv") + (F.col("nv") - F.col("pv")) * ratio,
+                )
+                .alias("v_interp"),
+            ).collect(),
+        ),
+        key=repr,
+    )
+    ref_fill = sorted(
+        map(
+            tuple,
+            j.select(
+                "device_id",
+                "hour",
+                F.last("v", ignorenulls=True).over(back).alias("v_filled"),
+                F.col("v").isNull().alias("is_gap"),
+            ).collect(),
+        ),
+        key=repr,
+    )
+
+    got_interp = sorted(
+        map(tuple, A.iot_interpolate(spark, sf).collect()), key=repr
+    )
+    got_fill = sorted(
+        map(tuple, A.iot_gap_fill(spark, sf).collect()), key=repr
+    )
+    assert got_interp == ref_interp
+    assert got_fill == ref_fill
+    # the hostile cases really are present in the fixture
+    d1 = {r[1].hour: r[2] for r in got_interp if r[0] == 1}
+    assert d1[2] == 20.0  # NULL bucket interpolated across, not anchored
+    assert all(r[2] is None for r in got_interp if r[0] == 3)  # full span
+    assert sum(1 for r in got_interp if r[0] == 3) == 5

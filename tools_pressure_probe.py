@@ -145,12 +145,18 @@ def _child(args) -> None:
         build = lambda: qfn(spark, args.dir)  # noqa: E731
     else:
         build = _mem_queries(spark, args.dir)[args.shape]
-    # warm once (scan cache, codegen), then measure
+    # warm once (scan cache, codegen), then measure. The spill counters are
+    # application-cumulative, so snapshot after the warm run and report the
+    # DELTA — otherwise the warm run's spill double-counts into the timed
+    # run's numbers (round-9 review finding 5).
     build().write.format("noop").mode("overwrite").save()
+    mem0, disk0 = _spill_bytes(spark)
     t0 = time.monotonic()
     build().write.format("noop").mode("overwrite").save()
     wall = time.monotonic() - t0
-    mem, disk = _spill_bytes(spark)
+    mem1, disk1 = _spill_bytes(spark)
+    mem = mem1 - mem0 if mem0 >= 0 and mem1 >= 0 else -1
+    disk = disk1 - disk0 if disk0 >= 0 and disk1 >= 0 else -1
     print(
         "RESULT " + json.dumps(
             {
@@ -215,10 +221,24 @@ def mem_probe(args) -> None:
                     ]
                     if args.registry:
                         cmd += ["--registry", args.registry]
-                    proc = subprocess.run(
-                        cmd, capture_output=True, text=True, timeout=1200,
-                        cwd=REPO,
-                    )
+                    try:
+                        proc = subprocess.run(
+                            cmd, capture_output=True, text=True,
+                            timeout=1200, cwd=REPO,
+                        )
+                    except subprocess.TimeoutExpired:
+                        # A GC-thrashing child that never dies cleanly is
+                        # exactly the regime this probe exercises — record
+                        # the hang as a failed cell and keep sweeping
+                        # (round-9 review finding 3).
+                        res = {
+                            "shape": shape, "heap": heap, "shuffle": shuffle,
+                            "cpus": cpus, "ok": False, "timeout": True,
+                            "oom": False,
+                        }
+                        rows.append(res)
+                        print(json.dumps(res), flush=True)
+                        continue
                     res = None
                     for line in proc.stdout.splitlines():
                         if line.startswith("RESULT "):
@@ -228,7 +248,12 @@ def mem_probe(args) -> None:
                         res = {
                             "shape": shape, "heap": heap, "shuffle": shuffle,
                             "cpus": cpus, "ok": False, "rc": proc.returncode,
-                            "oom": "OutOfMemoryError" in full,
+                            # a kernel-OOM-killed JVM dies on SIGKILL with
+                            # no Java stack trace — classify it as OOM too
+                            # (round-9 review finding 4)
+                            "oom": "OutOfMemoryError" in full
+                            or proc.returncode in (-9, 137)
+                            or "Killed" in full,
                         }
                     else:
                         res["cpus"] = cpus
@@ -240,7 +265,12 @@ def mem_probe(args) -> None:
     )
     print("|---|---|---|---|---|---|---|---|")
     for r in rows:
-        outcome = "ok" if r["ok"] else ("OOM" if r.get("oom") else "fail")
+        outcome = (
+            "ok" if r["ok"]
+            else "OOM" if r.get("oom")
+            else "timeout" if r.get("timeout")
+            else "fail"
+        )
         print(
             f"| {r['shape']} | {r['heap']} | {r['cpus']} | {r['shuffle']} "
             f"| {outcome} | {r.get('wall_s', '-')} "
