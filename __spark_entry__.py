@@ -82,12 +82,28 @@ def _code_names(code) -> set[str]:
     return names
 
 
-# Source cannot change within a process, so fingerprints are memoized per
-# callable: queries() recomputes the ordering on every invocation and the
-# transitive inspect.getsource walk over ~hundreds of ids is otherwise repeated
-# re-parsing at driver startup (r8 ADVICE item 2). Keyed on the function object
-# itself (registry callables are module-level and live for the process).
+# Fingerprints are memoized per callable: queries() recomputes the ordering on
+# every invocation and the transitive inspect.getsource walk over ~hundreds of
+# ids is otherwise repeated re-parsing at driver startup (r8 ADVICE item 2).
+# Keyed on the function object itself (registry callables are module-level and
+# live for the process). The memo's premise — "source cannot change within a
+# process" — holds only for the short-lived driver/attest processes this entry
+# serves: inspect.getsource re-reads files via linecache, so a LONG-lived
+# process spanning on-disk edits (or a test harness that reloads modules)
+# could otherwise serve stale fingerprints and mask a rework (r9 ADVICE).
+# Long-lived callers must call clear_fingerprint_cache() after any edit;
+# tools_attest.py runs one process per invocation, so it never needs to.
 _FP_CACHE: dict[Callable, str] = {}
+
+
+def clear_fingerprint_cache() -> None:
+    """Drop the fingerprint memo AND linecache's copies of the source files,
+    so the next src_fingerprint() walk re-reads current on-disk source. For
+    long-lived processes that edit source mid-flight; no-op cost otherwise."""
+    import linecache
+
+    _FP_CACHE.clear()
+    linecache.clearcache()
 
 
 def src_fingerprint(fn: Callable) -> str:

@@ -81,11 +81,17 @@ def bounded_topk(
     eventually exceeds one executor's sort budget. Here the first window's
     partition key includes ``spark_partition_id()`` — a free salt that Spark
     marks NONDETERMINISTIC (a row's id can change if its partition is
-    recomputed on stage retry/loss) but that is correctness-neutral: any
-    complete partition-id assignment preserves the true top-k, because every
-    global winner is within whatever partition it lands in — the usual
-    recompute caveat shared by rand()-salted plans. It spreads the hot key
-    across reducers, and the second
+    recomputed on stage retry/loss). Under a COMPLETE assignment (every row
+    routed exactly once) any partition-id labeling preserves the true top-k,
+    because every global winner is within whatever partition it lands in —
+    but the plan SHARES rand()-salting's partial-recompute hazard, it does
+    not escape it: if only some map tasks re-execute, a row whose partition
+    id changed routes to a different (key, salt) reducer than on its first
+    attempt, and reducers that consumed different map attempts can lose or
+    double-count rows, which can change the emitted top-k. The mitigation is
+    full-stage retry of consumers on map-output loss (Spark's recompute
+    handling for non-deterministic stages), not any property of this plan.
+    It spreads the hot key across reducers, and the second
     window sees at most k rows per key per input partition however hot the
     key is. Probe (tools_skew_probe.py, NOTES_r08): at 25x/125x with 20% of
     rows on one key the plain window is still inside parallel headroom and

@@ -127,6 +127,11 @@ def prepare(spark: SparkSession) -> SparkSession:
     # arithmetic/cast semantics under the registered queries. Measured
     # ANSI-neutral on the operator surface (12 arithmetic/cast/date-heavy ids
     # A/B-identical either way, NOTES_r09), pinned for uniformity regardless.
+    # Coverage of the pin is registry-wide, not sample-only (r9 ADVICE): the
+    # FULL oracle sweeps at sf0.01 and sf0.1 run under this pin every round
+    # since it landed (NOTES_r09 final gates, NOTES_r10 rituals), and the
+    # CI-visible A/B gate (tests/test_robustness.py ANSI_SMOKE_SAMPLE) spans
+    # 12 ids across every cast/arith-heavy family.
     spark.conf.set("spark.sql.ansi.enabled", "true")
     # SQL scripting (BEGIN…END blocks) is a session convention like the
     # others: pinned here rather than toggled ad hoc by the one entry that

@@ -306,3 +306,9 @@ def test_src_fingerprint_is_memoized():
     # Poison the cache: a second call must hit it, not recompute.
     mod._FP_CACHE[fn] = "cached-sentinel"
     assert mod.src_fingerprint(fn) == "cached-sentinel"
+    # The escape hatch for long-lived processes spanning on-disk edits
+    # (r9 ADVICE): clearing drops the memo so the next call recomputes
+    # the real fingerprint from current source.
+    mod.clear_fingerprint_cache()
+    assert fn not in mod._FP_CACHE
+    assert mod.src_fingerprint(fn) == first

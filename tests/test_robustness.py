@@ -222,6 +222,20 @@ ANSI_SMOKE_SAMPLE = [
     "fn_try_arith",        # explicit try_* tier (semantics-identical anyway)
     "fn_math_suite",       # pow/log/trig edges
     "sql_entry_tpch_q1",   # agg arithmetic over lineitem
+    # r10 (r9 ADVICE): the CI-visible gate was a 4-id sample while the
+    # full-registry evidence lived offline; widened toward the remaining
+    # cast/arith-heavy surfaces so the in-suite A/B covers every family
+    # that touches ANSI's error edges (overflow, div-zero, lax casts,
+    # date arith, string→number parsing). The FULL-registry sweeps (both
+    # SFs) also run under the pin every round — recorded in NOTES.
+    "fn_date_arith",       # date/interval arithmetic, add_months edges
+    "fn_bitwise_trig",     # bit ops + trig domain edges
+    "agg_stats",           # stddev/var/skew agg arithmetic
+    "fn_null_suite",       # null-propagating casts and comparisons
+    "fn_str_to_map",       # string parsing → typed map values
+    "iot_anomaly",         # z-score arithmetic incl. /stddev (div-zero edge)
+    "llm_token_count",     # length arithmetic over text
+    "agg_countmin",        # hash-mod arithmetic (overflow edge)
 ]
 
 

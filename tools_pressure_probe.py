@@ -174,6 +174,31 @@ def _child(args) -> None:
     spark.stop()
 
 
+def _run_cell(cmd: list[str]) -> subprocess.CompletedProcess:
+    """subprocess.run with whole-process-GROUP kill on timeout. The child
+    launches a py4j JVM; plain ``subprocess.run(timeout=...)`` kills only
+    the Python child, leaving the JVM as an orphan still holding heap,
+    ports, and shuffle dirs — which skews the memory measurements of every
+    subsequent sweep cell (r9 ADVICE). start_new_session makes the child a
+    process-group leader so the timeout path can ``killpg`` the JVM too."""
+    with subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=REPO, start_new_session=True,
+    ) as p:
+        try:
+            out, err = p.communicate(timeout=1200)
+        except subprocess.TimeoutExpired:
+            import signal
+
+            try:
+                os.killpg(p.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            p.wait()
+            raise
+        return subprocess.CompletedProcess(cmd, p.returncode, out, err)
+
+
 def _hybrid_dir(copies: int) -> str:
     """Staging dir for registered-operator cells: the 125x uniform
     events/orders/customer plus symlinks to the sf0.1 originals for every
@@ -222,15 +247,14 @@ def mem_probe(args) -> None:
                     if args.registry:
                         cmd += ["--registry", args.registry]
                     try:
-                        proc = subprocess.run(
-                            cmd, capture_output=True, text=True,
-                            timeout=1200, cwd=REPO,
-                        )
+                        proc = _run_cell(cmd)
                     except subprocess.TimeoutExpired:
                         # A GC-thrashing child that never dies cleanly is
                         # exactly the regime this probe exercises — record
                         # the hang as a failed cell and keep sweeping
-                        # (round-9 review finding 3).
+                        # (round-9 review finding 3). _run_cell killed the
+                        # child's whole process group, so the py4j JVM
+                        # cannot linger into the next cell (r9 ADVICE).
                         res = {
                             "shape": shape, "heap": heap, "shuffle": shuffle,
                             "cpus": cpus, "ok": False, "timeout": True,
