@@ -460,20 +460,47 @@ def llm_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _min_label_propagation(
-    edges: DataFrame, max_iters: int = 15, check_every: int = 1
+    edges: DataFrame,
+    max_iters: int = 40,
+    on_unconverged: str = "raise",
 ) -> DataFrame:
-    """Connected components via iterative min-label propagation over a
-    symmetrized (doc_a, doc_b) edge list → (doc_id, label).
+    """Connected components in O(log diameter) rounds via CONNECT +
+    SHORTCUT (min-neighbor propagation with pointer doubling — the
+    Shiloach-Vishkin shortcutting step, per-round form as in Liu & Tarjan,
+    "Simple Concurrent Connected Components", 2019) over a symmetrized
+    (doc_a, doc_b) edge list → (doc_id, label).
 
-    Each iteration is one join on the edge list with localCheckpoint lineage
-    truncation. Convergence is read from a ``chg`` flag computed INSIDE the
-    update projection (new label ≠ old label), so a check is one ``count()``
-    over the already-materialized checkpoint — no extra labels-vs-labels
-    join — which makes per-iteration checking (``check_every=1``) cheaper
-    than the old every-3rd-round joined check and exits one round after the
-    labels stabilize (small-diameter dup clusters typically stabilize in
-    1-2 rounds). Exiting at ``max_iters`` without a clean convergence check
-    logs a warning instead of silently returning unconverged labels."""
+    Each round, inside ONE materialized plan (a single localCheckpoint):
+
+    - **connect**: ``l(v) ← min(l(v), min over neighbors u of l(u))`` —
+      one join against the edge list;
+    - **shortcut**: ``l(v) ← l_prev(l(v))`` — one join of the connected
+      labels against the round-START labels (the already-checkpointed tiny
+      frame, so the pointer jump adds NO second edge join and no extra
+      materialization; labels are always node ids of the same component
+      and monotone non-increasing, so the chase stays in-component).
+
+    Connect alone advances a label chain by one hop per round (O(diameter)
+    rounds — the r9 engine's formulation); the one-step-behind pointer jump
+    doubles the effective reach each round (reach 2^k − 1 after k rounds on
+    a chain), so a chain-shaped cluster of diameter d converges in
+    ~log2(d) rounds (pinned by the long-chain test). The convergence
+    certificate is unchanged: a ``chg`` flag computed inside the round's
+    projection, one ``count()`` over the already-materialized checkpoint
+    per round; a round with zero changes is a connect-fixpoint, and a
+    connect-fixpoint over symmetric edges forces equal labels across every
+    edge — i.e. the true component-min labeling.
+
+    Exhausting ``max_iters`` without a zero-change round RAISES by default:
+    unconverged labels silently ship wrong clusters downstream (the one
+    silent-wrong-answer path the r9 verdict flagged). ``on_unconverged=
+    "warn"`` restores the old log-and-return for callers that prefer
+    partial labels; the default cap of 40 rounds covers any diameter that
+    fits in an int64 with margin (log2(2^63) + certificate round ≈ 34)."""
+    if on_unconverged not in ("raise", "warn"):
+        raise ValueError(
+            f"on_unconverged must be 'raise' or 'warn', got {on_unconverged!r}"
+        )
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -481,7 +508,9 @@ def _min_label_propagation(
         .localCheckpoint()
     )
     converged = False
+    rounds = 0
     for it in range(1, max_iters + 1):
+        rounds = it
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a")
@@ -490,28 +519,47 @@ def _min_label_propagation(
         new_label = F.least(
             F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
         )
+        connected = labels.join(
+            neigh, labels.doc_id == neigh.doc_a, "left"
+        ).select(
+            labels.doc_id.alias("doc_id"),
+            new_label.alias("clabel"),
+            F.col("label").alias("old"),
+        )
+        # Pointer jump through the round-START labels (checkpointed, tiny):
+        # clabel values are node ids (min over node-id labels), so the left
+        # join matches every row; l_prev(w) ≤ w keeps the jump monotone and
+        # coalesce is belt-and-braces for the init round.
+        parents = labels.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        final_label = F.coalesce(F.col("p_label"), F.col("clabel"))
         updated = (
-            labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
+            connected.join(parents, connected.clabel == parents.p_id, "left")
             .select(
-                labels.doc_id,
-                new_label.alias("label"),
-                (new_label != F.col("label")).alias("chg"),
+                connected.doc_id.alias("doc_id"),
+                final_label.alias("label"),
+                (final_label != connected.old).alias("chg"),
             )
             .localCheckpoint()
         )
-        if it % check_every == 0 or it == max_iters:
-            if updated.filter(F.col("chg")).count() == 0:
-                labels = updated
-                converged = True
-                break
+        if updated.filter(F.col("chg")).count() == 0:
+            labels = updated
+            converged = True
+            break
         labels = updated
-    if not converged:
-        log.warning(
-            "min-label propagation hit max_iters=%d without a converged "
-            "check; labels may span unfinished clusters (graph diameter "
-            "> max_iters)",
-            max_iters,
+    if converged:
+        log.info("min-label propagation converged in %d rounds", rounds)
+    else:
+        msg = (
+            f"min-label propagation hit max_iters={max_iters} without a "
+            "zero-change round; labels may span unfinished clusters "
+            "(pathological graph — with shortcutting, 40 rounds cover any "
+            "int64-diameter chain)"
         )
+        if on_unconverged == "raise":
+            raise RuntimeError(msg)
+        log.warning(msg)
     return labels.select("doc_id", "label")
 
 
