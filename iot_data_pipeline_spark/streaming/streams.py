@@ -52,7 +52,12 @@ def _stage_event_chunks(
     ``by_time=False``: chunks split by event_id hash (arrival ≈ random).
     ``by_time=True``: chunk i holds the i-th time range; ``replay_order``
     permutes the staged arrival order (names + mtimes), which is how the
-    watermark test injects genuinely late data.
+    watermark query injects genuinely late data. Time chunking is EXACT
+    ntile over the total order (ts, event_id) — not percentile_approx —
+    so the chunk assignment is reproducible in portable SQL and the
+    watermark query's emission set gets a real DuckDB oracle (r9 verdict
+    item 1). The global-sort window is staging-only setup at test scale,
+    never part of a registered query plan.
     """
     cache_key = (sf_dir, n_chunks, by_time, tuple(replay_order or ()))
     cached = _STAGED_DIRS.get(cache_key)
@@ -61,24 +66,15 @@ def _stage_event_chunks(
     e = table(spark, sf_dir, "events")
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
     if by_time:
-        bounds = list(
-            e.select(
-                F.percentile_approx(
-                    "ts", [i / n_chunks for i in range(1, n_chunks)], 10000
-                )
-            ).first()[0]
+        from pyspark.sql import Window
+
+        ranked = e.withColumn(
+            "__chunk",
+            F.ntile(n_chunks).over(Window.orderBy("ts", "event_id")) - 1,
         )
-        preds = []
-        lo = None
-        for b in bounds + [None]:
-            preds.append((lo, b))
-            lo = b
         splits = [
-            e.filter(
-                (F.lit(True) if lo is None else (F.col("ts") >= F.lit(lo)))
-                & (F.lit(True) if hi is None else (F.col("ts") < F.lit(hi)))
-            )
-            for lo, hi in preds
+            ranked.filter(F.col("__chunk") == i).drop("__chunk")
+            for i in range(n_chunks)
         ]
     else:
         splits = [
@@ -126,6 +122,11 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     name = "s" + uuid.uuid4().hex[:12]
     try:
         spark.conf.set("spark.sql.shuffle.partitions", _STREAM_STATE_PARTITIONS)
+        # The final no-data micro-batch (default-on) is what flushes state
+        # finalized by the LAST data batch's watermark advance — without it
+        # the watermark query's emission set shrinks. Session-determinism
+        # pin, same rationale as session.prepare's UTC/ANSI pins.
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
         q = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -211,14 +212,29 @@ def stream_session_win(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark + late-data drop: 4 time-ranged chunks replayed in order
-    [0, 2, 1, 3] (one file per micro-batch), so chunk 1's entire time range
-    arrives AFTER chunk 2 advanced the watermark past it — those rows are
-    genuinely late and dropped; append mode emits only finalized windows.
-    Rows-only oracle: emission timing is streaming semantics, not batch SQL;
-    the unit test asserts the late-exclusion behavior exactly."""
+    """Watermark + late-data drop: 4 exact time-quartile chunks replayed in
+    order [0, 2, 3, 1] (one file per micro-batch), so chunk 1's entire time
+    range arrives TWO batches after chunk 2 advanced the watermark past it —
+    those rows are genuinely late and dropped; append mode emits only
+    finalized windows (the trailing window past the final watermark never
+    emits).
+
+    Why two batches, not one: Spark evaluates the LATE-EVENTS filter with
+    the PREVIOUS batch's committed watermark (``prevOffsetSeqMetadata``) and
+    state EVICTION with the current one — the late filter lags eviction by
+    one batch. Under the r9 ordering [0, 2, 1, 3] the "late" chunk arrived
+    exactly one batch after the advance, so its rows were silently KEPT,
+    aggregated, and emitted in the same micro-batch: the operator never
+    exercised the drop it claimed (measured batch-by-batch from
+    StreamingQueryProgress, NOTES_r10). With the drop chunk two batches
+    behind, the whole emission set is deterministic and batch-expressible:
+    a row of batch k survives iff its window end (epoch ms) exceeds
+    max-event-time(batches ≤ k−2) − 10 min, and a window emits iff its end
+    ≤ global max − 10 min (the final no-data micro-batch's flush). That
+    simulation IS the DuckDB oracle — this id is hash-checked, no longer
+    rows-only."""
     stream_dir = _stage_event_chunks(
-        spark, sf_dir, n_chunks=4, by_time=True, replay_order=[0, 2, 1, 3]
+        spark, sf_dir, n_chunks=4, by_time=True, replay_order=[0, 2, 3, 1]
     )
     stream = _read_stream(spark, stream_dir, max_files=1)
     agg = (
@@ -529,7 +545,38 @@ ORACLES = {
         " SELECT session_start, session_end, user_id, n_events FROM s"
         " WHERE session_end <= (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events)"
     ),
-    # stream_watermark_late: rows-only (emission timing is stream semantics).
+    # stream_watermark_late: full watermark-protocol simulation (r9 verdict
+    # item 1 — previously rows-only). Chunk = exact ntile quartile over
+    # (ts, event_id); batch slot = position of the chunk in the replay
+    # order [0, 2, 3, 1]; a row of batch k survives the late filter iff
+    # its window end (epoch ms) > max event time over batches <= k-2 minus
+    # the 10-min delay (Spark's late filter uses the PREVIOUS batch's
+    # committed watermark — one behind eviction); emission = window end <=
+    # global max - 10 min (the final no-data batch's flush). All compares
+    # in epoch ms because Spark's EventTimeStats truncates event times to
+    # ms before the watermark subtraction.
+    "stream_watermark_late": (
+        "WITH chunked AS ("
+        " SELECT CAST(ts AS TIMESTAMP) AS ts, event_id,"
+        "  NTILE(4) OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id) - 1"
+        "    AS chunk FROM events"
+        "), batched AS ("
+        " SELECT epoch_ms(ts) AS tms,"
+        "  CASE chunk WHEN 0 THEN 0 WHEN 2 THEN 1 WHEN 3 THEN 2 ELSE 3 END"
+        "    AS batch FROM chunked"
+        "), bmax AS ("
+        " SELECT batch, MAX(tms) AS mx FROM batched GROUP BY batch"
+        "), kept AS ("
+        " SELECT (b.tms // 300000) * 300000 AS ws_ms FROM batched b"
+        " WHERE (b.tms // 300000) * 300000 + 300000 >"
+        "  COALESCE((SELECT MAX(mx) - 600000 FROM bmax"
+        "            WHERE bmax.batch <= b.batch - 2),"
+        "           -9223372036854775807)"
+        "), fwm AS (SELECT MAX(mx) - 600000 AS wm FROM bmax)"
+        " SELECT make_timestamp(ws_ms * 1000) AS window_start,"
+        "  CAST(COUNT(*) AS BIGINT) AS cnt"
+        " FROM kept, fwm WHERE ws_ms + 300000 <= fwm.wm GROUP BY 1"
+    ),
     "stream_dedup": (
         "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,"
         " value FROM events"

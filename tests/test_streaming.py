@@ -94,6 +94,54 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     }
 
 
+def test_watermark_late_drops_late_quartile_and_replays_bitwise(spark, sf_dir):
+    """stream_watermark_late on real testdata: the second time quartile
+    (chunk 1) replays TWO batches after chunk 2 advanced the watermark —
+    Spark's late filter uses the PREVIOUS batch's watermark, one behind
+    eviction, so one-batch-late data would be silently merged (the r9
+    ordering [0,2,1,3] dropped nothing; measured from query progress) —
+    and must be fully dropped; the emitted counts must equal exactly the
+    non-late rows in windows the final watermark finalizes. Second run is
+    bit-identical (deterministic staging + watermark protocol)."""
+    from pyspark.sql import Window as W
+
+    out = streams.stream_watermark_late(spark, sf_dir)
+    rows = sorted((r["window_start"], r["cnt"]) for r in out.collect())
+    total_cnt = sum(c for _, c in rows)
+
+    e = table(spark, sf_dir, "events")
+    ranked = e.withColumn(
+        "c", F.ntile(4).over(W.orderBy("ts", "event_id")) - 1
+    ).withColumn(
+        "wend_ms", (F.unix_millis("ts") - F.unix_millis("ts") % 300000) + 300000
+    )
+    # replay [0,2,3,1]: only chunk 1 (batch 3) sees a non-trivial late
+    # watermark = max event time of chunks {0,2} (batches <= 1) - 10 min.
+    wm_late = (
+        ranked.filter(F.col("c").isin(0, 2))
+        .agg(F.max(F.unix_millis("ts")))
+        .first()[0]
+        - 600_000
+    )
+    fwm = ranked.agg(F.max(F.unix_millis("ts"))).first()[0] - 600_000
+    expected = ranked.filter(
+        (
+            (F.col("c") != 1) | (F.col("wend_ms") > F.lit(wm_late))
+        )
+        & (F.col("wend_ms") <= F.lit(fwm))
+    ).count()
+    dropped = ranked.filter(
+        (F.col("c") == 1) & (F.col("wend_ms") <= F.lit(wm_late))
+    ).count()
+    assert dropped > 0, "fixture must actually exercise the late drop"
+    assert total_cnt == expected
+    again = sorted(
+        (r["window_start"], r["cnt"])
+        for r in streams.stream_watermark_late(spark, sf_dir).collect()
+    )
+    assert again == rows
+
+
 def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     """Exactly-once bookkeeping: restarting a stream against the same
     checkpoint must process only files that arrived since the last run —
