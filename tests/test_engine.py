@@ -312,3 +312,32 @@ def test_src_fingerprint_is_memoized():
     mod.clear_fingerprint_cache()
     assert fn not in mod._FP_CACHE
     assert mod.src_fingerprint(fn) == first
+
+
+def test_bench_band_check_is_mechanical():
+    """BENCH_BANDS.json + bench._band_check form the mechanical per-query
+    regression gate (r9 verdict item 6): >ref*1.5+0.3 s trips, quiet jitter
+    does not, contention is reported (not used to excuse a regression), and
+    bands only apply at the reference scale."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    bands = json.load(
+        open(os.path.join(os.path.dirname(bench.__file__), "BENCH_BANDS.json"))
+    )
+    # every headline query has a committed reference wall
+    assert set(bench.HEADLINE) <= set(bands["ref"])
+    ref = bands["ref"]["llm_sim_hnsw"]
+    ok = bench._band_check({"llm_sim_hnsw": ref * 1.2}, 200.0, 0.1)
+    assert ok["band_ok"] and not ok["regressions"]
+    bad = bench._band_check({"llm_sim_hnsw": ref * 2 + 1}, 200.0, 0.1)
+    assert not bad["band_ok"] and "llm_sim_hnsw" in bad["regressions"]
+    # contention signal is independent of band_ok
+    cont = bench._band_check({"llm_sim_hnsw": ref}, 10.0, 0.1)
+    assert cont["host_contended"] and cont["band_ok"]
+    # bands are sf0.1-scoped
+    assert bench._band_check({"llm_sim_hnsw": 999.0}, 200.0, 0.01) == {}
