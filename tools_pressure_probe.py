@@ -150,6 +150,17 @@ def _child(args) -> None:
     # DELTA — otherwise the warm run's spill double-counts into the timed
     # run's numbers (round-9 review finding 5).
     build().write.format("noop").mode("overwrite").save()
+    # Evict engine-tracked cached frames between the warm and timed runs:
+    # Spark's CacheManager matches the SECOND build's identical analyzed
+    # plans to the warm run's persisted frames, so a tracked_cache-using
+    # operator would otherwise skip its expensive stages entirely in the
+    # timed run (llm_dedup_clusters read 3.3 s for 625k docs — the LSH was
+    # never re-run). Same per-rep discipline as bench.py; no-op for
+    # operators that cache nothing (r10, found extending the probe to the
+    # LLM family).
+    from iot_data_pipeline_spark.cache_tracker import evict_tracked
+
+    evict_tracked()
     mem0, disk0 = _spill_bytes(spark)
     t0 = time.monotonic()
     build().write.format("noop").mode("overwrite").save()
@@ -174,7 +185,9 @@ def _child(args) -> None:
     spark.stop()
 
 
-def _run_cell(cmd: list[str]) -> subprocess.CompletedProcess:
+def _run_cell(
+    cmd: list[str], timeout: int = 1200
+) -> subprocess.CompletedProcess:
     """subprocess.run with whole-process-GROUP kill on timeout. The child
     launches a py4j JVM; plain ``subprocess.run(timeout=...)`` kills only
     the Python child, leaving the JVM as an orphan still holding heap,
@@ -186,7 +199,7 @@ def _run_cell(cmd: list[str]) -> subprocess.CompletedProcess:
         cwd=REPO, start_new_session=True,
     ) as p:
         try:
-            out, err = p.communicate(timeout=1200)
+            out, err = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             import signal
 
@@ -222,17 +235,78 @@ def _hybrid_dir(copies: int) -> str:
     return hybrid
 
 
+def _llm_hybrid_dir(copies: int) -> str:
+    """Staging dir for LLM/multimodal registered-operator cells (r9 verdict
+    item 5): ``documents`` replicated ``copies``x with COPY-DISJOINT token
+    prefixes — every token after the first in copy i>0 becomes ``c<i><tok>``,
+    so shingle sets across copies are disjoint and the corpus's near-dup
+    DENSITY stays at the sf0.1 rate (cluster count scales linearly, cluster
+    sizes don't). Verbatim replication would instead make every doc a member
+    of a 125-clique and the LSH candidate count quadratic in copies — a
+    different (unrealistic) corpus, not a bigger one. ``supplier`` (the
+    media-file listing driver for scan_binary_files) scales capped at 25x:
+    its axis is the file LISTING, staged one-file-per-key driver-side, and
+    the files probe already measures the listing shape structurally."""
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_llm_hybrid_{copies}x_{os.getuid()}",
+    )
+    os.makedirs(base, exist_ok=True)
+    docs = os.path.join(base, "documents.parquet")
+    if not os.path.exists(docs):
+        duckdb.sql(
+            f"""COPY (
+              SELECT d.doc_id + i * 1000000 AS doc_id,
+                     CASE WHEN i = 0 THEN d.text
+                          ELSE replace(d.text, ' ', ' c' || i) END AS text,
+                     d.lang, d.source,
+                     length(CASE WHEN i = 0 THEN d.text
+                            ELSE replace(d.text, ' ', ' c' || i) END
+                     ) AS n_chars
+              FROM '{sf_dir}/documents.parquet' d, range({copies}) t(i)
+            ) TO '{docs}' (FORMAT parquet)"""
+        )
+    sup = os.path.join(base, "supplier.parquet")
+    sup_copies = min(copies, 25)
+    if not os.path.exists(sup):
+        duckdb.sql(
+            f"""COPY (
+              SELECT s.s_suppkey + i * 1000000 AS s_suppkey, s.s_name,
+                     s.s_nationkey, s.s_acctbal
+              FROM '{sf_dir}/supplier.parquet' s, range({sup_copies}) t(i)
+            ) TO '{sup}' (FORMAT parquet)"""
+        )
+    for name in os.listdir(sf_dir):
+        if not name.endswith(".parquet") or name in (
+            "documents.parquet", "supplier.parquet",
+        ):
+            continue
+        dst = os.path.join(base, name)
+        if os.path.islink(dst) or os.path.exists(dst):
+            os.remove(dst)
+        os.symlink(os.path.join(sf_dir, name), dst)
+    return base
+
+
 def mem_probe(args) -> None:
     import tools_skew_probe as skew
 
-    if not args.skip_stage:
-        skew.stage(args.copies)
-    if args.registry:
+    if args.registry and args.llm:
+        d = _llm_hybrid_dir(args.copies)
+    elif args.registry:
+        if not args.skip_stage:
+            skew.stage(args.copies)
         d = _hybrid_dir(args.copies)
+    else:
+        if not args.skip_stage:
+            skew.stage(args.copies)
+        d = os.path.join(skew.base_dir(args.copies), "uniform")
+    if args.registry:
         global SHAPES
         SHAPES = tuple(s for s in args.registry.split(",") if s)
-    else:
-        d = os.path.join(skew.base_dir(args.copies), "uniform")
     rows = []
     for heap in args.heaps.split(","):
         for cpus in (int(c) for c in args.cpus_list.split(",")):
@@ -247,7 +321,7 @@ def mem_probe(args) -> None:
                     if args.registry:
                         cmd += ["--registry", args.registry]
                     try:
-                        proc = _run_cell(cmd)
+                        proc = _run_cell(cmd, args.cell_timeout)
                     except subprocess.TimeoutExpired:
                         # A GC-thrashing child that never dies cleanly is
                         # exactly the regime this probe exercises — record
@@ -396,6 +470,17 @@ def main() -> None:
         "--cpus-list", default="32,4", dest="cpus_list",
         help="mem probe: task-slot counts per fresh JVM — heap/slots is the "
         "per-task memory floor, the executor cores-per-GB sizing knob",
+    )
+    ap.add_argument(
+        "--llm", action="store_true",
+        help="mem probe with --registry: stage the LLM/multimodal hybrid "
+        "(documents replicated with copy-disjoint tokens, supplier capped "
+        "at 25x) instead of the events/orders/customer hybrid",
+    )
+    ap.add_argument(
+        "--cell-timeout", type=int, default=1200, dest="cell_timeout",
+        help="per-cell subprocess timeout in seconds (CPU-bound decode "
+        "cells at 125x need more than the default at starved profiles)",
     )
     ap.add_argument("--dir")
     ap.add_argument("--copies", type=int, default=None)
