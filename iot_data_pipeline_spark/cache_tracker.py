@@ -16,13 +16,24 @@ own cache — the harness calls :func:`evict_tracked` after collecting.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
 
 _TRACKED: list[DataFrame] = []
 
 
-def tracked_cache(df: DataFrame) -> DataFrame:
-    """``df.cache()`` that the harness can later evict."""
-    cached = df.cache()
+def tracked_cache(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
+    """``df.cache()`` (or ``persist(level)``) that the harness can later evict.
+
+    Pass ``StorageLevel.DISK_ONLY`` for CORPUS-SCALE intermediates (e.g. the
+    dedup family's shingle frames): the default MEMORY_AND_DISK level pins
+    in-memory blocks inside the protected storage region
+    (``spark.memory.storageFraction``), which at memory-starved executor
+    sizings starves the same stage's hash aggregations into
+    AGGREGATE_OUT_OF_MEMORY (observed by the r10 LLM-family pressure probe
+    at 1g-heap/4-slot on 625k docs). A corpus-scale intermediate could never
+    fit executor memory at 100 TB anyway — DISK_ONLY is its honest level;
+    dimension-scale frames keep the default."""
+    cached = df.persist(level) if level is not None else df.cache()
     _TRACKED.append(cached)
     return cached
 

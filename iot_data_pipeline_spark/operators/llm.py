@@ -1205,8 +1205,27 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs come from the production MinHash+LSH path (``near_dup_pairs``), not
     the all-pairs shingle join — identical pairs on this corpus (pinned by
     tests) and linear instead of df²-quadratic at scale. The oracle is the
-    exact-pair recursive CTE."""
-    pairs = llm_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    exact-pair recursive CTE.
+
+    Memory shape: the corpus-scale shingle cache exists only for the pair
+    generation (three scans); it is RELEASED as soon as the (tiny) edge
+    list is materialized, BEFORE the propagation loop. The r10 LLM-family
+    pressure probe caught the prior shape: at 1g-heap/4-slot the pinned
+    shingle blocks held the protected storage region and the loop's first
+    hash aggregation died with AGGREGATE_OUT_OF_MEMORY — the one OOM among
+    the five probed ids, and pure cache pinning, not data volume (the same
+    corpus completes with zero spill at the default profile). This operator
+    is already eager (the loop checkpoints per round), so the early
+    unpersist does not change the lazy-operator convention elsewhere."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = table(spark, sf_dir, "documents")
+    # DISK_ONLY: the shingle frame is corpus-scale — memory-pinning it
+    # starves the same stage's aggregations at tight executor sizings
+    # (see tracked_cache docstring), and it could never fit memory at
+    # 100 TB regardless.
+    sh = tracked_cache(_word_shingles(d, 3), StorageLevel.DISK_ONLY)
+    pairs = near_dup_pairs(sh, 0.5).select("doc_a", "doc_b")
     edges = tracked_cache(
         pairs.unionByName(
             pairs.select(
@@ -1214,6 +1233,8 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    edges.count()  # materialize through the cache while shingles are hot
+    sh.unpersist()  # corpus-scale intermediate: dead weight past this point
     labels = _min_label_propagation(edges)
     return labels.select(
         "doc_id",
