@@ -83,6 +83,21 @@ def _word_shingles(df: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def _shingle_cache(df: DataFrame, n: int = 3) -> DataFrame:
+    """Shared cached-shingle entry for the dedup family: the shingle frame
+    is CORPUS-SCALE, so it is tracked-cached at ``DISK_ONLY`` — the default
+    MEMORY_AND_DISK level pins blocks inside the protected storage region
+    and starves the same stage's hash aggregations at tight executor
+    sizings (AGGREGATE_OUT_OF_MEMORY, caught by the r10 LLM-family pressure
+    probe; see tracked_cache). One helper instead of per-operator literals,
+    so the level rule and the shingle width cannot silently diverge between
+    llm_dedup_near / llm_dedup_ngram / llm_dedup_clusters /
+    llm_corpus_pipeline (r10 review)."""
+    from pyspark.storagelevel import StorageLevel
+
+    return tracked_cache(_word_shingles(df, n), StorageLevel.DISK_ONLY)
+
+
 def llm_dedup_ngram(
     spark: SparkSession, sf_dir: str, max_shingle_df: int | None = None
 ) -> DataFrame:
@@ -106,7 +121,12 @@ def llm_dedup_ngram(
             .select("shingle")
         )
         sh = sh.join(keep, "shingle")
-    sh = tracked_cache(sh)
+    # corpus-scale intermediate -> DISK_ONLY, same rule as _shingle_cache
+    # (the df-cap join sits between shingling and caching, so the shared
+    # helper cannot be used verbatim here).
+    from pyspark.storagelevel import StorageLevel
+
+    sh = tracked_cache(sh, StorageLevel.DISK_ONLY)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -226,8 +246,7 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     but not SQL-expressible → rows-only oracle; tests assert it finds
     exactly the llm_dedup_ngram pairs on this corpus."""
     d = table(spark, sf_dir, "documents")
-    sh = tracked_cache(_word_shingles(d, 3))
-    return near_dup_pairs(sh, 0.5)
+    return near_dup_pairs(_shingle_cache(d), 0.5)
 
 
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1034,7 +1053,6 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not q_rows:
         return spark.createDataFrame([], out_schema)
-    beam, n_entries = _hnsw_search_widths(e.count())
     q_ids = [int(r["vec_id"]) for r in q_rows]
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
 
@@ -1074,6 +1092,12 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     embd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     v = tracked_cache(e.select("vec_id", embd.alias("emb")))
+    # Corpus count for the log2(n)-scaled search widths: a column-less
+    # parquet count (no columns materialize — near-metadata cost), placed
+    # here so it overlaps the edges0 prefetch thread. Counting through
+    # v instead would serialize the full corpus cache fill (scan + cast +
+    # cache write) in front of the entry stage (r10 review follow-up).
+    beam, n_entries = _hnsw_search_widths(e.count())
     dot = F.aggregate(
         F.zip_with(F.col("q_emb"), F.col("emb"), lambda x, y: x * y),
         F.lit(0.0),
@@ -1217,14 +1241,8 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus completes with zero spill at the default profile). This operator
     is already eager (the loop checkpoints per round), so the early
     unpersist does not change the lazy-operator convention elsewhere."""
-    from pyspark.storagelevel import StorageLevel
-
     d = table(spark, sf_dir, "documents")
-    # DISK_ONLY: the shingle frame is corpus-scale — memory-pinning it
-    # starves the same stage's aggregations at tight executor sizings
-    # (see tracked_cache docstring), and it could never fit memory at
-    # 100 TB regardless.
-    sh = tracked_cache(_word_shingles(d, 3), StorageLevel.DISK_ONLY)
+    sh = _shingle_cache(d)
     pairs = near_dup_pairs(sh, 0.5).select("doc_a", "doc_b")
     edges = tracked_cache(
         pairs.unionByName(
@@ -1365,7 +1383,7 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    sh = tracked_cache(_word_shingles(deduped, 3))
+    sh = _shingle_cache(deduped)
     near_dups = (
         near_dup_pairs(sh, 0.5)
         .select(F.col("doc_b").alias("doc_id"))

@@ -238,21 +238,37 @@ def _hybrid_dir(copies: int) -> str:
 def _llm_hybrid_dir(copies: int) -> str:
     """Staging dir for LLM/multimodal registered-operator cells (r9 verdict
     item 5): ``documents`` replicated ``copies``x with COPY-DISJOINT token
-    prefixes — every token after the first in copy i>0 becomes ``c<i><tok>``,
+    prefixes — every token after the first in copy i>0 becomes ``c<i>_<tok>``,
     so shingle sets across copies are disjoint and the corpus's near-dup
     DENSITY stays at the sf0.1 rate (cluster count scales linearly, cluster
     sizes don't). Verbatim replication would instead make every doc a member
     of a 125-clique and the LSH candidate count quadratic in copies — a
-    different (unrealistic) corpus, not a bigger one. ``supplier`` (the
+    different (unrealistic) corpus, not a bigger one. The prefix carries a
+    ``_`` separator (``c<i>_<tok>``) so copy 1's ``c1_0foo`` can never
+    collide with copy 10's ``c10_foo`` on digit-leading tokens (r10
+    review); the density claim is approximate, not exact — prefixed tokens
+    grow by 3-5 chars, so a doc sitting ON a length/alpha filter boundary
+    can qualify differently per copy. ``supplier`` (the
     media-file listing driver for scan_binary_files) scales capped at 25x:
     its axis is the file LISTING, staged one-file-per-key driver-side, and
-    the files probe already measures the listing shape structurally."""
+    the files probe already measures the listing shape structurally.
+
+    The staged-by-existence shortcut is keyed on (copies, uid, SOURCE
+    CORPUS path, scheme version): without the source key, re-pointing
+    SPARK_GRAFT_SF_DIR (or regenerating testdata) would silently reuse
+    documents staged from the OLD corpus while every other table
+    re-symlinks to the new one — a mixed hybrid measuring nothing real
+    (r10 review)."""
     import duckdb
+    import hashlib
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    src_key = hashlib.sha1(
+        (os.path.realpath(sf_dir) + "|scheme_v2").encode()
+    ).hexdigest()[:10]
     base = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_llm_hybrid_{copies}x_{os.getuid()}",
+        f"spark_graft_llm_hybrid_{copies}x_{os.getuid()}_{src_key}",
     )
     os.makedirs(base, exist_ok=True)
     docs = os.path.join(base, "documents.parquet")
@@ -261,10 +277,10 @@ def _llm_hybrid_dir(copies: int) -> str:
             f"""COPY (
               SELECT d.doc_id + i * 1000000 AS doc_id,
                      CASE WHEN i = 0 THEN d.text
-                          ELSE replace(d.text, ' ', ' c' || i) END AS text,
+                          ELSE replace(d.text, ' ', ' c' || i || '_') END AS text,
                      d.lang, d.source,
                      length(CASE WHEN i = 0 THEN d.text
-                            ELSE replace(d.text, ' ', ' c' || i) END
+                            ELSE replace(d.text, ' ', ' c' || i || '_') END
                      ) AS n_chars
               FROM '{sf_dir}/documents.parquet' d, range({copies}) t(i)
             ) TO '{docs}' (FORMAT parquet)"""
@@ -489,6 +505,11 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--skip-stage", action="store_true")
     args = ap.parse_args()
+    if args.llm and not args.registry:
+        # --llm only selects the staging for REGISTRY cells; accepting it
+        # alone would silently sweep the generic skew shapes while the
+        # operator believes the LLM family ran (r10 review).
+        ap.error("--llm requires --registry <ids>")
     if args.probe == "mem":
         if args.copies is None:
             args.copies = 125
