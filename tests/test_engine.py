@@ -341,3 +341,60 @@ def test_bench_band_check_is_mechanical():
     assert cont["host_contended"] and cont["band_ok"]
     # bands are sf0.1-scoped
     assert bench._band_check({"llm_sim_hnsw": 999.0}, 200.0, 0.01) == {}
+
+
+def test_llm_hybrid_staging_scheme_is_copy_disjoint(monkeypatch):
+    """The LLM pressure staging's linear-density premise rests on copies
+    being SHINGLE-disjoint (r10 review found the prefix scheme collided for
+    copies >= 10: 'c1'+'0foo' == 'c10'+'foo'; the `_` separator fixed
+    that). The FIRST token of each doc is never prefixed (no leading
+    space), so token sets may share first words — harmless, because every
+    word trigram contains at least two prefixed tokens. Pin with Spark-free
+    DuckDB at copies=12 over sf0.001: copy 1 and copy 10 share ZERO
+    trigram shingles (the quantity the dedup family actually joins on),
+    row counts replicate exactly, n_chars tracks the rewritten text, and
+    the staging dir is keyed to the source corpus (a different source
+    yields a different dir)."""
+    import os
+    import sys
+
+    import duckdb
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    import tools_pressure_probe as probe
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    d = probe._llm_hybrid_dir(12)
+    con = duckdb.connect()
+    n, nd = con.sql(
+        f"SELECT count(*), count(DISTINCT doc_id) FROM '{d}/documents.parquet'"
+    ).fetchone()
+    base = con.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    assert n == nd == 12 * base
+    overlap = con.sql(
+        f"""WITH arrs AS (
+              SELECT doc_id // 1000000 AS cp, string_split(text, ' ') AS arr
+              FROM '{d}/documents.parquet'
+              WHERE doc_id // 1000000 IN (1, 10)
+            ), sh AS (
+              SELECT cp,
+                     arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS s
+              FROM arrs, unnest(range(1, greatest(len(arr) - 1, 1))) AS u(i)
+            )
+        SELECT count(*) FROM
+          (SELECT DISTINCT s FROM sh WHERE cp = 1)
+          JOIN (SELECT DISTINCT s FROM sh WHERE cp = 10)
+          USING (s)"""
+    ).fetchone()[0]
+    assert overlap == 0, f"copies 1 and 10 share {overlap} shingles"
+    bad_len = con.sql(
+        f"SELECT count(*) FROM '{d}/documents.parquet'"
+        " WHERE n_chars <> length(text)"
+    ).fetchone()[0]
+    assert bad_len == 0
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    d2 = probe._llm_hybrid_dir(12)
+    assert d2 != d, "staging dir must be keyed to the source corpus"
