@@ -32,7 +32,13 @@ def tracked_cache(df: DataFrame, level: StorageLevel | None = None) -> DataFrame
     AGGREGATE_OUT_OF_MEMORY (observed by the r10 LLM-family pressure probe
     at 1g-heap/4-slot on 625k docs). A corpus-scale intermediate could never
     fit executor memory at 100 TB anyway — DISK_ONLY is its honest level;
-    dimension-scale frames keep the default."""
+    dimension-scale frames keep the default. The distinction is REUSE
+    CLASS, not just size: a scanned-a-few-times-then-discarded INTERMEDIATE
+    (the shingle frames) belongs on disk, while a hot INDEX an operator
+    re-probes many times per run (the HNSW graph/vector caches inside the
+    beam-search loop) legitimately stays memory-first — at production scale
+    that role is a distributed in-memory ANN serving tier, not an
+    executor-storage pin."""
     cached = df.persist(level) if level is not None else df.cache()
     _TRACKED.append(cached)
     return cached
