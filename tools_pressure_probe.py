@@ -307,10 +307,60 @@ def _llm_hybrid_dir(copies: int) -> str:
     return base
 
 
+def _tpch_hybrid_dir(copies: int) -> str:
+    """Staging dir for the TPC-H subquery-decorrelation plans under
+    pressure (q18's IN-over-HAVING, q21's stacked semi+anti, q5/q9's wide
+    snowflakes): ``lineitem`` replicated ``copies``x with ``l_orderkey``
+    shifted by the SAME per-copy stride as the skew staging's orders, so
+    fact-fact joins stay key-consistent and every copy is a disjoint
+    order space; part/supp keys unshifted (dims stay sf0.1, join fan-out
+    scales linearly). events/orders/customer come from the skew 'uniform'
+    staging; every other table symlinks to the source corpus. Dir keyed by
+    (copies, uid, source corpus) like the LLM staging."""
+    import duckdb
+    import hashlib
+
+    import tools_skew_probe as skew
+
+    skew.stage(copies)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    big = os.path.join(skew.base_dir(copies), "uniform")
+    src_key = hashlib.sha1(os.path.realpath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_tpch_hybrid_{copies}x_{os.getuid()}_{src_key}",
+    )
+    os.makedirs(base, exist_ok=True)
+    li = os.path.join(base, "lineitem.parquet")
+    if not os.path.exists(li):
+        duckdb.sql(
+            f"""COPY (
+              SELECT l.l_orderkey + i * {skew.ROW_STRIDE} AS l_orderkey,
+                     l.l_partkey, l.l_suppkey, l.l_linenumber, l.l_quantity,
+                     l.l_extendedprice, l.l_discount, l.l_tax,
+                     l.l_returnflag, l.l_linestatus, l.l_shipdate
+              FROM '{sf_dir}/lineitem.parquet' l, range({copies}) t(i)
+            ) TO '{li}' (FORMAT parquet)"""
+        )
+    for name in os.listdir(sf_dir):
+        if not name.endswith(".parquet") or name == "lineitem.parquet":
+            continue
+        dst = os.path.join(base, name)
+        src = os.path.join(big, name)
+        if not os.path.exists(src):
+            src = os.path.join(sf_dir, name)
+        if os.path.islink(dst) or os.path.exists(dst):
+            os.remove(dst)
+        os.symlink(src, dst)
+    return base
+
+
 def mem_probe(args) -> None:
     import tools_skew_probe as skew
 
-    if args.registry and args.llm:
+    if args.registry and args.tpch:
+        d = _tpch_hybrid_dir(args.copies)
+    elif args.registry and args.llm:
         d = _llm_hybrid_dir(args.copies)
     elif args.registry:
         if not args.skip_stage:
@@ -494,6 +544,12 @@ def main() -> None:
         "at 25x) instead of the events/orders/customer hybrid",
     )
     ap.add_argument(
+        "--tpch", action="store_true",
+        help="mem probe with --registry: stage the TPC-H hybrid (lineitem "
+        "replicated with order keys matching the scaled orders) for the "
+        "subquery-decorrelation plans",
+    )
+    ap.add_argument(
         "--cell-timeout", type=int, default=1200, dest="cell_timeout",
         help="per-cell subprocess timeout in seconds (CPU-bound decode "
         "cells at 125x need more than the default at starved profiles)",
@@ -505,11 +561,14 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--skip-stage", action="store_true")
     args = ap.parse_args()
-    if args.llm and not args.registry:
-        # --llm only selects the staging for REGISTRY cells; accepting it
-        # alone would silently sweep the generic skew shapes while the
-        # operator believes the LLM family ran (r10 review).
-        ap.error("--llm requires --registry <ids>")
+    if (args.llm or args.tpch) and not args.registry:
+        # --llm/--tpch only select the staging for REGISTRY cells;
+        # accepting them alone would silently sweep the generic skew
+        # shapes while the operator believes the named family ran
+        # (r10 review).
+        ap.error("--llm/--tpch require --registry <ids>")
+    if args.llm and args.tpch:
+        ap.error("--llm and --tpch are mutually exclusive")
     if args.probe == "mem":
         if args.copies is None:
             args.copies = 125
