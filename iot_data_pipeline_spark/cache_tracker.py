@@ -76,3 +76,19 @@ def evict_tracked() -> int:
                 continue
             raise
     return n
+
+
+def release(df: DataFrame) -> None:
+    """Early-release a tracked frame: unpersist it AND drop it from the
+    tracker, so a later :func:`evict_tracked` sweep neither re-unpersists
+    it (harmless no-op) nor counts it in its returned eviction total — the
+    count is what the harnesses log, and an operator that already released
+    its corpus-scale intermediate (llm_dedup_clusters' shingle cache)
+    should not inflate it (r10 ADVICE). Releasing a frame that was never
+    tracked is an error: it means the caller bypassed tracked_cache."""
+    for i, tracked in enumerate(_TRACKED):
+        if tracked is df:
+            del _TRACKED[i]
+            df.unpersist()
+            return
+    raise ValueError("release() called on a frame not registered via tracked_cache")

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from iot_data_pipeline_spark import cache_tracker
 from iot_data_pipeline_spark.cache_tracker import tracked_cache
 from iot_data_pipeline_spark.operators._util import table
 
@@ -1252,7 +1253,10 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     edges.count()  # materialize through the cache while shingles are hot
-    sh.unpersist()  # corpus-scale intermediate: dead weight past this point
+    # Corpus-scale intermediate: dead weight past this point. release()
+    # (not bare unpersist) also drops it from the harness tracker so
+    # evict_tracked's eviction count stays truthful (r10 ADVICE).
+    cache_tracker.release(sh)
     labels = _min_label_propagation(edges)
     return labels.select(
         "doc_id",

@@ -119,13 +119,17 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     on an unbounded production stream this is the knob to raise."""
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndmb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     name = "s" + uuid.uuid4().hex[:12]
     try:
         spark.conf.set("spark.sql.shuffle.partitions", _STREAM_STATE_PARTITIONS)
         # The final no-data micro-batch (default-on) is what flushes state
         # finalized by the LAST data batch's watermark advance — without it
         # the watermark query's emission set shrinks. Session-determinism
-        # pin, same rationale as session.prepare's UTC/ANSI pins.
+        # pin, same rationale as session.prepare's UTC/ANSI pins — but
+        # scoped to the run and RESTORED like shuffle.partitions above: a
+        # per-query helper must not leak session-wide conf mutations even
+        # when the pinned value happens to be Spark's default (r10 ADVICE).
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
         q = (
             df.writeStream.format("memory")
@@ -137,6 +141,9 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndmb
+        )
     return spark.table(name)
 
 
@@ -246,20 +253,41 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "append")
 
 
+def _stage_duplicated_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """stream_dedup's input: every chunk file staged TWICE, in a dir of its
+    OWN. It must never add the dup files to the shared ``_stage_event_chunks``
+    dir in place: that dir is cache-keyed and reused by every default-keyed
+    streaming query in the process, so mutating it doubles the input of
+    whichever of those runs NEXT — an order-dependent wrong answer that
+    surfaced when attestation rotation ran stream_dedup before
+    stream_ingest_files (r11 fix; regression-pinned in test_streaming)."""
+    base = _stage_event_chunks(spark, sf_dir)
+    cached = _STAGED_DIRS.get(("dup", base))
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    import shutil
+
+    dup_dir = tempfile.mkdtemp(prefix="events_stream_dup_")
+    for f in sorted(os.listdir(base)):
+        if not f.endswith(".parquet"):
+            continue
+        src = os.path.join(base, f)
+        first = os.path.join(dup_dir, f)
+        shutil.copy(src, first)
+        st = os.stat(src)
+        os.utime(first, (st.st_atime, st.st_mtime))
+        dup = os.path.join(dup_dir, "dup_" + f)
+        shutil.copy(src, dup)
+        os.utime(dup, (1_700_000_100, 1_700_000_100))
+    _STAGED_DIRS[("dup", base)] = dup_dir
+    return dup_dir
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on event_id within a 1-hour watermark: the
     stream directory holds every chunk TWICE (duplicated files), and the
     dedup state filters the second copies."""
-    stream_dir = _stage_event_chunks(spark, sf_dir)
-    # duplicate every chunk file → exact duplicate rows in the stream.
-    import shutil
-
-    for f in sorted(os.listdir(stream_dir)):
-        if f.endswith(".parquet"):
-            dup = os.path.join(stream_dir, "dup_" + f)
-            shutil.copy(os.path.join(stream_dir, f), dup)
-            os.utime(dup, (1_700_000_100, 1_700_000_100))
-    stream = _read_stream(spark, stream_dir)
+    stream = _read_stream(spark, _stage_duplicated_chunks(spark, sf_dir))
     deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )

@@ -43,6 +43,17 @@ def test_dedup_equals_distinct(spark, sf_dir):
     assert len(set(ids)) == n
 
 
+def test_dedup_does_not_contaminate_shared_staging(spark, sf_dir):
+    """stream_dedup stages its duplicated chunk files in a dir of its OWN —
+    it must never add them to the shared cache-keyed staging dir, or any
+    default-keyed streaming query that runs AFTER it in the same process
+    reads every chunk twice (order-dependent wrong answer, found by an r11
+    targeted verify that happened to run dedup before ingest)."""
+    streams.stream_dedup(spark, sf_dir)
+    ingested = streams.stream_ingest_files(spark, sf_dir)
+    assert ingested.count() == table(spark, sf_dir, "events").count()
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Controlled late-data fixture pinning Spark's exact watermark
     semantics: a late row arriving AFTER its window was finalized+evicted is

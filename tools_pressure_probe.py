@@ -235,6 +235,28 @@ def _hybrid_dir(copies: int) -> str:
     return hybrid
 
 
+def _src_key(sf_dir: str, *replicated: str, scheme: str = "") -> str:
+    """Cache key for a staged-by-existence hybrid dir: realpath of the
+    source corpus PLUS a content fingerprint (size + mtime_ns) of every
+    source table the staging REPLICATES (rather than symlinks). Path alone
+    only covers re-pointing SPARK_GRAFT_SF_DIR; regenerating testdata IN
+    PLACE would silently reuse replicated tables staged from the old
+    corpus while every other table re-symlinks to the new one — a mixed
+    hybrid measuring nothing real (r10 ADVICE). Symlinked tables need no
+    fingerprint: they always resolve to the current source."""
+    import hashlib
+
+    parts = [os.path.realpath(sf_dir), scheme]
+    for name in replicated:
+        path = os.path.join(sf_dir, name)
+        try:
+            st = os.stat(path)
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{name}:absent")
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:10]
+
+
 def _llm_hybrid_dir(copies: int) -> str:
     """Staging dir for LLM/multimodal registered-operator cells (r9 verdict
     item 5): ``documents`` replicated ``copies``x with COPY-DISJOINT token
@@ -253,19 +275,18 @@ def _llm_hybrid_dir(copies: int) -> str:
     its axis is the file LISTING, staged one-file-per-key driver-side, and
     the files probe already measures the listing shape structurally.
 
-    The staged-by-existence shortcut is keyed on (copies, uid, SOURCE
-    CORPUS path, scheme version): without the source key, re-pointing
-    SPARK_GRAFT_SF_DIR (or regenerating testdata) would silently reuse
-    documents staged from the OLD corpus while every other table
-    re-symlinks to the new one — a mixed hybrid measuring nothing real
-    (r10 review)."""
+    The staged-by-existence shortcut is keyed on (copies, uid, scheme
+    version, and ``_src_key`` = source path + content fingerprint of the
+    replicated tables): path alone only covered re-pointing
+    SPARK_GRAFT_SF_DIR — regenerating testdata IN PLACE would silently
+    reuse documents staged from the OLD corpus while every other table
+    re-symlinks to the new one (r10 review + r10 ADVICE)."""
     import duckdb
-    import hashlib
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    src_key = hashlib.sha1(
-        (os.path.realpath(sf_dir) + "|scheme_v2").encode()
-    ).hexdigest()[:10]
+    src_key = _src_key(
+        sf_dir, "documents.parquet", "supplier.parquet", scheme="scheme_v2"
+    )
     base = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_llm_hybrid_{copies}x_{os.getuid()}_{src_key}",
@@ -316,16 +337,17 @@ def _tpch_hybrid_dir(copies: int) -> str:
     order space; part/supp keys unshifted (dims stay sf0.1, join fan-out
     scales linearly). events/orders/customer come from the skew 'uniform'
     staging; every other table symlinks to the source corpus. Dir keyed by
-    (copies, uid, source corpus) like the LLM staging."""
+    (copies, uid, ``_src_key``) like the LLM staging — the content
+    fingerprint covers the replicated ``lineitem`` so in-place testdata
+    regeneration restages instead of mixing corpora (r10 ADVICE)."""
     import duckdb
-    import hashlib
 
     import tools_skew_probe as skew
 
     skew.stage(copies)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     big = os.path.join(skew.base_dir(copies), "uniform")
-    src_key = hashlib.sha1(os.path.realpath(sf_dir).encode()).hexdigest()[:10]
+    src_key = _src_key(sf_dir, "lineitem.parquet")
     base = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_tpch_hybrid_{copies}x_{os.getuid()}_{src_key}",
