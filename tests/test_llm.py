@@ -925,3 +925,122 @@ def test_hnsw_degenerate_inputs(spark, tmp_path):
     empty = llm.llm_sim_hnsw(spark, d2)
     assert empty.columns == ["query_id", "vec_id", "cosine", "rk"]
     assert empty.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer train + apply
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe_learn(word_freq: dict[str, int], merges: int):
+    """Independent pure-Python BPE reference (Sennrich-style dict walk, no
+    sentinel strings — a DIFFERENT formulation from the engine's): returns
+    [(rank, a, b, count)] with the engine's tie-break (count desc, a, b)."""
+    vocab = {tuple(w): f for w, f in word_freq.items()}
+    rules = []
+    for rank in range(1, merges + 1):
+        stats: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + f
+        if not stats:
+            break
+        (a, b), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((rank, a, b, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return rules
+
+
+def _ref_bpe_encode(word: str, rules) -> list[str]:
+    syms = list(word)
+    for _, a, b, _ in rules:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_train_matches_pure_python_reference(spark, sf_dir):
+    """The distributed learner must reproduce, rule for rule and count for
+    count, an independent driver-side reference run on the same
+    word-frequency table — including overlapping-pair counting and the
+    greedy left-to-right merge scan."""
+    wf_df = llm._bpe_word_freq(llm.table(spark, sf_dir, "documents"))
+    word_freq = {r["word"]: r["freq"] for r in wf_df.collect()}
+    expected = _ref_bpe_learn(word_freq, llm._BPE_MERGES)
+    got = llm._bpe_learn_from(wf_df, llm._BPE_MERGES)
+    assert got == expected
+
+
+def test_bpe_greedy_overlap_and_tiebreak(spark):
+    """'aaaa b' x1: pair (a,a) counts 3 (overlapping get_stats), and the
+    greedy merge yields [aa, aa], never [aa, a, a] or a triple merge.
+    Tie-break: with 'xy' and 'xz' at equal freq, (x,y) < (x,z) wins."""
+    wf = spark.createDataFrame(
+        [("aaaa", 1)], "word STRING, freq BIGINT"
+    )
+    rules = llm._bpe_learn_from(wf, 1)
+    assert rules == [(1, "a", "a", 3)]
+    enc = spark.createDataFrame([("aaaa",)], "word STRING").select(
+        llm._bpe_symbols(llm._bpe_apply(F.col("word"), rules)).alias("syms")
+    )
+    assert enc.first()["syms"] == ["aa", "aa"]
+
+    tie = spark.createDataFrame(
+        [("xy", 5), ("xz", 5)], "word STRING, freq BIGINT"
+    )
+    assert llm._bpe_learn_from(tie, 1) == [(1, "x", "y", 5)]
+
+
+def test_bpe_encode_matches_reference_per_word(spark, sf_dir):
+    """Spark's chained-replace apply equals the reference merge walk on
+    every distinct corpus word (token-sequence equality, not just counts)."""
+    wf_df = llm._bpe_word_freq(llm.table(spark, sf_dir, "documents"))
+    word_freq = {r["word"]: r["freq"] for r in wf_df.collect()}
+    rules = _ref_bpe_learn(word_freq, llm._BPE_MERGES)
+    enc = wf_df.select(
+        "word",
+        llm._bpe_symbols(llm._bpe_apply(F.col("word"), rules)).alias("syms"),
+    )
+    for r in enc.collect():
+        assert r["syms"] == _ref_bpe_encode(r["word"], rules), r["word"]
+
+
+def test_bpe_encode_totals_consistent(spark, sf_dir):
+    """Per-doc invariants: every doc with an alphabetic word appears;
+    n_words <= n_bpe_tokens <= total alphabetic chars (merging only
+    shrinks, tokens never cross word boundaries)."""
+    out = llm.llm_bpe_encode(spark, sf_dir)
+    d = llm.table(spark, sf_dir, "documents")
+    bounds = d.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias(
+            "nw"
+        ),
+        F.length(
+            F.regexp_replace(F.lower("text"), "[^a-z]", "")
+        ).alias("nc"),
+    ).filter(F.col("nw") > 0)
+    joined = out.join(bounds, "doc_id", "full").collect()
+    assert all(r["nw"] is not None and r["n_words"] is not None for r in joined)
+    for r in joined:
+        assert r["n_words"] == r["nw"]
+        assert r["n_words"] <= r["n_bpe_tokens"] <= r["nc"]
