@@ -287,3 +287,79 @@ def test_transform_with_state_new_api_or_env_skip(spark, sf_dir):
         for r in streams.stream_stateful_count(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_watermark_late_filter_lags_eviction_by_one_batch(spark, tmp_path):
+    """PROTOCOL PIN (r10 verdict item 3): the stream_watermark_late oracle
+    encodes Spark's internal one-batch lag — the late-events filter of
+    batch k uses the watermark derived from batches <= k-2
+    (``prevOffsetSeqMetadata``), while state eviction uses batches <= k-1.
+    This test asserts the lag ITSELF from StreamingQueryProgress
+    (numRowsDroppedByWatermark per batch), so a Spark upgrade that moves
+    the protocol fails HERE with a named message instead of as a mystery
+    oracle hash flip.
+
+    Fixture: batch 0 raises max event time to 02:00 (watermark 01:50 once
+    committed). Batch 1 replays a 00:01 row — late vs 01:50, but the lag
+    means batch 1 filters with the PRE-batch-0 watermark, so it must be
+    KEPT. Batch 2 replays a 00:02 row — now 01:50 is in force, so it must
+    be DROPPED."""
+    import json
+
+    sdir = str(tmp_path / "wm_lag")
+    os.makedirs(sdir)
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(path, rows, mtime):
+        df = spark.createDataFrame(rows, streams.EVENTS_SCHEMA)
+        stage = path + "_stage"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(os.path.join(stage, part), path)
+        os.utime(path, (mtime, mtime))
+
+    def ev(i, minutes):
+        return Row(
+            event_id=i,
+            ts=base + dt.timedelta(minutes=minutes),
+            user_id=1,
+            event_type="a",
+            value=1.0,
+            props="{}",
+        )
+
+    mk(os.path.join(sdir, "00000.parquet"), [ev(1, 0), ev(2, 120)], 1_700_000_000)
+    mk(os.path.join(sdir, "00001.parquet"), [ev(3, 1)], 1_700_000_001)
+    mk(os.path.join(sdir, "00002.parquet"), [ev(4, 2)], 1_700_000_002)
+
+    stream = streams._read_stream(spark, sdir, max_files=1)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_lag_pin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = {}
+    for p in q.recentProgress:
+        d = json.loads(p.json) if hasattr(p, "json") else p
+        ops = d.get("stateOperators") or []
+        if ops:
+            dropped[d["batchId"]] = ops[0].get("numRowsDroppedByWatermark", 0)
+    assert dropped.get(1) == 0, (
+        "Spark changed watermark lag: the late filter of batch 1 used a "
+        "watermark newer than batches <= -1 (prevOffsetSeqMetadata "
+        "protocol moved) — stream_watermark_late's oracle must be "
+        f"re-derived. Per-batch drops: {dropped}"
+    )
+    assert dropped.get(2) == 1, (
+        "Spark changed watermark lag: batch 2 (two behind the advance) "
+        "did not drop the late row — stream_watermark_late's oracle must "
+        f"be re-derived. Per-batch drops: {dropped}"
+    )
