@@ -173,13 +173,12 @@ def minhash_signature(shingle_col) -> list:
     ]
 
 
-def _lsh_candidates(sh: DataFrame) -> DataFrame:
-    """(doc_id, shingle) → candidate pairs (doc_a < doc_b) sharing any LSH
-    band bucket. One aggregation for the 32-minhash signature, one
-    posexplode, one self-equi-join on (band_idx, bucket) — single shuffle,
-    and bucket ids are 64-bit hashes so the join keys are uniform at any
-    scale. Crucially LINEAR in corpus size: hot shingles raise no df² blowup
-    here because shingles only feed the per-doc min-aggregation."""
+def _lsh_buckets(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingle) → (doc_id, band_idx, bucket): the 32-minhash
+    signature in one aggregation, banded 8×4, one posexplode. Bucket ids
+    are 64-bit hashes, uniform at any scale. This is the frame an
+    incremental consumer PERSISTS — stream_near_dedup's bucket store is
+    exactly this, appended per admitted micro-batch."""
     sig = sh.groupBy("doc_id").agg(*minhash_signature(F.col("shingle")))
     band_cols = [
         F.xxhash64(
@@ -188,12 +187,22 @@ def _lsh_candidates(sh: DataFrame) -> DataFrame:
         for b in range(_LSH_BANDS)
     ]
     banded = sig.select("doc_id", *band_cols)
-    buckets = banded.select(
+    return banded.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(_LSH_BANDS)])).alias(
             "band_idx", "bucket"
         ),
     )
+
+
+def _lsh_candidates(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingle) → candidate pairs (doc_a < doc_b) sharing any LSH
+    band bucket. One aggregation for the 32-minhash signature, one
+    posexplode, one self-equi-join on (band_idx, bucket) — single shuffle,
+    and bucket ids are 64-bit hashes so the join keys are uniform at any
+    scale. Crucially LINEAR in corpus size: hot shingles raise no df² blowup
+    here because shingles only feed the per-doc min-aggregation."""
+    buckets = _lsh_buckets(sh)
     l = buckets.select(F.col("doc_id").alias("doc_a"), "band_idx", "bucket")
     r = buckets.select(F.col("doc_id").alias("doc_b"), "band_idx", "bucket")
     return (

@@ -506,8 +506,205 @@ def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(deduped, "append")
 
 
+DOCUMENTS_SCHEMA = (
+    "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+)
+
+
+def _stage_document_chunks(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> str:
+    """``documents`` as ordered parquet chunk files for stream replay:
+    chunk i = i-th exact ntile over doc_id, so the replay's arrival order
+    equals doc_id order and the stream's greedy-admission semantics reduce
+    to one global doc_id-ordered pass (what the batch-equivalence test
+    replays). Memoized like the event stagings; never mutated after
+    staging."""
+    key = ("documents", sf_dir, n_chunks)
+    cached = _STAGED_DIRS.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    import shutil
+
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    ranked = d.withColumn(
+        "__chunk", F.ntile(n_chunks).over(Window.orderBy("doc_id")) - 1
+    )
+    stream_dir = tempfile.mkdtemp(prefix="docs_stream_")
+    for i in range(n_chunks):
+        tmp_out = os.path.join(stream_dir, f"_stage_{i}")
+        ranked.filter(F.col("__chunk") == i).drop("__chunk").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp_out)
+        part = next(f for f in os.listdir(tmp_out) if f.endswith(".parquet"))
+        dest = os.path.join(stream_dir, f"{i:05d}.parquet")
+        os.rename(os.path.join(tmp_out, part), dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(tmp_out)
+    _STAGED_DIRS[key] = stream_dir
+    return stream_dir
+
+
+def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup — the first stateful *similarity* stream in
+    the registry (r10 verdict item 4) and the real 100 TB ingestion gate:
+    every crawl micro-batch is near-deduped against everything already
+    admitted before it lands.
+
+    Per micro-batch, inside foreachBatch (the same per-epoch batch plan
+    production would run):
+
+    1. MinHash-signature + LSH-band the incoming docs (``_lsh_buckets`` —
+       one aggregation, narrow);
+    2. probe the PERSISTED bucket store of admitted docs for cross-batch
+       candidates (equi-join on (band_idx, bucket) — uniform 64-bit keys),
+       plus a within-batch self-join;
+    3. exact-verify candidates only (jaccard ≥ 0.5): admitted-side
+       shingles are recomputed from the corpus store pruned by a semi-join
+       to candidate ids — candidates are rare, so this reads a sliver;
+    4. greedily admit: a doc is dropped iff it matches an ADMITTED doc
+       (``dup_of_corpus``) or an earlier-id KEPT doc of its own batch
+       (``dup_in_batch``); kept docs append their buckets + text to the
+       stores. Only the VERIFIED DUP PAIRS (metadata-scale — dup density
+       times batch size, never the batch itself) reach the driver, for the
+       sequential greedy resolution no distributed plan can express.
+
+    Chunk replay order is doc_id quartiles, so the composed semantics are
+    one global greedy doc_id-ordered pass — pinned against a pure-Python
+    reference over the exact n-gram ground-truth pairs in tests. State
+    stores are plain parquet appends here; in production they are the
+    bucket-partitioned table this exact plan probes. Greedy order is not
+    SQL-expressible (non-monotone NOT EXISTS over its own output) →
+    declared rows-only."""
+    from collections import defaultdict
+
+    from iot_data_pipeline_spark.operators import llm
+
+    stream_dir = _stage_document_chunks(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="near_dedup_state_")
+    bucket_store = os.path.join(state, "buckets")
+    corpus_store = os.path.join(state, "corpus")
+    status_store = os.path.join(state, "status")
+
+    def admit(batch_df: DataFrame, epoch_id: int) -> None:
+        # Epoch-scoped checkpoints (the batch is scanned by several joins
+        # and the final three writes); released before the epoch returns.
+        epoch_pins: list[DataFrame] = []
+
+        def pin(df: DataFrame) -> DataFrame:
+            ck = df.localCheckpoint()
+            epoch_pins.append(ck)
+            return ck
+
+        try:
+            _admit_epoch(batch_df, pin)
+        finally:
+            for ck in epoch_pins:
+                ck.unpersist()
+
+    def _admit_epoch(batch_df: DataFrame, pin) -> None:
+        batch = pin(batch_df.select("doc_id", "text"))
+        sh_new = llm._word_shingles(batch)
+        bk_new = pin(llm._lsh_buckets(sh_new))
+        cand_batch = (
+            bk_new.alias("l")
+            .join(bk_new.alias("r"), ["band_idx", "bucket"])
+            .select(
+                F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .distinct()
+        )
+        sh_all = sh_new
+        cands = cand_batch
+        store_old = set()
+        if os.path.isdir(bucket_store):
+            bk_old = spark.read.parquet(bucket_store)
+            cand_store = (
+                bk_old.select(
+                    F.col("doc_id").alias("doc_a"), "band_idx", "bucket"
+                )
+                .join(
+                    bk_new.select(
+                        F.col("doc_id").alias("doc_b"), "band_idx", "bucket"
+                    ),
+                    ["band_idx", "bucket"],
+                )
+                .select("doc_a", "doc_b")
+                .distinct()
+            )
+            cand_store = pin(cand_store)
+            old_ids = cand_store.select(F.col("doc_a").alias("doc_id"))
+            sh_old = llm._word_shingles(
+                spark.read.parquet(corpus_store).join(
+                    old_ids, "doc_id", "semi"
+                )
+            )
+            sh_all = sh_new.unionByName(sh_old)
+            cands = cand_batch.unionByName(cand_store)
+            store_old = {r["doc_a"] for r in cand_store.select("doc_a").distinct().collect()}
+        pairs = llm._verify_pairs(sh_all, cands, 0.5).collect()
+        # Greedy sequential admission over the (rare) verified pairs.
+        preds: dict[int, list[int]] = defaultdict(list)
+        corpus_hit: set[int] = set()
+        for p in pairs:
+            if p["doc_a"] in store_old:
+                corpus_hit.add(p["doc_b"])
+            else:
+                preds[p["doc_b"]].append(p["doc_a"])
+        dropped_corpus: set[int] = set()
+        dropped_batch: set[int] = set()
+        for d in sorted(set(preds) | corpus_hit):
+            if d in corpus_hit:
+                dropped_corpus.add(d)
+            elif any(
+                a not in dropped_corpus and a not in dropped_batch
+                for a in preds[d]
+            ):
+                dropped_batch.add(d)
+        status = (
+            F.when(
+                F.col("doc_id").isin(list(dropped_corpus) or [-1]),
+                F.lit("dup_of_corpus"),
+            )
+            .when(
+                F.col("doc_id").isin(list(dropped_batch) or [-1]),
+                F.lit("dup_in_batch"),
+            )
+            .otherwise(F.lit("kept"))
+        )
+        batch.select("doc_id", status.alias("status")).write.mode(
+            "append"
+        ).parquet(status_store)
+        dropped = dropped_corpus | dropped_batch
+        kept = batch.filter(~F.col("doc_id").isin(list(dropped) or [-1]))
+        kept.write.mode("append").parquet(corpus_store)
+        bk_new.join(kept.select("doc_id"), "doc_id", "semi").write.mode(
+            "append"
+        ).parquet(bucket_store)
+
+    q = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(stream_dir)
+        .writeStream.foreachBatch(admit)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="near_dedup_ckpt_")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(status_store)
+
+
 QUERIES = {
     "stream_jdbc_serving": stream_jdbc_serving,
+    "stream_near_dedup": stream_near_dedup,
     "stream_iot_ingest": stream_iot_ingest,
     "stream_dedup_watermarked": stream_dedup_watermarked,
     "stream_ingest_files": stream_ingest_files,

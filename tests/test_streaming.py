@@ -363,3 +363,48 @@ def test_watermark_late_filter_lags_eviction_by_one_batch(spark, tmp_path):
         "did not drop the late row — stream_watermark_late's oracle must "
         f"be re-derived. Per-batch drops: {dropped}"
     )
+
+
+def test_stream_near_dedup_equals_greedy_batch_reference(spark, sf_dir):
+    """Batch-equivalence for the incremental near-dedup: replaying the
+    corpus in doc_id order through the LSH-bucket-store stream must
+    reproduce a driver-side GREEDY pass over the exact n-gram ground-truth
+    pairs (doc d is a dup iff some KEPT doc with lower id matches it —
+    across batches or within one). Relies on LSH finding exactly the
+    ngram pairs on this corpus (pinned by
+    test_minhash_matches_exact_ngram); composition of the per-epoch
+    store-probe + within-batch greedy is what's under test here."""
+    from iot_data_pipeline_spark.operators import llm
+
+    got = {
+        r["doc_id"]: r["status"]
+        for r in streams.stream_near_dedup(spark, sf_dir).collect()
+    }
+    pairs = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in llm.llm_dedup_ngram(spark, sf_dir).collect()
+    )
+    all_ids = [
+        r["doc_id"]
+        for r in table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    preds: dict[int, list[int]] = {}
+    for a, b in pairs:
+        preds.setdefault(b, []).append(a)
+    kept: set[int] = set()
+    expected: dict[int, str] = {}
+    for d in sorted(all_ids):
+        if any(a in kept for a in preds.get(d, [])):
+            expected[d] = "dup"
+        else:
+            kept.add(d)
+            expected[d] = "kept"
+    assert set(got) == set(expected)
+    for d, st in expected.items():
+        if st == "kept":
+            assert got[d] == "kept", (d, got[d])
+        else:
+            assert got[d] in ("dup_of_corpus", "dup_in_batch"), (d, got[d])
+    # every dup class must actually be exercised by this corpus
+    assert "dup_of_corpus" in got.values()
+    assert "dup_in_batch" in got.values()
