@@ -708,6 +708,20 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_K, _PQ_REFINE = 8, 16, 50
 
 
+def _pq_refine_depth(n: int) -> int:
+    """Scale-aware ADC re-rank depth, ``max(_PQ_REFINE, ceil(16·log2 n))``
+    — the PQ analogue of ``_hnsw_search_widths`` (r9 verdict item 3 for
+    HNSW; the r11 planted-corpus probe measured the same fixed-width decay
+    here: recall@10 0.46 → 0.34 from 2k to 22k vectors at the fixed depth
+    of 50). ADC ordering error among near-equidistant true neighbors is
+    what re-rank depth absorbs, and the needed slack grows with the probed
+    list size; logarithmic growth keeps the re-rank candidate set
+    broadcast-scale at any corpus (depth ~480 at n = 10^9)."""
+    import math
+
+    return max(_PQ_REFINE, math.ceil(16 * math.log2(max(n, 2))))
+
+
 def llm_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + product quantization (ADC) + exact re-rank — the third rung of
     the ANN ladder (brute-force ``llm_sim_topk`` → pruned ``llm_sim_ann`` /
@@ -725,11 +739,12 @@ def llm_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
        closure-broadcast pattern as the IVF centroids).
     3. **ADC scan** — each probed row is encoded to M codes and scored for
        every query from dot-product lookup tables; each Arrow batch emits
-       only its local top-``_PQ_REFINE`` per query (safe local top-k: the
+       only its local top-``refine`` per query (safe local top-k: the
        batch ranking key IS the global candidate-selection key), so the
        shuffle carries (query, id, score) triples, never vectors.
-    4. **Exact re-rank** — the global ADC top-``_PQ_REFINE`` candidates
-       (deterministic tie-break on vec_id) broadcast-join back to their
+    4. **Exact re-rank** — the global ADC top-``refine`` candidates
+       (scale-aware depth ``_pq_refine_depth``, floor ``_PQ_REFINE``;
+       deterministic tie-break on vec_id) broadcast-join back to their
        vectors and the final top-10 uses TRUE cosine, so PQ error can
        reorder but the reported scores are exact.
 
@@ -759,6 +774,9 @@ def llm_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
     allowed = _ivf_allowed(e, q_mat, q_ids)
+    # Column-less parquet count (near-metadata cost) for the scale-aware
+    # re-rank depth — same pattern as llm_sim_hnsw's width count.
+    refine = _pq_refine_depth(e.count())
 
     seed_mat = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
     dim = seed_mat.shape[1]
@@ -835,7 +853,7 @@ def llm_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     adot / (q_norm[qi] * approx_n[mask]), 6
                 )
                 ids = vec_ids[mask]
-                order = np.lexsort((ids, -score))[:_PQ_REFINE]
+                order = np.lexsort((ids, -score))[:refine]
                 frames.append(
                     pd.DataFrame(
                         {
@@ -855,7 +873,7 @@ def llm_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("vec_id", "label", "embedding")
         .mapInPandas(adc_scan, "query_id LONG, vec_id LONG, adc DOUBLE")
         .withColumn("crk", F.row_number().over(w_adc))
-        .filter(F.col("crk") <= _PQ_REFINE)
+        .filter(F.col("crk") <= refine)
         .select("query_id", "vec_id")
     )
     q_frame = spark.createDataFrame(
@@ -1013,16 +1031,64 @@ def _hnsw_l1_edges(spark: SparkSession, l1: DataFrame, n1: int) -> DataFrame:
     return _hnsw_symmetrize(top)
 
 
+def _hnsw_l0_edges(e: DataFrame) -> DataFrame:
+    """Layer-0 kNN graph, list-local AND bucket-bounded: exact kNN within
+    each (label, round, bucket) group of ≤ ~``_HNSW_L1_CAP`` rows, merged
+    to a per-src top-kg across rounds (the same NN-descent-style sharded
+    merge as :func:`_hnsw_l1_edges`). ``groupBy(label)`` alone bounds the
+    pandas groups only by LIST cardinality — a 10-list corpus of 250k
+    vectors put 25k rows (a 5 GB float64 cosine matrix) into ONE group,
+    the exact single-task ceiling the r6 fix eliminated from the layer-1
+    build; the r11 planted-corpus recall probe re-surfaced it at layer 0.
+    Lists at or under the cap keep one bucket and one round, so their
+    subgraph (and therefore every small-SF result) is IDENTICAL to the
+    plain per-list exact build."""
+    sizes = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_l"))
+    b_l = F.greatest(
+        F.lit(1), F.ceil(F.col("n_l") / _HNSW_L1_CAP)
+    ).cast("int")
+    meta = sizes.select(
+        "label",
+        b_l.alias("b_l"),
+        F.when(b_l > 1, F.lit(_HNSW_L1_ROUNDS))
+        .otherwise(F.lit(1))
+        .alias("n_rounds"),
+    )
+    rep = (
+        e.select("label", "vec_id", "embedding")
+        .join(F.broadcast(meta), "label")
+        .withColumn(
+            "rnd", F.explode(F.sequence(F.lit(0), F.col("n_rounds") - 1))
+        )
+        .withColumn(
+            "bkt", F.pmod(F.xxhash64("vec_id", "rnd"), F.col("b_l"))
+        )
+    )
+    raw = rep.groupBy("label", "rnd", "bkt").applyInPandas(
+        _hnsw_knn_edges, "src LONG, dst LONG, cos DOUBLE"
+    )
+    merged = raw.groupBy("src", "dst").agg(F.max("cos").alias("cos"))
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    top = (
+        merged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HNSW_KG)
+        .select("src", "dst", "cos")
+    )
+    return _hnsw_symmetrize(top)
+
+
 def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical navigable-small-world ANN (Malkov & Yashunin 2016,
     HNSW) — the GRAPH-based family member (topk = exact, ann = LSH, ivf =
     coarse lists, pq = compressed refinement, hnsw = proximity-graph beam
     search), built and searched with deterministic Spark primitives:
 
-    - **Layer 0 graph**: each vector's exact ``_HNSW_KG`` nearest
-      neighbors WITHIN its IVF list (bounded groups → one
-      ``applyInPandas`` per list; numpy pairwise cosine, ties to the
-      lower vec_id). Edges symmetrized.
+    - **Layer 0 graph**: each vector's ``_HNSW_KG`` nearest neighbors
+      WITHIN its IVF list, built bucket-bounded (:func:`_hnsw_l0_edges`:
+      groups are (label, round, bucket) of ≤ ~1k rows, multi-round merge
+      — plain per-list groups are bounded only by list cardinality, the
+      single-task ceiling the r11 planted-corpus probe re-surfaced; lists
+      under the cap keep the exact one-group build). Edges symmetrized.
     - **Layer 1 graph**: the deterministic ~1/16 subset
       (``xxhash64(vec_id) % 16 == 0`` — the HNSW level assignment with a
       hash instead of RNG) gets a SHARDED cross-list kNN graph
@@ -1066,13 +1132,7 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids = [int(r["vec_id"]) for r in q_rows]
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
 
-    edges0 = tracked_cache(
-        _hnsw_symmetrize(
-            e.select("label", "vec_id", "embedding")
-            .groupBy("label")
-            .applyInPandas(_hnsw_knn_edges, "src LONG, dst LONG, cos DOUBLE")
-        )
-    )
+    edges0 = tracked_cache(_hnsw_l0_edges(e))
     # Prefetch the layer-0 edge cache on a helper thread: it is first
     # needed only at the SECOND search hop, so its materialization (the
     # biggest build job) overlaps the coarse probe + entry + first hop
