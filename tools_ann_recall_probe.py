@@ -147,7 +147,15 @@ def main() -> None:
     from iot_data_pipeline_spark.cache_tracker import evict_tracked
     from iot_data_pipeline_spark.operators import llm
 
-    spark = session.build_session()
+    # bench.py's harness sizing: the default 1g driver heap measured fine
+    # for ivf/pq at 250k, but hnsw's edge+vector caches need real executor
+    # memory — this is a measurement harness, sized like bench, not a
+    # memory-pressure probe (tools_pressure_probe owns that axis).
+    spark = session.build_session(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        conf={"spark.driver.memory": "16g", "spark.ui.enabled": "false"},
+        shuffle_partitions=32,
+    )
     ops = {
         "hnsw": llm.llm_sim_hnsw,
         "ivf": llm.llm_sim_ivf,
