@@ -72,6 +72,13 @@ HEADLINE = [
     # shuffle-reduction pattern, tracked so the bitset-build constant and
     # the prefiltered join can't silently regress.
     "join_bloom_prefilter",
+    # r11: the two new heavyweight shapes — the iterative driver-loop BPE
+    # trainer (24 pair-count rounds + argmax collects; tracked so the
+    # per-round constant can't creep) and the ACID MERGE write path
+    # (key-range rewrite + manifest commit; tracked so the stats-prune and
+    # two-phase commit overhead stay bounded).
+    "llm_bpe_train",
+    "acid_merge_snapshot",
 ]
 
 # Queries whose single-rep time exceeds ~1.5 s at sf0.1 get a third rep:
@@ -84,6 +91,8 @@ BEST_OF_3 = {
     "stream_stream_join",
     "llm_sim_hnsw",
     "join_bloom_prefilter",
+    "llm_bpe_train",
+    "acid_merge_snapshot",
 }
 
 
