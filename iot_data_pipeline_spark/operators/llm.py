@@ -1044,6 +1044,18 @@ def _hnsw_l0_edges(e: DataFrame) -> DataFrame:
     subgraph (and therefore every small-SF result) is IDENTICAL to the
     plain per-list exact build."""
     sizes = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_l"))
+    max_list = sizes.agg(F.max("n_l")).first()[0] or 0
+    if max_list <= _HNSW_L1_CAP:
+        # Every list fits one bounded group: the plain per-list exact
+        # build IS the bounded build — skip the replicate/merge machinery
+        # (3 extra small shuffles of pure overhead at dimension-scale
+        # corpora; the bench band caught the difference at sf0.1). The
+        # label-count collect deciding this is one row.
+        return _hnsw_symmetrize(
+            e.select("label", "vec_id", "embedding")
+            .groupBy("label")
+            .applyInPandas(_hnsw_knn_edges, "src LONG, dst LONG, cos DOUBLE")
+        )
     b_l = F.greatest(
         F.lit(1), F.ceil(F.col("n_l") / _HNSW_L1_CAP)
     ).cast("int")
@@ -1132,21 +1144,25 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids = [int(r["vec_id"]) for r in q_rows]
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
 
-    edges0 = tracked_cache(_hnsw_l0_edges(e))
-    # Prefetch the layer-0 edge cache on a helper thread: it is first
-    # needed only at the SECOND search hop, so its materialization (the
-    # biggest build job) overlaps the coarse probe + entry + first hop
-    # instead of serializing in front of hop 2. Purely a scheduling
-    # overlap — the cached contents are a deterministic function of the
-    # data, so results cannot depend on the interleaving; the join below
-    # re-raises any build failure on the caller's thread.
+    # Prefetch the layer-0 edge graph on a helper thread: it is first
+    # needed only at the SECOND search hop, so BOTH its plan construction
+    # (which now runs the one-row max-list-size decision job inside
+    # _hnsw_l0_edges) and its materialization (the biggest build job)
+    # overlap the coarse probe + entry + first hop instead of serializing
+    # in front of them. Purely a scheduling overlap — the cached contents
+    # are a deterministic function of the data, so results cannot depend
+    # on the interleaving; _join_prefetch re-raises any build failure on
+    # the caller's thread before the frame is first used.
     import threading
 
     prefetch_err: list[BaseException] = []
+    edges0_box: list[DataFrame] = []
 
     def _fill() -> None:
         try:
-            edges0.count()
+            df = tracked_cache(_hnsw_l0_edges(e))
+            df.count()
+            edges0_box.append(df)
         except BaseException as ex:  # noqa: BLE001 — re-raised at join
             prefetch_err.append(ex)
 
@@ -1225,18 +1241,24 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= n_entries)
         .select("query_id", "vec_id")
     )
-    first_layer, rest_schedule = _HNSW_SCHEDULE[0], _HNSW_SCHEDULE[1:]
-    first_edges = edges1 if first_layer == 1 else edges0
-    entry_rows = score(
-        ent.unionByName(
-            expand(first_edges, ent.withColumnRenamed("vec_id", "src"))
-        ).distinct()
-    ).collect()
     def _join_prefetch() -> None:
         prefetch.join()
         if prefetch_err:
             raise prefetch_err[0]
 
+    def _edges(layer: int) -> DataFrame:
+        if layer == 1:
+            return edges1
+        _join_prefetch()
+        return edges0_box[0]
+
+    first_layer, rest_schedule = _HNSW_SCHEDULE[0], _HNSW_SCHEDULE[1:]
+    first_edges = _edges(first_layer)
+    entry_rows = score(
+        ent.unionByName(
+            expand(first_edges, ent.withColumnRenamed("vec_id", "src"))
+        ).distinct()
+    ).collect()
     covered = {r["query_id"] for r in entry_rows}
     missing = [q for q in q_ids if q not in covered]
     if missing:
@@ -1262,9 +1284,8 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         mine.sort(key=lambda t: (-t[0], t[1]))
         return [(q, v_) for _, v_ in mine[:limit]]
 
-    _join_prefetch()
     for layer in rest_schedule:
-        edges = edges1 if layer == 1 else edges0
+        edges = _edges(layer)
         frontier = [p for q in q_ids for p in best(q, beam)]
         fdf = spark.createDataFrame(sorted(frontier), "query_id LONG, src LONG")
         # One cluster job per schedule entry: expansion + scoring fused
