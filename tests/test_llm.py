@@ -1044,3 +1044,22 @@ def test_bpe_encode_totals_consistent(spark, sf_dir):
     for r in joined:
         assert r["n_words"] == r["nw"]
         assert r["n_words"] <= r["n_bpe_tokens"] <= r["nc"]
+
+
+def test_hnsw_planted_cluster_recall_floor(spark):
+    """Known-ground-truth ANN floor (r11): on the planted 500-member-cluster
+    corpus (tools_ann_recall_probe's verified instrument — exact top-10 is
+    provably in-cluster with a real cosine margin), hnsw recall@10 must hold
+    >= 0.9. The organic testdata corpus has weak clusters (exact cosines
+    0.30-0.42), so its recall floors are soft; this corpus makes a
+    layer-0/layer-1 graph-build regression (the class the probe caught at
+    250k) unambiguous at test scale."""
+    import tools_ann_recall_probe as probe
+
+    base = probe._stage(2000)
+    truth = probe._exact_truth(base)
+    got = llm.llm_sim_hnsw(spark, base).collect()
+    hits = sum(
+        1 for r in got if r["vec_id"] in truth.get(r["query_id"], set())
+    )
+    assert hits / 50.0 >= 0.9
