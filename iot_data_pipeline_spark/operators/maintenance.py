@@ -260,6 +260,30 @@ def acid_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def acid_maintenance_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table-maintenance lifecycle on the manifest log: create the
+    target as 16 small files (the fragmentation every streaming ingest
+    accumulates), row-level DELETE (copy-on-write; only files CONTAINING
+    matches rewrite — match detection via one input_file_name() scan, so
+    any predicate prunes), then OPTIMIZE down to 2 key-range files — and
+    return the final snapshot, which must hash-equal the plain filtered
+    SQL: three commits of file surgery with zero data drift. File-count
+    and carry-by-reference structure pinned in tests/test_acid_table.py."""
+    import tempfile
+
+    from iot_data_pipeline_spark.sources import acid_table
+
+    o = table(spark, sf_dir, "orders")
+    target = o.filter(F.pmod("o_orderkey", F.lit(4)) != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="acid_maint_")
+    acid_table.create(target, path, "o_orderkey", n_files=16)
+    acid_table.delete(spark, path, "o_orderkey % 5 = 0")
+    acid_table.compact(spark, path, n_files=2)
+    return acid_table.snapshot(spark, path)
+
+
 _PR_SCALE = 1_000_000_000_000  # ranks in integer 1e-12 units
 _PR_ITERS = 3
 
@@ -430,6 +454,7 @@ QUERIES = {
     "merge_upsert": merge_upsert,
     "acid_merge_snapshot": acid_merge_snapshot,
     "acid_time_travel": acid_time_travel,
+    "acid_maintenance_snapshot": acid_maintenance_snapshot,
     "graph_pagerank": graph_pagerank,
     "geo_nearest_hub": geo_nearest_hub,
     "iot_ewma": iot_ewma,
@@ -500,6 +525,11 @@ ORACLES = {
         " COALESCE(s_status, t_status) AS o_orderstatus,"
         " COALESCE(s_price, t_price) AS o_totalprice"
         " FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey"
+    ),
+    # create(16 files) -> DELETE %5 -> OPTIMIZE(2): the surviving rows.
+    "acid_maintenance_snapshot": (
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+        " WHERE o_orderkey % 4 <> 0 AND NOT (o_orderkey % 5 = 0)"
     ),
     # Version trajectory of create(target) -> append(delta) -> merge(src):
     # v0 = target (keys %4 != 0), v1 = +delta (%4 = 0 and %3 != 0),

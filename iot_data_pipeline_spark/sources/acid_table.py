@@ -206,6 +206,113 @@ def snapshot(
     return spark.read.parquet(*files)
 
 
+def delete(
+    spark: SparkSession, path: str, cond: str, n_files: int = 2
+) -> dict:
+    """Row-level DELETE, copy-on-write: rewrite ONLY the files that
+    actually CONTAIN matching rows (detected with ``input_file_name()``
+    during one predicate scan — so ANY predicate prunes, not just
+    key-range ones; the parquet scan itself still pushes the predicate
+    down for the match detection). Files without matches are carried by
+    reference. Returns {"rewritten", "carried", "deleted_rows"}."""
+    ms = _manifests(path)
+    if not ms:
+        raise RuntimeError(f"no table at {path}")
+    key = ms[0]["key"]
+    live = _live_files(ms, None)
+    by_abs = {os.path.realpath(os.path.join(path, f["path"])): f for f in live}
+    snap = spark.read.parquet(*list(by_abs))
+    hits = (
+        snap.filter(cond)
+        .select(F.input_file_name().alias("f"))
+        .groupBy("f")
+        .count()
+        .collect()
+    )
+    hit_files = []
+    deleted = 0
+    for r in hits:
+        p = os.path.realpath(r["f"].removeprefix("file:"))
+        hit_files.append(by_abs[p])
+        deleted += r["count"]
+    if not hit_files:
+        return {"rewritten": 0, "carried": len(live), "deleted_rows": 0}
+    kept = spark.read.parquet(
+        *[os.path.join(path, f["path"]) for f in hit_files]
+    ).filter(f"NOT ({cond})")
+    adds = _write_data_files(kept, path, key, n_files)
+    _publish(
+        path,
+        {
+            "version": ms[-1]["version"] + 1,
+            "op": "delete",
+            "key": key,
+            "add": adds,
+            "remove": sorted(f["path"] for f in hit_files),
+        },
+    )
+    return {
+        "rewritten": len(hit_files),
+        "carried": len(live) - len(hit_files),
+        "deleted_rows": int(deleted),
+    }
+
+
+def compact(spark: SparkSession, path: str, n_files: int = 2) -> dict:
+    """OPTIMIZE: rewrite the live file set into ``n_files`` key-range
+    files (one snapshot-preserving commit — the small-files maintenance
+    op every log-structured table needs; the plain-parquet analogue is
+    sink_compact_files). No-op when the table is already at or under the
+    target file count."""
+    ms = _manifests(path)
+    if not ms:
+        raise RuntimeError(f"no table at {path}")
+    key = ms[0]["key"]
+    live = _live_files(ms, None)
+    if len(live) <= n_files:
+        return {"rewritten": 0, "files_before": len(live)}
+    snap = spark.read.parquet(*[os.path.join(path, f["path"]) for f in live])
+    adds = _write_data_files(snap, path, key, n_files)
+    _publish(
+        path,
+        {
+            "version": ms[-1]["version"] + 1,
+            "op": "compact",
+            "key": key,
+            "add": adds,
+            "remove": sorted(f["path"] for f in live),
+        },
+    )
+    return {"rewritten": len(live), "files_before": len(live)}
+
+
+def append_exactly_once(
+    df: DataFrame, path: str, version: int, key: str, n_files: int = 1
+) -> bool:
+    """Idempotent epoch append for streaming sinks: commit ``df`` AS
+    ``version`` (version 0 creates the table); returns False WITHOUT
+    writing anything when that version is already committed — a replayed
+    micro-batch (foreachBatch redelivery after failure) becomes a no-op,
+    which is the exactly-once contract a transactional streaming sink
+    provides. The pre-check is advisory; the os.link publish remains the
+    authoritative arbiter if two writers race the same epoch."""
+    ms = _manifests(path)
+    if any(m["version"] == version for m in ms):
+        return False
+    adds = _write_data_files(df, path, key, n_files)
+    _publish(
+        path,
+        {
+            "version": version,
+            "op": "stream-append",
+            "key": key,
+            "add": adds,
+            "remove": [],
+        },
+    )
+    return True
+
+
 def merge(
     spark: SparkSession, source: DataFrame, path: str, n_files: int = 4
 ) -> dict:

@@ -702,9 +702,53 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(status_store)
 
 
+def stream_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion into the manifest-log ACID table — the
+    TRANSACTIONAL streaming sink: each micro-batch commits as table
+    version = epoch via ``acid_table.append_exactly_once``, so a replayed
+    epoch (foreachBatch redelivery after a failure) is a NO-OP instead of
+    a duplicate — exactly-once through commit-log idempotence, the same
+    mechanism Delta's transactional streaming sink uses (txnVersion per
+    epoch). The epilogue DEMONSTRATES the replay safety: it re-runs the
+    whole stream against the same table from a fresh checkpoint (every
+    epoch redelivered) and returns the table snapshot, which must still
+    hash-equal the batch events table."""
+    from iot_data_pipeline_spark.sources import acid_table
+
+    stream_dir = _stage_event_chunks(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="acid_sink_")
+
+    def commit_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        acid_table.append_exactly_once(
+            batch_df, path, version=int(epoch_id), key="event_id"
+        )
+
+    def run(ckpt: str) -> None:
+        q = (
+            _read_stream(spark, stream_dir, max_files=1)
+            .writeStream.foreachBatch(commit_epoch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(tempfile.mkdtemp(prefix="acid_sink_ckpt_"))
+    n_commits = len(acid_table.history(path))
+    # Full replay from a FRESH checkpoint: same chunks, same epoch ids —
+    # every commit must be recognized as already-applied.
+    run(tempfile.mkdtemp(prefix="acid_sink_ckpt_"))
+    if len(acid_table.history(path)) != n_commits:
+        raise AssertionError(
+            "replayed epochs re-committed: the exactly-once contract broke"
+        )
+    return acid_table.snapshot(spark, path)
+
+
 QUERIES = {
     "stream_jdbc_serving": stream_jdbc_serving,
     "stream_near_dedup": stream_near_dedup,
+    "stream_acid_sink": stream_acid_sink,
     "stream_iot_ingest": stream_iot_ingest,
     "stream_dedup_watermarked": stream_dedup_watermarked,
     "stream_ingest_files": stream_ingest_files,
@@ -807,6 +851,9 @@ ORACLES = {
         " value FROM events"
     ),
     "stream_foreachbatch_sink": _EVENTS_US,
+    # transactional sink + full replay: the table must hold events exactly
+    # once despite every epoch being redelivered.
+    "stream_acid_sink": _EVENTS_US,
     "stream_stateful_count": (
         "SELECT user_id, COUNT(*) AS n_events,"
         " CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS total_cents"

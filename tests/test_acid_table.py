@@ -136,3 +136,59 @@ def test_create_refuses_empty_table(spark, sf_dir, tmp_path):
         acid_table.create(
             _target(spark, sf_dir).limit(0), path, "o_orderkey"
         )
+
+
+def test_delete_rewrites_only_files_containing_matches(spark, sf_dir, tmp_path):
+    """DELETE prunes by actual match location (input_file_name detection):
+    a predicate confined to a narrow key range leaves the other key-range
+    files carried by reference, and the snapshot equals the filter."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir)
+    acid_table.create(t, path, "o_orderkey", n_files=8)
+    n_live = len(acid_table._live_files(acid_table.history(path), None))
+    max_key = t.agg(F.max("o_orderkey")).first()[0]
+    bound = max_key // 10
+    res = acid_table.delete(spark, path, f"o_orderkey <= {bound}")
+    assert res["carried"] > 0
+    assert res["rewritten"] < n_live
+    assert res["deleted_rows"] == t.filter(
+        F.col("o_orderkey") <= bound
+    ).count()
+    got = acid_table.snapshot(spark, path).count()
+    assert got == t.count() - res["deleted_rows"]
+    # predicate matching nothing: zero commits, zero rewrites
+    v = len(acid_table.history(path))
+    res2 = acid_table.delete(spark, path, "o_orderkey < 0")
+    assert res2 == {"rewritten": 0, "carried": res2["carried"], "deleted_rows": 0}
+    assert len(acid_table.history(path)) == v
+
+
+def test_compact_preserves_snapshot_and_shrinks_files(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir)
+    acid_table.create(t, path, "o_orderkey", n_files=16)
+    before = {
+        tuple(r)
+        for r in acid_table.snapshot(spark, path).collect()
+    }
+    res = acid_table.compact(spark, path, n_files=2)
+    assert res["rewritten"] == res["files_before"] >= 8
+    live = acid_table._live_files(acid_table.history(path), None)
+    assert len(live) <= 2
+    after = {tuple(r) for r in acid_table.snapshot(spark, path).collect()}
+    assert after == before
+    # already compact -> no-op, no commit
+    v = len(acid_table.history(path))
+    assert acid_table.compact(spark, path, n_files=2)["rewritten"] == 0
+    assert len(acid_table.history(path)) == v
+
+
+def test_append_exactly_once_skips_committed_versions(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(500)
+    assert acid_table.append_exactly_once(t, path, 0, "o_orderkey") is True
+    n0 = acid_table.snapshot(spark, path).count()
+    # redelivery of the same epoch: no write, no new commit
+    assert acid_table.append_exactly_once(t, path, 0, "o_orderkey") is False
+    assert acid_table.snapshot(spark, path).count() == n0
+    assert len(acid_table.history(path)) == 1
