@@ -193,17 +193,40 @@ def _live_files(ms: list[dict], version: int | None) -> list[dict]:
 
 
 def snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    key_between: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Read the table as of ``version`` (latest when None) — time travel
-    is just replaying the log to a prefix."""
+    is just replaying the log to a prefix.
+
+    ``key_between=(lo, hi)`` is DATA SKIPPING from the manifest stats: a
+    file whose [min_key, max_key] misses the closed range is dropped from
+    the read BEFORE Spark ever lists it — metadata-time pruning on top of
+    whatever row-group pruning the parquet reader does inside the
+    surviving files (the matching row filter still applies, so the result
+    is exact, not merely file-granular). Reading through plain
+    ``spark.read.parquet`` on the pruned list is deliberate: it keeps the
+    whole Catalyst scan stack (pushdown, column pruning, vectorized
+    reader) — a row-serving custom connector here would forfeit all of it."""
     ms = _manifests(path)
     if not ms:
         raise RuntimeError(f"no table at {path}")
-    files = [os.path.join(path, f["path"]) for f in _live_files(ms, version)]
+    live = _live_files(ms, version)
+    if key_between is not None:
+        lo, hi = key_between
+        live = [f for f in live if f["max_key"] >= lo and f["min_key"] <= hi]
+    files = [os.path.join(path, f["path"]) for f in live]
     if not files:
         return spark.read.parquet(os.path.join(path, _DATA)).limit(0)
-    return spark.read.parquet(*files)
+    df = spark.read.parquet(*files)
+    if key_between is not None:
+        key = ms[0]["key"]
+        df = df.filter(
+            (F.col(key) >= key_between[0]) & (F.col(key) <= key_between[1])
+        )
+    return df
 
 
 def delete(

@@ -192,3 +192,27 @@ def test_append_exactly_once_skips_committed_versions(spark, sf_dir, tmp_path):
     assert acid_table.append_exactly_once(t, path, 0, "o_orderkey") is False
     assert acid_table.snapshot(spark, path).count() == n0
     assert len(acid_table.history(path)) == 1
+
+
+def test_snapshot_data_skipping_prunes_files_and_stays_exact(
+    spark, sf_dir, tmp_path
+):
+    """key_between prunes files from the MANIFEST stats before Spark lists
+    them (inputFiles() shrinks), and the surviving-file row filter keeps
+    the result exact — equal to the plain range filter on the full table."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir)
+    acid_table.create(t, path, "o_orderkey", n_files=8)
+    full = acid_table.snapshot(spark, path)
+    max_key = t.agg(F.max("o_orderkey")).first()[0]
+    lo, hi = 1, max_key // 10
+    pruned = acid_table.snapshot(spark, path, key_between=(lo, hi))
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = {r["o_orderkey"] for r in pruned.collect()}
+    expected = {
+        r["o_orderkey"]
+        for r in t.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+        ).collect()
+    }
+    assert got == expected
