@@ -79,6 +79,16 @@ QUERIES = {
     # spark_partition_id() — literally the physical placement — so ranks
     # must be identical under any partition count or AQE choice
     "skew_topk_bounded": skew.skew_topk_bounded,
+    # BPE training (r11): each round's pair-count argmax is a distributed
+    # agg + TakeOrdered — the learned merge TABLE (and therefore every
+    # downstream token count) must be identical under any partitioning,
+    # AQE re-planning, or join strategy
+    "llm_bpe_train": llm.llm_bpe_train,
+    # ACID MERGE (r11): the stats-prune collect, the key-range rewrite
+    # (repartitionByRange boundaries!) and the full-outer merge join must
+    # produce an identical on-disk snapshot whatever the physical config —
+    # file LAYOUT may differ, values may not
+    "acid_merge_snapshot": maintenance.acid_merge_snapshot,
 }
 
 
