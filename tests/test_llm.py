@@ -1063,3 +1063,40 @@ def test_hnsw_planted_cluster_recall_floor(spark):
         1 for r in got if r["vec_id"] in truth.get(r["query_id"], set())
     )
     assert hits / 50.0 >= 0.9
+
+
+def test_bpe_property_random_corpora_match_reference(spark):
+    """Property: on random tiny word-frequency tables over a 3-letter
+    alphabet (maximizing pair-count TIES and overlapping-pair cases), the
+    distributed learner's merge table and the chained-replace encode both
+    equal the pure-Python reference, for every merge budget the corpus
+    supports."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.dictionaries(word, st.integers(1, 9), min_size=1, max_size=8),
+        st.integers(1, 4),
+    )
+    def check(word_freq, merges):
+        expected = _ref_bpe_learn(word_freq, merges)
+        if len(expected) < merges:
+            return  # corpus exhausts before the budget; engine raises
+        wf = spark.createDataFrame(
+            list(word_freq.items()), "word STRING, freq BIGINT"
+        )
+        got = llm._bpe_learn_from(wf, merges)
+        assert got == expected
+        enc = spark.createDataFrame(
+            [(w,) for w in sorted(word_freq)], "word STRING"
+        ).select(
+            "word",
+            llm._bpe_symbols(llm._bpe_apply(F.col("word"), got)).alias("syms"),
+        )
+        for r in enc.collect():
+            assert r["syms"] == _ref_bpe_encode(r["word"], got), r["word"]
+
+    check()
