@@ -2511,6 +2511,80 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization OUTPUT — the artifact a sequence writer consumes:
+    per document, the full space-joined learned-subword token stream (and
+    its length), in exact word order. Same Zipf-deduplicated shape as
+    llm_bpe_encode (each distinct word's token string computed once), plus
+    an order-exact reassembly: words carry their position from posexplode,
+    and the per-doc aggregation sorts (pos, tokens) structs before joining
+    — collect_list alone is delivery-order-nondeterministic, array_sort
+    over the struct makes the stream a pure function of the text. Docs
+    with no [a-z] word are absent (mirrored in the oracle)."""
+    rules = _bpe_learn_from(_bpe_word_freq(table(spark, sf_dir, "documents")))
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("pos", "word"),
+    )
+    enc = (
+        words.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.array_join(
+                _bpe_symbols(_bpe_apply(F.col("word"), rules)), " "
+            ).alias("toks"),
+        )
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+        lambda s: s["toks"],
+    )
+    return (
+        words.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(ordered, " ").alias("tokens"),
+        )
+        .select(
+            "doc_id",
+            F.size(F.split("tokens", " ")).cast("bigint").alias("n_tokens"),
+            "tokens",
+        )
+    )
+
+
+def _bpe_tokenize_oracle(merges: int = _BPE_MERGES) -> str:
+    return (
+        f"{_bpe_oracle_rounds(merges)}"
+        # zipped parallel unnests = positional explode (DuckDB has no
+        # WITH ORDINALITY; equal-length unnests in one SELECT zip rows)
+        ", pw AS (SELECT doc_id, unnest(arr) AS word,"
+        "   unnest(range(1, len(arr) + 1)) AS pos FROM"
+        "   (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS arr"
+        "    FROM documents)),"
+        " e0 AS (SELECT DISTINCT word,"
+        "   regexp_replace(word, '(.)', '~\\1~', 'g') AS s FROM pw)"
+        + "".join(
+            f", e{i} AS (SELECT word, replace(e.s, '~'||b.a||'~~'||b.b||'~',"
+            f" '~'||b.a||b.b||'~') AS s FROM e{i - 1} e CROSS JOIN b{i} b)"
+            for i in range(1, merges + 1)
+        )
+        + f", enc AS (SELECT word,"
+        f" array_to_string(string_split(trim(s, '~'), '~~'), ' ') AS toks"
+        f" FROM e{merges}),"
+        " agg AS (SELECT doc_id,"
+        "   string_agg(enc.toks, ' ' ORDER BY pw.pos) AS tokens"
+        "   FROM pw JOIN enc USING (word) GROUP BY doc_id)"
+        " SELECT doc_id,"
+        " len(string_split(tokens, ' '))::BIGINT AS n_tokens, tokens"
+        " FROM agg"
+    )
+
+
 def _bpe_oracle_rounds(merges: int) -> str:
     """Shared CTE chain deriving w0..w{merges} and b1..b{merges} — the
     DuckDB-side replay of the exact training loop. w{i} CTEs are
@@ -2744,6 +2818,7 @@ QUERIES = {
     "llm_corpus_to_sequences": llm_corpus_to_sequences,
     "llm_bpe_train": llm_bpe_train,
     "llm_bpe_encode": llm_bpe_encode,
+    "llm_bpe_tokenize": llm_bpe_tokenize,
     "llm_corpus_to_sequences_bpe": llm_corpus_to_sequences_bpe,
 }
 
@@ -3235,6 +3310,7 @@ ORACLES.update(
         # chained MATERIALIZED CTEs.
         "llm_bpe_train": _bpe_train_oracle(),
         "llm_bpe_encode": _bpe_encode_oracle(),
+        "llm_bpe_tokenize": _bpe_tokenize_oracle(),
         "llm_corpus_to_sequences_bpe": _bpe_capstone_oracle(),
     }
 )
