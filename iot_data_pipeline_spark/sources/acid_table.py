@@ -127,6 +127,12 @@ def _write_data_files(
         mins, maxs = [], []
         for rg in range(meta.num_row_groups):
             st = meta.row_group(rg).column(ki).statistics
+            if st is None or not st.has_min_max:
+                raise RuntimeError(
+                    f"parquet footer of {part} carries no min/max for "
+                    f"{key}: the manifest stats (and every prune) depend "
+                    "on them — check the writer's statistics settings"
+                )
             mins.append(st.min)
             maxs.append(st.max)
         name = f"{uuid.uuid4().hex}.parquet"
@@ -149,6 +155,13 @@ def create(
     """Commit version 0 of a new table."""
     if _manifests(path):
         raise RuntimeError(f"table already exists at {path}")
+    # The manifest stats (and merge's prune-join schema) are integral:
+    # fail at create time, not at first merge, for other key types.
+    ktype = dict(df.dtypes).get(key)
+    if ktype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"table key must be an integral column, got {key}: {ktype}"
+        )
     adds = _write_data_files(df, path, key, n_files)
     if not adds:
         # A zero-file v0 would leave snapshot() with no file to take the
@@ -323,16 +336,24 @@ def append_exactly_once(
     if any(m["version"] == version for m in ms):
         return False
     adds = _write_data_files(df, path, key, n_files)
-    _publish(
-        path,
-        {
-            "version": version,
-            "op": "stream-append",
-            "key": key,
-            "add": adds,
-            "remove": [],
-        },
-    )
+    try:
+        _publish(
+            path,
+            {
+                "version": version,
+                "op": "stream-append",
+                "key": key,
+                "add": adds,
+                "remove": [],
+            },
+        )
+    except RuntimeError:
+        # Lost a true race on this version: the winner committed the
+        # epoch, so for THIS caller the outcome is the same as the
+        # pre-check hit — already applied, our data files orphan
+        # invisibly. Exactly-once means the loser reports idempotent
+        # success-as-noop, not an error the stream would retry into.
+        return False
     return True
 
 

@@ -216,3 +216,36 @@ def test_snapshot_data_skipping_prunes_files_and_stays_exact(
         ).collect()
     }
     assert got == expected
+
+
+def test_append_exactly_once_survives_losing_a_publish_race(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A writer that passes the advisory pre-check but loses the os.link
+    publish race must report False (already committed), not raise — an
+    error would make the streaming sink retry an epoch the winner already
+    applied. Simulated by committing the version between the pre-check
+    and the publish."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(200)
+    real_publish = acid_table._publish
+
+    def commit_then_publish(p, manifest):
+        # the "concurrent winner": same version lands first
+        real_publish(p, dict(manifest, op="winner"))
+        return real_publish(p, manifest)
+
+    monkeypatch.setattr(acid_table, "_publish", commit_then_publish)
+    assert acid_table.append_exactly_once(t, path, 0, "o_orderkey") is False
+    monkeypatch.undo()
+    assert len(acid_table.history(path)) == 1
+    assert acid_table.history(path)[0]["op"] == "winner"
+
+
+def test_create_rejects_non_integral_key(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    bad = _target(spark, sf_dir).select(
+        F.col("o_orderstatus").alias("k"), "o_totalprice"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        acid_table.create(bad, path, "k")
