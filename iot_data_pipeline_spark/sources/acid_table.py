@@ -36,6 +36,16 @@ table scan); untouched files are carried by reference into the next
 version. Source keys absent from every hit file are inserts (sound because
 pruning is range-conservative: a key inside ANY file's range marks that
 file hit, so a key missing from all hit files is missing from the table).
+
+The format is ENGINE-PORTABLE by construction: the manifest is plain JSON
+and the data files plain parquet, so any engine that can read both can
+serve a consistent snapshot from the live-file list (pinned by a DuckDB
+interop test). Known scale seam, documented not hidden: _manifests replays
+the whole log on every read, O(commits) — a long-running streaming sink
+accumulates thousands of manifests, at which point the standard fix is a
+periodic CHECKPOINT manifest (a rolled-up live-file list that replay
+starts from, exactly Delta's _last_checkpoint), mechanical to add on this
+layout.
 """
 
 from __future__ import annotations

@@ -249,3 +249,32 @@ def test_create_rejects_non_integral_key(spark, sf_dir, tmp_path):
     )
     with pytest.raises(TypeError, match="integral"):
         acid_table.create(bad, path, "k")
+
+
+def test_long_log_replay_and_duckdb_interop(spark, sf_dir, tmp_path):
+    """Two claims at once: (1) snapshot stays correct as the commit log
+    grows (20 appends -> 21 manifests replayed), and (2) the format is
+    engine-portable — DuckDB serves the same snapshot from the live-file
+    list (plain JSON manifests + plain parquet), which is what makes this
+    a table FORMAT rather than a Spark-private layout."""
+    import duckdb
+
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir)
+    base = t.limit(1000)
+    acid_table.create(base, path, "o_orderkey", n_files=2)
+    expected = base.count()
+    chunk = t.limit(50)
+    per_chunk = chunk.count()
+    for _ in range(20):
+        acid_table.append(chunk, path, n_files=1)
+        expected += per_chunk
+    assert len(acid_table.history(path)) == 21
+    assert acid_table.snapshot(spark, path).count() == expected
+
+    live = acid_table._live_files(acid_table.history(path), None)
+    files = [os.path.join(path, f["path"]) for f in live]
+    duck_n = duckdb.sql(
+        "SELECT COUNT(*) FROM read_parquet($files)", params={"files": files}
+    ).fetchone()[0]
+    assert duck_n == expected
