@@ -1100,3 +1100,27 @@ def test_bpe_property_random_corpora_match_reference(spark):
             assert r["syms"] == _ref_bpe_encode(r["word"], got), r["word"]
 
     check()
+
+
+def test_bpe_rules_memo_invalidates_on_corpus_change(spark, tmp_path):
+    """The train-once memo must serve cached rules for an unchanged corpus
+    and RETRAIN when documents.parquet is regenerated in place (content
+    fingerprint keying — the staging-dir lesson applied here)."""
+    import time as _time
+
+    d = str(tmp_path / "c")
+    docs_a = spark.createDataFrame(
+        [(0, "aa ab aa ab aa", "en", "t", 14)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    docs_a.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    r1 = llm._bpe_rules_for(spark, d, merges=1)
+    assert llm._bpe_rules_for(spark, d, merges=1) is r1  # cache hit
+    _time.sleep(0.01)  # ensure the mtime_ns moves
+    docs_b = spark.createDataFrame(
+        [(0, "zz zy zz zy zz", "en", "t", 14)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    docs_b.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    r2 = llm._bpe_rules_for(spark, d, merges=1)
+    assert r2 != r1  # regenerated corpus retrains
