@@ -133,6 +133,7 @@ def main() -> None:
     # Best-of-2 per query: the host shows heavy transient I/O contention
     # (identical runs vary up to 4×); the faster run is the engine's number.
     from iot_data_pipeline_spark.cache_tracker import evict_tracked
+    from iot_data_pipeline_spark.operators.llm import clear_bpe_rules_memo
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -141,6 +142,8 @@ def main() -> None:
         for _ in range(3 if name in BEST_OF_3 else 2):
             evict_tracked()  # each rep pays its own cache fill — no
             # cross-rep or cross-query pinned frames (round-3 ADVICE).
+            clear_bpe_rules_memo()  # same rule for the train-once memo:
+            # each rep of llm_bpe_train must measure the trainer.
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

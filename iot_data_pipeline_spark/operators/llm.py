@@ -2462,6 +2462,16 @@ def _bpe_apply(word: Column, rules: list[tuple[int, str, str, int]]) -> Column:
 _BPE_RULES_MEMO: dict[tuple, list[tuple[int, str, str, int]]] = {}
 
 
+def clear_bpe_rules_memo() -> None:
+    """For WALL-MEASURING harnesses (bench.py calls this before every
+    timed rep, next to evict_tracked): with the memo warm, a repeated
+    llm_bpe_train measures a dict lookup, not the trainer, and best-of-N
+    would silently ratchet the regression band down to nothing. Sweeping
+    verifiers deliberately DON'T clear it — cross-query reuse within one
+    process is the memo's purpose."""
+    _BPE_RULES_MEMO.clear()
+
+
 def _bpe_rules_for(
     spark: SparkSession, sf_dir: str, merges: int = _BPE_MERGES
 ) -> list[tuple[int, str, str, int]]:
