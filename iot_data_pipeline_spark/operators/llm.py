@@ -1168,148 +1168,159 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prefetch = threading.Thread(target=_fill, daemon=True)
     prefetch.start()
-    l1_nodes = e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(_HNSW_L1_MOD)) == 0)
-    n1 = l1_nodes.count()
-    edges1 = tracked_cache(_hnsw_l1_edges(spark, l1_nodes, n1))
+    try:
+        l1_nodes = e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(_HNSW_L1_MOD)) == 0)
+        n1 = l1_nodes.count()
+        edges1 = tracked_cache(_hnsw_l1_edges(spark, l1_nodes, n1))
 
-    q_frame = spark.createDataFrame(
-        [(i, [float(x) for x in q_mat[k]]) for k, i in enumerate(q_ids)],
-        "query_id LONG, q_emb ARRAY<DOUBLE>",
-    )
-    embd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    v = tracked_cache(e.select("vec_id", embd.alias("emb")))
-    # Corpus count for the log2(n)-scaled search widths: a column-less
-    # parquet count (no columns materialize — near-metadata cost), placed
-    # here so it overlaps the edges0 prefetch thread. Counting through
-    # v instead would serialize the full corpus cache fill (scan + cast +
-    # cache write) in front of the entry stage (r10 review follow-up).
-    beam, n_entries = _hnsw_search_widths(e.count())
-    dot = F.aggregate(
-        F.zip_with(F.col("q_emb"), F.col("emb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    na = F.sqrt(F.aggregate(F.col("q_emb"), F.lit(0.0), lambda a, x: a + x * x))
-    nb = F.sqrt(F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x))
-
-    def score(cand: DataFrame) -> DataFrame:
-        j = F.broadcast(cand).join(v, "vec_id").join(
-            F.broadcast(q_frame), "query_id"
+        q_frame = spark.createDataFrame(
+            [(i, [float(x) for x in q_mat[k]]) for k, i in enumerate(q_ids)],
+            "query_id LONG, q_emb ARRAY<DOUBLE>",
         )
-        return j.select(
-            "query_id", "vec_id", (dot / (na * nb)).alias("cosine")
+        embd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        v = tracked_cache(e.select("vec_id", embd.alias("emb")))
+        # Corpus count for the log2(n)-scaled search widths: a column-less
+        # parquet count (no columns materialize — near-metadata cost), placed
+        # here so it overlaps the edges0 prefetch thread. Counting through
+        # v instead would serialize the full corpus cache fill (scan + cast +
+        # cache write) in front of the entry stage (r10 review follow-up).
+        beam, n_entries = _hnsw_search_widths(e.count())
+        dot = F.aggregate(
+            F.zip_with(F.col("q_emb"), F.col("emb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        na = F.sqrt(F.aggregate(F.col("q_emb"), F.lit(0.0), lambda a, x: a + x * x))
+        nb = F.sqrt(F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x))
+
+        def score(cand: DataFrame) -> DataFrame:
+            j = F.broadcast(cand).join(v, "vec_id").join(
+                F.broadcast(q_frame), "query_id"
+            )
+            return j.select(
+                "query_id", "vec_id", (dot / (na * nb)).alias("cosine")
+            )
+
+        # --- entry points: top-n_entries probed-list layer-1 nodes -----------
+        allowed = _ivf_allowed(e, q_mat, np.array(q_ids))
+        allowed_df = spark.createDataFrame(
+            sorted((q, int(lbl)) for q in q_ids for lbl in allowed[q]),
+            "query_id LONG, label INT",
+        )
+        w_beam = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id")
         )
 
-    # --- entry points: top-n_entries probed-list layer-1 nodes -----------
-    allowed = _ivf_allowed(e, q_mat, np.array(q_ids))
-    allowed_df = spark.createDataFrame(
-        sorted((q, int(lbl)) for q in q_ids for lbl in allowed[q]),
-        "query_id LONG, label INT",
-    )
-    w_beam = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
+        def expand(edges: DataFrame, fdf: DataFrame) -> DataFrame:
+            """1-hop ∪ 2-hop out-neighbors of the (query_id, src) frontier;
+            distinct is bounded by |reachable| per query, so the multi-path
+            duplicates never reach the driver."""
+            one = edges.join(F.broadcast(fdf), "src").select(
+                "query_id", F.col("dst").alias("vec_id")
+            )
+            two = (
+                edges.withColumnRenamed("dst", "mid")
+                .join(F.broadcast(fdf), "src")
+                .select("query_id", F.col("mid").alias("src"))
+                .join(edges, "src")
+                .select("query_id", F.col("dst").alias("vec_id"))
+            )
+            return one.unionByName(two).distinct()
 
-    def expand(edges: DataFrame, fdf: DataFrame) -> DataFrame:
-        """1-hop ∪ 2-hop out-neighbors of the (query_id, src) frontier;
-        distinct is bounded by |reachable| per query, so the multi-path
-        duplicates never reach the driver."""
-        one = edges.join(F.broadcast(fdf), "src").select(
-            "query_id", F.col("dst").alias("vec_id")
-        )
-        two = (
-            edges.withColumnRenamed("dst", "mid")
-            .join(F.broadcast(fdf), "src")
-            .select("query_id", F.col("mid").alias("src"))
-            .join(edges, "src")
-            .select("query_id", F.col("dst").alias("vec_id"))
-        )
-        return one.unionByName(two).distinct()
-
-    # --- fused entry + first routing hop: ONE cluster job ---------------
-    # Entry candidates (top-n_entries probed-list layer-1 nodes per
-    # query, selected by an in-plan window) are expanded over the layer-1
-    # graph in the same plan, so entry selection never pays its own
-    # job-scheduling round trip.
-    ent = (
-        score(
-            l1_nodes.select("label", "vec_id")
-            .join(F.broadcast(allowed_df), "label")
+        # --- fused entry + first routing hop: ONE cluster job ---------------
+        # Entry candidates (top-n_entries probed-list layer-1 nodes per
+        # query, selected by an in-plan window) are expanded over the layer-1
+        # graph in the same plan, so entry selection never pays its own
+        # job-scheduling round trip.
+        ent = (
+            score(
+                l1_nodes.select("label", "vec_id")
+                .join(F.broadcast(allowed_df), "label")
+                .select("query_id", "vec_id")
+            )
+            .withColumn("rk", F.row_number().over(w_beam))
+            .filter(F.col("rk") <= n_entries)
             .select("query_id", "vec_id")
         )
-        .withColumn("rk", F.row_number().over(w_beam))
-        .filter(F.col("rk") <= n_entries)
-        .select("query_id", "vec_id")
-    )
-    def _join_prefetch() -> None:
-        prefetch.join()
-        if prefetch_err:
-            raise prefetch_err[0]
+        def _join_prefetch() -> None:
+            prefetch.join()
+            if prefetch_err:
+                raise prefetch_err[0]
 
-    def _edges(layer: int) -> DataFrame:
-        if layer == 1:
-            return edges1
-        _join_prefetch()
-        return edges0_box[0]
-
-    first_layer, rest_schedule = _HNSW_SCHEDULE[0], _HNSW_SCHEDULE[1:]
-    first_edges = _edges(first_layer)
-    entry_rows = score(
-        ent.unionByName(
-            expand(first_edges, ent.withColumnRenamed("vec_id", "src"))
-        ).distinct()
-    ).collect()
-    covered = {r["query_id"] for r in entry_rows}
-    missing = [q for q in q_ids if q not in covered]
-    if missing:
-        # ADVICE r6: degrade gracefully when the probed lists (or the whole
-        # layer-1 subset) hold no node — enter at the global lowest vec_id
-        # (the remaining layer-0 hops expand from it).
-        gmin = e.agg(F.min("vec_id")).first()[0]
-        if gmin is None:
+        def _edges(layer: int) -> DataFrame:
+            if layer == 1:
+                return edges1
             _join_prefetch()
-            return spark.createDataFrame([], out_schema)
-        fb = spark.createDataFrame(
-            [(q, int(gmin)) for q in missing], "query_id LONG, vec_id LONG"
-        )
-        entry_rows = entry_rows + score(fb).collect()
+            return edges0_box[0]
 
-    # --- beam search with bounded driver-side frontier state -------------
-    visited: dict[tuple[int, int], float] = {
-        (r["query_id"], r["vec_id"]): r["cosine"] for r in entry_rows
-    }
+        first_layer, rest_schedule = _HNSW_SCHEDULE[0], _HNSW_SCHEDULE[1:]
+        first_edges = _edges(first_layer)
+        entry_rows = score(
+            ent.unionByName(
+                expand(first_edges, ent.withColumnRenamed("vec_id", "src"))
+            ).distinct()
+        ).collect()
+        covered = {r["query_id"] for r in entry_rows}
+        missing = [q for q in q_ids if q not in covered]
+        if missing:
+            # ADVICE r6: degrade gracefully when the probed lists (or the whole
+            # layer-1 subset) hold no node — enter at the global lowest vec_id
+            # (the remaining layer-0 hops expand from it).
+            gmin = e.agg(F.min("vec_id")).first()[0]
+            if gmin is None:
+                _join_prefetch()
+                return spark.createDataFrame([], out_schema)
+            fb = spark.createDataFrame(
+                [(q, int(gmin)) for q in missing], "query_id LONG, vec_id LONG"
+            )
+            entry_rows = entry_rows + score(fb).collect()
 
-    def best(q: int, limit: int) -> list[tuple[int, int]]:
-        mine = [(c, v_) for (q_, v_), c in visited.items() if q_ == q]
-        mine.sort(key=lambda t: (-t[0], t[1]))
-        return [(q, v_) for _, v_ in mine[:limit]]
+        # --- beam search with bounded driver-side frontier state -------------
+        visited: dict[tuple[int, int], float] = {
+            (r["query_id"], r["vec_id"]): r["cosine"] for r in entry_rows
+        }
 
-    for layer in rest_schedule:
-        edges = _edges(layer)
-        frontier = [p for q in q_ids for p in best(q, beam)]
-        fdf = spark.createDataFrame(sorted(frontier), "query_id LONG, src LONG")
-        # One cluster job per schedule entry: expansion + scoring fused
-        # over the cached edge/vector frames; the driver map dedupes
-        # against prior hops.
-        hop = score(expand(edges, fdf)).collect()
-        grew = False
-        for r in hop:
-            k = (r["query_id"], r["vec_id"])
-            if k not in visited:
-                visited[k] = r["cosine"]
-                grew = True
-        if not grew:
-            break
+        def best(q: int, limit: int) -> list[tuple[int, int]]:
+            mine = [(c, v_) for (q_, v_), c in visited.items() if q_ == q]
+            mine.sort(key=lambda t: (-t[0], t[1]))
+            return [(q, v_) for _, v_ in mine[:limit]]
 
-    out = []
-    for q in q_ids:
-        hits = [(c, v_) for (q_, v_), c in visited.items() if q_ == q and v_ != q]
-        hits.sort(key=lambda t: (-t[0], t[1]))
-        out.extend(
-            (q, v_, round(c, 4), rk + 1)
-            for rk, (c, v_) in enumerate(hits[:10])
-        )
-    return spark.createDataFrame(out, out_schema)
+        for layer in rest_schedule:
+            edges = _edges(layer)
+            frontier = [p for q in q_ids for p in best(q, beam)]
+            fdf = spark.createDataFrame(sorted(frontier), "query_id LONG, src LONG")
+            # One cluster job per schedule entry: expansion + scoring fused
+            # over the cached edge/vector frames; the driver map dedupes
+            # against prior hops.
+            hop = score(expand(edges, fdf)).collect()
+            grew = False
+            for r in hop:
+                k = (r["query_id"], r["vec_id"])
+                if k not in visited:
+                    visited[k] = r["cosine"]
+                    grew = True
+            if not grew:
+                break
+
+        out = []
+        for q in q_ids:
+            hits = [(c, v_) for (q_, v_), c in visited.items() if q_ == q and v_ != q]
+            hits.sort(key=lambda t: (-t[0], t[1]))
+            out.extend(
+                (q, v_, round(c, 4), rk + 1)
+                for rk, (c, v_) in enumerate(hits[:10])
+            )
+        return spark.createDataFrame(out, out_schema)
+    except BaseException:
+        # ADVICE r11: an exception that propagates before the first
+        # _join_prefetch (e.g. the entry-rows collect failing) must not
+        # leave the helper thread appending a pinned cache AFTER the
+        # harness's evict_tracked sweep — join it and release the
+        # layer-0 frame before propagating.
+        prefetch.join()
+        if edges0_box:
+            cache_tracker.release(edges0_box[0])
+        raise
 
 
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2478,11 +2489,24 @@ def _bpe_rules_for(
     import os as _os
 
     doc_path = _os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = _os.stat(doc_path)
-        fp = (st.st_size, st.st_mtime_ns)
-    except OSError:
-        fp = ("dir",)  # multi-file layouts: fall back to path-only keying
+    # ADVICE r11: os.stat SUCCEEDS on a directory, so a directory-shaped
+    # documents.parquet must be detected explicitly — rewriting member
+    # files in place changes neither the directory's size nor (reliably)
+    # its mtime, which would serve stale memoized rules. Fingerprint the
+    # member files recursively instead.
+    if _os.path.isdir(doc_path):
+        fp = tuple(
+            (_os.path.relpath(p := _os.path.join(root, name), doc_path),
+             (s := _os.stat(p)).st_size, s.st_mtime_ns)
+            for root, _, names in sorted(_os.walk(doc_path))
+            for name in sorted(names)
+        )
+    else:
+        try:
+            st = _os.stat(doc_path)
+            fp = (st.st_size, st.st_mtime_ns)
+        except OSError:
+            fp = ("missing",)
     key = (_os.path.realpath(sf_dir), merges, fp)
     cached = _BPE_RULES_MEMO.get(key)
     if cached is not None:

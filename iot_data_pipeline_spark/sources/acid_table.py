@@ -53,6 +53,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -236,13 +237,32 @@ def snapshot(
     ms = _manifests(path)
     if not ms:
         raise RuntimeError(f"no table at {path}")
-    live = _live_files(ms, version)
+    live_all = _live_files(ms, version)
+    live = live_all
     if key_between is not None:
         lo, hi = key_between
         live = [f for f in live if f["max_key"] >= lo and f["min_key"] <= hi]
     files = [os.path.join(path, f["path"]) for f in live]
     if not files:
-        return spark.read.parquet(os.path.join(path, _DATA)).limit(0)
+        # Empty-after-prune (or a version whose every row was deleted):
+        # take the zero-row frame's SCHEMA from a committed live file —
+        # never by listing data/, which may hold orphaned uncommitted
+        # files from a crashed writer (allowed by the commit protocol)
+        # whose schema could have drifted. When even the unpruned live
+        # set is empty, fall back to the most recent add-entry in the
+        # log whose file survives on disk (removed files persist until
+        # vacuum); a log with no readable file at all is unreadable.
+        candidates = live_all or [
+            a for m in reversed(ms) for a in m["add"]
+            if os.path.exists(os.path.join(path, a["path"]))
+        ]
+        if not candidates:
+            raise RuntimeError(
+                f"no committed data file survives to give {path} a schema"
+            )
+        return spark.read.parquet(
+            os.path.join(path, candidates[0]["path"])
+        ).limit(0)
     df = spark.read.parquet(*files)
     if key_between is not None:
         key = ms[0]["key"]
@@ -278,8 +298,12 @@ def delete(
     hit_files = []
     deleted = 0
     for r in hits:
-        p = os.path.realpath(r["f"].removeprefix("file:"))
-        hit_files.append(by_abs[p])
+        # input_file_name() returns a URI — percent-encoded, so a table
+        # path containing a space or '%' round-trips only through a real
+        # URI parse, not a bare 'file:' strip.
+        u = urlparse(r["f"])
+        raw = unquote(u.path) if u.scheme else r["f"]
+        hit_files.append(by_abs[os.path.realpath(raw)])
         deleted += r["count"]
     if not hit_files:
         return {"rewritten": 0, "carried": len(live), "deleted_rows": 0}
@@ -393,6 +417,23 @@ def merge(
         [(f["path"], f["min_key"], f["max_key"]) for f in live],
         "path STRING, min_key LONG, max_key LONG",
     )
+    # Delta/Iceberg MERGE raise when a target row matches multiple source
+    # rows; without this guard the full_outer join below fans out and the
+    # committed snapshot silently ends with N rows per duplicated key.
+    dup = (
+        source.groupBy(key)
+        .count()
+        .filter("count > 1")
+        .orderBy(F.col("count").desc())
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge source holds {dup[0]['count']} rows for {key}="
+            f"{dup[0][key]}: MERGE requires at most one source row per "
+            "merge key (dedup the source first)"
+        )
     src_keys = source.select(F.col(key).alias("__k")).distinct()
     hit_paths = {
         r["path"]

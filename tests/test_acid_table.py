@@ -278,3 +278,59 @@ def test_long_log_replay_and_duckdb_interop(spark, sf_dir, tmp_path):
         "SELECT COUNT(*) FROM read_parquet($files)", params={"files": files}
     ).fetchone()[0]
     assert duck_n == expected
+
+
+def test_merge_raises_on_duplicate_source_keys(spark, sf_dir, tmp_path):
+    """Delta-semantics guard (ADVICE r11 medium): a source with multiple
+    rows per merge key would fan out the full_outer join and silently
+    duplicate target rows — merge must refuse it instead."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir)
+    acid_table.create(t, path, "o_orderkey", n_files=4)
+    one = t.limit(1)
+    dup_source = one.unionByName(one)
+    with pytest.raises(ValueError, match="one source row per"):
+        acid_table.merge(spark, dup_source, path)
+    # the failed merge must not have committed anything
+    assert [m["version"] for m in acid_table.history(path)] == [0]
+
+
+def test_delete_handles_uri_hostile_table_paths(spark, sf_dir, tmp_path):
+    """ADVICE r11: input_file_name() returns percent-encoded URIs, so a
+    table path containing a space and a '%' must still map back to its
+    manifest entries during DELETE's hit-file detection."""
+    path = str(tmp_path / "odd dir %41" / "t")
+    t = _target(spark, sf_dir)
+    acid_table.create(t, path, "o_orderkey", n_files=4)
+    before = acid_table.snapshot(spark, path).count()
+    res = acid_table.delete(spark, path, "pmod(o_orderkey, 7) = 1")
+    assert res["deleted_rows"] > 0
+    after = acid_table.snapshot(spark, path)
+    assert after.count() == before - res["deleted_rows"]
+    assert after.filter("pmod(o_orderkey, 7) = 1").count() == 0
+
+
+def test_empty_snapshot_schema_ignores_orphaned_data_files(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r11: the zero-row fallback schema must come from a COMMITTED
+    live file, not from listing data/ — which may hold drifted-schema
+    orphans from a crashed writer (allowed by the commit protocol)."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir)
+    acid_table.create(t, path, "o_orderkey", n_files=2)
+    # crashed writer: an uncommitted parquet file with a DIFFERENT schema
+    orphan = spark.range(3).select(
+        F.col("id").alias("o_orderkey"), F.lit(True).alias("drifted_col")
+    )
+    orphan.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "o"))
+    import glob
+    import shutil
+
+    src = glob.glob(str(tmp_path / "o" / "part-*.parquet"))[0]
+    shutil.copy(src, os.path.join(path, "data", "zzzz-orphan.parquet"))
+    empty = acid_table.snapshot(
+        spark, path, key_between=(-10, -1)
+    )  # prunes every live file
+    assert empty.count() == 0
+    assert empty.columns == ["o_orderkey", "o_orderstatus", "o_totalprice"]
