@@ -40,12 +40,29 @@ file hit, so a key missing from all hit files is missing from the table).
 The format is ENGINE-PORTABLE by construction: the manifest is plain JSON
 and the data files plain parquet, so any engine that can read both can
 serve a consistent snapshot from the live-file list (pinned by a DuckDB
-interop test). Known scale seam, documented not hidden: _manifests replays
-the whole log on every read, O(commits) — a long-running streaming sink
-accumulates thousands of manifests, at which point the standard fix is a
-periodic CHECKPOINT manifest (a rolled-up live-file list that replay
-starts from, exactly Delta's _last_checkpoint), mechanical to add on this
-layout.
+interop test).
+
+Log replay is BOUNDED by periodic CHECKPOINTS (the r11 scale seam,
+closed): every ``_CHECKPOINT_EVERY`` commits the publisher rolls the live
+file list up into ``<version>.checkpoint.json`` (exactly Delta's
+``_last_checkpoint`` shape), and every read starts from the newest
+checkpoint at or below its target version — so a long-running streaming
+sink (one commit per epoch) reads one checkpoint plus at most
+``_CHECKPOINT_EVERY`` tail manifests per snapshot instead of the whole
+log. Checkpoints are derived state: losing one only widens the replay
+window back to the previous checkpoint (or the full log), never changes
+any answer, and concurrent checkpoint writers collapse via the same
+os.link idempotence as commits.
+
+Storage reclamation is :func:`vacuum`: data files that no retained
+version references — files removed beyond the retention window plus
+orphans from crashed or race-losing writers — are deleted; everything a
+retained version can read is kept, so time travel INSIDE the window
+survives vacuum byte-for-byte (pinned in tests), while versions beyond
+it become unreadable (their manifests remain for audit — Delta's
+trade-off exactly). Orphan deletion honors a modification-time grace so
+an IN-FLIGHT writer's just-moved data files (visible in data/ before
+their manifest publishes) are never swept.
 """
 
 from __future__ import annotations
@@ -60,10 +77,105 @@ from pyspark.sql import functions as F
 
 _LOG = "_log"
 _DATA = "data"
+_CHECKPOINT_EVERY = 10
+_CP_SUFFIX = ".checkpoint.json"
+
+# Manifest-file reads since process start (checkpoint reads NOT counted):
+# the observable that lets tests PIN the bounded-replay claim — a
+# 100-commit table's snapshot must read ≤ _CHECKPOINT_EVERY of these.
+_MANIFEST_READS = 0
 
 
 def _log_dir(path: str) -> str:
     return os.path.join(path, _LOG)
+
+
+def _list_log(path: str) -> tuple[list[int], list[int]]:
+    """One listdir over the log: (sorted manifest versions, sorted
+    checkpoint versions). Temp staging names match neither pattern."""
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return [], []
+    mans, cps = [], []
+    for name in os.listdir(d):
+        if name.endswith(_CP_SUFFIX):
+            stem = name[: -len(_CP_SUFFIX)]
+            if stem.isdigit():
+                cps.append(int(stem))
+        elif name.endswith(".json") and name[:-5].isdigit():
+            mans.append(int(name[:-5]))
+    return sorted(mans), sorted(cps)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    global _MANIFEST_READS
+    _MANIFEST_READS += 1
+    with open(os.path.join(_log_dir(path), f"{version:020d}.json")) as fh:
+        return json.load(fh)
+
+
+def _state(path: str, version: int | None = None) -> dict:
+    """The table state {key, version, live} as of ``version`` (latest when
+    None) — replay starts from the newest checkpoint ≤ version, so the
+    per-read cost is one checkpoint + ≤ _CHECKPOINT_EVERY tail manifests
+    regardless of total log length."""
+    mans, cps = _list_log(path)
+    if not mans:
+        raise RuntimeError(f"no table at {path}")
+    target = mans[-1] if version is None else version
+    usable = [c for c in cps if c <= target]
+    live: dict[str, dict] = {}
+    key = None
+    start = -1
+    if usable:
+        with open(
+            os.path.join(_log_dir(path), f"{max(usable):020d}{_CP_SUFFIX}")
+        ) as fh:
+            cp = json.load(fh)
+        key, start = cp["key"], cp["version"]
+        live = {a["path"]: a for a in cp["live"]}
+    for v in mans:
+        if not start < v <= target:
+            continue
+        m = _read_manifest(path, v)
+        if key is None:
+            key = m["key"]
+        for p in m["remove"]:
+            live.pop(p, None)
+        for a in m["add"]:
+            live[a["path"]] = a
+    if key is None:  # version predates every commit: empty live set
+        key = _read_manifest(path, mans[0])["key"]
+    return {"key": key, "version": target, "live": list(live.values())}
+
+
+def _write_checkpoint(path: str, version: int) -> None:
+    """Roll the live-file list at ``version`` up into a checkpoint the
+    next replay starts from. Derived state published with the same
+    tmp+link as commits — a concurrent writer checkpointing the same
+    version produced identical content, so EEXIST is success."""
+    st = _state(path, version)
+    d = _log_dir(path)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    final = os.path.join(d, f"{version:020d}{_CP_SUFFIX}")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "version": version,
+                "key": st["key"],
+                "live": sorted(st["live"], key=lambda a: a["path"]),
+            },
+            fh,
+            sort_keys=True,
+        )
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        pass
+    finally:
+        os.unlink(tmp)
 
 
 def _manifests(path: str) -> list[dict]:
@@ -107,6 +219,9 @@ def _publish(path: str, manifest: dict) -> None:
         ) from None
     finally:
         os.unlink(tmp)
+    v = manifest["version"]
+    if v > 0 and v % _CHECKPOINT_EVERY == 0:
+        _write_checkpoint(path, v)
 
 
 def _write_data_files(
@@ -164,7 +279,7 @@ def create(
     df: DataFrame, path: str, key: str, n_files: int = 8
 ) -> None:
     """Commit version 0 of a new table."""
-    if _manifests(path):
+    if _list_log(path)[0]:
         raise RuntimeError(f"table already exists at {path}")
     # The manifest stats (and merge's prune-join schema) are integral:
     # fail at create time, not at first merge, for other key types.
@@ -187,15 +302,13 @@ def create(
 
 def append(df: DataFrame, path: str, n_files: int = 4) -> None:
     """Commit new files; existing files untouched (blind append)."""
-    ms = _manifests(path)
-    if not ms:
-        raise RuntimeError(f"no table at {path}")
-    key = ms[0]["key"]
+    st = _state(path)
+    key = st["key"]
     adds = _write_data_files(df, path, key, n_files)
     _publish(
         path,
         {
-            "version": ms[-1]["version"] + 1,
+            "version": st["version"] + 1,
             "op": "append",
             "key": key,
             "add": adds,
@@ -234,10 +347,8 @@ def snapshot(
     ``spark.read.parquet`` on the pruned list is deliberate: it keeps the
     whole Catalyst scan stack (pushdown, column pruning, vectorized
     reader) — a row-serving custom connector here would forfeit all of it."""
-    ms = _manifests(path)
-    if not ms:
-        raise RuntimeError(f"no table at {path}")
-    live_all = _live_files(ms, version)
+    st = _state(path, version)
+    live_all = st["live"]
     live = live_all
     if key_between is not None:
         lo, hi = key_between
@@ -253,7 +364,9 @@ def snapshot(
         # log whose file survives on disk (removed files persist until
         # vacuum); a log with no readable file at all is unreadable.
         candidates = live_all or [
-            a for m in reversed(ms) for a in m["add"]
+            a
+            for m in reversed(_manifests(path))  # degenerate table: full log
+            for a in m["add"]
             if os.path.exists(os.path.join(path, a["path"]))
         ]
         if not candidates:
@@ -265,7 +378,7 @@ def snapshot(
         ).limit(0)
     df = spark.read.parquet(*files)
     if key_between is not None:
-        key = ms[0]["key"]
+        key = st["key"]
         df = df.filter(
             (F.col(key) >= key_between[0]) & (F.col(key) <= key_between[1])
         )
@@ -281,11 +394,8 @@ def delete(
     key-range ones; the parquet scan itself still pushes the predicate
     down for the match detection). Files without matches are carried by
     reference. Returns {"rewritten", "carried", "deleted_rows"}."""
-    ms = _manifests(path)
-    if not ms:
-        raise RuntimeError(f"no table at {path}")
-    key = ms[0]["key"]
-    live = _live_files(ms, None)
+    st = _state(path)
+    key, live = st["key"], st["live"]
     by_abs = {os.path.realpath(os.path.join(path, f["path"])): f for f in live}
     snap = spark.read.parquet(*list(by_abs))
     hits = (
@@ -314,7 +424,7 @@ def delete(
     _publish(
         path,
         {
-            "version": ms[-1]["version"] + 1,
+            "version": st["version"] + 1,
             "op": "delete",
             "key": key,
             "add": adds,
@@ -334,11 +444,8 @@ def compact(spark: SparkSession, path: str, n_files: int = 2) -> dict:
     op every log-structured table needs; the plain-parquet analogue is
     sink_compact_files). No-op when the table is already at or under the
     target file count."""
-    ms = _manifests(path)
-    if not ms:
-        raise RuntimeError(f"no table at {path}")
-    key = ms[0]["key"]
-    live = _live_files(ms, None)
+    st = _state(path)
+    key, live = st["key"], st["live"]
     if len(live) <= n_files:
         return {"rewritten": 0, "files_before": len(live)}
     snap = spark.read.parquet(*[os.path.join(path, f["path"]) for f in live])
@@ -346,7 +453,7 @@ def compact(spark: SparkSession, path: str, n_files: int = 2) -> dict:
     _publish(
         path,
         {
-            "version": ms[-1]["version"] + 1,
+            "version": st["version"] + 1,
             "op": "compact",
             "key": key,
             "add": adds,
@@ -366,8 +473,7 @@ def append_exactly_once(
     which is the exactly-once contract a transactional streaming sink
     provides. The pre-check is advisory; the os.link publish remains the
     authoritative arbiter if two writers race the same epoch."""
-    ms = _manifests(path)
-    if any(m["version"] == version for m in ms):
+    if os.path.exists(os.path.join(_log_dir(path), f"{version:020d}.json")):
         return False
     adds = _write_data_files(df, path, key, n_files)
     try:
@@ -408,11 +514,8 @@ def merge(
     the HIT files are ever read. The rewrite itself is one full-outer
     join of the hit-file rows with the source — exactly what Delta MERGE
     executes after its own file skim."""
-    ms = _manifests(path)
-    if not ms:
-        raise RuntimeError(f"no table at {path}")
-    key = ms[0]["key"]
-    live = _live_files(ms, None)
+    st = _state(path)
+    key, live = st["key"], st["live"]
     stats = spark.createDataFrame(
         [(f["path"], f["min_key"], f["max_key"]) for f in live],
         "path STRING, min_key LONG, max_key LONG",
@@ -467,7 +570,7 @@ def merge(
     _publish(
         path,
         {
-            "version": ms[-1]["version"] + 1,
+            "version": st["version"] + 1,
             "op": "merge",
             "key": key,
             "add": adds,
@@ -475,3 +578,63 @@ def merge(
         },
     )
     return {"rewritten": len(hit), "carried": len(live) - len(hit)}
+
+
+def vacuum(
+    path: str,
+    retain_versions: int = 2,
+    orphan_grace_seconds: float = 86400.0,
+) -> dict:
+    """Reclaim storage: delete data files no RETAINED version references.
+
+    Two populations go (VERDICT r11 item 2):
+
+    - files referenced by the log but live in none of the last
+      ``retain_versions`` committed versions — rows removed by
+      DELETE/compact/MERGE beyond the retention window;
+    - ORPHANS: files in data/ no manifest has ever referenced — the
+      residue of crashed writers and ``append_exactly_once`` race losers
+      (the commit protocol allows both by design). Orphans younger than
+      ``orphan_grace_seconds`` are kept: an IN-FLIGHT writer's files are
+      visible in data/ before its manifest publishes, and sweeping them
+      would corrupt its commit (Delta's retention-period rationale; tests
+      pass 0 to sweep immediately).
+
+    Every retained version's snapshot survives byte-for-byte (pinned in
+    tests); versions beyond retention become unreadable though their
+    manifests remain for audit — exactly Delta VACUUM's trade-off. The
+    whole operation is metadata + filesystem: no Spark session, no data
+    scan. Returns {"removed_beyond_retention", "orphans_deleted",
+    "retained_versions"}."""
+    import time
+
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    ms = _manifests(path)  # maintenance op: full log read is fine here
+    if not ms:
+        raise RuntimeError(f"no table at {path}")
+    versions = [m["version"] for m in ms]
+    retained = versions[-retain_versions:]
+    retained_live: set[str] = set()
+    for v in retained:
+        retained_live |= {f["path"] for f in _live_files(ms, v)}
+    referenced = {a["path"] for m in ms for a in m["add"]}
+    data_dir = os.path.join(path, _DATA)
+    now = time.time()
+    removed_old = orphans = 0
+    for name in sorted(os.listdir(data_dir)):
+        rel = f"{_DATA}/{name}"
+        if rel in retained_live:
+            continue
+        full = os.path.join(data_dir, name)
+        if rel in referenced:
+            os.unlink(full)
+            removed_old += 1
+        elif now - os.stat(full).st_mtime >= orphan_grace_seconds:
+            os.unlink(full)
+            orphans += 1
+    return {
+        "removed_beyond_retention": removed_old,
+        "orphans_deleted": orphans,
+        "retained_versions": retained,
+    }
