@@ -1102,6 +1102,96 @@ def test_bpe_property_random_corpora_match_reference(spark):
     check()
 
 
+def test_bpe_inmem_parity_at_512_merges():
+    """The in-memory incremental trainer (heap + inverted index — the
+    production merge-loop architecture behind llm_bpe_train_full) must be
+    rule-for-rule identical to the O(vocab * merges) reference walk at a
+    REAL merge budget. The driver corpora can't fund 512 merges (31-word
+    vocabulary, 107 merge slots), so the budget runs on a seeded synthetic
+    vocabulary rich enough to exercise deep-merge regimes: multi-char
+    symbol collisions, count ties, self-pairs."""
+    import random
+
+    rng = random.Random(42)
+    wf: dict[str, int] = {}
+    for _ in range(300):
+        w = "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz")
+            for _ in range(rng.randint(6, 12))
+        )
+        wf[w] = wf.get(w, 0) + rng.randint(1, 50)
+    assert sum(len(w) - 1 for w in wf) >= 512  # corpus can fund the budget
+    assert llm._bpe_learn_inmem(wf, 512) == _ref_bpe_learn(wf, 512)
+
+
+def test_bpe_inmem_exhaustion_and_budget_errors():
+    """merges=None trains to exhaustion (reference with an unreachable
+    budget breaks at the same point); a fixed budget past exhaustion raises
+    the same contract error as the distributed trainer."""
+    import pytest
+
+    wf = {"abab": 3, "abc": 2, "ca": 5}
+    full = llm._bpe_learn_inmem(wf, None)
+    assert full == _ref_bpe_learn(wf, 10**9)
+    assert all(len(r) == 4 for r in full)
+    with pytest.raises(ValueError, match="pair table empty"):
+        llm._bpe_learn_inmem(wf, len(full) + 1)
+
+
+def test_bpe_train_full_matches_reference_and_oracle_guard(spark, sf_dir):
+    """llm_bpe_train_full (distributed word count -> bounded vocab collect
+    -> in-memory merge loop) must equal the reference exhaustion run on the
+    same word-frequency table, and its length must sit inside the guarded
+    oracle's round budget (the provable bound: sum(len(word)-1) over the
+    distinct vocabulary)."""
+    wf_df = llm._bpe_word_freq(llm.table(spark, sf_dir, "documents"))
+    word_freq = {r["word"]: int(r["freq"]) for r in wf_df.collect()}
+    expected = _ref_bpe_learn(word_freq, 10**9)
+    got = [
+        (r["merge_rank"], r["sym_a"], r["sym_b"], r["pair_count"])
+        for r in llm.llm_bpe_train_full(spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expected
+    slot_bound = sum(len(w) - 1 for w in word_freq)
+    assert len(got) <= slot_bound <= llm._BPE_FULL_ORACLE_ROUNDS
+
+
+def test_bpe_batched_rejects_naive_disjoint_batching(spark):
+    """The counterexample that makes naive top-M-disjoint batching WRONG:
+    corpus {xab x10, ab x2, cd x9} has counts (a,b)=12, (x,a)=10, (c,d)=9;
+    top-2 disjoint pairs are {(a,b), (c,d)}, but sequential greedy merges
+    (a,b) and then the NEWLY CREATED (x, ab) at count 10 — (c,d) at 9 never
+    ranks second. The batched distributed trainer must emit the sequential
+    trajectory (its first-interaction stop puts (x,a) in round 1's window
+    before (c,d), bounding the batch to {(a,b)})."""
+    wf = spark.createDataFrame(
+        [("xab", 10), ("ab", 2), ("cd", 9)], "word STRING, freq BIGINT"
+    )
+    stats: dict = {}
+    got = llm._bpe_learn_from(wf, 2, stats=stats)
+    assert got == [(1, "a", "b", 12), (2, "x", "ab", 10)]
+    expected = _ref_bpe_learn({"xab": 10, "ab": 2, "cd": 9}, 2)
+    assert got == expected
+    assert stats["batch_sizes"][0] == 1  # the unsound 2-batch was refused
+
+
+def test_bpe_batched_telemetry_and_multi_merge_rounds(spark):
+    """A corpus of genuinely independent high-count pairs lets the hazard
+    rule commit >1 merge per round (batch telemetry proves the batching is
+    live), and the rule stream still equals the reference trajectory."""
+    word_freq = {"ab": 90, "cd": 60, "ef": 40, "gh": 27, "ij": 18, "kl": 12}
+    wf = spark.createDataFrame(
+        list(word_freq.items()), "word STRING, freq BIGINT"
+    )
+    stats: dict = {}
+    got = llm._bpe_learn_from(wf, 6, stats=stats)
+    assert got == _ref_bpe_learn(word_freq, 6)
+    assert sum(stats["batch_sizes"]) == 6
+    assert stats["rounds"] < 6  # at least one round committed a real batch
+
+
 def test_bpe_rules_memo_invalidates_on_corpus_change(spark, tmp_path):
     """The train-once memo must serve cached rules for an unchanged corpus
     and RETRAIN when documents.parquet is regenerated in place (content
