@@ -547,6 +547,42 @@ def _stage_document_chunks(
     return stream_dir
 
 
+# Maintenance cadence for stream_near_dedup's ACID state stores: every N
+# epochs, OPTIMIZE the live set down to _NEAR_DEDUP_COMPACT_FILES key-range
+# files and vacuum beyond the latest version, bounding both the probe's
+# file list and the on-disk footprint at ~(compact target + N appends).
+_NEAR_DEDUP_COMPACT_EVERY = 4
+_NEAR_DEDUP_COMPACT_FILES = 2
+
+
+def _append_state_store(df: DataFrame, path: str) -> None:
+    """One-file epoch append to a near-dedup ACID state store, creating the
+    table on first use; an epoch that admits nothing appends nothing (an
+    empty create is refused by the format, and an empty append would be
+    pure commit churn)."""
+    from iot_data_pipeline_spark.sources import acid_table
+
+    if not os.path.isdir(path):
+        if df.isEmpty():
+            return
+        acid_table.create(df, path, "doc_id", n_files=1)
+    elif not df.isEmpty():
+        acid_table.append(df, path, n_files=1)
+
+
+def _maintain_state_store(spark: SparkSession, path: str) -> None:
+    """OPTIMIZE + VACUUM a near-dedup state store. Retention 1 and zero
+    orphan grace are correct HERE because the store has exactly one
+    in-process writer and no time-travel readers — a shared production
+    store would retain more."""
+    from iot_data_pipeline_spark.sources import acid_table
+
+    if not os.path.isdir(path):
+        return
+    acid_table.compact(spark, path, n_files=_NEAR_DEDUP_COMPACT_FILES)
+    acid_table.vacuum(path, retain_versions=1, orphan_grace_seconds=0.0)
+
+
 def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dedup — the first stateful *similarity* stream in
     the registry (r10 verdict item 4) and the real 100 TB ingestion gate:
@@ -573,20 +609,32 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Chunk replay order is doc_id quartiles, so the composed semantics are
     one global greedy doc_id-ordered pass — pinned against a pure-Python
-    reference over the exact n-gram ground-truth pairs in tests. State
-    stores are plain parquet appends here; in production they are the
-    bucket-partitioned table this exact plan probes. Greedy order is not
-    SQL-expressible (non-monotone NOT EXISTS over its own output) →
-    declared rows-only."""
+    reference over the exact n-gram ground-truth pairs in tests.
+
+    STORE MAINTENANCE (VERDICT r11 item 4): the bucket and corpus state
+    stores are manifest-log ACID tables, not plain parquet append dirs —
+    a continuous stream otherwise accumulates one file set per epoch
+    forever and the bucket probe re-lists all of them every batch. Each
+    epoch appends one file per store; every ``_NEAR_DEDUP_COMPACT_EVERY``
+    epochs ``_maintain_state_store`` rewrites the live set to two
+    key-range files (OPTIMIZE) and vacuums versions beyond the last, so
+    the probe's file list — and the on-disk footprint — stays bounded by
+    the compaction window however long the stream runs (file-count bound
+    pinned in tests). The status store is the run's OUTPUT artifact
+    (appended per epoch, read once at the end), so it stays a plain
+    append dir. Greedy order is not SQL-expressible (non-monotone NOT
+    EXISTS over its own output) → declared rows-only."""
     from collections import defaultdict
 
     from iot_data_pipeline_spark.operators import llm
+    from iot_data_pipeline_spark.sources import acid_table
 
     stream_dir = _stage_document_chunks(spark, sf_dir)
     state = tempfile.mkdtemp(prefix="near_dedup_state_")
     bucket_store = os.path.join(state, "buckets")
     corpus_store = os.path.join(state, "corpus")
     status_store = os.path.join(state, "status")
+    epoch_counter = {"n": 0}
 
     def admit(batch_df: DataFrame, epoch_id: int) -> None:
         # Epoch-scoped checkpoints (the batch is scanned by several joins
@@ -622,7 +670,7 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands = cand_batch
         store_old = set()
         if os.path.isdir(bucket_store):
-            bk_old = spark.read.parquet(bucket_store)
+            bk_old = acid_table.snapshot(spark, bucket_store)
             cand_store = (
                 bk_old.select(
                     F.col("doc_id").alias("doc_a"), "band_idx", "bucket"
@@ -639,7 +687,7 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand_store = pin(cand_store)
             old_ids = cand_store.select(F.col("doc_a").alias("doc_id"))
             sh_old = llm._word_shingles(
-                spark.read.parquet(corpus_store).join(
+                acid_table.snapshot(spark, corpus_store).join(
                     old_ids, "doc_id", "semi"
                 )
             )
@@ -681,10 +729,13 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(status_store)
         dropped = dropped_corpus | dropped_batch
         kept = batch.filter(~F.col("doc_id").isin(list(dropped) or [-1]))
-        kept.write.mode("append").parquet(corpus_store)
-        bk_new.join(kept.select("doc_id"), "doc_id", "semi").write.mode(
-            "append"
-        ).parquet(bucket_store)
+        kept_buckets = bk_new.join(kept.select("doc_id"), "doc_id", "semi")
+        _append_state_store(kept, corpus_store)
+        _append_state_store(kept_buckets, bucket_store)
+        epoch_counter["n"] += 1
+        if epoch_counter["n"] % _NEAR_DEDUP_COMPACT_EVERY == 0:
+            _maintain_state_store(spark, corpus_store)
+            _maintain_state_store(spark, bucket_store)
 
     q = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
