@@ -54,6 +54,20 @@ window back to the previous checkpoint (or the full log), never changes
 any answer, and concurrent checkpoint writers collapse via the same
 os.link idempotence as commits.
 
+SCHEMA EVOLUTION (widening only): every schema-bearing commit records the
+table schema in its manifest (``"schema"``: Spark StructType JSON), and
+carry-forward commits (delete/compact) re-record the inherited one, so the
+schema is a per-version fact replayed exactly like the live-file list
+(checkpoints roll it up too). ``append`` may ADD trailing nullable columns
+— existing columns must keep their name and type — and every read then
+goes through the recorded schema, so files written before the widening
+NULL-fill the new columns; time travel to an old version reads with THAT
+version's schema. Narrowing (dropping a column) and type changes are
+refused, and MERGE refuses to evolve (append the new column first): those
+are the non-widening cases where copy-on-write rewrites would silently
+mix schemas. Tables created before this field existed replay with no
+recorded schema and read exactly as they always did.
+
 Storage reclamation is :func:`vacuum`: data files that no retained
 version references — files removed beyond the retention window plus
 orphans from crashed or race-losing writers — are deleted; everything a
@@ -115,10 +129,12 @@ def _read_manifest(path: str, version: int) -> dict:
 
 
 def _state(path: str, version: int | None = None) -> dict:
-    """The table state {key, version, live} as of ``version`` (latest when
-    None) — replay starts from the newest checkpoint ≤ version, so the
-    per-read cost is one checkpoint + ≤ _CHECKPOINT_EVERY tail manifests
-    regardless of total log length."""
+    """The table state {key, version, live, schema} as of ``version``
+    (latest when None) — replay starts from the newest checkpoint ≤
+    version, so the per-read cost is one checkpoint + ≤ _CHECKPOINT_EVERY
+    tail manifests regardless of total log length. ``schema`` is the
+    StructType JSON recorded by the last schema-bearing commit ≤ version
+    (None on tables predating the field)."""
     mans, cps = _list_log(path)
     if not mans:
         raise RuntimeError(f"no table at {path}")
@@ -126,6 +142,7 @@ def _state(path: str, version: int | None = None) -> dict:
     usable = [c for c in cps if c <= target]
     live: dict[str, dict] = {}
     key = None
+    schema = None
     start = -1
     if usable:
         with open(
@@ -133,6 +150,7 @@ def _state(path: str, version: int | None = None) -> dict:
         ) as fh:
             cp = json.load(fh)
         key, start = cp["key"], cp["version"]
+        schema = cp.get("schema")
         live = {a["path"]: a for a in cp["live"]}
     for v in mans:
         if not start < v <= target:
@@ -140,13 +158,20 @@ def _state(path: str, version: int | None = None) -> dict:
         m = _read_manifest(path, v)
         if key is None:
             key = m["key"]
+        if m.get("schema") is not None:
+            schema = m["schema"]
         for p in m["remove"]:
             live.pop(p, None)
         for a in m["add"]:
             live[a["path"]] = a
     if key is None:  # version predates every commit: empty live set
         key = _read_manifest(path, mans[0])["key"]
-    return {"key": key, "version": target, "live": list(live.values())}
+    return {
+        "key": key,
+        "version": target,
+        "live": list(live.values()),
+        "schema": schema,
+    }
 
 
 def _write_checkpoint(path: str, version: int) -> None:
@@ -163,6 +188,7 @@ def _write_checkpoint(path: str, version: int) -> None:
             {
                 "version": version,
                 "key": st["key"],
+                "schema": st.get("schema"),
                 "live": sorted(st["live"], key=lambda a: a["path"]),
             },
             fh,
@@ -275,6 +301,72 @@ def _write_data_files(
     return adds
 
 
+def _schema_json(df: DataFrame) -> str:
+    """The schema a manifest records: the frame's StructType with every
+    field forced nullable — parquet round-trips columns as optional, and a
+    widening read NULL-fills by definition, so recording non-null flags
+    would promise what the format can't keep."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [StructField(f.name, f.dataType, True) for f in df.schema.fields]
+    ).json()
+
+
+def _schema_of(st: dict):
+    """Recorded schema of a replayed state as a StructType (None when the
+    table predates schema recording)."""
+    from pyspark.sql.types import StructType
+
+    sj = st.get("schema")
+    return StructType.fromJson(json.loads(sj)) if sj else None
+
+
+def _evolve_schema(st: dict, df: DataFrame) -> str:
+    """Widening check for a schema-bearing commit: every recorded column
+    must appear in ``df`` with the same type; columns ``df`` adds append
+    to the end (nullable — old files NULL-fill them). Returns the schema
+    JSON the new manifest records. Narrowing and type changes raise."""
+    from pyspark.sql.types import StructField, StructType
+
+    old = _schema_of(st)
+    if old is None:
+        return _schema_json(df)
+    new_by_name = {f.name: f for f in df.schema.fields}
+    for f in old.fields:
+        nf = new_by_name.get(f.name)
+        if nf is None:
+            raise ValueError(
+                f"schema evolution is widening-only: incoming data is "
+                f"missing table column {f.name!r} (dropping columns is "
+                "not supported)"
+            )
+        if nf.dataType != f.dataType:
+            raise TypeError(
+                f"schema evolution is widening-only: column {f.name!r} "
+                f"changed type {f.dataType.simpleString()} -> "
+                f"{nf.dataType.simpleString()}"
+            )
+    old_names = {f.name for f in old.fields}
+    added = [
+        StructField(f.name, f.dataType, True)
+        for f in df.schema.fields
+        if f.name not in old_names
+    ]
+    return StructType(list(old.fields) + added).json()
+
+
+def _read_files(spark: SparkSession, st: dict, files: list[str]) -> DataFrame:
+    """Read committed data files THROUGH the version's recorded schema, so
+    files written before a widening NULL-fill the added columns (and a
+    mixed-schema live set never resolves to an arbitrary file's footer).
+    Tables without a recorded schema read by parquet inference, exactly as
+    before the field existed."""
+    sch = _schema_of(st)
+    reader = spark.read.schema(sch) if sch is not None else spark.read
+    return reader.parquet(*files)
+
+
 def create(
     df: DataFrame, path: str, key: str, n_files: int = 8
 ) -> None:
@@ -296,14 +388,25 @@ def create(
         raise ValueError(f"refusing to create an empty table at {path}")
     _publish(
         path,
-        {"version": 0, "op": "create", "key": key, "add": adds, "remove": []},
+        {
+            "version": 0,
+            "op": "create",
+            "key": key,
+            "schema": _schema_json(df),
+            "add": adds,
+            "remove": [],
+        },
     )
 
 
 def append(df: DataFrame, path: str, n_files: int = 4) -> None:
-    """Commit new files; existing files untouched (blind append)."""
+    """Commit new files; existing files untouched (blind append). The one
+    op that may EVOLVE the schema: extra columns in ``df`` widen the table
+    (recorded in this commit's manifest; older files NULL-fill on read),
+    while missing columns or type changes raise."""
     st = _state(path)
     key = st["key"]
+    schema = _evolve_schema(st, df)
     adds = _write_data_files(df, path, key, n_files)
     _publish(
         path,
@@ -311,6 +414,7 @@ def append(df: DataFrame, path: str, n_files: int = 4) -> None:
             "version": st["version"] + 1,
             "op": "append",
             "key": key,
+            "schema": schema,
             "add": adds,
             "remove": [],
         },
@@ -356,13 +460,17 @@ def snapshot(
     files = [os.path.join(path, f["path"]) for f in live]
     if not files:
         # Empty-after-prune (or a version whose every row was deleted):
-        # take the zero-row frame's SCHEMA from a committed live file —
+        # the RECORDED schema serves the zero-row frame directly. Tables
+        # predating schema recording take it from a committed live file —
         # never by listing data/, which may hold orphaned uncommitted
         # files from a crashed writer (allowed by the commit protocol)
         # whose schema could have drifted. When even the unpruned live
         # set is empty, fall back to the most recent add-entry in the
         # log whose file survives on disk (removed files persist until
         # vacuum); a log with no readable file at all is unreadable.
+        sch = _schema_of(st)
+        if sch is not None:
+            return spark.createDataFrame([], sch)
         candidates = live_all or [
             a
             for m in reversed(_manifests(path))  # degenerate table: full log
@@ -376,7 +484,7 @@ def snapshot(
         return spark.read.parquet(
             os.path.join(path, candidates[0]["path"])
         ).limit(0)
-    df = spark.read.parquet(*files)
+    df = _read_files(spark, st, files)
     if key_between is not None:
         key = st["key"]
         df = df.filter(
@@ -397,7 +505,7 @@ def delete(
     st = _state(path)
     key, live = st["key"], st["live"]
     by_abs = {os.path.realpath(os.path.join(path, f["path"])): f for f in live}
-    snap = spark.read.parquet(*list(by_abs))
+    snap = _read_files(spark, st, list(by_abs))
     hits = (
         snap.filter(cond)
         .select(F.input_file_name().alias("f"))
@@ -417,8 +525,8 @@ def delete(
         deleted += r["count"]
     if not hit_files:
         return {"rewritten": 0, "carried": len(live), "deleted_rows": 0}
-    kept = spark.read.parquet(
-        *[os.path.join(path, f["path"]) for f in hit_files]
+    kept = _read_files(
+        spark, st, [os.path.join(path, f["path"]) for f in hit_files]
     ).filter(f"NOT ({cond})")
     adds = _write_data_files(kept, path, key, n_files)
     _publish(
@@ -427,6 +535,7 @@ def delete(
             "version": st["version"] + 1,
             "op": "delete",
             "key": key,
+            "schema": st.get("schema"),
             "add": adds,
             "remove": sorted(f["path"] for f in hit_files),
         },
@@ -448,7 +557,9 @@ def compact(spark: SparkSession, path: str, n_files: int = 2) -> dict:
     key, live = st["key"], st["live"]
     if len(live) <= n_files:
         return {"rewritten": 0, "files_before": len(live)}
-    snap = spark.read.parquet(*[os.path.join(path, f["path"]) for f in live])
+    snap = _read_files(
+        spark, st, [os.path.join(path, f["path"]) for f in live]
+    )
     adds = _write_data_files(snap, path, key, n_files)
     _publish(
         path,
@@ -456,6 +567,7 @@ def compact(spark: SparkSession, path: str, n_files: int = 2) -> dict:
             "version": st["version"] + 1,
             "op": "compact",
             "key": key,
+            "schema": st.get("schema"),
             "add": adds,
             "remove": sorted(f["path"] for f in live),
         },
@@ -475,6 +587,10 @@ def append_exactly_once(
     authoritative arbiter if two writers race the same epoch."""
     if os.path.exists(os.path.join(_log_dir(path), f"{version:020d}.json")):
         return False
+    try:
+        schema = _evolve_schema(_state(path), df)
+    except RuntimeError:  # no table yet: this epoch is the create
+        schema = _schema_json(df)
     adds = _write_data_files(df, path, key, n_files)
     try:
         _publish(
@@ -483,6 +599,7 @@ def append_exactly_once(
                 "version": version,
                 "op": "stream-append",
                 "key": key,
+                "schema": schema,
                 "add": adds,
                 "remove": [],
             },
@@ -551,11 +668,17 @@ def merge(
     }
     hit = [f for f in live if f["path"] in hit_paths]
     touched = (
-        spark.read.parquet(*[os.path.join(path, f["path"]) for f in hit])
+        _read_files(spark, st, [os.path.join(path, f["path"]) for f in hit])
         if hit
         else snapshot(spark, path).limit(0)
     )
     cols = touched.columns
+    extra = [c for c in source.columns if c not in cols]
+    if extra:
+        raise ValueError(
+            f"merge cannot evolve the schema (extra source columns"
+            f" {extra}); append the new columns first, then merge"
+        )
     src = source.select(*cols)
     t = touched.select(
         F.col(key), F.struct(*cols).alias("__t")
@@ -573,6 +696,7 @@ def merge(
             "version": st["version"] + 1,
             "op": "merge",
             "key": key,
+            "schema": st.get("schema"),
             "add": adds,
             "remove": sorted(hit_paths),
         },

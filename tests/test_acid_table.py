@@ -409,3 +409,120 @@ def test_vacuum_reclaims_orphans_and_expired_files(spark, sf_dir, tmp_path):
     acid_table._write_data_files(t.limit(10), path, "o_orderkey", 1)
     res2 = acid_table.vacuum(path, retain_versions=2)
     assert res2["orphans_deleted"] == 0
+
+
+def test_schema_evolution_widening_append_null_fills_old_files(
+    spark, sf_dir, tmp_path
+):
+    """Widening append: a new column appends to the recorded schema, OLD
+    files NULL-fill it on read, time travel serves each version with its
+    own schema, and copy-on-write maintenance (compact, delete, merge)
+    preserves the evolved schema instead of resolving a mixed-schema live
+    set to an arbitrary file's footer."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).filter("o_orderkey <= 200")
+    acid_table.create(t, path, "o_orderkey", n_files=2)
+    n0 = t.count()
+
+    wide = (
+        _target(spark, sf_dir)
+        .filter("o_orderkey > 200 AND o_orderkey <= 400")
+        .withColumn("priority", F.lit("hi"))
+    )
+    acid_table.append(wide, path, n_files=2)
+    snap = acid_table.snapshot(spark, path)
+    assert snap.columns == [
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "priority",
+    ]
+    # pre-evolution rows NULL-fill, post-evolution rows keep their value
+    assert snap.filter("o_orderkey <= 200 AND priority IS NULL").count() == n0
+    assert (
+        snap.filter("o_orderkey > 200 AND priority = 'hi'").count()
+        == wide.count()
+    )
+    # time travel reads version 0 with version 0's schema
+    assert acid_table.snapshot(spark, path, version=0).columns == [
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    ]
+
+    before = sorted(tuple(r) for r in snap.collect())
+    acid_table.compact(spark, path, n_files=1)
+    after_compact = acid_table.snapshot(spark, path)
+    assert sorted(tuple(r) for r in after_compact.collect()) == before
+
+    acid_table.delete(spark, path, "o_orderkey = 201")
+    assert acid_table.snapshot(spark, path).filter(
+        "priority IS NOT NULL"
+    ).count() == wide.count() - 1
+
+    src = spark.createDataFrame(
+        [(202, "X", 1.0, "lo")],
+        "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE,"
+        " priority STRING",
+    )
+    acid_table.merge(spark, src, path)
+    got = acid_table.snapshot(spark, path).filter("o_orderkey = 202").first()
+    assert (got["o_orderstatus"], got["priority"]) == ("X", "lo")
+
+
+def test_schema_evolution_rejects_narrowing_type_change_and_merge(
+    spark, sf_dir, tmp_path
+):
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).filter("o_orderkey <= 200")
+    acid_table.create(t, path, "o_orderkey", n_files=1)
+    with pytest.raises(ValueError, match="missing table column"):
+        acid_table.append(t.drop("o_totalprice"), path)
+    with pytest.raises(TypeError, match="changed type"):
+        acid_table.append(
+            t.withColumn("o_totalprice", F.col("o_totalprice").cast("int")),
+            path,
+        )
+    with pytest.raises(ValueError, match="merge cannot evolve"):
+        acid_table.merge(
+            spark,
+            spark.createDataFrame(
+                [(1, "X", 1.0, "new")],
+                "o_orderkey LONG, o_orderstatus STRING,"
+                " o_totalprice DOUBLE, extra STRING",
+            ),
+            path,
+        )
+    # nothing above committed: the table is still at version 0
+    assert [m["version"] for m in acid_table.history(path)] == [0]
+
+
+def test_schema_evolution_survives_checkpoint_rollup(spark, sf_dir, tmp_path):
+    """The recorded schema must replay through a checkpoint: widen early,
+    then append past the checkpoint cadence so a later snapshot starts
+    from the rolled-up checkpoint rather than the evolving manifests."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).filter("o_orderkey <= 100")
+    acid_table.create(t, path, "o_orderkey", n_files=1)
+    acid_table.append(
+        t.withColumn("priority", F.lit("hi")).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 1000
+        ),
+        path,
+        n_files=1,
+    )
+    for i in range(acid_table._CHECKPOINT_EVERY + 1):
+        acid_table.append(
+            t.withColumn("priority", F.lit(f"p{i}")).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 2000 + 1000 * i
+            ),
+            path,
+            n_files=1,
+        )
+    reads0 = acid_table._MANIFEST_READS
+    snap = acid_table.snapshot(spark, path)
+    # replay really did start from the checkpoint...
+    assert acid_table._MANIFEST_READS - reads0 <= acid_table._CHECKPOINT_EVERY
+    # ...and the schema survived the rollup
+    assert snap.columns[-1] == "priority"
+    assert snap.filter("priority IS NULL").count() == t.count()
