@@ -79,6 +79,13 @@ HEADLINE = [
     # two-phase commit overhead stay bounded).
     "llm_bpe_train",
     "acid_merge_snapshot",
+    # r12: the production BPE path (one distributed word count + bounded
+    # vocab collect + in-memory merge loop to exhaustion; tracked so the
+    # collect and loop constants can't creep) and the widening-append
+    # lifecycle (create -> evolved append -> OPTIMIZE through the recorded
+    # schema; tracked so schema-threading overhead stays bounded).
+    "llm_bpe_train_full",
+    "acid_schema_evolution",
 ]
 
 # Queries whose single-rep time exceeds ~1.5 s at sf0.1 get a third rep:

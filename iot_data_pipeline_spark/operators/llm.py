@@ -2375,7 +2375,7 @@ def _bpe_symbols(s: Column) -> Column:
 # rows, driver-side metadata scale) and the replace-chain length that triggers
 # a lineage re-materialization.
 _BPE_BATCH_WINDOW = 64
-_BPE_CKPT_EVERY = 12
+_BPE_CKPT_EVERY = 6
 
 
 def _bpe_learn_from(

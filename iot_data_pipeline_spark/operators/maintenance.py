@@ -284,6 +284,37 @@ def acid_maintenance_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acid_table.snapshot(spark, path)
 
 
+def acid_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the manifest log (r11 verdict stretch item,
+    driver-attested): create the target with three columns, append the
+    complement WITH a fourth (``priority`` carrying real o_orderpriority
+    values) — a widening commit that records the evolved schema in its
+    manifest — then OPTIMIZE, whose copy-on-write rewrite must read the
+    mixed-schema live set THROUGH the recorded schema (pre-evolution
+    files NULL-fill the new column). The final snapshot must hash-equal
+    the plain SQL union of NULL-priority old rows and valued new rows:
+    one wrong file-footer schema resolution anywhere in the chain and the
+    fourth column comes back dropped or misfilled. Widening/narrowing
+    rules and per-version time travel are pinned in
+    tests/test_acid_table.py."""
+    import tempfile
+
+    from iot_data_pipeline_spark.sources import acid_table
+
+    o = table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    k = F.col("o_orderkey")
+    target = o.filter(F.pmod(k, F.lit(4)) != 0).select(*cols)
+    path = tempfile.mkdtemp(prefix="acid_evo_")
+    acid_table.create(target, path, "o_orderkey", n_files=8)
+    delta = o.filter(F.pmod(k, F.lit(4)) == 0).select(
+        *cols, F.col("o_orderpriority").alias("priority")
+    )
+    acid_table.append(delta, path)
+    acid_table.compact(spark, path, n_files=2)
+    return acid_table.snapshot(spark, path)
+
+
 _PR_SCALE = 1_000_000_000_000  # ranks in integer 1e-12 units
 _PR_ITERS = 3
 
@@ -455,6 +486,7 @@ QUERIES = {
     "acid_merge_snapshot": acid_merge_snapshot,
     "acid_time_travel": acid_time_travel,
     "acid_maintenance_snapshot": acid_maintenance_snapshot,
+    "acid_schema_evolution": acid_schema_evolution,
     "graph_pagerank": graph_pagerank,
     "geo_nearest_hub": geo_nearest_hub,
     "iot_ewma": iot_ewma,
@@ -525,6 +557,17 @@ ORACLES = {
         " COALESCE(s_status, t_status) AS o_orderstatus,"
         " COALESCE(s_price, t_price) AS o_totalprice"
         " FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey"
+    ),
+    # create(3 cols) -> widening append(+priority) -> OPTIMIZE: pre-
+    # evolution rows NULL-fill the added column, appended rows keep their
+    # o_orderpriority value, and the compaction rewrite preserves both.
+    "acid_schema_evolution": (
+        "SELECT o_orderkey, o_orderstatus, o_totalprice,"
+        " CAST(NULL AS VARCHAR) AS priority FROM orders"
+        " WHERE o_orderkey % 4 <> 0"
+        " UNION ALL"
+        " SELECT o_orderkey, o_orderstatus, o_totalprice,"
+        " o_orderpriority AS priority FROM orders WHERE o_orderkey % 4 = 0"
     ),
     # create(16 files) -> DELETE %5 -> OPTIMIZE(2): the surviving rows.
     "acid_maintenance_snapshot": (
