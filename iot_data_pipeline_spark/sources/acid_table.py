@@ -421,6 +421,55 @@ def append(df: DataFrame, path: str, n_files: int = 4) -> None:
     )
 
 
+def append_with_retry(
+    df: DataFrame, path: str, n_files: int = 4, max_retries: int = 20
+) -> int:
+    """Optimistic-concurrency append — Delta's commit-retry loop with the
+    blind-append conflict rule: an append removes no files and depends on
+    no read state, so it logically conflicts with NO concurrent commit and
+    a lost version race is resolved by re-reading the log and
+    re-publishing at the next version. The data files are written exactly
+    ONCE; only the manifest publish retries, so a retry costs one log
+    listing plus one 200-byte JSON link attempt. Returns the committed
+    version.
+
+    The one true conflict is concurrent SCHEMA evolution: if another
+    writer widened the table with a column this frame lacks, re-recording
+    this frame's schema would narrow the table for every later reader, so
+    the widening check re-runs against the fresh state on every attempt
+    and surfaces the mismatch as an error instead of retrying into it.
+    delete/compact/merge deliberately do NOT retry: their rewrite
+    decisions are derived from the live-file set they read, so a lost
+    race invalidates the decision itself — the caller re-runs the whole
+    operation against fresh state (Delta's rule for the same reason)."""
+    st = _state(path)
+    key = st["key"]
+    schema = _evolve_schema(st, df)
+    adds = _write_data_files(df, path, key, n_files)
+    version = st["version"] + 1
+    for _ in range(max_retries + 1):
+        try:
+            _publish(
+                path,
+                {
+                    "version": version,
+                    "op": "append",
+                    "key": key,
+                    "schema": schema,
+                    "add": adds,
+                    "remove": [],
+                },
+            )
+            return version
+        except RuntimeError:
+            st = _state(path)
+            schema = _evolve_schema(st, df)  # concurrent widening check
+            version = st["version"] + 1
+    raise RuntimeError(
+        f"append lost {max_retries} consecutive version races at {path}"
+    )
+
+
 def _live_files(ms: list[dict], version: int | None) -> list[dict]:
     live: dict[str, dict] = {}
     for m in ms:

@@ -526,3 +526,96 @@ def test_schema_evolution_survives_checkpoint_rollup(spark, sf_dir, tmp_path):
     # ...and the schema survived the rollup
     assert snap.columns[-1] == "priority"
     assert snap.filter("priority IS NULL").count() == t.count()
+
+
+def test_append_with_retry_survives_version_race(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Blind appends never logically conflict: when a competitor takes the
+    version between state-read and publish, the retry re-publishes the
+    SAME already-written data files at the next version — no rewrite, no
+    lost rows. The race is injected deterministically: the competitor
+    commits while the victim is between its data write and its publish."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).filter("o_orderkey <= 100")
+    acid_table.create(t, path, "o_orderkey", n_files=1)
+    n0 = t.count()
+
+    mine = t.withColumn("o_orderkey", F.col("o_orderkey") + 1000)
+    competitor = t.withColumn("o_orderkey", F.col("o_orderkey") + 2000)
+
+    real_write = acid_table._write_data_files
+    state = {"fired": False}
+
+    def racing_write(df, p, key, n):
+        adds = real_write(df, p, key, n)
+        if not state["fired"]:
+            state["fired"] = True
+            acid_table.append(competitor, path, n_files=1)  # steals v1
+        return adds
+
+    monkeypatch.setattr(acid_table, "_write_data_files", racing_write)
+    v = acid_table.append_with_retry(mine, path, n_files=1)
+    assert v == 2  # lost v1 to the competitor, committed at v2
+    assert acid_table.snapshot(spark, path).count() == 3 * n0
+    assert [m["op"] for m in acid_table.history(path)] == [
+        "create",
+        "append",
+        "append",
+    ]
+
+
+def test_append_with_retry_surfaces_concurrent_widening(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The one real append conflict: a competitor widens the table while
+    our (narrower) append is in flight. Retrying would re-record the
+    narrow schema and drop the new column for every later reader, so the
+    retry loop re-runs the widening check and raises instead."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).filter("o_orderkey <= 100")
+    acid_table.create(t, path, "o_orderkey", n_files=1)
+    mine = t.withColumn("o_orderkey", F.col("o_orderkey") + 1000)
+    wide = t.withColumn("o_orderkey", F.col("o_orderkey") + 2000).withColumn(
+        "priority", F.lit("hi")
+    )
+
+    real_write = acid_table._write_data_files
+    state = {"fired": False}
+
+    def racing_write(df, p, key, n):
+        adds = real_write(df, p, key, n)
+        if not state["fired"]:
+            state["fired"] = True
+            acid_table.append(wide, path, n_files=1)
+        return adds
+
+    monkeypatch.setattr(acid_table, "_write_data_files", racing_write)
+    with pytest.raises(ValueError, match="missing table column"):
+        acid_table.append_with_retry(mine, path, n_files=1)
+
+
+def test_append_with_retry_parallel_writers_all_commit(
+    spark, sf_dir, tmp_path
+):
+    """Six genuinely concurrent writers (threads sharing the session) all
+    commit through the retry loop; the final snapshot holds every row and
+    the six commits take six distinct consecutive versions."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).filter("o_orderkey <= 50")
+    acid_table.create(t, path, "o_orderkey", n_files=1)
+    n0 = t.count()
+
+    def write(i: int) -> int:
+        return acid_table.append_with_retry(
+            t.withColumn("o_orderkey", F.col("o_orderkey") + 1000 * (i + 1)),
+            path,
+            n_files=1,
+        )
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        versions = sorted(ex.map(write, range(6)))
+    assert versions == [1, 2, 3, 4, 5, 6]
+    assert acid_table.snapshot(spark, path).count() == 7 * n0
