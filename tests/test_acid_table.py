@@ -619,3 +619,40 @@ def test_append_with_retry_parallel_writers_all_commit(
         versions = sorted(ex.map(write, range(6)))
     assert versions == [1, 2, 3, 4, 5, 6]
     assert acid_table.snapshot(spark, path).count() == 7 * n0
+
+
+def test_duckdb_interop_survives_schema_evolution(spark, sf_dir, tmp_path):
+    """Engine portability must hold AFTER widening: the live set mixes
+    3-column and 4-column parquet files, and DuckDB — steered only by the
+    manifest's recorded schema and live-file list, both plain JSON — must
+    serve the same snapshot Spark does (union_by_name NULL-fills the
+    pre-evolution files, exactly like the Spark read through the recorded
+    schema)."""
+    import json as _json
+
+    import duckdb
+
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).filter("o_orderkey <= 300")
+    acid_table.create(t, path, "o_orderkey", n_files=2)
+    wide = (
+        _target(spark, sf_dir)
+        .filter("o_orderkey > 300 AND o_orderkey <= 600")
+        .withColumn("priority", F.lit("hi"))
+    )
+    acid_table.append(wide, path, n_files=2)
+
+    st = acid_table._state(path)
+    cols = [f["name"] for f in _json.loads(st["schema"])["fields"]]
+    assert cols[-1] == "priority"
+    files = [os.path.join(path, f["path"]) for f in st["live"]]
+    duck = duckdb.sql(
+        f"SELECT {', '.join(cols)} FROM"
+        " read_parquet($files, union_by_name=true)",
+        params={"files": files},
+    ).fetchall()
+    got = sorted(tuple(r) for r in duck)
+    want = sorted(
+        tuple(r) for r in acid_table.snapshot(spark, path).collect()
+    )
+    assert got == want
