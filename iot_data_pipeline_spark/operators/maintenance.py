@@ -284,6 +284,43 @@ def acid_maintenance_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acid_table.snapshot(spark, path)
 
 
+def acid_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed over the manifest log (acid_table.table_changes):
+    create → append → pruned MERGE → row-level DELETE, then ask the format
+    what changed between version 0 and the head. The feed is FILE-DIFF
+    pruned — files live in both versions are never read (immutable data
+    files cannot change), so the diff costs the touched-file slivers plus
+    one key-join, not a table scan. The whole trajectory is deterministic
+    fixture algebra, so every emitted change row (inserts from the append
+    and the merge's unmatched keys, deletes from the DELETE, both update
+    images from the merge's matched keys — minus rows the DELETE removed
+    after insertion, which net to NO change between the endpoints) is
+    plain SQL over orders: CDC as a hash-checked result."""
+    import tempfile
+
+    from iot_data_pipeline_spark.sources import acid_table
+
+    o = table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    k = F.col("o_orderkey")
+    target = o.filter(F.pmod(k, F.lit(4)) != 0).select(*cols)
+    delta = o.filter(
+        (F.pmod(k, F.lit(4)) == 0) & (F.pmod(k, F.lit(3)) != 0)
+    ).select(*cols)
+    source = o.filter(F.pmod(k, F.lit(3)) == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    path = tempfile.mkdtemp(prefix="acid_cdf_")
+    acid_table.create(target, path, "o_orderkey", n_files=8)
+    acid_table.append(delta, path)
+    acid_table.merge(spark, source, path)
+    acid_table.delete(spark, path, "o_orderkey % 7 = 0")
+    head = len(acid_table.history(path)) - 1
+    return acid_table.table_changes(spark, path, 0, head)
+
+
 def acid_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution on the manifest log (r11 verdict stretch item,
     driver-attested): create the target with three columns, append the
@@ -487,6 +524,7 @@ QUERIES = {
     "acid_time_travel": acid_time_travel,
     "acid_maintenance_snapshot": acid_maintenance_snapshot,
     "acid_schema_evolution": acid_schema_evolution,
+    "acid_table_changes": acid_table_changes,
     "graph_pagerank": graph_pagerank,
     "geo_nearest_hub": geo_nearest_hub,
     "iot_ewma": iot_ewma,
@@ -557,6 +595,32 @@ ORACLES = {
         " COALESCE(s_status, t_status) AS o_orderstatus,"
         " COALESCE(s_price, t_price) AS o_totalprice"
         " FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey"
+    ),
+    # CDF between v0 (create: %4<>0, original values) and head (after
+    # append %4=0&%3<>0, merge %3=0 -> ('U', p*1.1), delete %7=0):
+    # inserts = keys absent at v0 and live at head; deletes = v0 keys the
+    # DELETE removed (preimage = v0 values, regardless of the interim
+    # update); updates = surviving v0 keys the merge touched, both images.
+    # Keys inserted then deleted (%4=0 & %7=0) net to no change.
+    "acid_table_changes": (
+        "SELECT o_orderkey,"
+        " CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END"
+        "   AS o_orderstatus,"
+        " CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1"
+        "   ELSE o_totalprice END AS o_totalprice,"
+        " 'insert' AS change_type FROM orders"
+        " WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 <> 0"
+        " UNION ALL"
+        " SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete'"
+        " FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 7 = 0"
+        " UNION ALL"
+        " SELECT o_orderkey, o_orderstatus, o_totalprice, 'update_preimage'"
+        " FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 7 <> 0"
+        "   AND o_orderkey % 3 = 0"
+        " UNION ALL"
+        " SELECT o_orderkey, 'U', o_totalprice * 1.1, 'update_postimage'"
+        " FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 7 <> 0"
+        "   AND o_orderkey % 3 = 0"
     ),
     # create(3 cols) -> widening append(+priority) -> OPTIMIZE: pre-
     # evolution rows NULL-fill the added column, appended rows keep their

@@ -753,6 +753,73 @@ def merge(
     return {"rewritten": len(hit), "carried": len(live) - len(hit)}
 
 
+def table_changes(
+    spark: SparkSession, path: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Change Data Feed between two versions — what changed from the
+    snapshot at ``v_from`` to the snapshot at ``v_to``, as rows tagged
+    ``change_type`` ∈ {insert, delete, update_preimage, update_postimage}
+    (Delta CDF's vocabulary; updates emit both images).
+
+    FILE-DIFF PRUNED, which is what makes CDC affordable on a big table:
+    files live in BOTH versions contribute no changes by construction
+    (data files are immutable), so only the files removed in the window
+    (old side) and added in the window (new side) are ever read — for a
+    small append or a pruned MERGE that is metadata-scale plus the touched
+    files, never a table scan. The diff itself is one full-outer join on
+    the table key over those two slivers; a row that merely MOVED files
+    unchanged (compaction) joins equal and is dropped.
+
+    Requires the table key to be unique per row (true of every fixture
+    table here; the diff-by-key is ill-defined otherwise — Delta's CDF
+    sidesteps this only by journaling row-level deltas at write time,
+    which a read-side feed cannot reconstruct). Both sides read through
+    the ``v_to`` schema, so a feed spanning a widening shows pre-evolution
+    rows with the new column NULL-filled."""
+    st_from = _state(path, v_from)
+    st_to = _state(path, v_to)
+    key = st_to["key"]
+    to_paths = {f["path"] for f in st_to["live"]}
+    from_paths = {f["path"] for f in st_from["live"]}
+    old_only = [f["path"] for f in st_from["live"] if f["path"] not in to_paths]
+    new_only = [f["path"] for f in st_to["live"] if f["path"] not in from_paths]
+
+    def _side(rel_paths: list[str]) -> DataFrame:
+        if rel_paths:
+            return _read_files(
+                spark, st_to, [os.path.join(path, p) for p in rel_paths]
+            )
+        return snapshot(spark, path, version=v_to).limit(0)
+
+    old_df, new_df = _side(old_only), _side(new_only)
+    cols = new_df.columns
+    o = old_df.select(
+        F.col(key).alias("__k"), F.struct(*cols).alias("__old")
+    )
+    n = new_df.select(
+        F.col(key).alias("__nk"), F.struct(*cols).alias("__new")
+    )
+    j = o.join(n, o["__k"] == n["__nk"], "full_outer")
+    inserts = j.where(F.col("__k").isNull()).select(
+        "__new.*", F.lit("insert").alias("change_type")
+    )
+    deletes = j.where(F.col("__nk").isNull()).select(
+        "__old.*", F.lit("delete").alias("change_type")
+    )
+    updated = j.where(
+        F.col("__k").isNotNull()
+        & F.col("__nk").isNotNull()
+        & ~F.col("__old").eqNullSafe(F.col("__new"))
+    )
+    pre = updated.select(
+        "__old.*", F.lit("update_preimage").alias("change_type")
+    )
+    post = updated.select(
+        "__new.*", F.lit("update_postimage").alias("change_type")
+    )
+    return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+
+
 def vacuum(
     path: str,
     retain_versions: int = 2,

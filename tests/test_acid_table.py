@@ -656,3 +656,80 @@ def test_duckdb_interop_survives_schema_evolution(spark, sf_dir, tmp_path):
         tuple(r) for r in acid_table.snapshot(spark, path).collect()
     )
     assert got == want
+
+
+def test_table_changes_matches_snapshot_diff_and_prunes_carried_files(
+    spark, sf_dir, tmp_path
+):
+    """CDF semantics pinned against a brute-force snapshot diff over the
+    create -> append -> merge -> delete trajectory, then the FILE-DIFF
+    pruning claim pinned structurally: a data file live in BOTH endpoint
+    versions is physically deleted from disk, and table_changes must still
+    answer (it never reads carried files) while a full snapshot read of
+    either endpoint now fails."""
+    path = str(tmp_path / "t")
+    t = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    acid_table.create(
+        t.filter(F.pmod(k, F.lit(4)) != 0), path, "o_orderkey", n_files=8
+    )
+    max_key = t.agg(F.max("o_orderkey")).first()[0]
+    bound = max_key // 10  # keep merge + delete inside the bottom decile
+    acid_table.append(
+        t.filter((F.pmod(k, F.lit(4)) == 0) & (F.pmod(k, F.lit(3)) != 0)),
+        path,
+    )
+    acid_table.merge(
+        spark,
+        t.filter((F.pmod(k, F.lit(3)) == 0) & (k <= bound)).select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        ),
+        path,
+    )
+    acid_table.delete(
+        spark, path, f"o_orderkey % 7 = 0 AND o_orderkey <= {bound}"
+    )
+    head = len(acid_table.history(path)) - 1
+
+    old = {
+        r["o_orderkey"]: r
+        for r in acid_table.snapshot(spark, path, version=0).collect()
+    }
+    new = {
+        r["o_orderkey"]: r
+        for r in acid_table.snapshot(spark, path, version=head).collect()
+    }
+    expected: list[tuple] = []
+    for key in set(old) | set(new):
+        o_, n_ = old.get(key), new.get(key)
+        if o_ is None:
+            expected.append(tuple(n_) + ("insert",))
+        elif n_ is None:
+            expected.append(tuple(o_) + ("delete",))
+        elif tuple(o_) != tuple(n_):
+            expected.append(tuple(o_) + ("update_preimage",))
+            expected.append(tuple(n_) + ("update_postimage",))
+    got = sorted(
+        tuple(r) for r in acid_table.table_changes(spark, path, 0, head).collect()
+    )
+    assert got == sorted(expected)
+    # every change class is actually exercised by this trajectory
+    kinds = {r[-1] for r in got}
+    assert kinds == {"insert", "delete", "update_preimage", "update_postimage"}
+
+    # structural pruning pin: kill a carried file (live at BOTH endpoints)
+    from_paths = {f["path"] for f in acid_table._state(path, 0)["live"]}
+    to_paths = {f["path"] for f in acid_table._state(path, head)["live"]}
+    carried = sorted(from_paths & to_paths)
+    assert carried, "fixture must carry at least one file for this pin"
+    os.unlink(os.path.join(path, carried[0]))
+    again = sorted(
+        tuple(r) for r in acid_table.table_changes(spark, path, 0, head).collect()
+    )
+    assert again == got
+    with pytest.raises(Exception):
+        acid_table.snapshot(spark, path, version=head).count()
