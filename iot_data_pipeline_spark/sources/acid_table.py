@@ -224,12 +224,42 @@ def history(path: str) -> list[dict]:
     return _manifests(path)
 
 
+def version_at_timestamp(path: str, ts: float) -> int:
+    """Timestamp-based time travel (Delta's ``timestampAsOf``): the newest
+    version whose commit time is ≤ ``ts``. Commit times are wall-clock
+    stamps taken at publish, so clock skew can make them locally
+    non-monotonic; like Delta, lookups use the RUNNING MAX (a commit can
+    never be considered earlier than its predecessor), which keeps the
+    version↔time mapping monotone without rewriting history. Manifests
+    from before the ``ts`` field existed sort as epoch 0. Raises when
+    ``ts`` predates the first commit. This is a maintenance-path full-log
+    read, like ``history``/``vacuum`` — not on the snapshot hot path."""
+    ms = _manifests(path)
+    if not ms:
+        raise RuntimeError(f"no table at {path}")
+    best = None
+    running = 0.0
+    for m in ms:
+        running = max(running, float(m.get("ts", 0.0)))
+        if running <= ts:
+            best = m["version"]
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} predates the first commit of {path}"
+        )
+    return best
+
+
 def _publish(path: str, manifest: dict) -> None:
     """Two-phase metadata publish: stage under a temp name, then os.link
     to the final version name — EEXIST means a concurrent writer won this
     version (optimistic concurrency failure, surfaced as-is)."""
+    import time
+
     d = _log_dir(path)
     os.makedirs(d, exist_ok=True)
+    manifest.setdefault("ts", time.time())  # commit wall-clock, for
+    # timestamp-based time travel (version_at_timestamp)
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
     final = os.path.join(d, f"{manifest['version']:020d}.json")
     with open(tmp, "w") as fh:
@@ -487,9 +517,12 @@ def snapshot(
     path: str,
     version: int | None = None,
     key_between: tuple[int, int] | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
     """Read the table as of ``version`` (latest when None) — time travel
-    is just replaying the log to a prefix.
+    is just replaying the log to a prefix. ``timestamp`` resolves to a
+    version via :func:`version_at_timestamp` (mutually exclusive with
+    ``version``).
 
     ``key_between=(lo, hi)`` is DATA SKIPPING from the manifest stats: a
     file whose [min_key, max_key] misses the closed range is dropped from
@@ -500,6 +533,10 @@ def snapshot(
     ``spark.read.parquet`` on the pruned list is deliberate: it keeps the
     whole Catalyst scan stack (pushdown, column pruning, vectorized
     reader) — a row-serving custom connector here would forfeit all of it."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(path, timestamp)
     st = _state(path, version)
     live_all = st["live"]
     live = live_all

@@ -733,3 +733,51 @@ def test_table_changes_matches_snapshot_diff_and_prunes_carried_files(
     assert again == got
     with pytest.raises(Exception):
         acid_table.snapshot(spark, path, version=head).count()
+
+
+def test_timestamp_time_travel(spark, sf_dir, tmp_path):
+    """timestampAsOf semantics: each commit stamps its wall-clock publish
+    time; a timestamp between two commits resolves to the earlier version,
+    one at/after the head resolves to the head, one before the first
+    commit raises. Non-monotonic stamps (clock skew) resolve through the
+    running max, so a commit is never considered earlier than its
+    predecessor."""
+    import json as _json
+    import time as _time
+
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).filter("o_orderkey <= 100")
+    acid_table.create(t, path, "o_orderkey", n_files=1)
+    _time.sleep(0.05)
+    between_01 = _time.time()
+    _time.sleep(0.05)
+    acid_table.append(
+        t.withColumn("o_orderkey", F.col("o_orderkey") + 1000), path
+    )
+    hist = acid_table.history(path)
+    assert all("ts" in m for m in hist)
+    assert acid_table.version_at_timestamp(path, between_01) == 0
+    assert acid_table.version_at_timestamp(path, _time.time()) == 1
+    with pytest.raises(ValueError, match="predates"):
+        acid_table.version_at_timestamp(path, hist[0]["ts"] - 10.0)
+    assert (
+        acid_table.snapshot(spark, path, timestamp=between_01).count()
+        == t.count()
+    )
+    with pytest.raises(ValueError, match="not both"):
+        acid_table.snapshot(spark, path, version=0, timestamp=between_01)
+
+    # clock skew: rewrite v1's stamp EARLIER than v0's. The running max
+    # canonicalizes the skewed commit to its predecessor's time (Delta's
+    # rule — a commit is never earlier than what it follows), so v1's
+    # effective time collapses to v0's stamp: v0's own stamp now resolves
+    # to version 1, while anything before v0 still predates the table.
+    m1_path = os.path.join(path, "_log", f"{1:020d}.json")
+    m1 = _json.load(open(m1_path))
+    m1["ts"] = hist[0]["ts"] - 5.0
+    os.unlink(m1_path)
+    _json.dump(m1, open(m1_path, "w"))
+    assert acid_table.version_at_timestamp(path, _time.time()) == 1
+    assert acid_table.version_at_timestamp(path, hist[0]["ts"]) == 1
+    with pytest.raises(ValueError, match="predates"):
+        acid_table.version_at_timestamp(path, hist[0]["ts"] - 0.001)
