@@ -1706,6 +1706,93 @@ def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINABLE quality classifier — the GPT-3/LLaMA-style curation step
+    the heuristic gates feed: weak-label the corpus with the
+    llm_quality_filter thresholds, train a multinomial Naive Bayes text
+    classifier on those labels distributed (token×class counts with
+    Laplace smoothing — training IS one exact integer aggregation), and
+    score every document with it.
+
+    Built to be hash-oracleable where classifiers usually aren't: the
+    per-token log-odds weight ln((g+1)/(G+V)) − ln((b+1)/(B+V)) is
+    computed ONCE per token from exact integer counts and immediately
+    fixed to an integer (ROUND(·×1e6) — the same single-log-then-round
+    determinism contract llm_tfidf relies on), so the per-document score
+    is an exact BIGINT sum — order-independent across partitions and
+    engines, unlike any float fold. Scale shape: token-label pairs from
+    one explode + one equi-join on doc_id; the count table is
+    vocabulary-scale with map-side combine (Zipf head skew is the normal
+    word-count skew — AQE splits it); scoring joins tokens to the
+    vocabulary-scale weight table (broadcast when small) and integer-sums
+    per doc. Output: (doc_id, score_i in 1e-6 ln-units, label)."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), _WS))
+    alpha_ratio = F.length(
+        F.regexp_replace("text", "[^A-Za-z]", "")
+    ) / F.length("text")
+    lab = d.select(
+        "doc_id",
+        (
+            (F.length("text") >= 100)
+            & (F.length("text") <= 5000)
+            & (n_tokens >= 20)
+            & (alpha_ratio > 0.6)
+        )
+        .cast("int")
+        .alias("y"),
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split(normalized_text(), _WS)).alias("t")
+    )
+    tl = toks.join(lab, "doc_id")
+    cnt = tl.groupBy("t").agg(
+        F.sum("y").cast("bigint").alias("g"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("b"),
+    )
+    totals = tl.agg(
+        F.sum("y").cast("bigint").alias("gt"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("bt"),
+        F.count_distinct("t").cast("bigint").alias("v"),
+    )
+    w = cnt.crossJoin(F.broadcast(totals)).select(
+        "t",
+        F.round(
+            (
+                F.log((F.col("g") + 1.0) / (F.col("gt") + F.col("v")))
+                - F.log((F.col("b") + 1.0) / (F.col("bt") + F.col("v")))
+            )
+            * 1_000_000.0
+        )
+        .cast("bigint")
+        .alias("wi"),
+    )
+    prior = lab.agg(
+        F.round(
+            F.log(
+                F.sum("y").cast("double")
+                / F.sum(1 - F.col("y")).cast("double")
+            )
+            * 1_000_000.0
+        )
+        .cast("bigint")
+        .alias("p")
+    )
+    return (
+        toks.join(F.broadcast(w), "t")
+        .groupBy("doc_id")
+        .agg(F.sum("wi").cast("bigint").alias("s"))
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            (F.col("s") + F.col("p")).alias("score_i"),
+            F.when(F.col("s") + F.col("p") > 0, F.lit("good"))
+            .otherwise(F.lit("bad"))
+            .alias("label"),
+        )
+    )
+
+
 _LANG_STOPWORDS = {
     "en": ("the", "and", "of", "to", "is"),
     "es": ("el", "la", "de", "que", "y"),
@@ -3198,6 +3285,7 @@ QUERIES = {
     "llm_text_stats": llm_text_stats,
     "llm_token_count": llm_token_count,
     "llm_quality_filter": llm_quality_filter,
+    "llm_quality_classifier": llm_quality_classifier,
     "llm_lang_id": llm_lang_id,
     "llm_fingerprint": llm_fingerprint,
     "llm_winnow_fingerprint": llm_winnow_fingerprint,
@@ -3337,6 +3425,36 @@ ORACLES = {
         " AND len(string_split(text, ' ')) >= 20"
         " AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
         "     * 1.0 / length(text) > 0.6"
+    ),
+    # Naive Bayes quality classifier: weak labels from the quality_filter
+    # thresholds, Laplace-smoothed token log-odds fixed to 1e-6-unit
+    # BIGINTs (single log per token then round — the llm_tfidf contract),
+    # so per-doc scores are exact integer sums in both engines.
+    "llm_quality_classifier": (
+        "WITH lab AS (SELECT doc_id,"
+        "   CASE WHEN length(text) BETWEEN 100 AND 5000"
+        "     AND len(string_split(text, ' ')) >= 20"
+        "     AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+        "         * 1.0 / length(text) > 0.6 THEN 1 ELSE 0 END AS y"
+        "   FROM documents),"
+        " toks AS (SELECT doc_id,"
+        "   unnest(string_split(lower(trim(text)), ' ')) AS t"
+        "   FROM documents),"
+        " tl AS (SELECT t, y FROM toks JOIN lab USING (doc_id)),"
+        " cnt AS (SELECT t, SUM(y)::BIGINT AS g,"
+        "   SUM(1 - y)::BIGINT AS b FROM tl GROUP BY t),"
+        " tot AS (SELECT SUM(y)::BIGINT AS gt, SUM(1 - y)::BIGINT AS bt,"
+        "   COUNT(DISTINCT t)::BIGINT AS v FROM tl),"
+        " w AS (SELECT t, CAST(ROUND((ln((g + 1.0) / (gt + v))"
+        "   - ln((b + 1.0) / (bt + v))) * 1000000) AS BIGINT) AS wi"
+        "   FROM cnt, tot),"
+        " pri AS (SELECT CAST(ROUND(ln(SUM(y) * 1.0 / SUM(1 - y))"
+        "   * 1000000) AS BIGINT) AS p FROM lab),"
+        " sc AS (SELECT doc_id, SUM(wi)::BIGINT AS s FROM toks"
+        "   JOIN w USING (t) GROUP BY doc_id)"
+        " SELECT doc_id, s + p AS score_i,"
+        " CASE WHEN s + p > 0 THEN 'good' ELSE 'bad' END AS label"
+        " FROM sc, pri"
     ),
     "llm_lang_id": (
         "WITH c AS (SELECT doc_id, lang,"

@@ -1214,3 +1214,98 @@ def test_bpe_rules_memo_invalidates_on_corpus_change(spark, tmp_path):
     docs_b.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
     r2 = llm._bpe_rules_for(spark, d, merges=1)
     assert r2 != r1  # regenerated corpus retrains
+
+
+def _ref_nb_classifier(docs: dict[int, str]) -> dict[int, tuple[int, str]]:
+    """Independent pure-Python multinomial Naive Bayes replica of
+    llm_quality_classifier's integer-score contract (weak labels from the
+    quality_filter thresholds, Laplace smoothing, per-token log-odds fixed
+    to 1e-6-unit ints, exact integer per-doc sums)."""
+    import math
+    import re
+
+    def weak_label(text: str) -> int:
+        n_tokens = len(text.split(" "))
+        alpha = len(re.sub("[^A-Za-z]", "", text)) / len(text)
+        return int(
+            100 <= len(text) <= 5000 and n_tokens >= 20 and alpha > 0.6
+        )
+
+    labels = {d: weak_label(t) for d, t in docs.items()}
+    toks = {d: t.lower().strip().split(" ") for d, t in docs.items()}
+    g_cnt: dict[str, int] = {}
+    b_cnt: dict[str, int] = {}
+    gt = bt = 0
+    for d, ts in toks.items():
+        for t in ts:
+            if labels[d]:
+                g_cnt[t] = g_cnt.get(t, 0) + 1
+                gt += 1
+            else:
+                b_cnt[t] = b_cnt.get(t, 0) + 1
+                bt += 1
+    vocab = set(g_cnt) | set(b_cnt)
+    v = len(vocab)
+    w = {
+        t: round(
+            (
+                math.log((g_cnt.get(t, 0) + 1.0) / (gt + v))
+                - math.log((b_cnt.get(t, 0) + 1.0) / (bt + v))
+            )
+            * 1_000_000
+        )
+        for t in vocab
+    }
+    ng, nb = sum(labels.values()), len(labels) - sum(labels.values())
+    prior = round(math.log(ng / nb) * 1_000_000)
+    out = {}
+    for d, ts in toks.items():
+        s = prior + sum(w[t] for t in ts)
+        out[d] = (s, "good" if s > 0 else "bad")
+    return out
+
+
+def test_quality_classifier_matches_pure_python_nb(spark, sf_dir):
+    """The distributed NB trainer+scorer must reproduce an independent
+    driver-side implementation EXACTLY (integer score equality per doc —
+    the order-independence the 1e-6 integer fixing exists to provide)."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in llm.table(spark, sf_dir, "documents").collect()
+    }
+    expected = _ref_nb_classifier(docs)
+    got = {
+        r["doc_id"]: (r["score_i"], r["label"])
+        for r in llm.llm_quality_classifier(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_quality_classifier_separates_weak_labels(spark, sf_dir):
+    """Sanity on classifier behavior, not just arithmetic: trained ON the
+    weak labels, NB must largely agree with them (self-train agreement on
+    a separable corpus) and must produce BOTH classes."""
+    import re
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in llm.table(spark, sf_dir, "documents").collect()
+    }
+
+    def weak_label(text: str) -> int:
+        n_tokens = len(text.split(" "))
+        alpha = len(re.sub("[^A-Za-z]", "", text)) / len(text)
+        return int(
+            100 <= len(text) <= 5000 and n_tokens >= 20 and alpha > 0.6
+        )
+
+    weak = {d: weak_label(t) for d, t in docs.items()}
+    got = {
+        r["doc_id"]: r["label"]
+        for r in llm.llm_quality_classifier(spark, sf_dir).collect()
+    }
+    assert {"good", "bad"} == set(got.values())
+    agree = sum(
+        1 for d in docs if (got[d] == "good") == bool(weak[d])
+    ) / len(docs)
+    assert agree >= 0.8, agree
