@@ -1720,12 +1720,18 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed to an integer (ROUND(·×1e6) — the same single-log-then-round
     determinism contract llm_tfidf relies on), so the per-document score
     is an exact BIGINT sum — order-independent across partitions and
-    engines, unlike any float fold. Scale shape: token-label pairs from
-    one explode + one equi-join on doc_id; the count table is
+    engines, unlike any float fold. Scale shape: the token frame is
+    computed once and DISK-cached (training counts and scoring both
+    consume it — one corpus explode, not two); the count table is
     vocabulary-scale with map-side combine (Zipf head skew is the normal
     word-count skew — AQE splits it); scoring joins tokens to the
-    vocabulary-scale weight table (broadcast when small) and integer-sums
-    per doc. Output: (doc_id, score_i in 1e-6 ln-units, label)."""
+    vocabulary-scale weight table with NO forced broadcast — AQE
+    broadcasts it while small and falls back to a shuffle join on uniform
+    token keys when the vocabulary is not (a forced hint would OOM at the
+    1e8-token scale this is designed for) — then integer-sums per doc.
+    Output: (doc_id, score_i in 1e-6 ln-units, label)."""
+    from pyspark.storagelevel import StorageLevel
+
     d = table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(F.col("text"), _WS))
     alpha_ratio = F.length(
@@ -1742,8 +1748,11 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("y"),
     )
-    toks = d.select(
-        "doc_id", F.explode(F.split(normalized_text(), _WS)).alias("t")
+    toks = tracked_cache(
+        d.select(
+            "doc_id", F.explode(F.split(normalized_text(), _WS)).alias("t")
+        ),
+        StorageLevel.DISK_ONLY,
     )
     tl = toks.join(lab, "doc_id")
     cnt = tl.groupBy("t").agg(
@@ -1779,7 +1788,7 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p")
     )
     return (
-        toks.join(F.broadcast(w), "t")
+        toks.join(w, "t")
         .groupBy("doc_id")
         .agg(F.sum("wi").cast("bigint").alias("s"))
         .crossJoin(F.broadcast(prior))

@@ -143,6 +143,7 @@ def _state(path: str, version: int | None = None) -> dict:
     live: dict[str, dict] = {}
     key = None
     schema = None
+    txns: dict[str, int] = {}
     start = -1
     if usable:
         with open(
@@ -151,6 +152,7 @@ def _state(path: str, version: int | None = None) -> dict:
             cp = json.load(fh)
         key, start = cp["key"], cp["version"]
         schema = cp.get("schema")
+        txns = dict(cp.get("txns", {}))
         live = {a["path"]: a for a in cp["live"]}
     for v in mans:
         if not start < v <= target:
@@ -160,6 +162,11 @@ def _state(path: str, version: int | None = None) -> dict:
             key = m["key"]
         if m.get("schema") is not None:
             schema = m["schema"]
+        txn = m.get("txn")
+        if txn:
+            txns[txn["app"]] = max(
+                txns.get(txn["app"], txn["version"]), txn["version"]
+            )
         for p in m["remove"]:
             live.pop(p, None)
         for a in m["add"]:
@@ -171,6 +178,7 @@ def _state(path: str, version: int | None = None) -> dict:
         "version": target,
         "live": list(live.values()),
         "schema": schema,
+        "txns": txns,
     }
 
 
@@ -189,6 +197,7 @@ def _write_checkpoint(path: str, version: int) -> None:
                 "version": version,
                 "key": st["key"],
                 "schema": st.get("schema"),
+                "txns": st.get("txns", {}),
                 "live": sorted(st["live"], key=lambda a: a["path"]),
             },
             fh,
@@ -277,7 +286,23 @@ def _publish(path: str, manifest: dict) -> None:
         os.unlink(tmp)
     v = manifest["version"]
     if v > 0 and v % _CHECKPOINT_EVERY == 0:
-        _write_checkpoint(path, v)
+        # The commit is already durable (the manifest link above is the
+        # arbiter); the checkpoint is DERIVED state whose loss only widens
+        # the next replay window. A failure here must therefore never
+        # surface as a failed commit — a caller retrying the "failure"
+        # would double-commit its rows (review finding, r12).
+        try:
+            _write_checkpoint(path, v)
+        except Exception:  # pragma: no cover - environment-dependent
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "checkpoint write at %s v%d failed; replay falls back to "
+                "the previous checkpoint window",
+                path,
+                v,
+                exc_info=True,
+            )
 
 
 def _write_data_files(
@@ -352,16 +377,23 @@ def _schema_of(st: dict):
     return StructType.fromJson(json.loads(sj)) if sj else None
 
 
-def _evolve_schema(st: dict, df: DataFrame) -> str:
+def _evolve_schema(st: dict, df: DataFrame) -> str | None:
     """Widening check for a schema-bearing commit: every recorded column
     must appear in ``df`` with the same type; columns ``df`` adds append
     to the end (nullable — old files NULL-fill them). Returns the schema
-    JSON the new manifest records. Narrowing and type changes raise."""
+    JSON the new manifest records. Narrowing and type changes raise.
+
+    A LEGACY table (manifests predating the schema field) must keep
+    returning None: adopting the appended frame's schema here would make
+    every later read go through it, silently DROPPING any column the
+    existing files have that this one frame lacks (review finding, r12).
+    Legacy tables keep parquet-inference reads forever; schema recording
+    — and therefore evolution — starts with tables CREATEd by this code."""
     from pyspark.sql.types import StructField, StructType
 
     old = _schema_of(st)
     if old is None:
-        return _schema_json(df)
+        return None
     new_by_name = {f.name: f for f in df.schema.fields}
     for f in old.fields:
         nf = new_by_name.get(f.name)
@@ -496,7 +528,7 @@ def append_with_retry(
             schema = _evolve_schema(st, df)  # concurrent widening check
             version = st["version"] + 1
     raise RuntimeError(
-        f"append lost {max_retries} consecutive version races at {path}"
+        f"append lost {max_retries + 1} consecutive version races at {path}"
     )
 
 
@@ -662,42 +694,70 @@ def compact(spark: SparkSession, path: str, n_files: int = 2) -> dict:
 
 
 def append_exactly_once(
-    df: DataFrame, path: str, version: int, key: str, n_files: int = 1
+    df: DataFrame,
+    path: str,
+    txn_version: int,
+    key: str,
+    n_files: int = 1,
+    app_id: str = "stream",
 ) -> bool:
-    """Idempotent epoch append for streaming sinks: commit ``df`` AS
-    ``version`` (version 0 creates the table); returns False WITHOUT
-    writing anything when that version is already committed — a replayed
-    micro-batch (foreachBatch redelivery after failure) becomes a no-op,
-    which is the exactly-once contract a transactional streaming sink
-    provides. The pre-check is advisory; the os.link publish remains the
-    authoritative arbiter if two writers race the same epoch."""
-    if os.path.exists(os.path.join(_log_dir(path), f"{version:020d}.json")):
-        return False
+    """Idempotent epoch append for streaming sinks — Delta's
+    ``txnAppId``/``txnVersion`` mechanism: the idempotence key
+    ``(app_id, txn_version)`` is METADATA INSIDE the commit, decoupled
+    from the log version the commit lands at. Returns False without
+    writing anything when this app has already committed this (or a
+    later) txn_version — a replayed micro-batch (foreachBatch redelivery
+    after failure) becomes a no-op.
+
+    Decoupling matters (review finding, r12): the earlier version=epoch
+    scheme broke as soon as ANY other commit touched the table — a
+    compaction landing at version 4 made epoch 4's pre-check see
+    "already committed" and silently DROP the epoch's data. Here
+    maintenance commits (OPTIMIZE/DELETE/MERGE) interleave freely: the
+    epoch's commit just takes the next log version, and losing a version
+    race to one retries like any blind append (data files written once)
+    until the txn check says a CONCURRENT WRITER of the same epoch won —
+    then it no-ops, orphaning this attempt's files for vacuum. Last-txn
+    state replays like the schema (checkpoints roll it up), so the check
+    is O(checkpoint window). Logs written before the txn field carry no
+    txn entries and get no redelivery protection (none persist here)."""
     try:
-        schema = _evolve_schema(_state(path), df)
+        st = _state(path)
     except RuntimeError:  # no table yet: this epoch is the create
-        schema = _schema_json(df)
-    adds = _write_data_files(df, path, key, n_files)
-    try:
-        _publish(
-            path,
-            {
-                "version": version,
-                "op": "stream-append",
-                "key": key,
-                "schema": schema,
-                "add": adds,
-                "remove": [],
-            },
-        )
-    except RuntimeError:
-        # Lost a true race on this version: the winner committed the
-        # epoch, so for THIS caller the outcome is the same as the
-        # pre-check hit — already applied, our data files orphan
-        # invisibly. Exactly-once means the loser reports idempotent
-        # success-as-noop, not an error the stream would retry into.
+        st = None
+    last = (st or {}).get("txns", {}).get(app_id)
+    if last is not None and last >= txn_version:
         return False
-    return True
+    schema = _evolve_schema(st, df) if st else _schema_json(df)
+    adds = _write_data_files(df, path, key, n_files)
+    version = st["version"] + 1 if st else 0
+    for _ in range(64):
+        try:
+            _publish(
+                path,
+                {
+                    "version": version,
+                    "op": "stream-append",
+                    "key": key,
+                    "schema": schema,
+                    "txn": {"app": app_id, "version": int(txn_version)},
+                    "add": adds,
+                    "remove": [],
+                },
+            )
+            return True
+        except RuntimeError:
+            st = _state(path)
+            last = st.get("txns", {}).get(app_id)
+            if last is not None and last >= txn_version:
+                # a concurrent writer committed this epoch; ours orphans
+                # invisibly (vacuum reclaims it) — idempotent no-op.
+                return False
+            schema = _evolve_schema(st, df)
+            version = st["version"] + 1
+    raise RuntimeError(
+        f"epoch append lost 64 consecutive version races at {path}"
+    )
 
 
 def merge(
@@ -813,6 +873,19 @@ def table_changes(
     which a read-side feed cannot reconstruct). Both sides read through
     the ``v_to`` schema, so a feed spanning a widening shows pre-evolution
     rows with the new column NULL-filled."""
+    if v_from > v_to:
+        raise ValueError(
+            f"table_changes requires v_from <= v_to, got {v_from} > {v_to}"
+            " (a swapped range would relabel every insert as a delete and"
+            " swap update images)"
+        )
+    committed, _ = _list_log(path)
+    for v in (v_from, v_to):
+        if v not in committed:
+            raise ValueError(
+                f"version {v} is not a committed version of {path}"
+                f" (head is {committed[-1] if committed else 'absent'})"
+            )
     st_from = _state(path, v_from)
     st_to = _state(path, v_to)
     key = st_to["key"]

@@ -555,19 +555,24 @@ _NEAR_DEDUP_COMPACT_EVERY = 4
 _NEAR_DEDUP_COMPACT_FILES = 2
 
 
-def _append_state_store(df: DataFrame, path: str) -> None:
-    """One-file epoch append to a near-dedup ACID state store, creating the
-    table on first use; an epoch that admits nothing appends nothing (an
-    empty create is refused by the format, and an empty append would be
-    pure commit churn)."""
+def _append_state_store(df: DataFrame, path: str, epoch: int) -> None:
+    """One-file EXACTLY-ONCE epoch append to a near-dedup ACID state
+    store: the commit version IS the epoch id, so a redelivered
+    micro-batch (foreachBatch is at-least-once under a checkpoint restart)
+    is a no-op instead of double-appending state rows and corrupting every
+    later batch's candidate verification (review finding, r12 — the same
+    txn contract stream_acid_sink uses; the txn id is commit METADATA, so
+    the per-4-epoch OPTIMIZE/VACUUM commits interleave freely with epoch
+    appends). Empty epochs skip the commit entirely — deterministic under
+    redelivery, and a zero-file version 0 would leave the table
+    schema-less. The frames passed here derive from the epoch's pinned
+    (localCheckpointed) inputs, so the isEmpty probe recomputes only a
+    cheap filter."""
     from iot_data_pipeline_spark.sources import acid_table
 
-    if not os.path.isdir(path):
-        if df.isEmpty():
-            return
-        acid_table.create(df, path, "doc_id", n_files=1)
-    elif not df.isEmpty():
-        acid_table.append(df, path, n_files=1)
+    if df.isEmpty():
+        return
+    acid_table.append_exactly_once(df, path, int(epoch), "doc_id", n_files=1)
 
 
 def _maintain_state_store(spark: SparkSession, path: str) -> None:
@@ -647,12 +652,12 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             return ck
 
         try:
-            _admit_epoch(batch_df, pin)
+            _admit_epoch(batch_df, pin, int(epoch_id))
         finally:
             for ck in epoch_pins:
                 ck.unpersist()
 
-    def _admit_epoch(batch_df: DataFrame, pin) -> None:
+    def _admit_epoch(batch_df: DataFrame, pin, epoch_id: int) -> None:
         batch = pin(batch_df.select("doc_id", "text"))
         sh_new = llm._word_shingles(batch)
         bk_new = pin(llm._lsh_buckets(sh_new))
@@ -724,16 +729,19 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(F.lit("kept"))
         )
-        batch.select("doc_id", status.alias("status")).write.mode(
-            "append"
-        ).parquet(status_store)
+        _append_state_store(
+            batch.select("doc_id", status.alias("status")),
+            status_store,
+            epoch_id,
+        )
         dropped = dropped_corpus | dropped_batch
         kept = batch.filter(~F.col("doc_id").isin(list(dropped) or [-1]))
         kept_buckets = bk_new.join(kept.select("doc_id"), "doc_id", "semi")
-        _append_state_store(kept, corpus_store)
-        _append_state_store(kept_buckets, bucket_store)
-        epoch_counter["n"] += 1
-        if epoch_counter["n"] % _NEAR_DEDUP_COMPACT_EVERY == 0:
+        _append_state_store(kept, corpus_store, epoch_id)
+        _append_state_store(kept_buckets, bucket_store, epoch_id)
+        # Cadence derives from the DELIVERED epoch id, not a process-local
+        # counter that would drift from it under redelivery.
+        if (epoch_id + 1) % _NEAR_DEDUP_COMPACT_EVERY == 0:
             _maintain_state_store(spark, corpus_store)
             _maintain_state_store(spark, bucket_store)
 
@@ -750,17 +758,22 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(status_store)
+    from iot_data_pipeline_spark.sources import acid_table
+
+    return acid_table.snapshot(spark, status_store)
 
 
 def stream_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion into the manifest-log ACID table — the
-    TRANSACTIONAL streaming sink: each micro-batch commits as table
-    version = epoch via ``acid_table.append_exactly_once``, so a replayed
-    epoch (foreachBatch redelivery after a failure) is a NO-OP instead of
-    a duplicate — exactly-once through commit-log idempotence, the same
-    mechanism Delta's transactional streaming sink uses (txnVersion per
-    epoch). The epilogue DEMONSTRATES the replay safety: it re-runs the
+    TRANSACTIONAL streaming sink: each micro-batch commits with its epoch
+    id as the commit's TRANSACTION metadata via
+    ``acid_table.append_exactly_once``, so a replayed epoch (foreachBatch
+    redelivery after a failure) is a NO-OP instead of a duplicate —
+    exactly-once through commit-log idempotence, the same mechanism
+    Delta's transactional streaming sink uses (txnAppId/txnVersion per
+    epoch; the txn id is decoupled from the log version, so maintenance
+    commits interleave safely). The epilogue DEMONSTRATES the replay
+    safety: it re-runs the
     whole stream against the same table from a fresh checkpoint (every
     epoch redelivered) and returns the table snapshot, which must still
     hash-equal the batch events table."""
@@ -771,7 +784,7 @@ def stream_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def commit_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         acid_table.append_exactly_once(
-            batch_df, path, version=int(epoch_id), key="event_id"
+            batch_df, path, txn_version=int(epoch_id), key="event_id"
         )
 
     def run(ckpt: str) -> None:

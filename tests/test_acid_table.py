@@ -781,3 +781,45 @@ def test_timestamp_time_travel(spark, sf_dir, tmp_path):
     assert acid_table.version_at_timestamp(path, hist[0]["ts"]) == 1
     with pytest.raises(ValueError, match="predates"):
         acid_table.version_at_timestamp(path, hist[0]["ts"] - 0.001)
+
+
+def test_legacy_table_append_does_not_adopt_appended_schema(
+    spark, sf_dir, tmp_path
+):
+    """Review finding (r12): on a LEGACY table (manifests predating the
+    schema field) an append must NOT record the appended frame's schema —
+    adopting it would make every later read go through it and silently
+    drop any existing column the one frame lacks. Legacy tables keep
+    parquet-inference reads; schema recording starts with tables this
+    code creates."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).filter("o_orderkey <= 200")
+    acid_table.create(t, path, "o_orderkey", n_files=1)
+    # simulate a legacy log: strip the schema field from every manifest
+    log_dir = os.path.join(path, "_log")
+    for name in os.listdir(log_dir):
+        p = os.path.join(log_dir, name)
+        m = _json.load(open(p))
+        m.pop("schema", None)
+        os.unlink(p)
+        _json.dump(m, open(p, "w"))
+    assert acid_table._state(path)["schema"] is None
+    # same-shape append: still no recorded schema, reads unchanged
+    acid_table.append(
+        t.withColumn("o_orderkey", F.col("o_orderkey") + 1000), path
+    )
+    assert acid_table._state(path)["schema"] is None
+    snap = acid_table.snapshot(spark, path)
+    assert snap.columns == ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    assert snap.count() == 2 * t.count()
+    # a NARROWER append must not hide o_totalprice behind a recorded
+    # 2-column schema (the legacy read stays parquet-inference)
+    acid_table.append(
+        t.select("o_orderkey", "o_orderstatus").withColumn(
+            "o_orderkey", F.col("o_orderkey") + 2000
+        ),
+        path,
+    )
+    assert acid_table._state(path)["schema"] is None

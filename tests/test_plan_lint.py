@@ -38,6 +38,11 @@ BNLJ_BOUNDED = {
     "win_ntile_dist": "1-row n_total aggregate joined to every ranked row",
     "llm_tfidf": "1-row corpus-count aggregate broadcast-crossed into the"
     " scoring projection (keeps plan-build lazy; no driver action)",
+    "llm_quality_classifier": "two 1-row statistics aggregates (class"
+    " totals+vocab size; log-prior) broadcast-crossed into the weight"
+    " projection and the final score — same lazy-plan-build pattern as"
+    " llm_tfidf; the vocabulary-scale weight JOIN itself is a plain"
+    " equi-join with no forced hint",
     # the derived-partsupp TPC-H entries: partsupp is part broadcast-crossed
     # with a 1-row supplier-count aggregate and a 4-row stripe spine (both
     # scale-independent build sides) — linear in part at any scale

@@ -424,32 +424,44 @@ def test_near_dedup_state_store_file_count_bounded(spark, tmp_path):
 
     store = str(tmp_path / "buckets")
     expected_rows: set[tuple[int, int, int]] = set()
+    dfs = {}
 
     def n_data_files() -> int:
         return len(os.listdir(os.path.join(store, "data")))
 
-    for epoch in range(1, 9):
+    def snapshot_rows() -> set:
+        return {
+            (r["doc_id"], r["band_idx"], r["bucket"])
+            for r in acid_table.snapshot(spark, store).collect()
+        }
+
+    for epoch in range(8):
         rows = [(epoch * 100 + i, epoch, 7 * epoch + i) for i in range(3)]
         expected_rows.update(rows)
-        df = spark.createDataFrame(
+        dfs[epoch] = spark.createDataFrame(
             rows, "doc_id LONG, band_idx INT, bucket LONG"
         )
-        streams._append_state_store(df, store)
-        if epoch % streams._NEAR_DEDUP_COMPACT_EVERY == 0:
+        streams._append_state_store(dfs[epoch], store, epoch)
+        if (epoch + 1) % streams._NEAR_DEDUP_COMPACT_EVERY == 0:
             streams._maintain_state_store(spark, store)
         assert n_data_files() <= (
             streams._NEAR_DEDUP_COMPACT_FILES + streams._NEAR_DEDUP_COMPACT_EVERY
         )
     assert n_data_files() <= streams._NEAR_DEDUP_COMPACT_FILES
-    got = {
-        (r["doc_id"], r["band_idx"], r["bucket"])
-        for r in acid_table.snapshot(spark, store).collect()
-    }
-    assert got == expected_rows
+    assert snapshot_rows() == expected_rows
     # empty-epoch appends are skipped entirely (no commit churn)
     before = len(acid_table.history(store))
     streams._append_state_store(
         spark.createDataFrame([], "doc_id LONG, band_idx INT, bucket LONG"),
         store,
+        8,
     )
     assert len(acid_table.history(store)) == before
+    # REDELIVERY pin (review finding, r12): re-delivering an epoch that
+    # already committed — including one whose log version was displaced
+    # by the interleaved OPTIMIZE/VACUUM commits — must be a no-op, not a
+    # double-append (old version=epoch scheme) nor a dropped epoch.
+    for epoch in (2, 7):
+        streams._append_state_store(dfs[epoch], store, epoch)
+    assert len(acid_table.history(store)) == before
+    assert snapshot_rows() == expected_rows
