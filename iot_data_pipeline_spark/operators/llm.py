@@ -1802,6 +1802,89 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity scoring — the filtering signal the
+    CCNet/LLaMA curation pipelines bucket documents by: train an add-one
+    smoothed BIGRAM language model on the corpus (one explode + one
+    count aggregation — training is counting), score every document by
+    its total and per-bigram average log-probability, and assign the
+    head/middle/tail perplexity TERCILE (CCNet's buckets).
+
+    Same integer-exactness contract as llm_quality_classifier: each
+    bigram's ln P(v|u) = ln((c(u,v)+1)/(c(u)+V)) is computed once from
+    exact integer counts and fixed to a 1e-6-unit BIGINT, so per-doc
+    totals are exact integer sums and the tercile ranking (avg log-prob,
+    doc_id tie-break) is engine-independent. Bigrams are built per doc
+    with a narrow array transform (no positional self-join); the count
+    table and weight join are vocabulary²-bounded with map-side combine.
+    Docs with fewer than two tokens have no bigram and are absent
+    (mirrored in the oracle)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(normalized_text(), _WS)
+    pair = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("u"),
+            F.element_at(toks, i + 1).alias("v"),
+        ),
+    )
+    bi = tracked_cache(
+        d.where(F.size(toks) >= 2).select(
+            "doc_id", F.explode(pair).alias("p")
+        ).select("doc_id", F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+    )
+    cnt = bi.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cuv")
+    )
+    prefix = bi.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cu")
+    )
+    vocab = d.select(
+        F.explode(F.split(normalized_text(), _WS)).alias("t")
+    ).agg(F.count_distinct("t").cast("bigint").alias("vsz"))
+    w = (
+        cnt.join(prefix, "u")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "u",
+            "v",
+            F.round(
+                F.log(
+                    (F.col("cuv") + 1.0)
+                    / (F.col("cu") + F.col("vsz"))
+                )
+                * 1_000_000.0
+            )
+            .cast("bigint")
+            .alias("wi"),
+        )
+    )
+    scored = (
+        bi.join(w, ["u", "v"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("wi").cast("bigint").alias("logprob_i"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "logprob_i",
+            F.floor(F.col("logprob_i") / F.col("n_bigrams"))
+            .cast("bigint")
+            .alias("avg_logprob_i"),
+        )
+    )
+    w_rank = Window.orderBy(F.col("avg_logprob_i").desc(), "doc_id")
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "logprob_i",
+        "avg_logprob_i",
+        F.ntile(3).over(w_rank).cast("int").alias("ppl_bucket"),
+    )
+
+
 _LANG_STOPWORDS = {
     "en": ("the", "and", "of", "to", "is"),
     "es": ("el", "la", "de", "que", "y"),
@@ -3295,6 +3378,7 @@ QUERIES = {
     "llm_token_count": llm_token_count,
     "llm_quality_filter": llm_quality_filter,
     "llm_quality_classifier": llm_quality_classifier,
+    "llm_lm_perplexity": llm_lm_perplexity,
     "llm_lang_id": llm_lang_id,
     "llm_fingerprint": llm_fingerprint,
     "llm_winnow_fingerprint": llm_winnow_fingerprint,
@@ -3464,6 +3548,33 @@ ORACLES = {
         " SELECT doc_id, s + p AS score_i,"
         " CASE WHEN s + p > 0 THEN 'good' ELSE 'bad' END AS label"
         " FROM sc, pri"
+    ),
+    # Add-one bigram LM: per-bigram ln P fixed to 1e-6-unit BIGINTs from
+    # exact counts; per-doc totals are exact integer sums; terciles rank
+    # on (avg desc, doc_id). floor(s*1.0/n) matches Spark's floor-div on
+    # these magnitudes (integer quotients are exactly representable).
+    "llm_lm_perplexity": (
+        "WITH t AS (SELECT doc_id,"
+        "   string_split(lower(trim(text)), ' ') AS a FROM documents),"
+        " bi AS (SELECT doc_id, unnest(a[1:len(a)-1]) AS u,"
+        "   unnest(a[2:len(a)]) AS v FROM t WHERE len(a) >= 2),"
+        " cnt AS (SELECT u, v, COUNT(*)::BIGINT AS cuv FROM bi"
+        "   GROUP BY u, v),"
+        " pre AS (SELECT u, COUNT(*)::BIGINT AS cu FROM bi GROUP BY u),"
+        " voc AS (SELECT COUNT(DISTINCT tok)::BIGINT AS vsz FROM"
+        "   (SELECT unnest(a) AS tok FROM t)),"
+        " w AS (SELECT u, v, CAST(ROUND(ln((cuv + 1.0) / (cu + vsz))"
+        "   * 1000000) AS BIGINT) AS wi FROM cnt JOIN pre USING (u), voc),"
+        " sc AS (SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,"
+        "   SUM(wi)::BIGINT AS logprob_i FROM bi JOIN w USING (u, v)"
+        "   GROUP BY doc_id)"
+        " SELECT doc_id, n_bigrams, logprob_i,"
+        " CAST(FLOOR(logprob_i * 1.0 / n_bigrams) AS BIGINT)"
+        "   AS avg_logprob_i,"
+        " CAST(NTILE(3) OVER (ORDER BY"
+        "   CAST(FLOOR(logprob_i * 1.0 / n_bigrams) AS BIGINT) DESC,"
+        "   doc_id) AS INTEGER) AS ppl_bucket"
+        " FROM sc"
     ),
     "llm_lang_id": (
         "WITH c AS (SELECT doc_id, lang,"

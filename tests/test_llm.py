@@ -1309,3 +1309,62 @@ def test_quality_classifier_separates_weak_labels(spark, sf_dir):
         1 for d in docs if (got[d] == "good") == bool(weak[d])
     ) / len(docs)
     assert agree >= 0.8, agree
+
+
+def test_lm_perplexity_matches_pure_python_bigram_lm(spark, sf_dir):
+    """The distributed add-one bigram LM (counts, 1e-6-integer log-probs,
+    per-doc exact integer totals, floor-div average, tercile buckets) must
+    equal an independent driver-side implementation EXACTLY."""
+    import math
+
+    docs = {
+        r["doc_id"]: r["text"].lower().strip().split(" ")
+        for r in llm.table(spark, sf_dir, "documents").collect()
+    }
+    cuv: dict[tuple[str, str], int] = {}
+    cu: dict[str, int] = {}
+    vocab: set[str] = set()
+    for ts in docs.values():
+        vocab.update(ts)
+        for u, v in zip(ts, ts[1:]):
+            cuv[(u, v)] = cuv.get((u, v), 0) + 1
+            cu[u] = cu.get(u, 0) + 1
+    vsz = len(vocab)
+    w = {
+        p: round(math.log((c + 1.0) / (cu[p[0]] + vsz)) * 1_000_000)
+        for p, c in cuv.items()
+    }
+    scored = []
+    for d, ts in docs.items():
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            continue
+        s = sum(w[p] for p in pairs)
+        scored.append((d, len(pairs), s, math.floor(s / len(pairs))))
+    scored.sort(key=lambda r: (-r[3], r[0]))
+    n = len(scored)
+    expected = {}
+    for i, (d, nb, s, avg) in enumerate(scored):
+        # NTILE(3): first n%3 buckets get the extra rows
+        base, extra = divmod(n, 3)
+        bucket, seen = 1, 0
+        idx = i
+        for b in range(1, 4):
+            size = base + (1 if b <= extra else 0)
+            if idx < seen + size:
+                bucket = b
+                break
+            seen += size
+        expected[d] = (nb, s, avg, bucket)
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"],
+            r["logprob_i"],
+            r["avg_logprob_i"],
+            r["ppl_bucket"],
+        )
+        for r in llm.llm_lm_perplexity(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # all three CCNet buckets are populated
+    assert {b for _, _, _, b in got.values()} == {1, 2, 3}

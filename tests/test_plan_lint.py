@@ -38,6 +38,10 @@ BNLJ_BOUNDED = {
     "win_ntile_dist": "1-row n_total aggregate joined to every ranked row",
     "llm_tfidf": "1-row corpus-count aggregate broadcast-crossed into the"
     " scoring projection (keeps plan-build lazy; no driver action)",
+    "llm_lm_perplexity": "1-row vocabulary-size aggregate broadcast-"
+    "crossed into the bigram weight projection (lazy plan build, same"
+    " pattern as llm_tfidf); the bigram count/weight joins are plain"
+    " equi-joins",
     "llm_quality_classifier": "two 1-row statistics aggregates (class"
     " totals+vocab size; log-prior) broadcast-crossed into the weight"
     " projection and the final score — same lazy-plan-build pattern as"
