@@ -3025,7 +3025,12 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     word keys (AQE may broadcast the encoded vocab), and the final
     doc_id re-agg. Docs with no [a-z] word are absent by definition
     (mirrored in the oracle)."""
-    rules = _bpe_rules_for(spark, sf_dir)
+    return _bpe_encode_with(spark, sf_dir, _bpe_rules_for(spark, sf_dir))
+
+
+def _bpe_encode_with(
+    spark: SparkSession, sf_dir: str, rules: list[tuple[int, str, str, int]]
+) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     doc_words = d.select(
         "doc_id",
@@ -3056,6 +3061,42 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def llm_bpe_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ARTIFACT management — the registry pattern every training
+    stack needs: the trained merge table is COMMITTED as a manifest-log
+    ACID table (immutable, versioned — downstream jobs pin a version and
+    time travel reproduces any historical tokenizer), loaded back from
+    its committed snapshot, and the corpus is encoded with the LOADED
+    rules. The output must hash-equal llm_bpe_encode's (same oracle): one
+    lost or reordered merge rule anywhere in the save/load round trip and
+    token counts drift. The artifact is metadata-scale (one rule row per
+    merge), so the save is one small commit; load is a bounded collect of
+    the snapshot in merge_rank order."""
+    import tempfile
+
+    from iot_data_pipeline_spark.sources import acid_table
+
+    rules = _bpe_rules_for(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="bpe_artifact_")
+    acid_table.create(
+        spark.createDataFrame(
+            [(r, a, b, a + b, c) for r, a, b, c in rules],
+            "merge_rank INT, sym_a STRING, sym_b STRING, merged STRING,"
+            " pair_count BIGINT",
+        ),
+        path,
+        "merge_rank",
+        n_files=1,
+    )
+    loaded = [
+        (r["merge_rank"], r["sym_a"], r["sym_b"], r["pair_count"])
+        for r in acid_table.snapshot(spark, path)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return _bpe_encode_with(spark, sf_dir, loaded)
 
 
 def llm_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3409,6 +3450,7 @@ QUERIES = {
     "llm_bpe_train": llm_bpe_train,
     "llm_bpe_train_full": llm_bpe_train_full,
     "llm_bpe_encode": llm_bpe_encode,
+    "llm_bpe_artifact": llm_bpe_artifact,
     "llm_bpe_tokenize": llm_bpe_tokenize,
     "llm_corpus_to_sequences_bpe": llm_corpus_to_sequences_bpe,
 }
@@ -3959,6 +4001,8 @@ ORACLES.update(
         "llm_bpe_train": _bpe_train_oracle(),
         "llm_bpe_train_full": _bpe_train_full_oracle(),
         "llm_bpe_encode": _bpe_encode_oracle(),
+        # the artifact round trip must be lossless: same oracle as encode
+        "llm_bpe_artifact": _bpe_encode_oracle(),
         "llm_bpe_tokenize": _bpe_tokenize_oracle(),
         "llm_corpus_to_sequences_bpe": _bpe_capstone_oracle(),
     }
