@@ -1820,18 +1820,25 @@ def llm_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs with fewer than two tokens have no bigram and are absent
     (mirrored in the oracle)."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split(normalized_text(), _WS)
-    pair = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("u"),
-            F.element_at(toks, i + 1).alias("v"),
-        ),
+    # Materialize the token array into a column FIRST: expressions inside
+    # higher-order-function lambdas are not subexpression-eliminated
+    # against the enclosing row, so an element_at(split(...), i) transform
+    # re-splits the text once PER ELEMENT — O(len²) per document (measured
+    # 90 s for the 33M-bigram 125x corpus; this shape takes ~3 s). The
+    # zip of two slices touches the bound array column, never re-derives
+    # it, and zip_with hands the lambda elements directly.
+    base = d.select(
+        "doc_id", F.split(normalized_text(), _WS).alias("a")
+    ).where(F.size("a") >= 2)
+    pair = F.zip_with(
+        F.slice(F.col("a"), 1, F.size("a") - 1),
+        F.slice(F.col("a"), 2, F.size("a") - 1),
+        lambda u, v: F.struct(u.alias("u"), v.alias("v")),
     )
     bi = tracked_cache(
-        d.where(F.size(toks) >= 2).select(
-            "doc_id", F.explode(pair).alias("p")
-        ).select("doc_id", F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        base.select("doc_id", F.explode(pair).alias("p")).select(
+            "doc_id", F.col("p.u").alias("u"), F.col("p.v").alias("v")
+        )
     )
     cnt = bi.groupBy("u", "v").agg(
         F.count(F.lit(1)).cast("bigint").alias("cuv")
