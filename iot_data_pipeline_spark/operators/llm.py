@@ -1835,10 +1835,13 @@ def llm_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.col("a"), 2, F.size("a") - 1),
         lambda u, v: F.struct(u.alias("u"), v.alias("v")),
     )
+    from pyspark.storagelevel import StorageLevel
+
     bi = tracked_cache(
         base.select("doc_id", F.explode(pair).alias("p")).select(
             "doc_id", F.col("p.u").alias("u"), F.col("p.v").alias("v")
-        )
+        ),
+        StorageLevel.DISK_ONLY,  # corpus-scale: never pin executor memory
     )
     cnt = bi.groupBy("u", "v").agg(
         F.count(F.lit(1)).cast("bigint").alias("cuv")
@@ -3103,6 +3106,13 @@ def llm_bpe_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("merge_rank")
         .collect()
     ]
+    # The loaded rules are plain driver values; nothing downstream reads
+    # the table again, so the demo artifact is removed immediately — a
+    # registry id must not leak a /tmp table per invocation (plan-lint
+    # and sweep harnesses build it repeatedly).
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
     return _bpe_encode_with(spark, sf_dir, loaded)
 
 
