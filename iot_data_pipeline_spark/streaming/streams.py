@@ -763,6 +763,136 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acid_table.snapshot(spark, status_store)
 
 
+def _medallion_fold(spark: SparkSession, bronze: str, silver: str):
+    """The per-epoch bronze-commit + CDF-range silver-fold closure behind
+    ``stream_acid_cdf_agg`` (module-level so tests can drive the
+    crash-recovery path — a bronze commit whose silver fold never ran —
+    directly). See that id's docstring for the protocol."""
+    from iot_data_pipeline_spark.sources import acid_table
+
+    def fold_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        acid_table.append_exactly_once(
+            batch_df, bronze, txn_version=int(epoch_id), key="event_id"
+        )
+        head = acid_table.history(bronze)[-1]["version"]
+        wm = -1
+        if os.path.isdir(silver):
+            wm = acid_table.snapshot(spark, silver).agg(
+                F.max("as_of")
+            ).first()[0]
+        if head <= wm:
+            return  # redelivered epoch: silver already reflects it
+        feed = (
+            acid_table.table_changes(spark, bronze, wm, head)
+            if wm >= 0
+            else acid_table.snapshot(spark, bronze, version=head)
+        )
+        delta = feed.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("dn"),
+            F.sum("value").alias("dtotal"),
+        )
+        if wm < 0:
+            acid_table.create(
+                delta.select(
+                    F.xxhash64("event_type").alias("key_id"),
+                    "event_type",
+                    F.col("dn").alias("n"),
+                    F.col("dtotal").alias("total"),
+                    F.lit(head).cast("bigint").alias("as_of"),
+                ),
+                silver,
+                "key_id",
+                n_files=1,
+            )
+            return
+        old = acid_table.snapshot(spark, silver).select(
+            "key_id", "event_type", "n", "total"
+        )
+        touched = (
+            delta.alias("d")
+            .join(
+                old.alias("o"),
+                F.col("d.event_type") == F.col("o.event_type"),
+                "left",
+            )
+            .select(
+                F.coalesce(
+                    "o.key_id", F.xxhash64("d.event_type")
+                ).alias("key_id"),
+                F.col("d.event_type").alias("event_type"),
+                (F.coalesce("o.n", F.lit(0)) + F.col("d.dn"))
+                .cast("bigint")
+                .alias("n"),
+                (F.coalesce("o.total", F.lit(0.0)) + F.col("d.dtotal")).alias(
+                    "total"
+                ),
+                F.lit(head).cast("bigint").alias("as_of"),
+            )
+        )
+        acid_table.merge(spark, touched, silver)
+
+    return fold_epoch
+
+
+def stream_acid_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEDALLION loop end to end, streaming and transactional: each
+    micro-batch commits into the BRONZE acid table exactly-once
+    (txn=epoch), then the SILVER per-event_type aggregate table is
+    maintained INCREMENTALLY from bronze's Change Data Feed — never a
+    bronze rescan.
+
+    Silver's exactly-once is the textbook incremental-view protocol:
+    every silver row carries ``as_of`` = the bronze version it reflects,
+    so the watermark is max(as_of). Each epoch folds the CDF RANGE
+    (watermark, bronze head] through one grouped delta + one key-pruned
+    MERGE (source = only the touched event_types). A crash between the
+    bronze commit and the silver merge loses nothing: the next epoch's
+    range simply covers both commits (the catch-up is the same code
+    path), and a redelivered epoch sees head <= watermark and skips — the
+    epilogue proves it by replaying the entire stream from a fresh
+    checkpoint and asserting zero new commits on EITHER table. The final
+    silver snapshot must hash-equal the direct aggregate over events
+    (ROUND(,2) absorbs the partial-vs-direct double-sum association gap).
+    MERGE needs an integral key, so event_type carries an xxhash64
+    surrogate."""
+    from iot_data_pipeline_spark.sources import acid_table
+
+    stream_dir = _stage_event_chunks(spark, sf_dir)
+    bronze = tempfile.mkdtemp(prefix="acid_cdf_bronze_")
+    silver = tempfile.mkdtemp(prefix="acid_cdf_silver_")
+    os.rmdir(silver)  # acid create/append manage the directory
+    fold_epoch = _medallion_fold(spark, bronze, silver)
+
+    def run(ckpt: str) -> None:
+        q = (
+            _read_stream(spark, stream_dir, max_files=1)
+            .writeStream.foreachBatch(fold_epoch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(tempfile.mkdtemp(prefix="acid_cdf_ckpt_"))
+    commits = (
+        len(acid_table.history(bronze)),
+        len(acid_table.history(silver)),
+    )
+    # Full replay from a fresh checkpoint: every epoch redelivered; the
+    # bronze txns and the silver watermark must both refuse re-application.
+    run(tempfile.mkdtemp(prefix="acid_cdf_ckpt_"))
+    if commits != (
+        len(acid_table.history(bronze)),
+        len(acid_table.history(silver)),
+    ):
+        raise AssertionError(
+            "replayed epochs re-committed: the medallion exactly-once broke"
+        )
+    return acid_table.snapshot(spark, silver).select(
+        "event_type", "n", F.round("total", 2).alias("total")
+    )
+
+
 def stream_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion into the manifest-log ACID table — the
     TRANSACTIONAL streaming sink: each micro-batch commits with its epoch
@@ -813,6 +943,7 @@ QUERIES = {
     "stream_jdbc_serving": stream_jdbc_serving,
     "stream_near_dedup": stream_near_dedup,
     "stream_acid_sink": stream_acid_sink,
+    "stream_acid_cdf_agg": stream_acid_cdf_agg,
     "stream_iot_ingest": stream_iot_ingest,
     "stream_dedup_watermarked": stream_dedup_watermarked,
     "stream_ingest_files": stream_ingest_files,
@@ -918,6 +1049,12 @@ ORACLES = {
     # transactional sink + full replay: the table must hold events exactly
     # once despite every epoch being redelivered.
     "stream_acid_sink": _EVENTS_US,
+    # medallion loop: the CDF-maintained silver aggregate must equal the
+    # direct aggregate over events (ROUND absorbs partial-sum association).
+    "stream_acid_cdf_agg": (
+        "SELECT event_type, COUNT(*)::BIGINT AS n,"
+        " ROUND(SUM(value), 2) AS total FROM events GROUP BY event_type"
+    ),
     "stream_stateful_count": (
         "SELECT user_id, COUNT(*) AS n_events,"
         " CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS total_cents"

@@ -465,3 +465,58 @@ def test_near_dedup_state_store_file_count_bounded(spark, tmp_path):
         streams._append_state_store(dfs[epoch], store, epoch)
     assert len(acid_table.history(store)) == before
     assert snapshot_rows() == expected_rows
+
+
+def test_medallion_fold_catches_up_after_silver_crash(spark, sf_dir, tmp_path):
+    """The medallion protocol's recovery guarantee: a bronze commit whose
+    silver fold never ran (crash between the two) is reconciled by the
+    NEXT epoch's CDF range — the watermark lags, so the range covers both
+    commits and silver lands exactly the direct aggregate, with the lost
+    epoch folded once, not zero or two times."""
+    from iot_data_pipeline_spark.sources import acid_table
+
+    events = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    chunks = [
+        events.filter(F.pmod("event_id", F.lit(3)) == i) for i in range(3)
+    ]
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    fold = streams._medallion_fold(spark, bronze, silver)
+
+    fold(chunks[0], 0)  # normal epoch: bronze + silver
+    # CRASH between bronze and silver for epoch 1: commit bronze only
+    acid_table.append_exactly_once(
+        chunks[1], bronze, txn_version=1, key="event_id"
+    )
+    assert (
+        acid_table.snapshot(spark, silver).agg(F.max("as_of")).first()[0]
+        < acid_table.history(bronze)[-1]["version"]
+    )
+    fold(chunks[2], 2)  # next epoch must fold epochs 1 AND 2
+
+    got = {
+        (r["event_type"], r["n"], round(r["total"], 2))
+        for r in acid_table.snapshot(spark, silver).collect()
+    }
+    expected = {
+        (r["event_type"], r["n"], round(r["total"], 2))
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("value").alias("total"),
+        )
+        .collect()
+    }
+    assert got == expected
+    # and a redelivered epoch after recovery is still a no-op everywhere
+    commits = (
+        len(acid_table.history(bronze)),
+        len(acid_table.history(silver)),
+    )
+    fold(chunks[2], 2)
+    assert commits == (
+        len(acid_table.history(bronze)),
+        len(acid_table.history(silver)),
+    )
