@@ -144,6 +144,23 @@ PICKS = {
         " bounding box; box read-back skips files from footer stats on"
         " either dimension"
     ),
+    "llm_quality_classifier": (
+        "trainable NB quality filter (r12): token frame DISK-cached and"
+        " consumed by BOTH the training count aggregation and the scoring"
+        " join (one corpus explode); weight join carries no broadcast hint"
+        " — AQE picks broadcast while the vocab is small, shuffle at 1e8"
+        " tokens; 1-row stats frames broadcast-crossed; per-doc score is"
+        " an exact BIGINT sum (no float fold)"
+    ),
+    "llm_lm_perplexity": (
+        "bigram LM scorer (r12): pairs built per doc by zip_with over two"
+        " slices of a BOUND array column — never element_at(split(...), i)"
+        " inside the lambda, which defeats CSE and re-splits per element"
+        " (O(tokens²); measured 90 s of a 111 s wall at 125x before the"
+        " fix); counts map-side combined; integer per-doc sums; the NTILE"
+        " tercile is the one single-partition exchange, over doc-count"
+        " rows (metadata scale)"
+    ),
 }
 
 
