@@ -1885,13 +1885,26 @@ def llm_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_logprob_i"),
         )
     )
-    w_rank = Window.orderBy(F.col("avg_logprob_i").desc(), "doc_id")
-    return scored.select(
+    # DISTRIBUTED tercile (VERDICT r12 item 1): ntile(3) over a global
+    # Window.orderBy funnels one-row-per-document — billions of rows at
+    # 100 TB — through a single SinglePartition sort task. The two-pass
+    # global rank (range repartition → local row_number → broadcast prefix
+    # sums, _util.dist_global_rank) plus the integer closed-form NTILE is
+    # bit-identical to the builtin, so the DuckDB oracle is unchanged.
+    from iot_data_pipeline_spark.operators._util import (
+        dist_global_rank,
+        ntile_closed_form,
+    )
+
+    ranked = dist_global_rank(
+        scored, F.col("avg_logprob_i").desc(), F.col("doc_id")
+    )
+    return ranked.select(
         "doc_id",
         "n_bigrams",
         "logprob_i",
         "avg_logprob_i",
-        F.ntile(3).over(w_rank).cast("int").alias("ppl_bucket"),
+        ntile_closed_form(3).cast("int").alias("ppl_bucket"),
     )
 
 

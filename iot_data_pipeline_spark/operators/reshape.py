@@ -14,7 +14,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from iot_data_pipeline_spark.cache_tracker import tracked_cache
 from iot_data_pipeline_spark.operators._util import dec, table
 
 # ---------------------------------------------------------------------------
@@ -388,46 +387,22 @@ def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent_rank = (rank-1)/(N-1), cume_dist = rank/N, and ntile's
     first-(N mod k)-tiles-get-one-extra allocation in integer arithmetic —
     all bit-identical to the engines' builtins, which the unchanged DuckDB
-    builtin-window oracle proves on every verify run."""
+    builtin-window oracle proves on every verify run.
+
+    The two-pass rank itself lives in ``_util.dist_global_rank`` (shared
+    since r13 with ``llm_lm_perplexity``'s corpus-scale tercile, which
+    shipped with the exact SinglePartition window this id eliminated)."""
+    from iot_data_pipeline_spark.operators._util import (
+        dist_global_rank,
+        ntile_closed_form,
+    )
+
     k = 4
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    parts = max(2, spark.sparkContext.defaultParallelism)
-    ranged = c.repartitionByRange(
-        parts, F.col("c_acctbal"), F.col("c_custkey")
-    ).withColumn("pid", F.spark_partition_id())
-    lw = Window.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
-    # cache: the ranked frame feeds three branches (ranks, per-partition
-    # counts, total); one scan + one range shuffle instead of three, and
-    # the materialized pid column can never disagree between branches.
-    local = tracked_cache(ranged.withColumn("lrank", F.row_number().over(lw)))
-    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
-    # counts has ≤ `parts` rows: the global window over it is free, and
-    # both side tables broadcast.
-    ow = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "pid", F.coalesce(F.sum("pn").over(ow), F.lit(0)).alias("off")
-    )
-    total = counts.agg(F.sum("pn").alias("n_total"))
-    r = (
-        local.join(F.broadcast(offsets), "pid")
-        .crossJoin(F.broadcast(total))
-        .withColumn("rnk", F.col("off") + F.col("lrank"))
-    )
-    # ntile(k): the first (N mod k) tiles hold (N div k)+1 rows, the rest
-    # N div k — pure integer arithmetic (ceil(a/b) = (a+b-1) div b). When
-    # N < k, base = 0 and every rank falls in the first branch, so the
-    # else-branch's div-by-zero is unreachable.
-    ntile = F.expr(
-        f"CASE WHEN rnk <= (n_total % {k}) * (n_total div {k} + 1)"
-        f" THEN (rnk + n_total div {k}) div (n_total div {k} + 1)"
-        f" ELSE n_total % {k}"
-        f"  + (rnk - (n_total % {k}) * (n_total div {k} + 1)"
-        f"     + n_total div {k} - 1) div (n_total div {k})"
-        f" END"
-    )
+    r = dist_global_rank(c, F.col("c_acctbal"), F.col("c_custkey"))
     return r.select(
         "c_custkey",
-        ntile.cast("int").alias("bal_quartile"),
+        ntile_closed_form(k).cast("int").alias("bal_quartile"),
         # percent_rank of a single-row partition is defined as 0.0 (what
         # the builtin and the DuckDB oracle return); the closed form
         # (rnk-1)/(n_total-1) would raise DIVIDE_BY_ZERO under ANSI mode.

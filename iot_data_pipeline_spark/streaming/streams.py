@@ -557,7 +557,7 @@ _NEAR_DEDUP_COMPACT_FILES = 2
 
 def _append_state_store(df: DataFrame, path: str, epoch: int) -> None:
     """One-file EXACTLY-ONCE epoch append to a near-dedup ACID state
-    store: the commit version IS the epoch id, so a redelivered
+    store: the txn version IS the epoch id, so a redelivered
     micro-batch (foreachBatch is at-least-once under a checkpoint restart)
     is a no-op instead of double-appending state rows and corrupting every
     later batch's candidate verification (review finding, r12 — the same
@@ -625,9 +625,11 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-range files (OPTIMIZE) and vacuums versions beyond the last, so
     the probe's file list — and the on-disk footprint — stays bounded by
     the compaction window however long the stream runs (file-count bound
-    pinned in tests). The status store is the run's OUTPUT artifact
-    (appended per epoch, read once at the end), so it stays a plain
-    append dir. Greedy order is not SQL-expressible (non-monotone NOT
+    pinned in tests). The status store is ALSO an ACID table (appended
+    exactly-once per epoch through the same txn contract) but is never
+    compacted or vacuumed — it is the run's OUTPUT artifact, appended per
+    epoch and read once at the end. Greedy order is not SQL-expressible
+    (non-monotone NOT
     EXISTS over its own output) → declared rows-only."""
     from collections import defaultdict
 
@@ -639,7 +641,6 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket_store = os.path.join(state, "buckets")
     corpus_store = os.path.join(state, "corpus")
     status_store = os.path.join(state, "status")
-    epoch_counter = {"n": 0}
 
     def admit(batch_df: DataFrame, epoch_id: int) -> None:
         # Epoch-scoped checkpoints (the batch is scanned by several joins
@@ -774,7 +775,9 @@ def _medallion_fold(spark: SparkSession, bronze: str, silver: str):
         acid_table.append_exactly_once(
             batch_df, bronze, txn_version=int(epoch_id), key="event_id"
         )
-        head = acid_table.history(bronze)[-1]["version"]
+        # Checkpoint-bounded head read — history() parses the whole log,
+        # which in a per-epoch hot path is O(epochs) per epoch (ADVICE r12).
+        head = acid_table.head(bronze)
         wm = -1
         if os.path.isdir(silver):
             wm = acid_table.snapshot(spark, silver).agg(

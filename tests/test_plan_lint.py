@@ -82,6 +82,19 @@ ROW_PYTHON_OK = {
 }
 
 
+# query id -> why a Sort/Window fed by an Exchange SinglePartition is fine
+# here: the exchanged frame is provably BOUNDED (scale-independent row
+# count), so one task sorting it is metadata work, not a corpus funnel.
+# Frames ordered on the synthetic `_pid` key (dist_global_rank's
+# numPartitions-row counts table) are auto-allowed structurally and need
+# no entry. VERDICT r12: llm_lm_perplexity shipped a corpus-scale
+# single-task NTILE precisely because no lint covered this class.
+SINGLE_PARTITION_SORT_OK = {
+    "llm_domain_mix": "global window over per-source counts (rows = number"
+    " of distinct sources, scale-independent)",
+}
+
+
 def test_no_cartesian_unjustified_nested_loop_or_row_python(spark, sf_dir):
     qs = _registry()
     offenders: dict[str, str] = {}
@@ -102,7 +115,50 @@ def test_no_cartesian_unjustified_nested_loop_or_row_python(spark, sf_dir):
             # runtime this way in round 4). Express a forward carry as a
             # reversed running frame instead.
             offenders[name] = "O(rows^2) unbounded-following window frame"
+        else:
+            hits = _single_partition_sort_window(plan)
+            if hits and name not in SINGLE_PARTITION_SORT_OK:
+                offenders[name] = (
+                    "unjustified single-task Sort/Window over an Exchange"
+                    f" SinglePartition: {hits[0]}"
+                )
     assert not offenders, offenders
+
+
+def _single_partition_sort_window(plan: str) -> list[str]:
+    """Occurrences of a Sort / Window / WindowGroupLimit consuming an
+    ``Exchange SinglePartition`` — the whole frame through ONE task. A
+    scalar aggregate's final step also exchanges to one partition, but its
+    consumer is a HashAggregate, not a Sort, so it does not match. Sorts
+    whose keys include the synthetic ``_pid`` column are the
+    dist_global_rank prefix-sum side table (≤ numPartitions rows by
+    construction) and are structurally allowed."""
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in " :+-":
+            i += 1
+        return i
+
+    import re
+
+    hits: list[str] = []
+    for idx, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        d = depth(line)
+        for j in range(idx - 1, -1, -1):
+            if depth(lines[j]) < d:
+                consumer = re.sub(
+                    r"^\*\(\d+\)\s*", "", lines[j].strip().lstrip(":+- ")
+                )
+                if consumer.startswith(("Sort", "Window")) and "_pid#" not in (
+                    consumer
+                ):
+                    hits.append(consumer[:120])
+                break
+    return hits
 
 
 def test_oracled_outputs_are_driver_sortable(spark, sf_dir):
@@ -146,6 +202,50 @@ def _has_quadratic_window_frame(plan: str) -> bool:
         if "unboundedfollowing$()" in spec and "unboundedpreceding$()" not in spec:
             return True
     return False
+
+
+def test_single_partition_detector_classification():
+    """The detector must flag exactly the Sort/Window-over-SinglePartition
+    shapes (including r12's shipped llm_lm_perplexity NTILE plan, its
+    motivating miss) and pass scalar-aggregate final exchanges and the
+    dist_global_rank bounded ``_pid`` side-frame."""
+    # the exact shape llm_lm_perplexity shipped in r12 (PLANS.md:1104)
+    r12_ntile = (
+        "Window [ntile(3) windowspecdefinition(avg_logprob_i#82L DESC)]\n"
+        "+- Sort [avg_logprob_i#82L DESC NULLS LAST, doc_id#0L ASC], false\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]\n"
+        "      +- HashAggregate(keys=[doc_id#0L], functions=[sum(wi#77L)])"
+    )
+    assert _single_partition_sort_window(r12_ntile), "must catch r12's miss"
+    # codegen-starred Sort consumer
+    starred = (
+        "*(4) Sort [x#1L ASC NULLS FIRST], true, 0\n"
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=2]"
+    )
+    assert _single_partition_sort_window(starred)
+    # scalar aggregate: consumer is a HashAggregate — not flagged
+    scalar = (
+        "*(2) HashAggregate(keys=[], functions=[count(1)])\n"
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=3]\n"
+        "   +- *(1) HashAggregate(keys=[], functions=[partial_count(1)])"
+    )
+    assert not _single_partition_sort_window(scalar)
+    # dist_global_rank's numPartitions-row counts frame: bounded by
+    # construction, keyed on the synthetic _pid column — not flagged
+    bounded = (
+        "Window [sum(_pn#5L) windowspecdefinition(_pid#4 ASC)]\n"
+        "+- Sort [_pid#4 ASC NULLS FIRST], false, 0\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=4]\n"
+        "      +- HashAggregate(keys=[_pid#4], functions=[count(1)])"
+    )
+    assert not _single_partition_sort_window(bounded)
+    # nested: the exchange's parent is found by indent, not adjacency
+    nested = (
+        ":- Window [row_number() windowspecdefinition(a#1 ASC)]\n"
+        ":  +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]\n"
+        ":     +- Project [a#1]"
+    )
+    assert _single_partition_sort_window(nested)
 
 
 def test_quadratic_frame_detector_classification():
