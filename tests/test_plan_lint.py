@@ -92,6 +92,10 @@ ROW_PYTHON_OK = {
 SINGLE_PARTITION_SORT_OK = {
     "llm_domain_mix": "global window over per-source counts (rows = number"
     " of distinct sources, scale-independent)",
+    "evt_cumulative_users": "prefix sum over the DAY SPINE — one row per"
+    " calendar day (a century is ~37k rows); the operator's docstring"
+    " declares the serial tail scales with the calendar, and the per-user"
+    " corpus-scale work is aggregated away before this window",
 }
 
 
@@ -153,9 +157,12 @@ def _single_partition_sort_window(plan: str) -> list[str]:
                 consumer = re.sub(
                     r"^\*\(\d+\)\s*", "", lines[j].strip().lstrip(":+- ")
                 )
-                if consumer.startswith(("Sort", "Window")) and "_pid#" not in (
-                    consumer
-                ):
+                # "Sort [" is the SortExec node; SortAggregate(key=[]) is a
+                # scalar aggregate's final step (1 output row) and
+                # SortMergeJoin is not a funnel — neither matches.
+                if consumer.startswith(
+                    ("Sort [", "Window")
+                ) and "_pid#" not in consumer:
                     hits.append(consumer[:120])
                 break
     return hits
@@ -230,6 +237,14 @@ def test_single_partition_detector_classification():
         "   +- *(1) HashAggregate(keys=[], functions=[partial_count(1)])"
     )
     assert not _single_partition_sort_window(scalar)
+    # scalar SortAggregate final step (meta_profile's shape): 1 output
+    # row — not a funnel, not flagged
+    sort_agg = (
+        "SortAggregate(key=[], functions=[first(count(1)#1L, true)])\n"
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=6]\n"
+        "   +- SortAggregate(key=[], functions=[partial_first(count(1)#1L)])"
+    )
+    assert not _single_partition_sort_window(sort_agg)
     # dist_global_rank's numPartitions-row counts frame: bounded by
     # construction, keyed on the synthetic _pid column — not flagged
     bounded = (
