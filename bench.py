@@ -86,6 +86,15 @@ HEADLINE = [
     # schema; tracked so schema-threading overhead stays bounded).
     "llm_bpe_train_full",
     "acid_schema_evolution",
+    # r13: the two r12 curation heavies get permanent bands (verdict item
+    # 4) — the NB classifier's shared token frame + weight join, and the
+    # bigram-LM perplexity scorer whose build already caught one measured
+    # 5x regression-class bug (the lambda-CSE O(tokens²)); plus the
+    # medallion capstone (bronze exactly-once commits -> CDF-incremental
+    # silver fold), tracked so the per-epoch fold overhead can't creep.
+    "llm_quality_classifier",
+    "llm_lm_perplexity",
+    "stream_acid_cdf_agg",
 ]
 
 # Queries whose single-rep time exceeds ~1.5 s at sf0.1 get a third rep:
@@ -100,6 +109,8 @@ BEST_OF_3 = {
     "join_bloom_prefilter",
     "llm_bpe_train",
     "acid_merge_snapshot",
+    "llm_lm_perplexity",
+    "stream_acid_cdf_agg",
 }
 
 

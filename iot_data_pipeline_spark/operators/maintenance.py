@@ -321,6 +321,57 @@ def acid_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acid_table.table_changes(spark, path, 0, head)
 
 
+def acid_cdf_journal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time JOURNALED Change Data Feed under DUPLICATE table keys —
+    the case the read-side file-diff feed documents it cannot serve
+    (VERDICT r12 item 6; Delta journals row-level deltas at write time
+    for exactly this reason). Fixture keyed by l_orderkey, which is
+    duplicated across line numbers (up to 13 rows per key):
+
+    v0 create (even keys) → v1 append (odd keys) → v2 DELETE cdc=True
+    (quantity ≥ 40) → v3 OPTIMIZE (must contribute NOTHING: a rewrite-in-
+    place is no logical change) → v4 pruned MERGE cdc=True (source: one
+    row per %3==0 key; every matched SURVIVING line becomes an
+    update_preimage paired with the source row's postimage — the exact
+    committed outcome under duplicate keys — and fully-deleted keys
+    re-enter as inserts).
+
+    The feed over (0, head] is served purely from the journal slivers
+    plus the append's added files (appends need no CDC file: their data
+    files ARE the inserts), tagged per commit_version — every row is
+    plain SQL over lineitem, so per-commit CDC under duplicate keys is a
+    hash-checked result."""
+    import tempfile
+
+    from iot_data_pipeline_spark.sources import acid_table
+
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_linenumber", "l_quantity"]
+    base = li.filter("l_orderkey % 5 = 0").select(*cols)
+    path = tempfile.mkdtemp(prefix="acid_cdfj_")
+    acid_table.create(
+        base.filter("l_orderkey % 2 = 0"), path, "l_orderkey", n_files=4
+    )
+    acid_table.append(base.filter("l_orderkey % 2 = 1"), path, n_files=4)
+    # delete leaves 4 rewrite files so the following OPTIMIZE (target 2)
+    # genuinely commits — a no-op compact would shift the merge's version
+    acid_table.delete(spark, path, "l_quantity >= 40", n_files=4, cdc=True)
+    acid_table.compact(spark, path, n_files=2)
+    source = (
+        base.filter("l_orderkey % 3 = 0")
+        .select("l_orderkey")
+        .distinct()
+        .select(
+            "l_orderkey",
+            F.lit(-1).cast("int").alias("l_linenumber"),
+            F.lit(99.0).alias("l_quantity"),
+        )
+    )
+    acid_table.merge(spark, source, path, cdc=True)
+    head = len(acid_table.history(path)) - 1
+    return acid_table.table_changes_journal(spark, path, 0, head)
+
+
 def acid_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance through the Change Data
     Feed — the pattern CDF exists for (a silver aggregate updated from the
@@ -601,6 +652,7 @@ QUERIES = {
     "acid_maintenance_snapshot": acid_maintenance_snapshot,
     "acid_schema_evolution": acid_schema_evolution,
     "acid_table_changes": acid_table_changes,
+    "acid_cdf_journal": acid_cdf_journal,
     "acid_incremental_agg": acid_incremental_agg,
     "graph_pagerank": graph_pagerank,
     "geo_nearest_hub": geo_nearest_hub,
@@ -698,6 +750,31 @@ ORACLES = {
         " SELECT o_orderkey, 'U', o_totalprice * 1.1, 'update_postimage'"
         " FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 7 <> 0"
         "   AND o_orderkey % 3 = 0"
+    ),
+    # Per-commit journaled feed under duplicate keys: v1 = odd-key lines
+    # (inserts from the append's own files), v2 = every quantity>=40 line
+    # (journaled deletes), v3 compact contributes nothing, v4 merge =
+    # each matched SURVIVING line as a preimage, the source row once per
+    # matched line as postimages, fully-deleted %3 keys as inserts.
+    "acid_cdf_journal": (
+        "WITH base AS (SELECT l_orderkey, l_linenumber, l_quantity"
+        "   FROM lineitem WHERE l_orderkey % 5 = 0),"
+        " surv AS (SELECT * FROM base WHERE l_quantity < 40),"
+        " src AS (SELECT DISTINCT l_orderkey FROM base"
+        "   WHERE l_orderkey % 3 = 0)"
+        " SELECT l_orderkey, l_linenumber, l_quantity,"
+        "   'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version"
+        "   FROM base WHERE l_orderkey % 2 = 1"
+        " UNION ALL SELECT l_orderkey, l_linenumber, l_quantity,"
+        "   'delete', 2 FROM base WHERE l_quantity >= 40"
+        " UNION ALL SELECT l_orderkey, l_linenumber, l_quantity,"
+        "   'update_preimage', 4 FROM surv WHERE l_orderkey % 3 = 0"
+        " UNION ALL SELECT s.l_orderkey, CAST(-1 AS INTEGER),"
+        "   99.0, 'update_postimage', 4"
+        "   FROM src s JOIN surv v ON v.l_orderkey = s.l_orderkey"
+        " UNION ALL SELECT s.l_orderkey, CAST(-1 AS INTEGER),"
+        "   99.0, 'insert', 4 FROM src s WHERE NOT EXISTS"
+        "   (SELECT 1 FROM surv v WHERE v.l_orderkey = s.l_orderkey)"
     ),
     # The CDF-maintained aggregate must equal the direct aggregate over
     # the head state: all keys %7<>0 survive the chain, %3=0 keys carry

@@ -823,3 +823,133 @@ def test_legacy_table_append_does_not_adopt_appended_schema(
         path,
     )
     assert acid_table._state(path)["schema"] is None
+
+
+# ---------------------------------------------------------------------------
+# Write-time CDC journal (r13): per-commit feed under duplicate keys
+# ---------------------------------------------------------------------------
+
+
+def _dup_key_frame(spark, sf_dir):
+    """lineitem keyed by l_orderkey — DUPLICATED across line numbers, the
+    case the read-side file-diff feed cannot serve."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter("l_orderkey % 5 = 0")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+def test_cdc_journal_delete_under_duplicate_keys(spark, sf_dir, tmp_path):
+    """A journaled DELETE's feed reproduces exactly the removed rows —
+    including multiple rows per key — and the journal files live outside
+    the snapshot read path (snapshot is unchanged in shape)."""
+    path = str(tmp_path / "t")
+    t = _dup_key_frame(spark, sf_dir)
+    acid_table.create(t, path, "l_orderkey", n_files=4)
+    stats = acid_table.delete(
+        spark, path, "l_quantity >= 40", n_files=2, cdc=True
+    )
+    feed = acid_table.table_changes_journal(spark, path, 0, 1)
+    expected = t.filter("l_quantity >= 40")
+    assert stats["deleted_rows"] == expected.count()
+    assert feed.count() == expected.count()
+    assert feed.select("change_type").distinct().collect()[0][0] == "delete"
+    assert (feed.select("commit_version").distinct().collect()[0][0]) == 1
+    # multiset equality over the duplicated key space
+    assert (
+        feed.select("l_orderkey", "l_linenumber", "l_quantity")
+        .exceptAll(expected)
+        .count()
+        == 0
+    )
+    assert (
+        expected.exceptAll(
+            feed.select("l_orderkey", "l_linenumber", "l_quantity")
+        ).count()
+        == 0
+    )
+    # the snapshot never sees cdc/ files
+    assert acid_table.snapshot(spark, path).count() == t.count() - stats[
+        "deleted_rows"
+    ]
+
+
+def test_cdc_journal_merge_duplicate_target_keys(spark, sf_dir, tmp_path):
+    """MERGE journaling under duplicate TARGET keys: every matched copy is
+    an update_preimage, the source row appears once per matched copy as
+    the postimage (the exact committed outcome of the copy-on-write
+    rewrite), and unmatched source keys are inserts."""
+    path = str(tmp_path / "t")
+    t = _dup_key_frame(spark, sf_dir)
+    acid_table.create(t, path, "l_orderkey", n_files=4)
+    source = (
+        t.filter("l_orderkey % 3 = 0")
+        .select("l_orderkey")
+        .distinct()
+        .select(
+            "l_orderkey",
+            F.lit(-1).cast("int").alias("l_linenumber"),
+            F.lit(99.0).alias("l_quantity"),
+        )
+    )
+    # one key that is NOT in the table -> must journal as insert
+    missing_key = t.agg(F.max("l_orderkey")).first()[0] + 5
+    source = source.unionByName(
+        spark.createDataFrame(
+            [(missing_key, -1, 99.0)],
+            "l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE",
+        )
+    )
+    acid_table.merge(spark, source, path, cdc=True)
+    feed = acid_table.table_changes_journal(spark, path, 0, 1)
+    matched = t.filter("l_orderkey % 3 = 0")
+    n_matched = matched.count()
+    by_type = {
+        r["change_type"]: r["n"]
+        for r in feed.groupBy("change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type.get("update_preimage") == n_matched
+    assert by_type.get("update_postimage") == n_matched
+    assert by_type.get("insert") == 1
+    # preimages are exactly the matched copies (duplicates preserved)
+    pre = feed.filter("change_type = 'update_preimage'").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    assert pre.exceptAll(matched).count() == 0
+    assert matched.exceptAll(pre).count() == 0
+    # the committed snapshot holds one source copy per matched line
+    snap = acid_table.snapshot(spark, path)
+    assert snap.filter("l_linenumber = -1").count() == n_matched + 1
+
+
+def test_cdc_journal_raises_on_unjournaled_rewrite(spark, sf_dir, tmp_path):
+    """A delete committed WITHOUT cdc=True cannot be served from the
+    journal: the feed must refuse loudly and name the fallback, never
+    silently skip the commit's changes."""
+    path = str(tmp_path / "t")
+    t = _dup_key_frame(spark, sf_dir)
+    acid_table.create(t, path, "l_orderkey", n_files=2)
+    acid_table.delete(spark, path, "l_quantity >= 40", cdc=False)
+    with pytest.raises(ValueError, match="without\\s+.?cdc=True"):
+        acid_table.table_changes_journal(spark, path, 0, 1)
+
+
+def test_cdc_journal_survives_compaction_and_vacuum(spark, sf_dir, tmp_path):
+    """Compaction contributes no feed rows, and VACUUM — which sweeps only
+    data/ — never deletes journal files: the feed still serves after the
+    pre-compaction data files are physically gone."""
+    path = str(tmp_path / "t")
+    t = _dup_key_frame(spark, sf_dir)
+    acid_table.create(t, path, "l_orderkey", n_files=4)
+    acid_table.delete(spark, path, "l_quantity >= 40", n_files=4, cdc=True)
+    acid_table.compact(spark, path, n_files=1)
+    n_del = t.filter("l_quantity >= 40").count()
+    feed_before = acid_table.table_changes_journal(spark, path, 0, 2)
+    assert feed_before.count() == n_del  # compact added nothing
+    acid_table.vacuum(path, retain_versions=1, orphan_grace_seconds=0.0)
+    feed_after = acid_table.table_changes_journal(spark, path, 0, 2)
+    assert feed_after.count() == n_del
+    assert (
+        feed_after.filter("change_type = 'delete'").count() == n_del
+    )
