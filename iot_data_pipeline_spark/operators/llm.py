@@ -1908,6 +1908,105 @@ def llm_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling") — the third trainable curation
+    scorer, completing the classifier (supervised) / perplexity (LM) /
+    importance-ratio triad production pipelines actually choose between:
+    estimate a TARGET-domain bigram distribution and the RAW-corpus
+    distribution from counts, score every document by its summed
+    per-bigram log importance ratio ln(p_target/p_raw), and keep the top
+    quartile. Target here is the ``lang = 'en'`` slice of the corpus (the
+    paper's target is any trusted high-quality set; the estimator is
+    identical).
+
+    Determinism contract (the classifier/perplexity pattern): both
+    smoothed log terms are computed once per DISTINCT bigram from exact
+    integer counts and the difference fixed to a 1e-6-unit BIGINT, so
+    per-doc scores are exact integer sums. The paper's Gumbel-noise
+    resampling is replaced by the deterministic top-fraction rank —
+    cross-engine hash-checkable, and the emitted weight column lets a
+    consumer resample downstream. Selection uses the two-pass distributed
+    global rank (``_util.dist_global_rank``) — one row per document never
+    funnels through a single sort task — with the quartile threshold
+    ceil(N/4) in integer arithmetic. At 1e8+ distinct n-grams production
+    DSIR hashes features into a fixed bucket count; the exact-bigram
+    estimator here is the same statistic with B = the observed vocabulary
+    (the hash is a memory knob, not a semantics change). Docs with fewer
+    than two tokens have no bigram and are absent (mirrored in the
+    oracle). One corpus explode, DISK-cached and shared by the count and
+    scoring passes; the weight join is vocabulary²-bounded with no forced
+    broadcast hint."""
+    from pyspark.storagelevel import StorageLevel
+
+    from iot_data_pipeline_spark.operators._util import dist_global_rank
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.split(normalized_text(), _WS).alias("a"),
+    ).where(F.size("a") >= 2)
+    # bound-column + zip_with-over-slices: the lambda touches the bound
+    # array, never re-splits the text (the O(tokens²) lambda-CSE hazard
+    # llm_lm_perplexity documented and fixed in r12)
+    pair = F.zip_with(
+        F.slice(F.col("a"), 1, F.size("a") - 1),
+        F.slice(F.col("a"), 2, F.size("a") - 1),
+        lambda u, v: F.struct(u.alias("u"), v.alias("v")),
+    )
+    bi = tracked_cache(
+        base.select("doc_id", "y", F.explode(pair).alias("p")).select(
+            "doc_id", "y", F.col("p.u").alias("u"), F.col("p.v").alias("v")
+        ),
+        StorageLevel.DISK_ONLY,  # corpus-scale: never pin executor memory
+    )
+    cnt = bi.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cr"),
+        F.sum("y").cast("bigint").alias("ct"),
+    )
+    # totals derive from the BIGRAM table, not a second corpus pass:
+    # nr/nt are the raw/target bigram masses, bsz the distinct-bigram
+    # count (the smoothing denominator, the estimator's "vocabulary")
+    tot = cnt.agg(
+        F.count(F.lit(1)).cast("bigint").alias("bsz"),
+        F.sum("cr").cast("bigint").alias("nr"),
+        F.sum("ct").cast("bigint").alias("nt"),
+    )
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "u",
+        "v",
+        F.round(
+            (
+                F.log((F.col("ct") + 1.0) / (F.col("nt") + F.col("bsz")))
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + F.col("bsz")))
+            )
+            * 1_000_000.0
+        )
+        .cast("bigint")
+        .alias("wi"),
+    )
+    scored = (
+        bi.join(w, ["u", "v"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("wi").cast("bigint").alias("logratio_i"),
+        )
+    )
+    ranked = dist_global_rank(
+        scored, F.col("logratio_i").desc(), F.col("doc_id")
+    )
+    return ranked.select(
+        "doc_id",
+        "n_bigrams",
+        "logratio_i",
+        # top quartile, ceil(N/4) in integer arithmetic (div, not the
+        # double-typed `/`)
+        F.expr("rnk <= (n_total + 3) div 4").alias("selected"),
+    )
+
+
 _LANG_STOPWORDS = {
     "en": ("the", "and", "of", "to", "is"),
     "es": ("el", "la", "de", "que", "y"),
@@ -3450,6 +3549,7 @@ QUERIES = {
     "llm_quality_filter": llm_quality_filter,
     "llm_quality_classifier": llm_quality_classifier,
     "llm_lm_perplexity": llm_lm_perplexity,
+    "llm_dsir_select": llm_dsir_select,
     "llm_lang_id": llm_lang_id,
     "llm_fingerprint": llm_fingerprint,
     "llm_winnow_fingerprint": llm_winnow_fingerprint,
@@ -3647,6 +3747,33 @@ ORACLES = {
         "   CAST(FLOOR(logprob_i * 1.0 / n_bigrams) AS BIGINT) DESC,"
         "   doc_id) AS INTEGER) AS ppl_bucket"
         " FROM sc"
+    ),
+    # DSIR importance ratio: per-bigram ln(p_target/p_raw) fixed to
+    # 1e-6-unit BIGINTs from exact counts (smoothing denominator = the
+    # distinct-bigram count); per-doc scores exact integer sums; the
+    # deterministic top-quartile selection ranks on (score desc, doc_id)
+    # with ceil(N/4) in integer arithmetic.
+    "llm_dsir_select": (
+        "WITH t AS (SELECT doc_id,"
+        "   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,"
+        "   string_split(lower(trim(text)), ' ') AS a FROM documents),"
+        " bi AS (SELECT doc_id, y, unnest(a[1:len(a)-1]) AS u,"
+        "   unnest(a[2:len(a)]) AS v FROM t WHERE len(a) >= 2),"
+        " cnt AS (SELECT u, v, COUNT(*)::BIGINT AS cr,"
+        "   SUM(y)::BIGINT AS ct FROM bi GROUP BY u, v),"
+        " tot AS (SELECT COUNT(*)::BIGINT AS bsz, SUM(cr)::BIGINT AS nr,"
+        "   SUM(ct)::BIGINT AS nt FROM cnt),"
+        " w AS (SELECT u, v, CAST(ROUND((ln((ct + 1.0) / (nt + bsz))"
+        "   - ln((cr + 1.0) / (nr + bsz))) * 1000000) AS BIGINT) AS wi"
+        "   FROM cnt, tot),"
+        " sc AS (SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,"
+        "   SUM(wi)::BIGINT AS logratio_i FROM bi JOIN w USING (u, v)"
+        "   GROUP BY doc_id),"
+        " r AS (SELECT doc_id, n_bigrams, logratio_i,"
+        "   ROW_NUMBER() OVER (ORDER BY logratio_i DESC, doc_id) AS rnk,"
+        "   COUNT(*) OVER () AS n FROM sc)"
+        " SELECT doc_id, n_bigrams, logratio_i,"
+        " rnk <= (n + 3) // 4 AS selected FROM r"
     ),
     "llm_lang_id": (
         "WITH c AS (SELECT doc_id, lang,"

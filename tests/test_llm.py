@@ -1368,3 +1368,57 @@ def test_lm_perplexity_matches_pure_python_bigram_lm(spark, sf_dir):
     assert got == expected
     # all three CCNet buckets are populated
     assert {b for _, _, _, b in got.values()} == {1, 2, 3}
+
+
+def test_dsir_select_matches_pure_python_importance_ratio(spark, sf_dir):
+    """The distributed DSIR estimator (target/raw bigram counts, 1e-6-
+    integer log importance ratios, per-doc exact integer sums, top-quartile
+    rank selection) must equal an independent driver-side implementation
+    EXACTLY — including the ceil(N/4) selection boundary."""
+    import math
+
+    rows = llm.table(spark, sf_dir, "documents").collect()
+    docs = {
+        r["doc_id"]: (r["lang"], r["text"].lower().strip().split(" "))
+        for r in rows
+    }
+    cr: dict[tuple[str, str], int] = {}
+    ct: dict[tuple[str, str], int] = {}
+    for lang, ts in docs.values():
+        y = 1 if lang == "en" else 0
+        for p in zip(ts, ts[1:]):
+            cr[p] = cr.get(p, 0) + 1
+            ct[p] = ct.get(p, 0) + y
+    bsz = len(cr)
+    nr = sum(cr.values())
+    nt = sum(ct.values())
+    w = {
+        p: round(
+            (
+                math.log((ct[p] + 1.0) / (nt + bsz))
+                - math.log((c + 1.0) / (nr + bsz))
+            )
+            * 1_000_000
+        )
+        for p, c in cr.items()
+    }
+    scored = []
+    for d, (_, ts) in docs.items():
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            continue
+        scored.append((d, len(pairs), sum(w[p] for p in pairs)))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    k = (len(scored) + 3) // 4
+    expected = {
+        d: (nb, s, i < k) for i, (d, nb, s) in enumerate(scored)
+    }
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logratio_i"], r["selected"])
+        for r in llm.llm_dsir_select(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the selection is a real split: both classes populated, exactly
+    # ceil(N/4) selected
+    assert sum(1 for _, _, s in got.values() if s) == k
+    assert any(not s for _, _, s in got.values())

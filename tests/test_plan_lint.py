@@ -42,6 +42,11 @@ BNLJ_BOUNDED = {
     "crossed into the bigram weight projection (lazy plan build, same"
     " pattern as llm_tfidf); the bigram count/weight joins are plain"
     " equi-joins",
+    "llm_dsir_select": "1-row corpus-statistics aggregate (bigram masses +"
+    " distinct count) broadcast-crossed into the importance-weight"
+    " projection — the llm_tfidf/llm_lm_perplexity lazy-plan-build"
+    " pattern; the vocabulary-scale weight join is a plain equi-join,"
+    " and the 1-row n_total cross comes from dist_global_rank",
     "llm_quality_classifier": "two 1-row statistics aggregates (class"
     " totals+vocab size; log-prior) broadcast-crossed into the weight"
     " projection and the final score — same lazy-plan-build pattern as"
