@@ -1204,7 +1204,16 @@ def vacuum(
     manifests remain for audit — exactly Delta VACUUM's trade-off. The
     whole operation is metadata + filesystem: no Spark session, no data
     scan. Returns {"removed_beyond_retention", "orphans_deleted",
-    "retained_versions"}."""
+    "cdc_deleted", "retained_versions"}.
+
+    CDC JOURNAL retention rides the same window: journal files written by
+    commits at or below the oldest retained version are deleted (their
+    per-commit feed becomes unservable, exactly like snapshots beyond
+    retention), journal files of retained commits are kept, and journal
+    ORPHANS (crashed writers staging cdc files whose commit never
+    published) honor the same mtime grace. A continuous journaled stream
+    is therefore bounded by the retention window, not by its lifetime —
+    Delta bounds its ``_change_data`` directory with the identical rule."""
     import time
 
     if retain_versions < 1:
@@ -1232,8 +1241,28 @@ def vacuum(
         elif now - os.stat(full).st_mtime >= orphan_grace_seconds:
             os.unlink(full)
             orphans += 1
+    # journal files: keep those of retained commits (feed still servable
+    # inside the window), delete the rest beyond retention + aged orphans
+    cdc_retained = {
+        p for m in ms if m["version"] >= retained[0] for p in m.get("cdc", [])
+    }
+    cdc_referenced = {p for m in ms for p in m.get("cdc", [])}
+    cdc_dir = os.path.join(path, _CDC)
+    cdc_deleted = 0
+    if os.path.isdir(cdc_dir):
+        for name in sorted(os.listdir(cdc_dir)):
+            rel = f"{_CDC}/{name}"
+            if rel in cdc_retained:
+                continue
+            full = os.path.join(cdc_dir, name)
+            if rel in cdc_referenced or (
+                now - os.stat(full).st_mtime >= orphan_grace_seconds
+            ):
+                os.unlink(full)
+                cdc_deleted += 1
     return {
         "removed_beyond_retention": removed_old,
         "orphans_deleted": orphans,
+        "cdc_deleted": cdc_deleted,
         "retained_versions": retained,
     }

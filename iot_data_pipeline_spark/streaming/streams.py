@@ -519,7 +519,16 @@ def _stage_document_chunks(
     equals doc_id order and the stream's greedy-admission semantics reduce
     to one global doc_id-ordered pass (what the batch-equivalence test
     replays). Memoized like the event stagings; never mutated after
-    staging."""
+    staging.
+
+    The global-window ntile here is HARNESS STAGING, not a registered
+    query plan (the plan lint's single-partition rule therefore never
+    sees it, by the same stream_ exclusion as every foreachBatch body):
+    it exists to make the replay order bit-reproducible for the DuckDB
+    batch-equivalence oracle. A production replay at corpus scale would
+    range-partition on doc_id and write one chunk per range — the exact
+    ntile is the determinism-over-throughput trade this harness makes at
+    test scale (same adjudication as the events chunker above)."""
     key = ("documents", sf_dir, n_chunks)
     cached = _STAGED_DIRS.get(key)
     if cached is not None and os.path.isdir(cached):

@@ -935,10 +935,12 @@ def test_cdc_journal_raises_on_unjournaled_rewrite(spark, sf_dir, tmp_path):
         acid_table.table_changes_journal(spark, path, 0, 1)
 
 
-def test_cdc_journal_survives_compaction_and_vacuum(spark, sf_dir, tmp_path):
-    """Compaction contributes no feed rows, and VACUUM — which sweeps only
-    data/ — never deletes journal files: the feed still serves after the
-    pre-compaction data files are physically gone."""
+def test_cdc_journal_retention_rides_vacuum_window(spark, sf_dir, tmp_path):
+    """Compaction contributes no feed rows; VACUUM keeps journal files of
+    RETAINED commits (the feed still serves after the pre-compaction data
+    files are physically gone) and reclaims them beyond the window — a
+    continuous journaled stream's cdc/ footprint is bounded by retention,
+    not lifetime (Delta's _change_data rule)."""
     path = str(tmp_path / "t")
     t = _dup_key_frame(spark, sf_dir)
     acid_table.create(t, path, "l_orderkey", n_files=4)
@@ -947,9 +949,17 @@ def test_cdc_journal_survives_compaction_and_vacuum(spark, sf_dir, tmp_path):
     n_del = t.filter("l_quantity >= 40").count()
     feed_before = acid_table.table_changes_journal(spark, path, 0, 2)
     assert feed_before.count() == n_del  # compact added nothing
-    acid_table.vacuum(path, retain_versions=1, orphan_grace_seconds=0.0)
+    # retention window covers the journaled delete (v1): journal kept,
+    # feed identical even though v0's data files are gone
+    stats = acid_table.vacuum(path, retain_versions=2, orphan_grace_seconds=0.0)
+    assert stats["cdc_deleted"] == 0
     feed_after = acid_table.table_changes_journal(spark, path, 0, 2)
     assert feed_after.count() == n_del
-    assert (
-        feed_after.filter("change_type = 'delete'").count() == n_del
+    assert feed_after.filter("change_type = 'delete'").count() == n_del
+    # shrink retention below the journaled commit: its cdc files are
+    # reclaimed and the directory is empty — bounded forever
+    stats2 = acid_table.vacuum(
+        path, retain_versions=1, orphan_grace_seconds=0.0
     )
+    assert stats2["cdc_deleted"] > 0
+    assert os.listdir(os.path.join(path, "cdc")) == []
