@@ -328,6 +328,39 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style per-vector KEEP/PRUNE verdict (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication") — the embedding-side dedup DECISION, completing the
+    ladder's embedding rung where ``llm_dedup_embed`` emits only the
+    candidate pairs: within each cluster, a vector is PRUNED iff an
+    earlier (lower vec_id) cluster member sits above the cosine
+    threshold; the lowest-id member of every duplicate neighborhood is
+    the kept representative.
+
+    Semantics note: this is the monotone EXISTS-an-earlier-neighbor rule
+    — SQL-expressible and hash-checkable — not chain-greedy over the
+    kept-set (non-monotone; the connected-components resolution of the
+    same pair stream is ``llm_dedup_clusters``'s territory). Clusters
+    here are the fixture's ``label`` (the paper's k-means cells; the IVF
+    coarse quantizer in ``llm_sim_ivf`` is the production assignment
+    path). Scale shape: composes the bucketed pair join (never all-pairs
+    across clusters), one count aggregation per pruned vector, and one
+    left join back onto the vector spine."""
+    pairs = llm_dedup_embed(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    dups = pairs.groupBy("vec_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_earlier_dups")
+    )
+    n = F.coalesce("n_earlier_dups", F.lit(0)).cast("bigint")
+    return e.join(dups, e.vec_id == dups.vec_b, "left").select(
+        "vec_id",
+        "label",
+        n.alias("n_earlier_dups"),
+        (n > 0).alias("pruned"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -3550,6 +3583,7 @@ QUERIES = {
     "llm_quality_classifier": llm_quality_classifier,
     "llm_lm_perplexity": llm_lm_perplexity,
     "llm_dsir_select": llm_dsir_select,
+    "llm_semdedup": llm_semdedup,
     "llm_lang_id": llm_lang_id,
     "llm_fingerprint": llm_fingerprint,
     "llm_winnow_fingerprint": llm_winnow_fingerprint,
@@ -3652,6 +3686,22 @@ ORACLES = {
         " FROM embeddings a JOIN embeddings b"
         " ON a.label = b.label AND a.vec_id < b.vec_id)"
         " SELECT vec_a, vec_b, label, cosine FROM p WHERE cosine >= 0.35"
+    ),
+    # Per-vector SemDeDup verdict over the same bucketed cosine pairs:
+    # pruned iff ANY earlier same-label vector is >= the threshold.
+    "llm_semdedup": (
+        "WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
+        " ROUND(list_cosine_similarity("
+        "   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),"
+        "   list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cosine"
+        " FROM embeddings a JOIN embeddings b"
+        " ON a.label = b.label AND a.vec_id < b.vec_id),"
+        " d AS (SELECT vec_b, COUNT(*)::BIGINT AS n_earlier_dups FROM p"
+        "   WHERE cosine >= 0.35 GROUP BY vec_b)"
+        " SELECT e.vec_id, e.label,"
+        " COALESCE(d.n_earlier_dups, 0)::BIGINT AS n_earlier_dups,"
+        " COALESCE(d.n_earlier_dups, 0) > 0 AS pruned"
+        " FROM embeddings e LEFT JOIN d ON e.vec_id = d.vec_b"
     ),
     "llm_sim_topk": (
         "WITH scored AS ("

@@ -1422,3 +1422,31 @@ def test_dsir_select_matches_pure_python_importance_ratio(spark, sf_dir):
     # ceil(N/4) selected
     assert sum(1 for _, _, s in got.values() if s) == k
     assert any(not s for _, _, s in got.values())
+
+
+def test_semdedup_verdict_consistent_with_pair_stream(spark, sf_dir):
+    """The per-vector SemDeDup verdict must be exactly the EXISTS-an-
+    earlier-neighbor reduction of the llm_dedup_embed pair stream: pruned
+    == appears as the RIGHT side of some threshold pair; the lowest-id
+    member of every duplicate neighborhood is kept; the corpus splits into
+    both classes."""
+    pairs = llm.llm_dedup_embed(spark, sf_dir).collect()
+    expected_pruned = {p["vec_b"] for p in pairs}
+    verdict = {
+        r["vec_id"]: (r["n_earlier_dups"], r["pruned"])
+        for r in llm.llm_semdedup(spark, sf_dir).collect()
+    }
+    assert {v for v, (_, p) in verdict.items() if p} == expected_pruned
+    # n_earlier_dups counts the pair fan-in exactly
+    from collections import Counter
+
+    fanin = Counter(p["vec_b"] for p in pairs)
+    for v, (n, _) in verdict.items():
+        assert n == fanin.get(v, 0)
+    # every pair's LEFT endpoint that is itself never a right endpoint is
+    # kept — the neighborhood representative
+    reps = {p["vec_a"] for p in pairs} - expected_pruned
+    assert reps and all(not verdict[v][1] for v in reps)
+    assert any(p for _, (_, p) in verdict.items()) and any(
+        not p for _, (_, p) in verdict.items()
+    )
