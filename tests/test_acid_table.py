@@ -963,3 +963,56 @@ def test_cdc_journal_retention_rides_vacuum_window(spark, sf_dir, tmp_path):
     )
     assert stats2["cdc_deleted"] > 0
     assert os.listdir(os.path.join(path, "cdc")) == []
+
+
+def test_duckdb_serves_identical_cdc_journal_feed(spark, sf_dir, tmp_path):
+    """Engine portability extends to the journal: DuckDB, steered only by
+    the manifests' plain-JSON cdc lists and the append's add lists, must
+    serve the identical per-commit feed Spark does — change files are
+    plain parquet like everything else in the format."""
+    import json as _json
+
+    import duckdb
+
+    path = str(tmp_path / "t")
+    t = _dup_key_frame(spark, sf_dir)
+    acid_table.create(t, path, "l_orderkey", n_files=2)
+    acid_table.append(
+        t.withColumn("l_orderkey", F.col("l_orderkey") + 1_000_000), path, 1
+    )
+    acid_table.delete(spark, path, "l_quantity >= 40", cdc=True)
+    spark_feed = sorted(
+        tuple(r)
+        for r in acid_table.table_changes_journal(spark, path, 0, 2)
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            "change_type", "commit_version",
+        )
+        .collect()
+    )
+    parts = []
+    for m in acid_table.history(path):
+        v = m["version"]
+        if not 0 < v <= 2:
+            continue
+        if m.get("cdc"):
+            files = ", ".join(f"'{os.path.join(path, p)}'" for p in m["cdc"])
+            parts.append(
+                f"SELECT l_orderkey, l_linenumber, l_quantity, change_type,"
+                f" CAST({v} AS BIGINT) AS commit_version"
+                f" FROM read_parquet([{files}])"
+            )
+        elif m["op"] in ("create", "append", "stream-append") and m["add"]:
+            files = ", ".join(
+                f"'{os.path.join(path, a['path'])}'" for a in m["add"]
+            )
+            parts.append(
+                f"SELECT l_orderkey, l_linenumber, l_quantity,"
+                f" 'insert' AS change_type,"
+                f" CAST({v} AS BIGINT) AS commit_version"
+                f" FROM read_parquet([{files}])"
+            )
+    duck_feed = sorted(
+        tuple(r) for r in duckdb.sql(" UNION ALL ".join(parts)).fetchall()
+    )
+    assert spark_feed == duck_feed
