@@ -153,13 +153,37 @@ PICKS = {
         " an exact BIGINT sum (no float fold)"
     ),
     "llm_lm_perplexity": (
-        "bigram LM scorer (r12): pairs built per doc by zip_with over two"
-        " slices of a BOUND array column — never element_at(split(...), i)"
-        " inside the lambda, which defeats CSE and re-splits per element"
-        " (O(tokens²); measured 90 s of a 111 s wall at 125x before the"
-        " fix); counts map-side combined; integer per-doc sums; the NTILE"
-        " tercile is the one single-partition exchange, over doc-count"
-        " rows (metadata scale)"
+        "bigram LM scorer (r12, tercile distributed r13): pairs built per"
+        " doc by zip_with over two slices of a BOUND array column — never"
+        " element_at(split(...), i) inside the lambda, which defeats CSE"
+        " and re-splits per element (O(tokens²); measured 90 s of a 111 s"
+        " wall at 125x before the fix); counts map-side combined; integer"
+        " per-doc sums; the tercile is now the two-pass distributed rank"
+        " (range repartition -> per-partition row_number -> broadcast"
+        " prefix sums) — the only SinglePartition exchanges left feed the"
+        " <=numPartitions-row offsets window and scalar aggregates, never"
+        " the per-document frame (VERDICT r12 item 1)"
+    ),
+    "llm_dsir_select": (
+        "DSIR importance-ratio selection (r13): one DISK-cached corpus"
+        " explode shared by the count and scoring passes; target/raw"
+        " bigram masses from ONE pass over the count table; per-bigram"
+        " 1e-6-integer log ratios joined back as a plain equi-join (AQE"
+        " broadcast while small); top-quartile selection via the same"
+        " two-pass distributed rank — no single-task sort over the"
+        " per-document frame"
+    ),
+    "acid_cdf_journal": (
+        "write-time CDC feed (r13): the returned plan is a pure union of"
+        " journal-sliver and appended-file scans tagged per commit — no"
+        " join, no key-uniqueness requirement, no table scan; delete/merge"
+        " paid the journal at write time (one extra write of the changed"
+        " sliver)"
+    ),
+    "llm_semdedup": (
+        "per-vector SemDeDup verdict (r13): bucketed same-label cosine"
+        " pair join (never all-pairs across clusters) -> one count"
+        " aggregation -> left join onto the vector spine"
     ),
 }
 
