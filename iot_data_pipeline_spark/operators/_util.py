@@ -45,6 +45,17 @@ def dist_global_rank(df: DataFrame, *order: Column) -> DataFrame:
     bigint) and ``n_total`` (bigint). The order expressions must be a
     TOTAL order (tie-break to a unique key) or ``rnk`` is
     boundary-placement-dependent, exactly like the builtin row_number.
+
+    Plan note: the per-``_pid`` window adds a SECOND (hash) exchange of
+    the narrow frame after the range exchange — Catalyst cannot know the
+    synthetic partition id already clusters itself. The known dodge
+    (sortWithinPartitions + ``monotonically_increasing_id`` bit-sliced
+    into (pid, local index)) would make it one shuffle, but it rests on
+    the id's *current-implementation* bit layout and on physical row
+    order surviving every planner decision — determinism by convention.
+    This engine keeps the window form: determinism BY CONSTRUCTION on
+    any cluster, paid for with one extra shuffle of a narrow
+    (key + rank) frame.
     """
     from iot_data_pipeline_spark.cache_tracker import tracked_cache
 
