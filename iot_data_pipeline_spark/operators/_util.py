@@ -57,6 +57,8 @@ def dist_global_rank(df: DataFrame, *order: Column) -> DataFrame:
     any cluster, paid for with one extra shuffle of a narrow
     (key + rank) frame.
     """
+    from pyspark.storagelevel import StorageLevel
+
     from iot_data_pipeline_spark.cache_tracker import tracked_cache
 
     spark = df.sparkSession
@@ -68,7 +70,14 @@ def dist_global_rank(df: DataFrame, *order: Column) -> DataFrame:
     # cache: the ranked frame feeds three branches (ranks, per-partition
     # counts, total); one scan + one range shuffle instead of three, and
     # the materialized _pid column can never disagree between branches.
-    local = tracked_cache(ranged.withColumn("_lrank", F.row_number().over(lw)))
+    # DISK_ONLY (review finding, r13): callers rank CORPUS-SCALE frames
+    # (one row per document); a default-level pin in the protected
+    # storage region starves same-stage hash aggregations at tight heaps
+    # (the repo caching rule, cache_tracker.py).
+    local = tracked_cache(
+        ranged.withColumn("_lrank", F.row_number().over(lw)),
+        StorageLevel.DISK_ONLY,
+    )
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn"))
     # counts has ≤ `parts` rows: the global window over it is free, and
     # both side tables broadcast.

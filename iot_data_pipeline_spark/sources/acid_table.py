@@ -119,12 +119,23 @@ class LogStore:
       number of concurrent publishers of one name, exactly one returns
       True and the rest False — this single primitive is the commit
       arbiter (single-writer-per-version optimistic concurrency).
-    - :meth:`list` eventually includes every published name and never
-      shows a partial publish. It MAY lag (an eventually-consistent
-      object-store listing): a lagging reader then serves an older —
-      still consistent — snapshot, and a writer computes a stale next
-      version, loses the put_if_absent race, and retries; nothing is
-      ever lost or doubled (pinned by the racy-store contract test).
+    - :meth:`list` eventually includes every published name, never shows
+      a partial publish, and is PREFIX-CONSISTENT: it may LAG (an
+      eventually-consistent object-store listing) but what it shows is
+      always a publish-order prefix — it never reveals version N+1 while
+      hiding an earlier-published N. A lagging reader then serves an
+      older — still consistent — snapshot, and a writer computes a stale
+      next version, loses the put_if_absent race, and retries; nothing
+      is ever lost or doubled (pinned by the racy-store contract test).
+      The prefix property is LOAD-BEARING (review finding, r13): a
+      GAPPED listing would make ``_state`` replay v5 without v4's remove
+      list (a torn snapshot that never existed) and could blind the
+      exactly-once txn pre-check into double-committing an epoch — so
+      ``_state`` additionally verifies replayed versions are contiguous
+      and fails loudly on a hole rather than serving a tear. Stores that
+      cannot promise prefix listing must bind a read-after-list check or
+      a version-pointer scheme here (Delta's _last_checkpoint pointer
+      plays this role on eventually-consistent S3 listings).
     - :meth:`read` of a name list() returned (or this process published)
       returns the complete content — no torn reads, which holds because
       names are published at-most-once and content is immutable.
@@ -241,9 +252,31 @@ def _state(path: str, version: int | None = None) -> dict:
         schema = cp.get("schema")
         txns = dict(cp.get("txns", {}))
         live = {a["path"]: a for a in cp["live"]}
-    for v in mans:
-        if not start < v <= target:
-            continue
+    replayed = [v for v in mans if start < v <= target]
+    # Versions are allocated densely (every commit publishes at head+1),
+    # so a hole in the replay window means the LISTING is torn — a
+    # non-prefix-consistent store revealed a later version while hiding
+    # an earlier one. Replaying across the hole would skip that commit's
+    # remove list (a snapshot that never existed) or blind the
+    # exactly-once txn pre-check; fail loudly instead (review finding,
+    # r13 — the LogStore contract names this property).
+    if replayed:
+        # replay must also start right after the checkpoint (or at v0 on
+        # an uncheckpointed table): a hidden v11 under a visible v12 is a
+        # hole even when the visible tail is internally contiguous
+        lo = start + 1 if start >= 0 else 0
+        if replayed[0] > lo or (
+            replayed[-1] - replayed[0] != len(replayed) - 1
+        ):
+            missing = sorted(
+                set(range(lo, replayed[-1] + 1)) - set(replayed)
+            )
+            raise RuntimeError(
+                f"gap in commit log listing of {path}: versions {missing}"
+                f" are hidden while {replayed[-1]} is visible — the log "
+                "store violated prefix-consistent listing; retry the read"
+            )
+    for v in replayed:
         m = _read_manifest(path, v)
         if key is None:
             key = m["key"]
@@ -742,7 +775,15 @@ def delete(
     :func:`table_changes_journal` then serves this commit's deltas from
     the journal — exact under DUPLICATE table keys, where the read-side
     file-diff feed is ill-defined. Costs one extra write of the deleted
-    sliver, nothing at read time for non-CDF readers."""
+    sliver, nothing at read time for non-CDF readers.
+
+    NULL-predicate semantics are SQL's (review finding, r13): a row where
+    ``cond`` evaluates NULL is KEPT — deletion removes exactly the rows
+    where the predicate IS TRUE, which is also the set the hit-detection
+    scan, ``deleted_rows``, and the journal record, so snapshot, count,
+    and feed can never diverge. The naive ``filter(NOT cond)`` rewrite
+    would silently drop NULL rows from the table while journaling and
+    counting only the TRUE ones."""
     st = _state(path)
     key, live = st["key"], st["live"]
     by_abs = {os.path.realpath(os.path.join(path, f["path"])): f for f in live}
@@ -769,24 +810,38 @@ def delete(
     hit_df = _read_files(
         spark, st, [os.path.join(path, f["path"]) for f in hit_files]
     )
-    kept = hit_df.filter(f"NOT ({cond})")
-    adds = _write_data_files(kept, path, key, n_files)
-    manifest = {
-        "version": st["version"] + 1,
-        "op": "delete",
-        "key": key,
-        "schema": st.get("schema"),
-        "add": adds,
-        "remove": sorted(f["path"] for f in hit_files),
-    }
     if cdc:
-        manifest["cdc"] = _write_cdc_files(
-            hit_df.filter(cond).withColumn(
-                "change_type", F.lit("delete")
-            ),
-            path,
-        )
-    _publish(path, manifest)
+        # the journal write re-scans the hit sliver; one DISK-backed
+        # materialization serves both branches (review finding, r13)
+        from pyspark.storagelevel import StorageLevel
+
+        hit_df = hit_df.persist(StorageLevel.DISK_ONLY)
+    try:
+        # SQL DELETE semantics: remove rows where cond IS TRUE; rows
+        # where it is FALSE **or NULL** are kept (review finding, r13 —
+        # `NOT (cond)` drops NULL-predicate rows without counting or
+        # journaling them)
+        kept = hit_df.filter(f"({cond}) IS NOT TRUE")
+        adds = _write_data_files(kept, path, key, n_files)
+        manifest = {
+            "version": st["version"] + 1,
+            "op": "delete",
+            "key": key,
+            "schema": st.get("schema"),
+            "add": adds,
+            "remove": sorted(f["path"] for f in hit_files),
+        }
+        if cdc:
+            manifest["cdc"] = _write_cdc_files(
+                hit_df.filter(f"({cond}) IS TRUE").withColumn(
+                    "change_type", F.lit("delete")
+                ),
+                path,
+            )
+        _publish(path, manifest)
+    finally:
+        if cdc:
+            hit_df.unpersist()
     return {
         "rewritten": len(hit_files),
         "carried": len(live) - len(hit_files),
@@ -971,39 +1026,52 @@ def merge(
     )
     s = src.select(F.col(key).alias("__sk"), F.struct(*cols).alias("__s"))
     joined = t.join(s, t[key] == s["__sk"], "full_outer")
-    merged = joined.select(F.coalesce("__s", "__t").alias("__r")).select(
-        "__r.*"
-    )
-    adds = _write_data_files(merged, path, key, n_files)
-    manifest = {
-        "version": st["version"] + 1,
-        "op": "merge",
-        "key": key,
-        "schema": st.get("schema"),
-        "add": adds,
-        "remove": sorted(hit_paths),
-    }
     if cdc:
-        matched = joined.where(
-            F.col("__t").isNotNull() & F.col("__s").isNotNull()
+        # the rewrite and the journal's three branches all consume the
+        # join; one DISK-backed materialization instead of four
+        # executions of the dominant hit-file scan + join (review
+        # finding, r13)
+        from pyspark.storagelevel import StorageLevel
+
+        joined = joined.persist(StorageLevel.DISK_ONLY)
+    try:
+        merged = joined.select(F.coalesce("__s", "__t").alias("__r")).select(
+            "__r.*"
         )
-        changes = (
-            matched.select(
-                "__t.*", F.lit("update_preimage").alias("change_type")
+        adds = _write_data_files(merged, path, key, n_files)
+        manifest = {
+            "version": st["version"] + 1,
+            "op": "merge",
+            "key": key,
+            "schema": st.get("schema"),
+            "add": adds,
+            "remove": sorted(hit_paths),
+        }
+        if cdc:
+            matched = joined.where(
+                F.col("__t").isNotNull() & F.col("__s").isNotNull()
             )
-            .unionByName(
+            changes = (
                 matched.select(
-                    "__s.*", F.lit("update_postimage").alias("change_type")
+                    "__t.*", F.lit("update_preimage").alias("change_type")
+                )
+                .unionByName(
+                    matched.select(
+                        "__s.*",
+                        F.lit("update_postimage").alias("change_type"),
+                    )
+                )
+                .unionByName(
+                    joined.where(F.col("__t").isNull()).select(
+                        "__s.*", F.lit("insert").alias("change_type")
+                    )
                 )
             )
-            .unionByName(
-                joined.where(F.col("__t").isNull()).select(
-                    "__s.*", F.lit("insert").alias("change_type")
-                )
-            )
-        )
-        manifest["cdc"] = _write_cdc_files(changes, path)
-    _publish(path, manifest)
+            manifest["cdc"] = _write_cdc_files(changes, path)
+        _publish(path, manifest)
+    finally:
+        if cdc:
+            joined.unpersist()
     return {"rewritten": len(hit), "carried": len(live) - len(hit)}
 
 
@@ -1207,13 +1275,18 @@ def vacuum(
     "cdc_deleted", "retained_versions"}.
 
     CDC JOURNAL retention rides the same window: journal files written by
-    commits at or below the oldest retained version are deleted (their
+    commits STRICTLY BELOW the oldest retained version are deleted (their
     per-commit feed becomes unservable, exactly like snapshots beyond
-    retention), journal files of retained commits are kept, and journal
-    ORPHANS (crashed writers staging cdc files whose commit never
-    published) honor the same mtime grace. A continuous journaled stream
-    is therefore bounded by the retention window, not by its lifetime —
-    Delta bounds its ``_change_data`` directory with the identical rule."""
+    retention; the boundary commit's journal is kept, pinned in tests),
+    journal files of retained commits are kept, and journal ORPHANS
+    (crashed writers' cdc files whose commit never published) honor the
+    same mtime grace. Crashed writers' ``.stage-*`` / ``.cdc-stage-*``
+    STAGING directories under the table root are swept with the same
+    grace (review finding, r13 — without this the bounded-footprint
+    claim had a leak path no sweep covered). A continuous journaled
+    stream is therefore bounded by the retention window, not by its
+    lifetime — Delta bounds its ``_change_data`` directory with the
+    identical rule."""
     import time
 
     if retain_versions < 1:
@@ -1260,9 +1333,21 @@ def vacuum(
             ):
                 os.unlink(full)
                 cdc_deleted += 1
+    # crashed writers' staging dirs under the table root: same grace as
+    # orphans — an in-flight writer's staging is never swept
+    import shutil
+
+    staging_deleted = 0
+    for name in sorted(os.listdir(path)):
+        if name.startswith((".stage-", ".cdc-stage-")):
+            full = os.path.join(path, name)
+            if now - os.stat(full).st_mtime >= orphan_grace_seconds:
+                shutil.rmtree(full, ignore_errors=True)
+                staging_deleted += 1
     return {
         "removed_beyond_retention": removed_old,
         "orphans_deleted": orphans,
         "cdc_deleted": cdc_deleted,
+        "staging_deleted": staging_deleted,
         "retained_versions": retained,
     }

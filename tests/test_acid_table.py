@@ -1016,3 +1016,60 @@ def test_duckdb_serves_identical_cdc_journal_feed(spark, sf_dir, tmp_path):
         tuple(r) for r in duckdb.sql(" UNION ALL ".join(parts)).fetchall()
     )
     assert spark_feed == duck_feed
+
+
+def test_delete_keeps_null_predicate_rows_and_journals_consistently(
+    spark, sf_dir, tmp_path
+):
+    """SQL DELETE semantics under NULLs (review finding, r13): rows where
+    the predicate evaluates NULL are KEPT — and the snapshot, the
+    deleted_rows count, and the CDC journal must agree exactly (the naive
+    NOT(cond) rewrite silently dropped NULL rows without counting or
+    journaling them)."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).withColumn(
+        "v",
+        F.when(F.pmod("o_orderkey", F.lit(3)) == 0, F.lit(None)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    acid_table.create(t, path, "o_orderkey", n_files=2)
+    n_null = t.filter("v IS NULL").count()
+    n_true = t.filter("v >= 1000").count()
+    assert n_null > 0 and n_true > 0
+    stats = acid_table.delete(spark, path, "v >= 1000", cdc=True)
+    assert stats["deleted_rows"] == n_true
+    snap = acid_table.snapshot(spark, path)
+    # NULL-predicate rows survive; only IS TRUE rows are gone
+    assert snap.count() == t.count() - n_true
+    assert snap.filter("v IS NULL").count() == n_null
+    feed = acid_table.table_changes_journal(spark, path, 0, 1)
+    assert feed.count() == n_true
+    assert feed.filter("v IS NULL").count() == 0
+
+
+def test_vacuum_sweeps_crashed_staging_dirs(spark, sf_dir, tmp_path):
+    """Crashed writers' .stage-*/.cdc-stage-* staging directories under
+    the table root are reclaimed by vacuum with the orphan grace (review
+    finding, r13 — the one leak path no sweep covered)."""
+    path = str(tmp_path / "t")
+    acid_table.create(
+        _target(spark, sf_dir).limit(200), path, "o_orderkey", n_files=1
+    )
+    for d in (".stage-deadbeef", ".cdc-stage-deadbeef"):
+        os.makedirs(os.path.join(path, d))
+        with open(os.path.join(path, d, "part-0.parquet"), "w") as fh:
+            fh.write("junk")
+    # inside the grace window: kept (an in-flight writer looks identical)
+    stats = acid_table.vacuum(
+        path, retain_versions=1, orphan_grace_seconds=3600.0
+    )
+    assert stats["staging_deleted"] == 0
+    assert os.path.isdir(os.path.join(path, ".stage-deadbeef"))
+    # beyond the grace: swept
+    stats = acid_table.vacuum(
+        path, retain_versions=1, orphan_grace_seconds=0.0
+    )
+    assert stats["staging_deleted"] == 2
+    assert not os.path.isdir(os.path.join(path, ".stage-deadbeef"))
+    assert not os.path.isdir(os.path.join(path, ".cdc-stage-deadbeef"))

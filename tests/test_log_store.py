@@ -198,3 +198,40 @@ def test_racy_store_snapshot_is_consistent_prefix(
     assert acid_table.snapshot(
         spark, path, version=st["version"]
     ).count() == (n0 if st["version"] == 0 else 2 * n0)
+
+
+def test_gapped_listing_fails_loudly_never_serves_a_tear(
+    spark, sf_dir, tmp_path
+):
+    """A store that violates prefix-consistent listing (shows v2 while
+    hiding v1) must make _state FAIL LOUDLY — replaying across the hole
+    would skip v1's remove list and serve a snapshot that never existed
+    (review finding, r13: the contract property is load-bearing)."""
+
+    class GappedLogStore(acid_table.PosixLinkLogStore):
+        def __init__(self):
+            self.hide: set[str] = set()
+
+        def list(self, log_dir: str) -> list[str]:
+            return [
+                n for n in super().list(log_dir) if n not in self.hide
+            ]
+
+    store = GappedLogStore()
+    prev = acid_table.set_log_store(store)
+    try:
+        path = str(tmp_path / "t")
+        t = _target(spark, sf_dir).filter("o_orderkey <= 50")
+        acid_table.create(t, path, "o_orderkey", n_files=1)
+        acid_table.append(
+            t.withColumn("o_orderkey", F.col("o_orderkey") + 1000), path, 1
+        )
+        acid_table.append(
+            t.withColumn("o_orderkey", F.col("o_orderkey") + 2000), path, 1
+        )
+        assert acid_table.head(path) == 2  # sane listing: all good
+        store.hide = {"00000000000000000001.json"}  # v2 visible, v1 hidden
+        with pytest.raises(RuntimeError, match="prefix-consistent"):
+            acid_table._state(path)
+    finally:
+        acid_table.set_log_store(prev)

@@ -152,24 +152,37 @@ def _single_partition_sort_window(plan: str) -> list[str]:
 
     import re
 
+    # row-preserving nodes the planner freely interposes between a
+    # Sort/Window and its exchange — climb through them so a Project
+    # can't mask the funnel (review finding, r13)
+    pass_through = ("Project", "Filter", "ColumnarToRow", "InputAdapter")
+
     hits: list[str] = []
     for idx, line in enumerate(lines):
         if "Exchange SinglePartition" not in line:
             continue
         d = depth(line)
-        for j in range(idx - 1, -1, -1):
-            if depth(lines[j]) < d:
-                consumer = re.sub(
-                    r"^\*\(\d+\)\s*", "", lines[j].strip().lstrip(":+- ")
-                )
-                # "Sort [" is the SortExec node; SortAggregate(key=[]) is a
-                # scalar aggregate's final step (1 output row) and
-                # SortMergeJoin is not a funnel — neither matches.
-                if consumer.startswith(
-                    ("Sort [", "Window")
-                ) and "_pid#" not in consumer:
-                    hits.append(consumer[:120])
+        j = idx
+        while True:
+            j -= 1
+            if j < 0:
                 break
+            if depth(lines[j]) >= d:
+                continue
+            d = depth(lines[j])
+            consumer = re.sub(
+                r"^\*\(\d+\)\s*", "", lines[j].strip().lstrip(":+- ")
+            )
+            if consumer.startswith(pass_through):
+                continue  # keep climbing to the real consumer
+            # "Sort [" is the SortExec node; SortAggregate(key=[]) is a
+            # scalar aggregate's final step (1 output row) and
+            # SortMergeJoin is not a funnel — neither matches.
+            if consumer.startswith(
+                ("Sort [", "Window")
+            ) and "_pid#" not in consumer:
+                hits.append(consumer[:120])
+            break
     return hits
 
 
@@ -266,6 +279,21 @@ def test_single_partition_detector_classification():
         ":     +- Project [a#1]"
     )
     assert _single_partition_sort_window(nested)
+    # a planner-interposed Project between Sort and Exchange must not
+    # mask the funnel (review finding, r13)
+    masked = (
+        "*(3) Sort [x#1L ASC NULLS FIRST], true, 0\n"
+        "+- *(3) Project [x#1L, y#2]\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=7]"
+    )
+    assert _single_partition_sort_window(masked)
+    # ...but a Project under a scalar aggregate still passes
+    masked_ok = (
+        "*(2) HashAggregate(keys=[], functions=[count(1)])\n"
+        "+- *(2) Project [x#1L]\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=8]"
+    )
+    assert not _single_partition_sort_window(masked_ok)
 
 
 def test_quadratic_frame_detector_classification():
