@@ -742,3 +742,58 @@ def test_bloom_as_uint64_signed_is_bit_reinterpretation():
     assert out is unsigned
     # plain Python signed list keeps the documented view semantics
     assert np.array_equal(_bloom_as_uint64([-1]), np.array([2**64 - 1], dtype=np.uint64))
+
+
+def test_dist_global_rank_property_matches_builtin_window(spark):
+    """Property pin for the shared two-pass distributed rank (r13): on
+    random frames — duplicates in the order column forced to tie-break on
+    the key, sizes straddling the partition count, skewed value ranges —
+    (rnk, n_total) and the closed-form ntile must equal the builtin
+    row_number()/ntile() over a global window EXACTLY, for ascending and
+    descending orders."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from iot_data_pipeline_spark.operators._util import (
+        dist_global_rank,
+        ntile_closed_form,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.data())
+    def check(data):
+        n = data.draw(st.integers(1, 200), label="n_rows")
+        # small value domain so duplicate order values are common
+        vals = [
+            data.draw(st.integers(-5, 5), label=f"v{i}") for i in range(n)
+        ]
+        k = data.draw(st.integers(1, 7), label="k")
+        desc = data.draw(st.booleans(), label="desc")
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id BIGINT, v BIGINT"
+        )
+        order = (
+            [F.col("v").desc(), F.col("id")]
+            if desc
+            else [F.col("v"), F.col("id")]
+        )
+        got = {
+            r["id"]: (r["rnk"], r["n_total"], r["t"])
+            for r in dist_global_rank(df, *order)
+            .select("id", "rnk", "n_total", ntile_closed_form(k).alias("t"))
+            .collect()
+        }
+        w = Window.orderBy(*order)
+        expected = {
+            r["id"]: (r["rnk"], n, r["t"])
+            for r in df.select(
+                "id",
+                F.row_number().over(w).cast("bigint").alias("rnk"),
+                F.ntile(k).over(w).cast("bigint").alias("t"),
+            ).collect()
+        }
+        assert got == expected
+
+    check()
