@@ -321,6 +321,35 @@ def acid_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acid_table.table_changes(spark, path, 0, head)
 
 
+def acid_column_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column DATA SKIPPING from manifest stats (r13 — Delta's
+    dataSkippingNumIndexedCols): every add-entry records per-file
+    [min, max] for all integral/float/bool columns straight from the
+    parquet footers (zero extra IO), and ``snapshot(skip_where=...)``
+    drops files whose recorded range misses the predicate BEFORE Spark
+    ever lists them — metadata-time pruning on any stats-bearing column,
+    not just the table key. The fixture gives the non-key column a
+    key-monotone value (``ok_band = o_orderkey div 1024``) so the
+    key-range file layout makes per-file band ranges nearly disjoint and
+    the prune is real (pinned structurally in tests: a pruned file can be
+    physically deleted and the query still answers); the row filter still
+    applies, so the result is exact and plain SQL over orders."""
+    import tempfile
+
+    from iot_data_pipeline_spark.sources import acid_table
+
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.expr("o_orderkey div 1024").alias("ok_band"),
+    )
+    path = tempfile.mkdtemp(prefix="acid_skip_")
+    acid_table.create(base, path, "o_orderkey", n_files=8)
+    return acid_table.snapshot(spark, path, skip_where={"ok_band": (3, 5)})
+
+
 def acid_cdf_journal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-time JOURNALED Change Data Feed under DUPLICATE table keys —
     the case the read-side file-diff feed documents it cannot serve
@@ -652,6 +681,7 @@ QUERIES = {
     "acid_maintenance_snapshot": acid_maintenance_snapshot,
     "acid_schema_evolution": acid_schema_evolution,
     "acid_table_changes": acid_table_changes,
+    "acid_column_skipping": acid_column_skipping,
     "acid_cdf_journal": acid_cdf_journal,
     "acid_incremental_agg": acid_incremental_agg,
     "graph_pagerank": graph_pagerank,
@@ -750,6 +780,14 @@ ORACLES = {
         " SELECT o_orderkey, 'U', o_totalprice * 1.1, 'update_postimage'"
         " FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 7 <> 0"
         "   AND o_orderkey % 3 = 0"
+    ),
+    # Multi-column data skipping: the pruned snapshot equals the plain
+    # filter — the prune is file-granular but the row filter makes it
+    # exact, so the whole path is hash-checkable.
+    "acid_column_skipping": (
+        "SELECT o_orderkey, o_custkey, o_totalprice,"
+        " o_orderkey // 1024 AS ok_band FROM orders"
+        " WHERE o_orderkey // 1024 BETWEEN 3 AND 5"
     ),
     # Per-commit journaled feed under duplicate keys: v1 = odd-key lines
     # (inserts from the append's own files), v2 = every quantity>=40 line

@@ -423,8 +423,20 @@ def _write_data_files(
     """Write ``df`` as ≤ n_files parquet files key-range-partitioned on
     ``key`` (so file stats PRUNE under key-predicated rewrites), move them
     under data/, and return add-entries with min/max key stats read from
-    the parquet FOOTERS — the writer never re-scans its own output."""
+    the parquet FOOTERS — the writer never re-scans its own output.
+
+    Beyond the key, every add-entry also records per-file [min, max] for
+    ALL integral/float/boolean top-level columns (``"cols"``) — Delta's
+    dataSkippingNumIndexedCols stats, the substrate of
+    :func:`snapshot`'s ``skip_where`` pruning. Same footer read, zero
+    extra IO; strings are deliberately excluded (parquet writers may
+    truncate binary min/max, and a truncated max is only
+    safe-upper-bound by writer convention this format refuses to lean
+    on); a column whose stats are missing or NaN in any row group is
+    simply not recorded for that file, and skipping treats absent stats
+    as always-overlapping — conservative, never wrong."""
     import glob
+    import math
     import shutil
 
     import pyarrow.parquet as pq
@@ -442,7 +454,8 @@ def _write_data_files(
         meta = pq.read_metadata(part)
         if meta.num_rows == 0:
             continue
-        ki = meta.schema.to_arrow_schema().get_field_index(key)
+        arrow_schema = meta.schema.to_arrow_schema()
+        ki = arrow_schema.get_field_index(key)
         mins, maxs = [], []
         for rg in range(meta.num_row_groups):
             st = meta.row_group(rg).column(ki).statistics
@@ -454,16 +467,38 @@ def _write_data_files(
                 )
             mins.append(st.min)
             maxs.append(st.max)
+        cols: dict[str, list] = {}
+        for ci, name in enumerate(arrow_schema.names):
+            if name == key:
+                continue
+            cmins, cmaxs = [], []
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(ci).statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or not isinstance(st.min, (int, float, bool))
+                    or not isinstance(st.max, (int, float, bool))
+                    or (isinstance(st.min, float) and math.isnan(st.min))
+                    or (isinstance(st.max, float) and math.isnan(st.max))
+                ):
+                    cmins = []  # unusable in any row group: drop column
+                    break
+                cmins.append(st.min)
+                cmaxs.append(st.max)
+            if cmins:
+                cols[name] = [min(cmins), max(cmaxs)]
         name = f"{uuid.uuid4().hex}.parquet"
         shutil.move(part, os.path.join(data_dir, name))
-        adds.append(
-            {
-                "path": f"{_DATA}/{name}",
-                "rows": meta.num_rows,
-                "min_key": min(mins),
-                "max_key": max(maxs),
-            }
-        )
+        add = {
+            "path": f"{_DATA}/{name}",
+            "rows": meta.num_rows,
+            "min_key": min(mins),
+            "max_key": max(maxs),
+        }
+        if cols:
+            add["cols"] = cols
+        adds.append(add)
     shutil.rmtree(staging)
     return adds
 
@@ -662,6 +697,7 @@ def snapshot(
     version: int | None = None,
     key_between: tuple[int, int] | None = None,
     timestamp: float | None = None,
+    skip_where: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Read the table as of ``version`` (latest when None) — time travel
     is just replaying the log to a prefix. ``timestamp`` resolves to a
@@ -676,7 +712,15 @@ def snapshot(
     is exact, not merely file-granular). Reading through plain
     ``spark.read.parquet`` on the pruned list is deliberate: it keeps the
     whole Catalyst scan stack (pushdown, column pruning, vectorized
-    reader) — a row-serving custom connector here would forfeit all of it."""
+    reader) — a row-serving custom connector here would forfeit all of it.
+
+    ``skip_where={col: (lo, hi), ...}`` generalizes the same pruning to
+    ANY column with recorded per-file stats (r13 — Delta's multi-column
+    data skipping): a file is dropped when some predicate column's
+    recorded [min, max] misses its closed range; a file with NO recorded
+    stats for a predicate column is conservatively kept, so the prune is
+    exact on every table generation (pre-r13 manifests carry no "cols"
+    and simply never skip). The matching row filters still apply."""
     if timestamp is not None:
         if version is not None:
             raise ValueError("pass version OR timestamp, not both")
@@ -687,6 +731,16 @@ def snapshot(
     if key_between is not None:
         lo, hi = key_between
         live = [f for f in live if f["max_key"] >= lo and f["min_key"] <= hi]
+    if skip_where:
+        def _survives(f: dict) -> bool:
+            stats = f.get("cols") or {}
+            for col, (lo, hi) in skip_where.items():
+                mm = stats.get(col)
+                if mm is not None and (mm[1] < lo or mm[0] > hi):
+                    return False
+            return True
+
+        live = [f for f in live if _survives(f)]
     files = [os.path.join(path, f["path"]) for f in live]
     if not files:
         # Empty-after-prune (or a version whose every row was deleted):
@@ -720,6 +774,9 @@ def snapshot(
         df = df.filter(
             (F.col(key) >= key_between[0]) & (F.col(key) <= key_between[1])
         )
+    if skip_where:
+        for col, (lo, hi) in skip_where.items():
+            df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
     return df
 
 
@@ -733,8 +790,8 @@ def _write_cdc_files(df: DataFrame, path: str) -> list[str]:
     (Delta's ``_change_data/`` directory): they record exactly the rows an
     operation touched, so the feed needs no key uniqueness to reconstruct
     deltas — the one thing the read-side file-diff feed cannot do.
-    Invisible to snapshot readers (only ``data/`` is ever live) and
-    outside vacuum's sweep (which lists ``data/`` alone)."""
+    Invisible to snapshot readers (only ``data/`` is ever live); vacuum
+    reclaims them by the retention window (see :func:`vacuum`)."""
     import glob
     import shutil
 

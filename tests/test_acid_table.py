@@ -1073,3 +1073,84 @@ def test_vacuum_sweeps_crashed_staging_dirs(spark, sf_dir, tmp_path):
     assert stats["staging_deleted"] == 2
     assert not os.path.isdir(os.path.join(path, ".stage-deadbeef"))
     assert not os.path.isdir(os.path.join(path, ".cdc-stage-deadbeef"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-column data skipping (r13)
+# ---------------------------------------------------------------------------
+
+
+def _banded_target(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.expr("o_orderkey div 1024").alias("ok_band"),
+        )
+    )
+
+
+def test_column_stats_recorded_and_skipping_is_structural(
+    spark, sf_dir, tmp_path
+):
+    """Manifests record per-file [min, max] for numeric columns (strings
+    deliberately excluded); skip_where pruning is STRUCTURAL — a file
+    whose recorded range misses the predicate can be physically deleted
+    and the pruned read still answers exactly, while an unpruned read of
+    the same version fails."""
+    path = str(tmp_path / "t")
+    t = _banded_target(spark, sf_dir)
+    acid_table.create(t, path, "o_orderkey", n_files=8)
+    live = acid_table._state(path)["live"]
+    assert all("cols" in f for f in live)
+    assert all("ok_band" in f["cols"] for f in live)
+    assert all("o_totalprice" in f["cols"] for f in live)
+    # strings are excluded by design (truncated binary min/max hazard)
+    assert all("o_orderstatus" not in f["cols"] for f in live)
+    lo, hi = 3, 5
+    pruned_out = [
+        f
+        for f in live
+        if f["cols"]["ok_band"][1] < lo or f["cols"]["ok_band"][0] > hi
+    ]
+    assert pruned_out, "the key-monotone band must prune some files"
+    os.unlink(os.path.join(path, pruned_out[0]["path"]))
+    got = acid_table.snapshot(
+        spark, path, skip_where={"ok_band": (lo, hi)}
+    )
+    expected = t.filter(f"ok_band BETWEEN {lo} AND {hi}")
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    with pytest.raises(Exception):
+        acid_table.snapshot(spark, path).count()  # unpruned read: file gone
+
+
+def test_skip_where_is_conservative_on_stats_free_manifests(
+    spark, sf_dir, tmp_path
+):
+    """Legacy manifests (no "cols") must never be skipped: strip the
+    recorded stats from the on-disk manifest (plain JSON, simulating a
+    pre-r13 table) and the same skip_where must read EVERY file —
+    conservative, exact, just unpruned."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    t = _banded_target(spark, sf_dir)
+    acid_table.create(t, path, "o_orderkey", n_files=4)
+    man = os.path.join(path, "_log", f"{0:020d}.json")
+    with open(man) as fh:
+        m = _json.load(fh)
+    for a in m["add"]:
+        a.pop("cols", None)
+    os.unlink(man)  # tests may rewrite fixtures directly; the format
+    # itself never mutates a published manifest
+    with open(man, "w") as fh:
+        _json.dump(m, fh)
+    got = acid_table.snapshot(spark, path, skip_where={"ok_band": (3, 5)})
+    expected = t.filter("ok_band BETWEEN 3 AND 5")
+    assert got.count() == expected.count()
+    # every file was read (nothing skipped): the plan lists all 4 files
+    live = acid_table._state(path)["live"]
+    assert len(live) == 4
