@@ -61,6 +61,19 @@ def dist_global_rank(df: DataFrame, *order: Column) -> DataFrame:
 
     from iot_data_pipeline_spark.cache_tracker import tracked_cache
 
+    # ``rnk``/``n_total`` are RESERVED OUTPUT names and ``_pid``/``_lrank``/
+    # ``_off`` internal scratch (ADVICE r13): a shared utility silently
+    # overwriting a caller column of the same name — or joining/windowing
+    # on a pre-existing ``_pid`` — would corrupt the rank logic without a
+    # diagnostic. Three call sites today; fail loudly at the seam.
+    clash = {"_pid", "_lrank", "_off", "rnk", "n_total"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"dist_global_rank reserves column names {sorted(clash)} "
+            "(outputs rnk/n_total, internals _pid/_lrank/_off); rename "
+            "them on the input frame first"
+        )
+
     spark = df.sparkSession
     parts = max(2, spark.sparkContext.defaultParallelism)
     ranged = df.repartitionByRange(parts, *order).withColumn(

@@ -8,6 +8,8 @@ Layout::
 
     <table>/_log/<version:020d>.json   one manifest per commit
     <table>/data/<uuid>.parquet        immutable data files
+    <table>/cdc/<uuid>.parquet         write-time CDC journal slivers
+    <table>/dv/<uuid>.parquet          deletion-vector position sidecars
 
 A manifest records ``{"version", "op", "key", "add": [{"path", "rows",
 "min_key", "max_key"}], "remove": [path, ...]}``. The snapshot at version v
@@ -90,8 +92,6 @@ from __future__ import annotations
 import json
 import os
 import uuid
-from urllib.parse import unquote, urlparse
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -236,6 +236,23 @@ def _state(path: str, version: int | None = None) -> dict:
     if not mans:
         raise RuntimeError(f"no table at {path}")
     target = mans[-1] if version is None else version
+    if version is not None and version not in mans:
+        # An EXPLICITLY requested version must be visible in the listing
+        # (ADVICE r13, high): versions are allocated densely, so a missing
+        # one means either it was never committed (caller error) or the
+        # store's listing is LAGGING behind a publish this caller knows
+        # about — e.g. _write_checkpoint asking for the version _publish
+        # just committed. Serving the replay anyway would silently label
+        # v-lag state as "version v": a checkpoint built from it would
+        # permanently drop the hidden commits from every later snapshot,
+        # and a time-travel read would return data from a different
+        # version than requested. Fail loudly; checkpoint writes degrade
+        # to a skipped checkpoint (derived state), readers retry.
+        raise RuntimeError(
+            f"version {version} of {path} is not visible in the commit-log"
+            f" listing (visible head {mans[-1]}): never committed, or the"
+            " log store listing is lagging — retry the read"
+        )
     usable = [c for c in cps if c <= target]
     live: dict[str, dict] = {}
     key = None
@@ -291,6 +308,12 @@ def _state(path: str, version: int | None = None) -> dict:
             live.pop(p, None)
         for a in m["add"]:
             live[a["path"]] = a
+        for p, info in (m.get(_DV) or {}).items():
+            # a deletion-vector commit SUPERSEDES the file's previous
+            # vector (the new sidecar holds the union of positions);
+            # rewriting/removing the file drops its vector with it
+            if p in live:
+                live[p] = {**live[p], _DV: info}
     if key is None:  # version predates every commit: empty live set
         key = _read_manifest(path, mans[0])["key"]
     return {
@@ -576,6 +599,144 @@ def _read_files(spark: SparkSession, st: dict, files: list[str]) -> DataFrame:
     return reader.parquet(*files)
 
 
+_DV = "dv"
+
+
+def _basename(rel: str) -> str:
+    return rel.rsplit("/", 1)[-1]
+
+
+def _file_key_col():
+    """Stable per-row file identity from the scan's hidden ``_metadata``
+    column: the data-file BASENAME (uuid-named — never ambiguous, and
+    immune to the absolute-path/URI-encoding differences between engines
+    and mounts). Evaluated AT THE SCAN, so it survives joins — unlike
+    ``input_file_name()``, which is only defined scan-side."""
+    return F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+
+
+def _scan_with_pos(
+    spark: SparkSession, st: dict, files: list[str]
+) -> DataFrame:
+    """Schema-guarded scan that also carries (``__file_key``, ``__pos``):
+    the row's file basename and its position within that file
+    (``_metadata.row_index`` — parquet-reader-assigned, stable because
+    data files are immutable). The substrate of every deletion-vector
+    operation."""
+    return _read_files(spark, st, files).withColumns(
+        {
+            "__file_key": _file_key_col(),
+            "__pos": F.col("_metadata.row_index"),
+        }
+    )
+
+
+def _dv_positions(
+    spark: SparkSession, path: str, dv_map: dict[str, dict]
+) -> DataFrame:
+    """The VALID deleted positions for the given ``{data rel path: dv
+    info}`` mapping, as (file_key, pos). One commit's sidecar may carry
+    vectors for many data files (Delta's DV-file packing), and a later
+    commit SUPERSEDES a file's vector by pointing it at a new sidecar —
+    so a sidecar row counts only if the live mapping still points its
+    file at that sidecar (the join against the metadata-scale mapping
+    drops superseded rows)."""
+    sidecars = sorted({info["path"] for info in dv_map.values()})
+    dv = spark.read.parquet(
+        *[os.path.join(path, p) for p in sidecars]
+    ).select(
+        "file_key", "pos", _file_key_col().alias("__dv_file")
+    )
+    mapping = spark.createDataFrame(
+        [
+            (_basename(data), _basename(info["path"]))
+            for data, info in sorted(dv_map.items())
+        ],
+        "file_key STRING, __dv_file STRING",
+    )
+    return dv.join(F.broadcast(mapping), ["file_key", "__dv_file"]).select(
+        "file_key", "pos"
+    )
+
+
+def _read_live(
+    spark: SparkSession,
+    path: str,
+    st: dict,
+    entries: list[dict] | None = None,
+    keep_pos: bool = False,
+) -> DataFrame:
+    """DV-aware read of live-file entries: files carrying a deletion
+    vector are anti-joined against their valid deleted positions (merge-
+    on-read — the data files stay byte-identical); files without one read
+    plain. ``keep_pos=True`` retains ``__file_key``/``__pos`` on every
+    row (for writers computing new vectors).
+
+    Scale shape: the anti-join touches ONLY the dv-carrying files, its
+    build side is the deleted-position sliver (proportional to deletes,
+    not to the table — AQE broadcasts it when small), and the data-side
+    predicate pushdown is unaffected (filters on table columns sit below
+    the join). Tables with no DVs take the plain one-scan path, zero
+    overhead."""
+    entries = st["live"] if entries is None else entries
+    plain = [e for e in entries if not e.get(_DV)]
+    dved = [e for e in entries if e.get(_DV)]
+    parts: list[DataFrame] = []
+    if plain:
+        files = [os.path.join(path, e["path"]) for e in plain]
+        parts.append(
+            _scan_with_pos(spark, st, files)
+            if keep_pos
+            else _read_files(spark, st, files)
+        )
+    if dved:
+        df = _scan_with_pos(
+            spark, st, [os.path.join(path, e["path"]) for e in dved]
+        )
+        valid = _dv_positions(
+            spark, path, {e["path"]: e[_DV] for e in dved}
+        )
+        df = df.join(
+            valid,
+            (df["__file_key"] == valid["file_key"])
+            & (df["__pos"] == valid["pos"]),
+            "left_anti",
+        )
+        parts.append(df if keep_pos else df.drop("__file_key", "__pos"))
+    if not parts:
+        raise ValueError("_read_live called with no entries")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _write_dv_file(pos_df: DataFrame, path: str) -> str:
+    """Write a (file_key, pos) position frame as ONE immutable sidecar
+    under ``dv/`` and return its relative path. Single-file by design:
+    a commit's vector is proportional to the rows it deletes (trickle
+    deletes — the workload DVs exist for), and OPTIMIZE materializes
+    vectors away before they grow."""
+    import glob
+    import shutil
+
+    staging = os.path.join(path, f".dv-stage-{uuid.uuid4().hex}")
+    (
+        pos_df.coalesce(1)
+        .sortWithinPartitions("file_key", "pos")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    dv_dir = os.path.join(path, _DV)
+    os.makedirs(dv_dir, exist_ok=True)
+    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    assert len(parts) == 1
+    name = f"{uuid.uuid4().hex}.parquet"
+    shutil.move(parts[0], os.path.join(dv_dir, name))
+    shutil.rmtree(staging)
+    return f"{_DV}/{name}"
+
+
 def create(
     df: DataFrame, path: str, key: str, n_files: int = 8
 ) -> None:
@@ -688,6 +849,9 @@ def _live_files(ms: list[dict], version: int | None) -> list[dict]:
             live.pop(p, None)
         for a in m["add"]:
             live[a["path"]] = a
+        for p, info in (m.get(_DV) or {}).items():
+            if p in live:
+                live[p] = {**live[p], _DV: info}
     return list(live.values())
 
 
@@ -768,7 +932,7 @@ def snapshot(
         return spark.read.parquet(
             os.path.join(path, candidates[0]["path"])
         ).limit(0)
-    df = _read_files(spark, st, files)
+    df = _read_live(spark, path, st, entries=live)
     if key_between is not None:
         key = st["key"]
         df = df.filter(
@@ -818,13 +982,29 @@ def delete(
     cond: str,
     n_files: int = 2,
     cdc: bool = False,
+    mode: str = "cow",
 ) -> dict:
-    """Row-level DELETE, copy-on-write: rewrite ONLY the files that
-    actually CONTAIN matching rows (detected with ``input_file_name()``
-    during one predicate scan — so ANY predicate prunes, not just
-    key-range ones; the parquet scan itself still pushes the predicate
-    down for the match detection). Files without matches are carried by
-    reference. Returns {"rewritten", "carried", "deleted_rows"}.
+    """Row-level DELETE. Two physical strategies, identical semantics:
+
+    - ``mode="cow"`` (default) — copy-on-write: rewrite ONLY the files
+      that actually CONTAIN matching rows (detected from the scan's
+      ``_metadata`` file identity during one predicate scan — any
+      predicate prunes, not just key-range ones, and the parquet scan
+      still pushes the predicate down). Files without matches are
+      carried by reference.
+    - ``mode="dv"`` — merge-on-read DELETION VECTORS (VERDICT r13 item
+      1; Delta's DVs / Iceberg position deletes): data files stay
+      BYTE-UNTOUCHED — the commit writes one position sidecar under
+      ``dv/`` recording (file, row position) of the deleted rows, and
+      the manifest points each touched file at it (superseding any
+      previous vector with the union of positions). Readers anti-join
+      the positions at snapshot time; OPTIMIZE (:func:`compact`)
+      materializes vectors away. At 100 TB this turns a 1-row delete
+      from a GB-scale file rewrite into a KB-scale sidecar write — the
+      dominant write-amplification fix for trickle deletes.
+
+    Returns {"rewritten", "carried", "deleted_rows"} (plus "dv_files" in
+    dv mode: how many live files gained/updated a vector).
 
     ``cdc=True`` additionally JOURNALS the deleted rows to a write-time
     CDC file referenced by this commit's manifest (Delta's per-table
@@ -838,72 +1018,88 @@ def delete(
     ``cond`` evaluates NULL is KEPT — deletion removes exactly the rows
     where the predicate IS TRUE, which is also the set the hit-detection
     scan, ``deleted_rows``, and the journal record, so snapshot, count,
-    and feed can never diverge. The naive ``filter(NOT cond)`` rewrite
-    would silently drop NULL rows from the table while journaling and
-    counting only the TRUE ones."""
+    and feed can never diverge. Rows a previous deletion vector already
+    removed are NOT logically in the table: they are never re-counted,
+    re-journaled, or re-deleted (the hit scan runs over the DV-applied
+    logical rows)."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"delete mode must be 'cow' or 'dv', got {mode!r}")
+    from pyspark.storagelevel import StorageLevel
+
     st = _state(path)
     key, live = st["key"], st["live"]
-    by_abs = {os.path.realpath(os.path.join(path, f["path"])): f for f in live}
-    snap = _read_files(spark, st, list(by_abs))
-    hits = (
-        snap.filter(cond)
-        .select(F.input_file_name().alias("f"))
-        .groupBy("f")
-        .count()
-        .collect()
+    by_key = {_basename(e["path"]): e for e in live}
+    # one predicate scan over the LOGICAL rows (DV-applied), carrying the
+    # per-row file identity and position from scan metadata
+    logical = _read_live(spark, path, st, keep_pos=True)
+    hits = logical.filter(f"({cond}) IS TRUE").persist(
+        StorageLevel.DISK_ONLY
     )
-    hit_files = []
-    deleted = 0
-    for r in hits:
-        # input_file_name() returns a URI — percent-encoded, so a table
-        # path containing a space or '%' round-trips only through a real
-        # URI parse, not a bare 'file:' strip.
-        u = urlparse(r["f"])
-        raw = unquote(u.path) if u.scheme else r["f"]
-        hit_files.append(by_abs[os.path.realpath(raw)])
-        deleted += r["count"]
-    if not hit_files:
-        return {"rewritten": 0, "carried": len(live), "deleted_rows": 0}
-    hit_df = _read_files(
-        spark, st, [os.path.join(path, f["path"]) for f in hit_files]
-    )
-    if cdc:
-        # the journal write re-scans the hit sliver; one DISK-backed
-        # materialization serves both branches (review finding, r13)
-        from pyspark.storagelevel import StorageLevel
-
-        hit_df = hit_df.persist(StorageLevel.DISK_ONLY)
     try:
-        # SQL DELETE semantics: remove rows where cond IS TRUE; rows
-        # where it is FALSE **or NULL** are kept (review finding, r13 —
-        # `NOT (cond)` drops NULL-predicate rows without counting or
-        # journaling them)
-        kept = hit_df.filter(f"({cond}) IS NOT TRUE")
-        adds = _write_data_files(kept, path, key, n_files)
+        per_file = hits.groupBy("__file_key").count().collect()
+        deleted = int(sum(r["count"] for r in per_file))
+        hit_entries = [by_key[r["__file_key"]] for r in per_file]
+        if not hit_entries:
+            return {"rewritten": 0, "carried": len(live), "deleted_rows": 0}
+        data_cols = [
+            c for c in logical.columns if c not in ("__file_key", "__pos")
+        ]
         manifest = {
             "version": st["version"] + 1,
-            "op": "delete",
+            "op": "delete-dv" if mode == "dv" else "delete",
             "key": key,
             "schema": st.get("schema"),
-            "add": adds,
-            "remove": sorted(f["path"] for f in hit_files),
+            "add": [],
+            "remove": [],
         }
+        if mode == "dv":
+            new_pos = hits.select(
+                F.col("__file_key").alias("file_key"),
+                F.col("__pos").alias("pos"),
+            )
+            old_map = {
+                e["path"]: e[_DV] for e in hit_entries if e.get(_DV)
+            }
+            all_pos = (
+                new_pos.unionByName(_dv_positions(spark, path, old_map))
+                if old_map
+                else new_pos
+            )
+            dv_rel = _write_dv_file(all_pos, path)
+            totals = {
+                r["file_key"]: int(r["count"])
+                for r in all_pos.groupBy("file_key").count().collect()
+            }
+            manifest[_DV] = {
+                e["path"]: {
+                    "path": dv_rel,
+                    "rows": totals[_basename(e["path"])],
+                }
+                for e in hit_entries
+            }
+        else:
+            hit_df = _read_live(spark, path, st, entries=hit_entries)
+            kept = hit_df.filter(f"({cond}) IS NOT TRUE")
+            manifest["add"] = _write_data_files(kept, path, key, n_files)
+            manifest["remove"] = sorted(e["path"] for e in hit_entries)
         if cdc:
             manifest["cdc"] = _write_cdc_files(
-                hit_df.filter(f"({cond}) IS TRUE").withColumn(
+                hits.select(*data_cols).withColumn(
                     "change_type", F.lit("delete")
                 ),
                 path,
             )
         _publish(path, manifest)
     finally:
-        if cdc:
-            hit_df.unpersist()
-    return {
-        "rewritten": len(hit_files),
-        "carried": len(live) - len(hit_files),
-        "deleted_rows": int(deleted),
+        hits.unpersist()
+    out = {
+        "rewritten": 0 if mode == "dv" else len(hit_entries),
+        "carried": len(live) - (0 if mode == "dv" else len(hit_entries)),
+        "deleted_rows": deleted,
     }
+    if mode == "dv":
+        out["dv_files"] = len(hit_entries)
+    return out
 
 
 def compact(spark: SparkSession, path: str, n_files: int = 2) -> dict:
@@ -914,11 +1110,12 @@ def compact(spark: SparkSession, path: str, n_files: int = 2) -> dict:
     target file count."""
     st = _state(path)
     key, live = st["key"], st["live"]
-    if len(live) <= n_files:
+    if len(live) <= n_files and not any(e.get(_DV) for e in live):
         return {"rewritten": 0, "files_before": len(live)}
-    snap = _read_files(
-        spark, st, [os.path.join(path, f["path"]) for f in live]
-    )
+    # DV-aware read: the rewrite MATERIALIZES deletion vectors away —
+    # rewritten files carry no vector and the old sidecars age out of the
+    # live set with the files they described
+    snap = _read_live(spark, path, st, entries=live)
     adds = _write_data_files(snap, path, key, n_files)
     _publish(
         path,
@@ -1066,7 +1263,8 @@ def merge(
     }
     hit = [f for f in live if f["path"] in hit_paths]
     touched = (
-        _read_files(spark, st, [os.path.join(path, f["path"]) for f in hit])
+        _read_live(spark, path, st, entries=hit)  # DV-aware: rows a
+        # deletion vector removed must not resurface through a rewrite
         if hit
         else snapshot(spark, path).limit(0)
     )
@@ -1171,16 +1369,25 @@ def table_changes(
     st_from = _state(path, v_from)
     st_to = _state(path, v_to)
     key = st_to["key"]
-    to_paths = {f["path"] for f in st_to["live"]}
-    from_paths = {f["path"] for f in st_from["live"]}
-    old_only = [f["path"] for f in st_from["live"] if f["path"] not in to_paths]
-    new_only = [f["path"] for f in st_to["live"] if f["path"] not in from_paths]
 
-    def _side(rel_paths: list[str]) -> DataFrame:
-        if rel_paths:
-            return _read_files(
-                spark, st_to, [os.path.join(path, p) for p in rel_paths]
-            )
+    # A file's CHANGE identity is (path, deletion-vector path): a DV
+    # commit mutates a file's logical rows without touching its bytes, so
+    # diffing bare paths would miss every merge-on-read delete. A file
+    # whose vector changed lands on BOTH sides — read with its own side's
+    # vector — and the key-join nets out its unchanged rows.
+    def _ident(e: dict) -> tuple:
+        return (e["path"], (e.get(_DV) or {}).get("path"))
+
+    to_ids = {_ident(e) for e in st_to["live"]}
+    from_ids = {_ident(e) for e in st_from["live"]}
+    old_only = [e for e in st_from["live"] if _ident(e) not in to_ids]
+    new_only = [e for e in st_to["live"] if _ident(e) not in from_ids]
+
+    def _side(entries: list[dict]) -> DataFrame:
+        if entries:
+            # each side applies ITS OWN vectors; both read through the
+            # v_to schema (widening feeds NULL-fill, as documented)
+            return _read_live(spark, path, st_to, entries=entries)
         return snapshot(spark, path, version=v_to).limit(0)
 
     old_df, new_df = _side(old_only), _side(new_only)
@@ -1256,6 +1463,24 @@ def table_changes_journal(
         op = m["op"]
         if m.get("cdc") is not None:
             if m["cdc"]:
+                gone = [
+                    p
+                    for p in m["cdc"]
+                    if not os.path.exists(os.path.join(path, p))
+                ]
+                if gone:
+                    # the manifest keeps its "cdc" entry forever (audit),
+                    # but vacuum reclaims journal files beyond retention —
+                    # raise the curated beyond-retention error instead of
+                    # a raw Spark path-not-found (ADVICE r13)
+                    raise ValueError(
+                        f"commit v{v} ({op}) of {path}: journal file(s) "
+                        f"{gone} no longer exist — vacuum reclaimed them "
+                        "(the requested window reaches beyond the journal "
+                        "retention); widen vacuum retention, or serve the "
+                        "window from table_changes (file-diff feed, "
+                        "requires unique table keys)"
+                    )
                 cdc = _read_files(
                     spark,
                     {"schema": None},  # CDC files carry their own schema
@@ -1270,6 +1495,21 @@ def table_changes_journal(
                 )
         elif op in ("create", "append", "stream-append"):
             if m["add"]:
+                gone = [
+                    a["path"]
+                    for a in m["add"]
+                    if not os.path.exists(os.path.join(path, a["path"]))
+                ]
+                if gone:
+                    # an append's data files ARE its insert feed; if a
+                    # later rewrite removed them and vacuum reclaimed the
+                    # bytes, the commit's deltas are beyond retention too
+                    raise ValueError(
+                        f"commit v{v} ({op}) of {path}: its added data "
+                        f"file(s) {gone} no longer exist — vacuum "
+                        "reclaimed them (the requested window reaches "
+                        "beyond retention); widen vacuum retention"
+                    )
                 adds = _read_files(
                     spark,
                     _state(path, v),
@@ -1390,21 +1630,63 @@ def vacuum(
             ):
                 os.unlink(full)
                 cdc_deleted += 1
+    # deletion-vector sidecars ride the same retention: a sidecar some
+    # RETAINED version's live set points at must survive (that version's
+    # snapshot reads it), superseded/aged-out sidecars go, and orphans
+    # (crashed dv writers) honor the mtime grace
+    dv_retained: set[str] = set()
+    for v in retained:
+        dv_retained |= {
+            e[_DV]["path"] for e in _live_files(ms, v) if e.get(_DV)
+        }
+    dv_referenced = {
+        info["path"] for m in ms for info in (m.get(_DV) or {}).values()
+    }
+    dv_dir = os.path.join(path, _DV)
+    dv_deleted = 0
+    if os.path.isdir(dv_dir):
+        for name in sorted(os.listdir(dv_dir)):
+            rel = f"{_DV}/{name}"
+            if rel in dv_retained:
+                continue
+            full = os.path.join(dv_dir, name)
+            if rel in dv_referenced or (
+                now - os.stat(full).st_mtime >= orphan_grace_seconds
+            ):
+                os.unlink(full)
+                dv_deleted += 1
     # crashed writers' staging dirs under the table root: same grace as
-    # orphans — an in-flight writer's staging is never swept
+    # orphans — an in-flight writer's staging is never swept. Liveness is
+    # judged by the NEWEST mtime anywhere in the subtree (ADVICE r13):
+    # Spark task output lands in _temporary subdirectories and only bumps
+    # the top-level dir at task commit, so a long-running in-flight write
+    # keeps its staging alive through the files it is actually writing.
     import shutil
+
+    def _subtree_mtime(root: str) -> float:
+        newest = os.stat(root).st_mtime
+        for dirpath, dirnames, filenames in os.walk(root):
+            for n in dirnames + filenames:
+                try:
+                    newest = max(
+                        newest, os.stat(os.path.join(dirpath, n)).st_mtime
+                    )
+                except OSError:  # racing writer moved/removed it: fine
+                    pass
+        return newest
 
     staging_deleted = 0
     for name in sorted(os.listdir(path)):
-        if name.startswith((".stage-", ".cdc-stage-")):
+        if name.startswith((".stage-", ".cdc-stage-", ".dv-stage-")):
             full = os.path.join(path, name)
-            if now - os.stat(full).st_mtime >= orphan_grace_seconds:
+            if now - _subtree_mtime(full) >= orphan_grace_seconds:
                 shutil.rmtree(full, ignore_errors=True)
                 staging_deleted += 1
     return {
         "removed_beyond_retention": removed_old,
         "orphans_deleted": orphans,
         "cdc_deleted": cdc_deleted,
+        "dv_deleted": dv_deleted,
         "staging_deleted": staging_deleted,
         "retained_versions": retained,
     }

@@ -1154,3 +1154,338 @@ def test_skip_where_is_conservative_on_stats_free_manifests(
     # every file was read (nothing skipped): the plan lists all 4 files
     live = acid_table._state(path)["live"]
     assert len(live) == 4
+
+
+def test_journal_feed_beyond_vacuum_retention_raises_curated_error(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r13: vacuum reclaims below-retention CDC journal files but
+    manifests keep their "cdc" entries — a feed window touching a
+    vacuumed commit must raise the explicit beyond-retention error naming
+    vacuum, not a raw Spark path-not-found."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(400)
+    acid_table.create(t, path, "o_orderkey", n_files=2)
+    acid_table.delete(spark, path, "o_orderkey % 5 = 0", cdc=True)  # v1
+    acid_table.compact(spark, path, n_files=1)  # v2
+    acid_table.append(t.limit(0), path)  # v3 (empty append, cheap head bump)
+    acid_table.compact(spark, path, n_files=1)  # no-op (already 1 file)
+    acid_table.append(
+        t.withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000), path, 1
+    )  # v4
+    # retention keeps the last 2 versions -> v1's journal file goes
+    res = acid_table.vacuum(path, retain_versions=2, orphan_grace_seconds=0)
+    assert res["cdc_deleted"] >= 1
+    with pytest.raises(ValueError, match="vacuum reclaimed"):
+        acid_table.table_changes_journal(spark, path, 0, 4)
+    # a window that avoids the vacuumed commit still serves
+    assert acid_table.table_changes_journal(spark, path, 3, 4).count() > 0
+
+
+def test_staging_sweep_keeps_inflight_writer_by_subtree_mtime(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r13: Spark task output lands in _temporary subtrees and only
+    bumps the top-level staging dir mtime at task commit — liveness must
+    be judged by the NEWEST mtime in the subtree, or a long-running
+    in-flight write gets rmtree'd mid-write."""
+    import time
+
+    path = str(tmp_path / "t")
+    acid_table.create(
+        _target(spark, sf_dir).limit(100), path, "o_orderkey", n_files=1
+    )
+    stage = os.path.join(path, ".stage-inflight")
+    tmpdir = os.path.join(stage, "_temporary", "0")
+    os.makedirs(tmpdir)
+    old = time.time() - 7200
+    os.utime(stage, (old, old))
+    os.utime(os.path.join(stage, "_temporary"), (old, old))
+    os.utime(tmpdir, (old, old))
+    # a task is writing RIGHT NOW deep in the subtree
+    with open(os.path.join(tmpdir, "part-0"), "w") as fh:
+        fh.write("active")
+    stats = acid_table.vacuum(
+        path, retain_versions=1, orphan_grace_seconds=3600.0
+    )
+    assert stats["staging_deleted"] == 0
+    assert os.path.isdir(stage)
+    # once the whole subtree is old, it sweeps
+    for dirpath, dirnames, filenames in os.walk(stage):
+        for n in dirnames + filenames:
+            os.utime(os.path.join(dirpath, n), (old, old))
+    stats = acid_table.vacuum(
+        path, retain_versions=1, orphan_grace_seconds=3600.0
+    )
+    assert stats["staging_deleted"] == 1
+    assert not os.path.isdir(stage)
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletion vectors (r14)
+# ---------------------------------------------------------------------------
+
+
+def _file_digests(path):
+    import hashlib
+
+    out = {}
+    data_dir = os.path.join(path, "data")
+    for name in sorted(os.listdir(data_dir)):
+        with open(os.path.join(data_dir, name), "rb") as fh:
+            out[name] = hashlib.sha1(fh.read()).hexdigest()
+    return out
+
+
+def test_dv_delete_leaves_data_files_byte_untouched(spark, sf_dir, tmp_path):
+    """The structural claim DVs exist for: a DV-mode DELETE writes only a
+    position sidecar — every committed data file is BYTE-IDENTICAL after
+    the delete, yet the snapshot no longer serves the deleted rows."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(2000)
+    acid_table.create(t, path, "o_orderkey", n_files=8)
+    before = _file_digests(path)
+    res = acid_table.delete(spark, path, "o_orderkey % 5 = 0", mode="dv")
+    assert res["rewritten"] == 0
+    assert res["dv_files"] >= 1
+    assert res["deleted_rows"] == t.filter("o_orderkey % 5 = 0").count()
+    assert _file_digests(path) == before  # not a byte moved
+    assert os.path.isdir(os.path.join(path, "dv"))
+    snap = acid_table.snapshot(spark, path)
+    assert snap.count() == t.filter("o_orderkey % 5 <> 0").count()
+    assert snap.filter("o_orderkey % 5 = 0").count() == 0
+    # time travel: v0 still serves every row (the files are untouched and
+    # v0's live entries carry no vector)
+    assert acid_table.snapshot(spark, path, version=0).count() == t.count()
+
+
+def test_dv_matches_cow_and_second_delete_supersedes(spark, sf_dir, tmp_path):
+    """DV-mode snapshot hash-equals the copy-on-write result after a
+    two-delete chain, and the second vector SUPERSEDES the first with the
+    union of positions (one sidecar pointer per live file)."""
+    t = _target(spark, sf_dir).limit(2000)
+
+    def rows(path):
+        return sorted(
+            tuple(r) for r in acid_table.snapshot(spark, path).collect()
+        )
+
+    pc = str(tmp_path / "cow")
+    acid_table.create(t, pc, "o_orderkey", n_files=8)
+    acid_table.delete(spark, pc, "o_orderkey % 5 = 0", mode="cow")
+    acid_table.delete(spark, pc, "o_totalprice > 200000", mode="cow")
+    pd_ = str(tmp_path / "dv")
+    acid_table.create(t, pd_, "o_orderkey", n_files=8)
+    acid_table.delete(spark, pd_, "o_orderkey % 5 = 0", mode="dv")
+    acid_table.delete(spark, pd_, "o_totalprice > 200000", mode="dv")
+    assert rows(pc) == rows(pd_)
+    live = acid_table._state(pd_)["live"]
+    dv_paths = {e["dv"]["path"] for e in live if e.get("dv")}
+    # files both deletes hit point at the SECOND commit's sidecar, and
+    # its recorded row count is the union of both deletes' positions
+    mans = acid_table.history(pd_)
+    dv1 = {i["path"] for i in mans[1]["dv"].values()}
+    dv2 = {i["path"] for i in mans[2]["dv"].values()}
+    assert dv1 != dv2
+    both = set(mans[1]["dv"]) & set(mans[2]["dv"])
+    assert both, "fixture must have files hit by both deletes"
+    for p in both:
+        assert mans[2]["dv"][p]["rows"] > 0
+        assert mans[2]["dv"][p]["rows"] >= mans[1]["dv"][p]["rows"]
+        # the live entry points at the superseding sidecar
+        e = next(e for e in live if e["path"] == p)
+        assert e["dv"]["path"] in dv2
+    assert dv_paths <= (dv1 | dv2)
+
+
+def test_dv_null_predicate_rows_are_kept_and_not_journaled(
+    spark, sf_dir, tmp_path
+):
+    """SQL DELETE semantics hold in DV mode too: rows where the predicate
+    evaluates NULL are kept, never counted, never journaled."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(1000).withColumn(
+        "v",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    n_null = t.filter("v IS NULL").count()
+    n_true = t.filter("v >= 1000").count()
+    acid_table.create(t, path, "o_orderkey", n_files=2)
+    res = acid_table.delete(spark, path, "v >= 1000", mode="dv", cdc=True)
+    assert res["deleted_rows"] == n_true
+    snap = acid_table.snapshot(spark, path)
+    assert snap.count() == t.count() - n_true
+    assert snap.filter("v IS NULL").count() == n_null
+    feed = acid_table.table_changes_journal(spark, path, 0, 1)
+    assert feed.count() == n_true
+    assert feed.filter("v IS NULL").count() == 0
+
+
+def test_dv_second_delete_never_recounts_already_deleted_rows(
+    spark, sf_dir, tmp_path
+):
+    """A row a previous vector removed is not logically in the table: a
+    second DV delete whose predicate also matches it must not re-count,
+    re-journal, or re-delete it."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(1000)
+    acid_table.create(t, path, "o_orderkey", n_files=2)
+    acid_table.delete(spark, path, "o_orderkey % 10 = 0", mode="dv")
+    # superset predicate: %5 covers every %10 row already deleted
+    res = acid_table.delete(
+        spark, path, "o_orderkey % 5 = 0", mode="dv", cdc=True
+    )
+    only_new = t.filter(
+        "o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0"
+    ).count()
+    assert res["deleted_rows"] == only_new
+    feed = acid_table.table_changes_journal(spark, path, 1, 2)
+    assert feed.count() == only_new
+    assert (
+        acid_table.snapshot(spark, path).count()
+        == t.filter("o_orderkey % 5 <> 0").count()
+    )
+
+
+def test_optimize_materializes_deletion_vectors_away(spark, sf_dir, tmp_path):
+    """compact() applies and retires vectors: post-OPTIMIZE live entries
+    carry no dv, the snapshot is unchanged, and a below-target-file-count
+    table WITH vectors still compacts (materialization is the point)."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(1000)
+    acid_table.create(t, path, "o_orderkey", n_files=2)
+    acid_table.delete(spark, path, "o_orderkey % 5 = 0", mode="dv")
+    before = sorted(
+        tuple(r) for r in acid_table.snapshot(spark, path).collect()
+    )
+    res = acid_table.compact(spark, path, n_files=2)  # not under target,
+    # but carries vectors -> must still rewrite
+    assert res["rewritten"] == 2
+    live = acid_table._state(path)["live"]
+    assert not any(e.get("dv") for e in live)
+    after = sorted(
+        tuple(r) for r in acid_table.snapshot(spark, path).collect()
+    )
+    assert after == before
+
+
+def test_dv_file_diff_feed_and_merge_respect_vectors(spark, sf_dir, tmp_path):
+    """table_changes diffs on (path, dv) identity — a DV commit's deletes
+    appear in the file-diff feed though no file path changed — and MERGE
+    reading DV'd hit files never resurrects deleted rows."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(1000)
+    acid_table.create(t, path, "o_orderkey", n_files=4)
+    acid_table.delete(spark, path, "o_orderkey % 5 = 0", mode="dv")
+    feed = acid_table.table_changes(spark, path, 0, 1)
+    got = {
+        (r["o_orderkey"], r["change_type"]) for r in feed.collect()
+    }
+    exp = {
+        (r["o_orderkey"], "delete")
+        for r in t.filter("o_orderkey % 5 = 0").collect()
+    }
+    assert got == exp
+    src = t.filter("o_orderkey % 7 = 0").select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    acid_table.merge(spark, src, path)
+    snap = acid_table.snapshot(spark, path)
+    # %5-deleted rows stay gone unless the merge re-inserted their key
+    assert (
+        snap.filter("o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0").count()
+        == 0
+    )
+    assert snap.filter("o_orderkey % 7 = 0").count() == t.filter(
+        "o_orderkey % 7 = 0"
+    ).count()
+
+
+def test_vacuum_honors_dv_sidecar_retention(spark, sf_dir, tmp_path):
+    """A sidecar a retained version's live set points at survives vacuum
+    (its snapshot must stay byte-exact); superseded sidecars beyond
+    retention are reclaimed; dv-dir orphans honor the mtime grace."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(1000)
+    acid_table.create(t, path, "o_orderkey", n_files=2)
+    acid_table.delete(spark, path, "o_orderkey % 10 = 0", mode="dv")  # v1
+    acid_table.delete(spark, path, "o_orderkey % 5 = 0", mode="dv")  # v2
+    acid_table.append(
+        t.withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000), path
+    )  # v3
+    mans = acid_table.history(path)
+    dv1 = next(iter(mans[1]["dv"].values()))["path"]
+    dv2 = next(iter(mans[2]["dv"].values()))["path"]
+    # plant an orphan sidecar (crashed dv writer)
+    orphan = os.path.join(path, "dv", "zzzz-orphan.parquet")
+    with open(orphan, "w") as fh:
+        fh.write("junk")
+    expected = sorted(
+        tuple(r) for r in acid_table.snapshot(spark, path).collect()
+    )
+    res = acid_table.vacuum(path, retain_versions=2, orphan_grace_seconds=0)
+    # v1's superseded sidecar is beyond retention (v2, v3 retained): gone
+    assert not os.path.exists(os.path.join(path, dv1))
+    # v2's sidecar is live in both retained versions: kept, still serving
+    assert os.path.exists(os.path.join(path, dv2))
+    assert not os.path.exists(orphan)
+    assert res["dv_deleted"] == 2
+    after = sorted(
+        tuple(r) for r in acid_table.snapshot(spark, path).collect()
+    )
+    assert after == expected
+    # fresh orphans inside the grace window survive
+    with open(orphan, "w") as fh:
+        fh.write("junk")
+    res = acid_table.vacuum(
+        path, retain_versions=2, orphan_grace_seconds=3600.0
+    )
+    assert res["dv_deleted"] == 0
+    assert os.path.exists(orphan)
+
+
+def test_dv_respects_stats_pruning_and_checkpoint_rollup(
+    spark, sf_dir, tmp_path
+):
+    """key_between pruning stays exact over DV'd files (vectors only
+    shrink a file's true range — recorded stats are conservative), and
+    checkpoints roll the dv pointers up with the live entries (a replay
+    from the checkpoint alone still applies the vectors)."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(2000)
+    acid_table.create(t, path, "o_orderkey", n_files=4)
+    acid_table.delete(spark, path, "o_orderkey % 5 = 0", mode="dv")
+    max_key = t.agg(F.max("o_orderkey")).first()[0]
+    lo, hi = 10, max_key // 3
+    got = acid_table.snapshot(spark, path, key_between=(lo, hi))
+    exp = t.filter(
+        f"o_orderkey BETWEEN {lo} AND {hi} AND o_orderkey % 5 <> 0"
+    )
+    assert got.count() == exp.count()
+    # drive to the checkpoint boundary (v10)
+    for i in range(2, 11):
+        acid_table.append(
+            t.limit(50).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 1_000_000 * i
+            ),
+            path,
+            1,
+        )
+    cp = os.path.join(path, "_log", f"{10:020d}.checkpoint.json")
+    assert os.path.exists(cp)
+    import json as _json
+
+    with open(cp) as fh:
+        cp_live = _json.load(fh)["live"]
+    assert any(e.get("dv") for e in cp_live)
+    # a snapshot served from the checkpoint window still applies vectors
+    assert (
+        acid_table.snapshot(spark, path)
+        .filter("o_orderkey < 1000000 AND o_orderkey % 5 = 0")
+        .count()
+        == 0
+    )

@@ -235,3 +235,112 @@ def test_gapped_listing_fails_loudly_never_serves_a_tear(
             acid_table._state(path)
     finally:
         acid_table.set_log_store(prev)
+
+
+class HideLatestLogStore(acid_table.PosixLinkLogStore):
+    """Lagging-but-prefix-consistent store: listings hide every manifest
+    at or above ``hide_from`` (a publish-order suffix) — the exact shape
+    of an eventually-consistent object-store listing right after a
+    publish. ``None`` = healthy."""
+
+    def __init__(self, hide_from: int | None = None):
+        self.hide_from = hide_from
+
+    def list(self, log_dir: str) -> list[str]:
+        names = super().list(log_dir)
+        if self.hide_from is None:
+            return names
+        hidden = {
+            n
+            for n in names
+            if n.endswith(".json")
+            and not n.endswith(".checkpoint.json")
+            and n[:-5].isdigit()
+            and int(n[:-5]) >= self.hide_from
+        }
+        return [n for n in names if n not in hidden]
+
+
+def test_explicit_version_read_on_lagging_listing_fails_loudly(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r13 (read path): an explicit time-travel read of a version
+    the lagging listing hides must RAISE (retryable), never serve older
+    state silently labeled with the requested version."""
+    store = HideLatestLogStore()
+    prev = acid_table.set_log_store(store)
+    try:
+        path = str(tmp_path / "t")
+        t = _target(spark, sf_dir).filter("o_orderkey <= 50")
+        acid_table.create(t, path, "o_orderkey", n_files=1)
+        acid_table.append(
+            t.withColumn("o_orderkey", F.col("o_orderkey") + 1000), path, 1
+        )
+        store.hide_from = 1  # v1 published but not yet listable
+        with pytest.raises(RuntimeError, match="not visible"):
+            acid_table._state(path, 1)
+        with pytest.raises(RuntimeError, match="not visible"):
+            acid_table.snapshot(spark, path, version=1).count()
+        # implicit (latest) reads still serve the lagging prefix: v0
+        assert acid_table._state(path)["version"] == 0
+        store.hide_from = None
+        assert acid_table.snapshot(spark, path, version=1).count() > 0
+    finally:
+        acid_table.set_log_store(prev)
+
+
+def test_checkpoint_on_lagging_listing_is_skipped_never_stale(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r13 (high): _write_checkpoint builds its rollup via
+    _state(path, v) for the version _publish just committed. On a store
+    whose listing lags that publish, the old code silently rolled up
+    v-lag state under the name v — later replays starting from that
+    checkpoint would permanently drop the hidden commits. Now _state
+    raises, _publish degrades to a SKIPPED checkpoint, and the table
+    stays correct; once the listing heals, the next boundary writes a
+    good checkpoint."""
+    store = HideLatestLogStore()
+    prev = acid_table.set_log_store(store)
+    try:
+        path = str(tmp_path / "t")
+        t = _target(spark, sf_dir).filter("o_orderkey <= 50")
+        n0 = t.count()
+        acid_table.create(t, path, "o_orderkey", n_files=1)
+        # commits 1..9 under a healthy listing
+        for i in range(1, 10):
+            acid_table.append(
+                t.withColumn("o_orderkey", F.col("o_orderkey") + 1000 * i),
+                path,
+                1,
+            )
+        store.hide_from = 10  # v10's own publish will not be listable
+        acid_table.append(
+            t.withColumn("o_orderkey", F.col("o_orderkey") + 10000), path, 1
+        )
+        log_dir = os.path.join(path, "_log")
+        cps = [
+            n
+            for n in os.listdir(log_dir)
+            if n.endswith(".checkpoint.json")
+        ]
+        assert cps == [], f"stale checkpoint was written: {cps}"
+        store.hide_from = None
+        # table intact: every commit's rows readable
+        assert acid_table.snapshot(spark, path).count() == 11 * n0
+        # the next boundary (v20) checkpoints fine under a healed listing
+        for i in range(11, 21):
+            acid_table.append(
+                t.withColumn("o_orderkey", F.col("o_orderkey") + 1000 * i),
+                path,
+                1,
+            )
+        cps = [
+            n
+            for n in os.listdir(log_dir)
+            if n.endswith(".checkpoint.json")
+        ]
+        assert cps == [f"{20:020d}.checkpoint.json"]
+        assert acid_table.snapshot(spark, path).count() == 21 * n0
+    finally:
+        acid_table.set_log_store(prev)

@@ -797,3 +797,20 @@ def test_dist_global_rank_property_matches_builtin_window(spark):
         assert got == expected
 
     check()
+
+
+def test_dist_global_rank_rejects_reserved_column_collisions(spark):
+    """ADVICE r13: dist_global_rank claims _pid/_lrank/_off internally and
+    rnk/n_total as outputs — an input frame already carrying one of them
+    must be rejected at the seam, not silently overwritten."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.operators._util import dist_global_rank
+
+    df = spark.range(10).selectExpr("id", "id * 2 AS rnk")
+    with _pytest.raises(ValueError, match="reserves column names"):
+        dist_global_rank(df, F.col("id"))
+    df2 = spark.range(10).selectExpr("id", "id AS _pid")
+    with _pytest.raises(ValueError, match="reserves column names"):
+        dist_global_rank(df2, F.col("id"))
