@@ -289,43 +289,146 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", fp.alias("simhash"))
 
 
+# Per-cell member cap for the within-cluster all-pairs scoring: the same
+# bounded-group discipline as _HNSW_L1_CAP. A degenerate cluster (skewed
+# k-means cell, default label) above the cap is block-decomposed instead of
+# landing its whole |cell|² cross product in ONE join task.
+_EMB_PAIR_CAP = 2048
+
+
+def _embed_dup_pairs(v: DataFrame, threshold: float) -> DataFrame:
+    """Same-label cosine pairs ≥ ``threshold`` (vec_a < vec_b) with
+    BOUNDED work units — the hot-cluster guard (VERDICT r13 item 2).
+    ``v`` carries (vec_id, label, emb double-array, norm).
+
+    ``groupBy(label)``-shaped self-joins are O(|cell|²) inside one task
+    for a degenerate cluster. Two strategies, chosen by one label-count
+    aggregate:
+
+    - every label ≤ ``_EMB_PAIR_CAP`` members (all fixture scales): the
+      plain single-key JVM join with higher-order-function cosine —
+      bit-identical plan and result to the unguarded r13 operator;
+    - any label above the cap: LOSSLESS block decomposition + BLAS cell
+      scoring. A label with n members gets B = ceil(n / cap) hash blocks;
+      each vector ships once per block pair it participates in (side 0
+      replicated across gy, side 1 across gx — 2·n·B rows), and each
+      (label, gx, gy) cell holds ≤ ~cap rows per side, scored by ONE
+      numpy matmul inside ``applyInPandas``. Pair (x, y) is evaluated
+      EXACTLY once — in cell (gx(x), gy(y)) — so the pair set is
+      identical to the plain join (hash-green consumers stay hash-green);
+      total pair work is unchanged (exact all-pairs is Ω(pairs)) but the
+      single-task memory/wall ceiling is gone and the arithmetic runs at
+      BLAS throughput instead of per-element codegen lambdas, exactly
+      like ``_hnsw_l0_edges``'s bucketed build. Cosines round half-up to
+      4 decimals on both paths (numpy's default bankers rounding would
+      diverge from Spark's BigDecimal HALF_UP at exact .00005
+      boundaries)."""
+    import numpy as np
+    import pandas as pd
+
+    sizes = v.groupBy("label").agg(F.count(F.lit(1)).alias("n_l"))
+    max_l = sizes.agg(F.max("n_l")).first()[0] or 0
+    if max_l <= _EMB_PAIR_CAP:
+        a = v.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("label"),
+            F.col("emb").alias("emb_a"),
+            F.col("norm").alias("norm_a"),
+        )
+        b = v.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("label"),
+            F.col("emb").alias("emb_b"),
+            F.col("norm").alias("norm_b"),
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("emb_a"), F.col("emb_b"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cos = dot / (F.col("norm_a") * F.col("norm_b"))
+        return (
+            a.join(b, "label")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cosine", F.round(cos, 4))
+            .filter(F.col("cosine") >= threshold)
+            .select("vec_a", "vec_b", "label", "cosine")
+        )
+
+    blk = F.greatest(
+        F.lit(1), F.ceil(F.col("n_l") / _EMB_PAIR_CAP)
+    ).cast("int")
+    meta = sizes.select("label", blk.alias("n_blk"))
+    base = v.select("vec_id", "label", "emb").join(F.broadcast(meta), "label")
+    g_own = F.pmod(F.xxhash64("vec_id"), F.col("n_blk")).cast("int")
+    g_all = F.explode(F.sequence(F.lit(0), F.col("n_blk") - 1))
+    side0 = base.select(
+        "vec_id", "label", "emb", F.lit(0).alias("side"),
+        g_own.alias("gx"), g_all.alias("gy"),
+    )
+    side1 = base.select(
+        "vec_id", "label", "emb", F.lit(1).alias("side"),
+        g_all.alias("gx"), g_own.alias("gy"),
+    )
+
+    def _cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        left = pdf[pdf["side"] == 0]
+        right = pdf[pdf["side"] == 1]
+        if not len(left) or not len(right):
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "label": pd.Series(dtype="int32"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        va = np.array(list(left["emb"]), dtype=np.float64)
+        vb = np.array(list(right["emb"]), dtype=np.float64)
+        na = np.sqrt((va * va).sum(axis=1))
+        nb = np.sqrt((vb * vb).sum(axis=1))
+        # half-up rounding (Spark's BigDecimal HALF_UP for the positive
+        # cosines the threshold admits); np.round would go half-even
+        cos = np.floor((va @ vb.T) / np.outer(na, nb) * 10000 + 0.5) / 10000
+        ia = left["vec_id"].to_numpy()
+        ib = right["vec_id"].to_numpy()
+        keep = (cos >= threshold) & (ia[:, None] < ib[None, :])
+        r, c = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "vec_a": ia[r],
+                "vec_b": ib[c],
+                "label": np.full(len(r), pdf["label"].iloc[0], dtype="int32"),
+                "cosine": cos[r, c],
+            }
+        )
+
+    return (
+        side0.unionByName(side1)
+        .groupBy("label", "gx", "gy")
+        .applyInPandas(
+            _cell, "vec_a LONG, vec_b LONG, label INT, cosine DOUBLE"
+        )
+    )
+
+
 def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine ≥ 0.35 — calibrated to this
     synthetic corpus where same-label cosines top out ≈0.47) among same-label
     vectors. The label equality keeps the pair join bucketed (the general
-    release uses LSH buckets from llm_sim_ann); cosine is computed with
-    JVM higher-order functions in double precision."""
+    release uses LSH buckets from llm_sim_ann), and clusters above
+    ``_EMB_PAIR_CAP`` members are block-decomposed by
+    :func:`_embed_dup_pairs` so one degenerate cluster can never put its
+    whole |cell|² cross product in a single task (VERDICT r13 item 2;
+    lossless — the pair set is identical); at fixture scales the plan is
+    the plain JVM higher-order-function join, bit-identical to r13."""
     e = table(spark, sf_dir, "embeddings")
     embd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     v = e.select("vec_id", "label", embd.alias("emb")).withColumn(
         "norm",
         F.sqrt(F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x)),
     )
-    a = v.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label"),
-        F.col("emb").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
-    )
-    b = v.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label"),
-        F.col("emb").alias("emb_b"),
-        F.col("norm").alias("norm_b"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("emb_a"), F.col("emb_b"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (F.col("norm_a") * F.col("norm_b"))
-    return (
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(cos, 4))
-        .filter(F.col("cosine") >= 0.35)
-        .select("vec_a", "vec_b", "label", "cosine")
-    )
+    return _embed_dup_pairs(v, 0.35)
 
 
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -350,6 +350,40 @@ def acid_column_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acid_table.snapshot(spark, path, skip_where={"ok_band": (3, 5)})
 
 
+def acid_string_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING-column data skipping from engine-computed prefix bounds
+    (r14 — the string channel acid_column_skipping deliberately excluded:
+    parquet footer binary min/max may be writer-truncated, so the format
+    records Delta-style 32-char ``(prefix_min, upper, truncated)`` bounds
+    computed by the ENGINE at write time instead). The fixture derives a
+    key-monotone zero-padded band string (``'b' || lpad(o_orderkey div
+    1024)``) so the key-range file layout makes per-file string ranges
+    nearly disjoint and a BETWEEN on the string column prunes files at
+    metadata time (structural pin in tests: a pruned file can be deleted
+    from disk and the query still answers; non-ASCII, truncation, and
+    legacy-manifest conservatism pinned alongside). The row filter still
+    applies, so the result is exact and plain SQL over orders."""
+    import tempfile
+
+    from iot_data_pipeline_spark.sources import acid_table
+
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.concat(
+            F.lit("b"),
+            F.lpad(F.expr("cast(o_orderkey div 1024 as string)"), 6, "0"),
+        ).alias("ok_sband"),
+    )
+    path = tempfile.mkdtemp(prefix="acid_sskip_")
+    acid_table.create(base, path, "o_orderkey", n_files=8)
+    return acid_table.snapshot(
+        spark, path, skip_where={"ok_sband": ("b000003", "b000005")}
+    )
+
+
 def acid_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read DELETION VECTORS (VERDICT r13 item 1 — Delta DVs /
     Iceberg position deletes, re-derived on the manifest log): two
@@ -379,6 +413,41 @@ def acid_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     acid_table.delete(spark, path, "o_orderkey % 5 = 0", mode="dv")
     acid_table.delete(spark, path, "o_totalprice > 300000", mode="dv")
     return acid_table.snapshot(spark, path)
+
+
+def acid_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER OPTIMIZE on the manifest log (r14 stretch — Delta's
+    ``OPTIMIZE ... ZORDER BY``, composing the proven sink_zorder_layout
+    Morton key into table maintenance): create the table key-range-
+    partitioned (16 files — each covering the FULL custkey/day range, so
+    nothing but the key prunes), then ``compact(zorder_by=[o_custkey,
+    o_day])`` re-clusters every file into a localized 2-D bounding box,
+    and the write-time column stats make ``snapshot(skip_where=...)``
+    prune on BOTH non-key dimensions at metadata time. The returned 2-D
+    box read is exact (row filters still apply) and plain SQL over
+    orders; the ≥-half-the-files prune and the snapshot-unchanged claim
+    are pinned structurally in tests/test_acid_table.py."""
+    import tempfile
+
+    from iot_data_pipeline_spark.sources import acid_table
+
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).alias("o_day"),
+    )
+    path = tempfile.mkdtemp(prefix="acid_zo_")
+    acid_table.create(base, path, "o_orderkey", n_files=16)
+    acid_table.compact(
+        spark, path, n_files=16, zorder_by=["o_custkey", "o_day"]
+    )
+    return acid_table.snapshot(
+        spark, path, skip_where={"o_custkey": (20, 120), "o_day": (1800, 2200)}
+    )
 
 
 def acid_cdf_journal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -713,7 +782,9 @@ QUERIES = {
     "acid_schema_evolution": acid_schema_evolution,
     "acid_table_changes": acid_table_changes,
     "acid_column_skipping": acid_column_skipping,
+    "acid_string_skipping": acid_string_skipping,
     "acid_deletion_vectors": acid_deletion_vectors,
+    "acid_zorder_compact": acid_zorder_compact,
     "acid_cdf_journal": acid_cdf_journal,
     "acid_incremental_agg": acid_incremental_agg,
     "graph_pagerank": graph_pagerank,
@@ -820,6 +891,26 @@ ORACLES = {
         "SELECT o_orderkey, o_custkey, o_totalprice,"
         " o_orderkey // 1024 AS ok_band FROM orders"
         " WHERE o_orderkey // 1024 BETWEEN 3 AND 5"
+    ),
+    # String skipping: the pruned snapshot equals the plain filter over
+    # the derived zero-padded band string — file-granular prune, exact
+    # row filter.
+    "acid_string_skipping": (
+        "SELECT o_orderkey, o_custkey, o_totalprice,"
+        " 'b' || lpad(CAST(o_orderkey // 1024 AS VARCHAR), 6, '0')"
+        "   AS ok_sband FROM orders"
+        " WHERE 'b' || lpad(CAST(o_orderkey // 1024 AS VARCHAR), 6, '0')"
+        "   BETWEEN 'b000003' AND 'b000005'"
+    ),
+    # Z-order OPTIMIZE: the 2-D box read after re-clustering must equal
+    # the plain filter — the prune is file-granular, the row filter exact.
+    "acid_zorder_compact": (
+        "SELECT o_orderkey, o_custkey, o_totalprice,"
+        " CAST(date_diff('day', DATE '1992-01-01',"
+        "   CAST(o_orderdate AS DATE)) AS INTEGER) AS o_day FROM orders"
+        " WHERE o_custkey BETWEEN 20 AND 120"
+        " AND date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+        "   BETWEEN 1800 AND 2200"
     ),
     # DV-mode deletes must equal the copy-on-write (= plain SQL) result:
     # create (%4<>0) -> DV delete (%5=0) -> DV delete (totalprice>300k),

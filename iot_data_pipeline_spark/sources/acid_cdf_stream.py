@@ -1,0 +1,226 @@
+"""Streaming Change-Data-Feed SOURCE over the manifest-log ACID table —
+Delta's streaming CDF source re-derived on the Python DataSource API
+(VERDICT r13 item 4).
+
+The batch feeds (:func:`acid_table.table_changes_journal` /
+``table_changes``) answer "what changed between two versions"; the
+streaming source turns the same journal into a CONTINUOUS consumer
+surface: ``spark.readStream.format("acid_cdf").load(table_path)`` emits
+every commit's row-level deltas tagged (``change_type``,
+``commit_version``), with Spark's own offset checkpointing providing
+exactly-once across restarts.
+
+Micro-batch = COMMIT RANGE: offsets are ``{"version": v}`` (the last
+commit consumed), ``latestOffset`` is the table head resolved through the
+checkpoint-bounded ``_state`` replay, and ``partitions(start, end)``
+expands the range ``(start, end]`` into ONE INPUT PARTITION PER FILE —
+journal slivers for cdc-journaled commits, the added data files for
+appends (their files ARE the inserts — Delta's dataChange rule),
+nothing for compactions. Executors read each file directly with pyarrow
+(no SparkSession on that side; the DataSource API's contract) and emit
+Arrow RecordBatches aligned to the declared schema, so the per-batch
+cost is the touched slivers — never a table scan, and the work
+parallelizes file-per-task exactly like the batch feed.
+
+Schema evolution: the declared schema is fixed at stream start (Spark
+streaming schemas are static); files from BEFORE a widening NULL-fill
+the later columns, and a widening DURING the stream surfaces as a loud
+error telling the operator to restart the stream — Delta's streaming
+behavior for additive schema changes.
+
+Failure semantics: a commit in the range written without ``cdc=True``
+(unjournaled delete/merge) or whose journal files vacuum already
+reclaimed raises the same curated errors as the batch feed — the source
+never silently skips deltas.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+
+def _feed_schema(table_path: str) -> StructType:
+    """Declared source schema: the table's RECORDED schema (the format
+    records it per commit; tables created by this code always have one)
+    plus the two feed tag columns."""
+    from iot_data_pipeline_spark.sources import acid_table
+
+    st = acid_table._state(table_path)
+    sch = acid_table._schema_of(st)
+    if sch is None:
+        raise ValueError(
+            f"acid_cdf streaming source requires a recorded table schema; "
+            f"the table at {table_path} predates schema recording"
+        )
+    return StructType(
+        list(sch.fields)
+        + [
+            StructField("change_type", StringType(), False),
+            StructField("commit_version", LongType(), False),
+        ]
+    )
+
+
+class AcidCdfStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        path = options.get("path") or options.get("tablepath")
+        if not path:
+            raise ValueError(
+                "acid_cdf source needs the table path: "
+                ".load(<table_path>) or .option('tablePath', ...)"
+            )
+        self._path = path
+        self._schema = schema
+        # feed window starts AFTER this version ((v, head] ranges);
+        # -1 means "from the create commit"
+        self._start = int(options.get("startingversion", -1))
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        from iot_data_pipeline_spark.sources import acid_table
+
+        try:
+            head = acid_table._state(self._path)["version"]
+        except RuntimeError:  # no table yet: nothing to consume
+            head = self._start
+        return {"version": int(head)}
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
+        from iot_data_pipeline_spark.sources import acid_table
+
+        v_from, v_to = int(start["version"]), int(end["version"])
+        schema_json = self._schema.json()
+        parts: list[InputPartition] = []
+        committed, _ = acid_table._list_log(self._path)
+        for v in committed:
+            if not v_from < v <= v_to:
+                continue
+            m = acid_table._read_manifest(self._path, v)
+            op = m["op"]
+            if m.get("cdc") is not None:
+                rels, tag = m["cdc"], None  # tag travels inside the file
+            elif op in ("create", "append", "stream-append"):
+                rels, tag = [a["path"] for a in m["add"]], "insert"
+            elif op == "compact":
+                continue  # rewrite-in-place: no logical change
+            else:
+                raise ValueError(
+                    f"commit v{v} ({op}) of {self._path} was written "
+                    "without cdc=True, so its row-level deltas were never "
+                    "journaled; re-run the operation with cdc=True or "
+                    "consume via the batch table_changes feed"
+                )
+            for rel in rels:
+                full = os.path.join(self._path, rel)
+                if not os.path.exists(full):
+                    raise ValueError(
+                        f"commit v{v} ({op}) of {self._path}: feed file "
+                        f"{rel} no longer exists — vacuum reclaimed it "
+                        "(the stream lags beyond the journal retention); "
+                        "widen vacuum retention or restart from a newer "
+                        "startingVersion"
+                    )
+                parts.append(
+                    InputPartition(
+                        {
+                            "file": full,
+                            "change_type": tag,
+                            "commit_version": v,
+                            "schema_json": schema_json,
+                        }
+                    )
+                )
+        return parts
+
+    def read(self, partition: InputPartition) -> Iterator:
+        """Executor-side: read one feed file with pyarrow and yield Arrow
+        RecordBatches aligned to the declared schema — files from before
+        a widening NULL-fill the later columns; an UNDECLARED data column
+        (a widening after stream start) fails loudly (restart the stream
+        to adopt the wider schema)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType as _St
+
+        spec = partition.value
+        declared = _St.fromJson(json.loads(spec["schema_json"]))
+        target = to_arrow_schema(declared)
+        t = pq.read_table(spec["file"])
+        data_names = [
+            f.name
+            for f in declared.fields
+            if f.name not in ("change_type", "commit_version")
+        ]
+        extra = [
+            n
+            for n in t.column_names
+            if n not in data_names and n != "change_type"
+        ]
+        if extra:
+            raise ValueError(
+                f"feed file {spec['file']} carries columns {extra} not in "
+                "the stream's declared schema — the table widened after "
+                "stream start; restart the stream to adopt the new schema"
+            )
+        n = len(t)
+        arrays = []
+        for field in target:
+            if field.name == "commit_version":
+                arrays.append(
+                    pa.array([spec["commit_version"]] * n, field.type)
+                )
+            elif field.name == "change_type" and spec["change_type"]:
+                arrays.append(pa.array([spec["change_type"]] * n, field.type))
+            elif field.name in t.column_names:
+                arrays.append(t[field.name].combine_chunks().cast(field.type))
+            else:
+                arrays.append(pa.nulls(n, field.type))
+        aligned = pa.table(arrays, schema=target)
+        yield from aligned.to_batches()
+
+    def commit(self, end: dict) -> None:
+        # offsets live in Spark's own streaming checkpoint; the source
+        # keeps no state of its own (restart-safety is pinned in tests)
+        pass
+
+
+class AcidCdfDataSource(DataSource):
+    """``spark.readStream.format("acid_cdf").load(table_path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "acid_cdf"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path") or self.options.get("tablepath")
+        if not path:
+            raise ValueError(
+                "acid_cdf source needs the table path: "
+                ".load(<table_path>) or .option('tablePath', ...)"
+            )
+        return _feed_schema(path)
+
+    def streamReader(self, schema: StructType) -> AcidCdfStreamReader:
+        return AcidCdfStreamReader(schema, dict(self.options))
+
+
+def register(spark) -> None:
+    """Idempotent per-session registration of the source format."""
+    registered = getattr(spark, "_acid_cdf_registered", False)
+    if not registered:
+        spark.dataSource.register(AcidCdfDataSource)
+        spark._acid_cdf_registered = True

@@ -99,6 +99,44 @@ _LOG = "_log"
 _DATA = "data"
 _CHECKPOINT_EVERY = 10
 _CP_SUFFIX = ".checkpoint.json"
+# String data-skipping prefix length (Delta records 32-char prefix bounds
+# for exactly this purpose): long strings truncate to a 32-char prefix
+# lower bound and a successor-incremented exclusive upper bound.
+_STR_PREFIX = 32
+
+
+def _str_successor(s: str) -> str | None:
+    """The smallest string GREATER than every string with prefix ``s``:
+    increment the rightmost incrementable code point (skipping the
+    surrogate gap — lone surrogates are not valid Unicode and would not
+    round-trip UTF-8), dropping trailing U+10FFFF chars that cannot carry.
+    None when no upper bound exists (every char is U+10FFFF). Python and
+    Spark (UTF8_BINARY collation) both compare by code point, so the
+    bound means the same thing in both engines."""
+    chars = list(s)
+    while chars:
+        cp = ord(chars[-1])
+        if cp < 0x10FFFF:
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000
+            return "".join(chars[:-1]) + chr(nxt)
+        chars.pop()
+    return None
+
+
+def _str_prefix_bounds(smin: str, smax: str) -> list:
+    """``[prefix_min, upper, truncated]`` for a file's true string
+    [min, max]: prefix_min = min's 32-char prefix (≤ the true min, so a
+    ``prefix_min > hi`` prune is always sound); untruncated max is an
+    INCLUSIVE upper bound; a truncated max records the EXCLUSIVE
+    successor of its prefix (true max < successor — Delta's
+    increment-last-char rule), or None when no successor exists (never
+    prunes above)."""
+    pmin = smin[:_STR_PREFIX]
+    if len(smax) <= _STR_PREFIX:
+        return [pmin, smax, False]
+    return [pmin, _str_successor(smax[:_STR_PREFIX]), True]
 
 # Manifest-file reads since process start (checkpoint reads NOT counted):
 # the observable that lets tests PIN the bounded-replay claim — a
@@ -441,23 +479,31 @@ def _publish(path: str, manifest: dict) -> None:
 
 
 def _write_data_files(
-    df: DataFrame, path: str, key: str, n_files: int
+    df: DataFrame, path: str, key: str, n_files: int, order_by=None
 ) -> list[dict]:
     """Write ``df`` as ≤ n_files parquet files key-range-partitioned on
     ``key`` (so file stats PRUNE under key-predicated rewrites), move them
     under data/, and return add-entries with min/max key stats read from
     the parquet FOOTERS — the writer never re-scans its own output.
+    ``order_by`` overrides the layout with an arbitrary clustering
+    expression (range-partitioned AND sorted on it — the Z-order compact
+    path); stats collection is identical either way.
 
     Beyond the key, every add-entry also records per-file [min, max] for
     ALL integral/float/boolean top-level columns (``"cols"``) — Delta's
     dataSkippingNumIndexedCols stats, the substrate of
     :func:`snapshot`'s ``skip_where`` pruning. Same footer read, zero
-    extra IO; strings are deliberately excluded (parquet writers may
-    truncate binary min/max, and a truncated max is only
-    safe-upper-bound by writer convention this format refuses to lean
-    on); a column whose stats are missing or NaN in any row group is
-    simply not recorded for that file, and skipping treats absent stats
-    as always-overlapping — conservative, never wrong."""
+    extra IO. STRING columns get their own stats channel (``"scols"``,
+    r14): footer binary min/max may be writer-truncated — a truncated max
+    is only a safe upper bound by writer convention this format refuses
+    to lean on — so string bounds are ENGINE-COMPUTED from the staged
+    output (one narrow aggregation) and recorded as Delta-style 32-char
+    prefix bounds: ``[prefix_min, upper, truncated]`` with a
+    successor-incremented EXCLUSIVE upper when truncated (see
+    :func:`_str_prefix_bounds`). A column whose stats are missing or NaN
+    in any row group is simply not recorded for that file, and skipping
+    treats absent stats as always-overlapping — conservative, never
+    wrong."""
     import glob
     import math
     import shutil
@@ -465,13 +511,49 @@ def _write_data_files(
     import pyarrow.parquet as pq
 
     staging = os.path.join(path, f".stage-{uuid.uuid4().hex}")
-    (
-        df.repartitionByRange(n_files, key)
-        .write.mode("overwrite")
-        .parquet(staging)
+    clustered = (
+        df.repartitionByRange(n_files, order_by).sortWithinPartitions(
+            order_by
+        )
+        if order_by is not None
+        else df.repartitionByRange(n_files, key)
     )
+    clustered.write.mode("overwrite").parquet(staging)
     data_dir = os.path.join(path, _DATA)
     os.makedirs(data_dir, exist_ok=True)
+    # STRING column stats are ENGINE-COMPUTED over the staged output (r14
+    # — Delta's 32-char prefix bounds): parquet binary min/max may be
+    # writer-truncated, and a truncated footer max is only a safe upper
+    # bound by writer convention this format refuses to lean on. One
+    # per-file min/max aggregation of just the string columns (grouped on
+    # the scan's own file identity) — a single narrow columnar pass of
+    # data this writer just produced, the same moment Delta collects its
+    # write-time stats.
+    str_cols = [name for name, t in df.dtypes if t == "string"]
+    str_stats: dict[str, dict[str, list]] = {}
+    if str_cols:
+        rows = (
+            df.sparkSession.read.parquet(staging)
+            .groupBy(
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__f")
+            )
+            .agg(
+                *[F.min(c).alias(f"__min_{i}") for i, c in enumerate(str_cols)],
+                *[F.max(c).alias(f"__max_{i}") for i, c in enumerate(str_cols)],
+            )
+            .collect()
+        )
+        for r in rows:
+            per_col = {}
+            for i, c in enumerate(str_cols):
+                smin, smax = r[f"__min_{i}"], r[f"__max_{i}"]
+                if smin is None or smax is None:  # all-NULL file: no stats
+                    continue
+                per_col[c] = _str_prefix_bounds(smin, smax)
+            if per_col:
+                str_stats[r["__f"]] = per_col
     adds: list[dict] = []
     for part in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
         meta = pq.read_metadata(part)
@@ -511,6 +593,7 @@ def _write_data_files(
                 cmaxs.append(st.max)
             if cmins:
                 cols[name] = [min(cmins), max(cmaxs)]
+        scols = str_stats.get(os.path.basename(part))
         name = f"{uuid.uuid4().hex}.parquet"
         shutil.move(part, os.path.join(data_dir, name))
         add = {
@@ -521,6 +604,8 @@ def _write_data_files(
         }
         if cols:
             add["cols"] = cols
+        if scols:
+            add["scols"] = scols
         adds.append(add)
     shutil.rmtree(staging)
     return adds
@@ -884,7 +969,10 @@ def snapshot(
     recorded [min, max] misses its closed range; a file with NO recorded
     stats for a predicate column is conservatively kept, so the prune is
     exact on every table generation (pre-r13 manifests carry no "cols"
-    and simply never skip). The matching row filters still apply."""
+    and simply never skip). STRING columns prune from the engine-computed
+    32-char prefix bounds (r14, ``"scols"``): ``prefix_min > hi`` or
+    ``upper ≤/< lo`` per the truncation flag — conservative on truncation
+    and on legacy manifests. The matching row filters still apply."""
     if timestamp is not None:
         if version is not None:
             raise ValueError("pass version OR timestamp, not both")
@@ -898,10 +986,25 @@ def snapshot(
     if skip_where:
         def _survives(f: dict) -> bool:
             stats = f.get("cols") or {}
+            sstats = f.get("scols") or {}
             for col, (lo, hi) in skip_where.items():
                 mm = stats.get(col)
                 if mm is not None and (mm[1] < lo or mm[0] > hi):
                     return False
+                sb = sstats.get(col)
+                if sb is not None:
+                    pmin, upper, truncated = sb
+                    # prefix_min ≤ true min, so pmin > hi ⇒ min > hi;
+                    # untruncated upper IS the max (prune when < lo),
+                    # truncated upper is the EXCLUSIVE successor (true
+                    # max < upper, prune when upper ≤ lo); upper None =
+                    # no bound above (never prunes there)
+                    if pmin > hi:
+                        return False
+                    if upper is not None and (
+                        upper <= lo if truncated else upper < lo
+                    ):
+                        return False
             return True
 
         live = [f for f in live if _survives(f)]
@@ -1032,9 +1135,14 @@ def delete(
     # one predicate scan over the LOGICAL rows (DV-applied), carrying the
     # per-row file identity and position from scan metadata
     logical = _read_live(spark, path, st, keep_pos=True)
-    hits = logical.filter(f"({cond}) IS TRUE").persist(
-        StorageLevel.DISK_ONLY
-    )
+    hits = logical.filter(f"({cond}) IS TRUE")
+    # the hit sliver feeds 2-3 branches in dv/cdc modes (position counts,
+    # the sidecar write, the journal); one DISK-backed materialization
+    # instead of re-running the dominant scan per branch (r13 rule).
+    # Plain COW-no-journal uses it once — no persist, no extra write.
+    persisted = mode == "dv" or cdc
+    if persisted:
+        hits = hits.persist(StorageLevel.DISK_ONLY)
     try:
         per_file = hits.groupBy("__file_key").count().collect()
         deleted = int(sum(r["count"] for r in per_file))
@@ -1091,7 +1199,8 @@ def delete(
             )
         _publish(path, manifest)
     finally:
-        hits.unpersist()
+        if persisted:
+            hits.unpersist()
     out = {
         "rewritten": 0 if mode == "dv" else len(hit_entries),
         "carried": len(live) - (0 if mode == "dv" else len(hit_entries)),
@@ -1102,32 +1211,97 @@ def delete(
     return out
 
 
-def compact(spark: SparkSession, path: str, n_files: int = 2) -> dict:
+def compact(
+    spark: SparkSession,
+    path: str,
+    n_files: int = 2,
+    zorder_by: list[str] | None = None,
+) -> dict:
     """OPTIMIZE: rewrite the live file set into ``n_files`` key-range
     files (one snapshot-preserving commit — the small-files maintenance
     op every log-structured table needs; the plain-parquet analogue is
     sink_compact_files). No-op when the table is already at or under the
-    target file count."""
+    target file count (unless vectors or a zorder request force a
+    rewrite).
+
+    ``zorder_by=[x, y]`` (r14 stretch — Delta's ``OPTIMIZE ... ZORDER
+    BY``): instead of key-range layout, the rewrite clusters on the
+    Morton interleave of the two integral columns (the proven
+    ``sink_zorder_layout`` key from operators/reshape.py, composed into
+    table maintenance), so every rewritten file gets a LOCALIZED bounding
+    box in BOTH dimensions and the write-time column stats (r13) make
+    ``snapshot(skip_where=...)`` prune on either one — data skipping on
+    the second dimension is what a single-key layout can never give.
+    Values quantize to 16 bits per axis (65536 cells — the standard
+    lakehouse default; pre-derive a band column for wider domains). The
+    snapshot is byte-for-byte unchanged; only the file layout moves."""
     st = _state(path)
     key, live = st["key"], st["live"]
-    if len(live) <= n_files and not any(e.get(_DV) for e in live):
+    if (
+        len(live) <= n_files
+        and not any(e.get(_DV) for e in live)
+        and not zorder_by
+    ):
         return {"rewritten": 0, "files_before": len(live)}
     # DV-aware read: the rewrite MATERIALIZES deletion vectors away —
     # rewritten files carry no vector and the old sidecars age out of the
     # live set with the files they described
     snap = _read_live(spark, path, st, entries=live)
-    adds = _write_data_files(snap, path, key, n_files)
-    _publish(
-        path,
-        {
-            "version": st["version"] + 1,
-            "op": "compact",
-            "key": key,
-            "schema": st.get("schema"),
-            "add": adds,
-            "remove": sorted(f["path"] for f in live),
-        },
-    )
+    order_by = None
+    if zorder_by:
+        if len(zorder_by) != 2:
+            raise ValueError(
+                f"zorder_by takes exactly two columns, got {zorder_by}"
+            )
+        from iot_data_pipeline_spark.operators.reshape import zorder_key
+
+        # NORMALIZE each dimension to the full 16-bit cell range before
+        # interleaving (Delta's range-normalized z-values): raw values
+        # whose domain spans fewer bits than the other dimension's would
+        # only populate low interleave positions, and the range
+        # partitioner's top-bit splits would degenerate to single-column
+        # clustering (observed: custkey ≤ 150 at small SF never pruned).
+        # Domain bounds come from the MANIFEST's recorded column stats —
+        # zero extra scan; a column with no recorded stats anywhere
+        # (legacy manifests) falls back to one min/max aggregate.
+        def _bounds(col: str) -> tuple[float, float]:
+            mins = [
+                f["cols"][col][0]
+                for f in live
+                if col in (f.get("cols") or {})
+            ]
+            maxs = [
+                f["cols"][col][1]
+                for f in live
+                if col in (f.get("cols") or {})
+            ]
+            if mins and len(mins) == len(live):
+                return min(mins), max(maxs)
+            row = snap.agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).first()
+            return row["lo"], row["hi"]
+
+        def _scaled(col: str):
+            lo, hi = _bounds(col)
+            span = max(1, int(hi) - int(lo))
+            return F.expr(
+                f"CAST((({col} - {int(lo)}) * 65535) DIV {span} AS LONG)"
+            )
+
+        order_by = zorder_key(_scaled(zorder_by[0]), _scaled(zorder_by[1]))
+    adds = _write_data_files(snap, path, key, n_files, order_by=order_by)
+    manifest = {
+        "version": st["version"] + 1,
+        "op": "compact",
+        "key": key,
+        "schema": st.get("schema"),
+        "add": adds,
+        "remove": sorted(f["path"] for f in live),
+    }
+    if zorder_by:
+        manifest["zorder_by"] = list(zorder_by)
+    _publish(path, manifest)
     return {"rewritten": len(live), "files_before": len(live)}
 
 

@@ -951,7 +951,51 @@ def stream_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acid_table.snapshot(spark, path)
 
 
+def stream_acid_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Change-Data-Feed SOURCE (VERDICT r13 item 4 — Delta's
+    streaming CDF source on the Python DataSource API,
+    sources/acid_cdf_stream.py): replay the acid_cdf_journal trajectory —
+    create (even keys) → append (odd keys) → journaled DELETE (qty ≥ 40)
+    → OPTIMIZE (contributes nothing) → journaled pruned MERGE — then
+    consume the WHOLE feed through
+    ``spark.readStream.format("acid_cdf").load(path)`` with
+    ``trigger(availableNow=True)``. Micro-batch = commit range; every
+    partition is one journal sliver or appended file read executor-side
+    via Arrow; offsets live in Spark's checkpoint, so the accumulated
+    memory-sink feed must hash-equal the batch journal feed (same oracle
+    as ``acid_cdf_journal``) and a restart from the checkpoint appends
+    only NEW commits — zero duplicates (pinned in
+    tests/test_streaming.py)."""
+    from iot_data_pipeline_spark.sources import acid_cdf_stream, acid_table
+
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_linenumber", "l_quantity"]
+    base = li.filter("l_orderkey % 5 = 0").select(*cols)
+    path = tempfile.mkdtemp(prefix="acid_cdfs_")
+    acid_table.create(
+        base.filter("l_orderkey % 2 = 0"), path, "l_orderkey", n_files=4
+    )
+    acid_table.append(base.filter("l_orderkey % 2 = 1"), path, n_files=4)
+    acid_table.delete(spark, path, "l_quantity >= 40", n_files=4, cdc=True)
+    acid_table.compact(spark, path, n_files=2)
+    source = (
+        base.filter("l_orderkey % 3 = 0")
+        .select("l_orderkey")
+        .distinct()
+        .select(
+            "l_orderkey",
+            F.lit(-1).cast("int").alias("l_linenumber"),
+            F.lit(99.0).alias("l_quantity"),
+        )
+    )
+    acid_table.merge(spark, source, path, cdc=True)
+    acid_cdf_stream.register(spark)
+    feed = spark.readStream.format("acid_cdf").load(path)
+    return _run_to_memory(feed, "append")
+
+
 QUERIES = {
+    "stream_acid_cdf_source": stream_acid_cdf_source,
     "stream_jdbc_serving": stream_jdbc_serving,
     "stream_near_dedup": stream_near_dedup,
     "stream_acid_sink": stream_acid_sink,
@@ -1061,6 +1105,31 @@ ORACLES = {
     # transactional sink + full replay: the table must hold events exactly
     # once despite every epoch being redelivered.
     "stream_acid_sink": _EVENTS_US,
+    # streaming CDF source: the accumulated readStream feed must equal
+    # the batch journal feed over the identical trajectory — the same
+    # oracle as acid_cdf_journal (see maintenance.py for the derivation).
+    "stream_acid_cdf_source": (
+        "WITH base AS (SELECT l_orderkey, l_linenumber, l_quantity"
+        "   FROM lineitem WHERE l_orderkey % 5 = 0),"
+        " surv AS (SELECT * FROM base WHERE l_quantity < 40),"
+        " src AS (SELECT DISTINCT l_orderkey FROM base"
+        "   WHERE l_orderkey % 3 = 0)"
+        " SELECT l_orderkey, l_linenumber, l_quantity,"
+        "   'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version"
+        "   FROM base WHERE l_orderkey % 2 = 0"
+        " UNION ALL SELECT l_orderkey, l_linenumber, l_quantity,"
+        "   'insert', 1 FROM base WHERE l_orderkey % 2 = 1"
+        " UNION ALL SELECT l_orderkey, l_linenumber, l_quantity,"
+        "   'delete', 2 FROM base WHERE l_quantity >= 40"
+        " UNION ALL SELECT l_orderkey, l_linenumber, l_quantity,"
+        "   'update_preimage', 4 FROM surv WHERE l_orderkey % 3 = 0"
+        " UNION ALL SELECT s.l_orderkey, CAST(-1 AS INTEGER),"
+        "   99.0, 'update_postimage', 4"
+        "   FROM src s JOIN surv v ON v.l_orderkey = s.l_orderkey"
+        " UNION ALL SELECT s.l_orderkey, CAST(-1 AS INTEGER),"
+        "   99.0, 'insert', 4 FROM src s WHERE NOT EXISTS"
+        "   (SELECT 1 FROM surv v WHERE v.l_orderkey = s.l_orderkey)"
+    ),
     # medallion loop: the CDF-maintained silver aggregate must equal the
     # direct aggregate over events (ROUND absorbs partial-sum association).
     "stream_acid_cdf_agg": (

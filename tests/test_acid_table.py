@@ -1489,3 +1489,219 @@ def test_dv_respects_stats_pruning_and_checkpoint_rollup(
         .count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# String-column data skipping with truncated prefix bounds (r14)
+# ---------------------------------------------------------------------------
+
+
+def test_string_skipping_is_structural_and_engine_computed(
+    spark, sf_dir, tmp_path
+):
+    """String columns record engine-computed prefix bounds in "scols"
+    (never footer-trusted), and skip_where pruning on a string range is
+    STRUCTURAL: a file whose recorded bounds miss the predicate can be
+    physically deleted and the pruned read still answers exactly."""
+    path = str(tmp_path / "t")
+    t = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.concat(
+                F.lit("b"),
+                F.lpad(
+                    F.expr("cast(o_orderkey div 1024 as string)"), 6, "0"
+                ),
+            ).alias("sband"),
+        )
+    )
+    acid_table.create(t, path, "o_orderkey", n_files=8)
+    live = acid_table._state(path)["live"]
+    assert all("sband" in (f.get("scols") or {}) for f in live)
+    # short strings: untruncated, upper == true max, truncated flag False
+    assert all(f["scols"]["sband"][2] is False for f in live)
+    lo, hi = "b000003", "b000005"
+    pruned_out = [
+        f
+        for f in live
+        if f["scols"]["sband"][1] < lo or f["scols"]["sband"][0] > hi
+    ]
+    assert pruned_out, "key-monotone string bands must prune files"
+    os.unlink(os.path.join(path, pruned_out[0]["path"]))
+    got = acid_table.snapshot(spark, path, skip_where={"sband": (lo, hi)})
+    exp = t.filter(f"sband BETWEEN '{lo}' AND '{hi}'")
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    with pytest.raises(Exception):
+        acid_table.snapshot(spark, path).count()  # unpruned read: file gone
+
+
+def test_string_skipping_truncation_and_non_ascii_edges(spark, tmp_path):
+    """Long strings truncate to a 32-char prefix with a successor-
+    incremented EXCLUSIVE upper bound; pruning via the truncated bound is
+    conservative but sound (a predicate inside the prefix range keeps the
+    file; one above the successor prunes it); non-ASCII code points and
+    the no-successor (all-U+10FFFF) edge behave."""
+    # successor unit edges
+    assert acid_table._str_successor("abc") == "abd"
+    assert acid_table._str_successor("ab" + chr(0x10FFFF)) == "ac"
+    assert acid_table._str_successor(chr(0x10FFFF) * 3) is None
+    # surrogate gap is skipped, not entered
+    assert acid_table._str_successor(chr(0xD7FF)) == chr(0xE000)
+    # é (U+00E9) increments to U+00EA
+    assert acid_table._str_successor("café") == "cafê"
+    long_lo = "k" * 40  # truncates: prefix 'k'*32, successor 'k'*31 + 'l'
+    rows = [
+        (1, long_lo),
+        (2, "k" * 35),
+        (1001, "zz-café-" + "x" * 40),
+        (1002, "zz-nächste"),
+    ]
+    df = spark.createDataFrame(rows, "k LONG, s STRING")
+    path = str(tmp_path / "t")
+    acid_table.create(df, path, "k", n_files=2)
+    live = sorted(
+        acid_table._state(path)["live"], key=lambda e: e["min_key"]
+    )
+    assert len(live) == 2
+    lo_bounds = live[0]["scols"]["s"]
+    assert lo_bounds[0] == "k" * 32  # prefix_min
+    assert lo_bounds[1] == "k" * 31 + "l"  # successor of the prefix
+    assert lo_bounds[2] is True
+    hi_bounds = live[1]["scols"]["s"]
+    # min is the long café string (prefix-truncated to 32 chars); max is
+    # the SHORT 'zz-nächste' — so the upper bound is exact, untruncated
+    assert hi_bounds[0] == "zz-café-" + "x" * (32 - 8)
+    assert hi_bounds[1] == "zz-nächste"
+    assert hi_bounds[2] is False
+    # a range ABOVE the low file's successor prunes it (sound: true max
+    # k*40 < k*31+'l'); a range at the prefix itself conservatively keeps
+    got = acid_table.snapshot(spark, path, skip_where={"s": ("m", "n")})
+    assert got.count() == 0  # both files pruned or filtered — exact
+    kept = acid_table.snapshot(
+        spark, path, skip_where={"s": ("k" * 32, "k" * 33)}
+    )
+    assert kept.count() == df.filter(
+        f"s BETWEEN '{'k' * 32}' AND '{'k' * 33}'"
+    ).count()
+    # non-ASCII range: only the zz file matches
+    za = acid_table.snapshot(
+        spark, path, skip_where={"s": ("zz-a", "zz-z")}
+    )
+    assert za.count() == 2
+
+
+def test_string_skipping_legacy_manifests_never_skip(spark, sf_dir, tmp_path):
+    """Manifests without "scols" (pre-r14 tables) must never be skipped —
+    strip the recorded string stats and the same skip_where reads every
+    file: conservative, exact, just unpruned."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    t = (
+        table(spark, sf_dir, "orders")
+        .limit(2000)
+        .select(
+            "o_orderkey",
+            F.concat(
+                F.lit("b"),
+                F.lpad(
+                    F.expr("cast(o_orderkey div 256 as string)"), 6, "0"
+                ),
+            ).alias("sband"),
+        )
+    )
+    acid_table.create(t, path, "o_orderkey", n_files=4)
+    man = os.path.join(path, "_log", f"{0:020d}.json")
+    with open(man) as fh:
+        m = _json.load(fh)
+    for a in m["add"]:
+        a.pop("scols", None)
+    os.unlink(man)  # fixture surgery; the format never mutates manifests
+    with open(man, "w") as fh:
+        _json.dump(m, fh)
+    got = acid_table.snapshot(
+        spark, path, skip_where={"sband": ("b000001", "b000002")}
+    )
+    exp = t.filter("sband BETWEEN 'b000001' AND 'b000002'")
+    assert got.count() == exp.count()
+
+
+# ---------------------------------------------------------------------------
+# Z-order OPTIMIZE (r14 stretch)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_compact_prunes_second_dimension_snapshot_unchanged(
+    spark, sf_dir, tmp_path
+):
+    """OPTIMIZE ZORDER BY as table maintenance: before the re-cluster the
+    key-range layout gives every file the FULL custkey range (a custkey
+    predicate prunes nothing from recorded stats); after
+    compact(zorder_by=[o_custkey, o_day]) a second-dimension box prunes
+    ≥ half the files at metadata time — and the snapshot is value-
+    identical (layout moved, data did not). Also pins that a DV present
+    before the zorder compact is materialized through it."""
+    path = str(tmp_path / "t")
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).alias("o_day"),
+    )
+    acid_table.create(base, path, "o_orderkey", n_files=16)
+    acid_table.delete(spark, path, "o_orderkey % 97 = 0", mode="dv")
+    max_ck = base.agg(F.max("o_custkey")).first()[0]
+    # a box spanning ~1/16 of the custkey domain, off-center so it sits
+    # inside one z-band instead of straddling a band boundary (scale-
+    # relative: the prune claim must hold at every SF)
+    box = (max_ck // 8, max_ck // 8 + max(1, max_ck // 16))
+
+    def pruned_files(live, col, lo, hi):
+        return [
+            f
+            for f in live
+            if (f.get("cols") or {}).get(col) is not None
+            and (f["cols"][col][1] < lo or f["cols"][col][0] > hi)
+        ]
+
+    live0 = acid_table._state(path)["live"]
+    assert len(pruned_files(live0, "o_custkey", *box)) == 0  # key layout:
+    # every file spans the full custkey range — second dim never prunes
+    before = sorted(
+        tuple(r) for r in acid_table.snapshot(spark, path).collect()
+    )
+    res = acid_table.compact(
+        spark, path, n_files=16, zorder_by=["o_custkey", "o_day"]
+    )
+    assert res["rewritten"] == 16
+    live1 = acid_table._state(path)["live"]
+    assert not any(e.get("dv") for e in live1)  # vectors materialized
+    pruned = pruned_files(live1, "o_custkey", *box)
+    assert len(pruned) >= len(live1) // 2, (
+        f"only {len(pruned)}/{len(live1)} files prune on the second "
+        "dimension after ZORDER"
+    )
+    after = sorted(
+        tuple(r) for r in acid_table.snapshot(spark, path).collect()
+    )
+    assert after == before
+    # the pruned 2-D box read is exact AND structural: delete a file the
+    # box prunes, the skip_where read still answers
+    os.unlink(os.path.join(path, pruned[0]["path"]))
+    day_box = (1800, 2200)
+    got = acid_table.snapshot(
+        spark, path, skip_where={"o_custkey": box, "o_day": day_box}
+    )
+    exp = base.filter(
+        f"o_custkey BETWEEN {box[0]} AND {box[1]}"
+        f" AND o_day BETWEEN {day_box[0]} AND {day_box[1]}"
+        " AND NOT (o_orderkey % 97 = 0)"
+    )
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0

@@ -1450,3 +1450,83 @@ def test_semdedup_verdict_consistent_with_pair_stream(spark, sf_dir):
     assert any(p for _, (_, p) in verdict.items()) and any(
         not p for _, (_, p) in verdict.items()
     )
+
+
+def _planted_vectors(spark, n_hot=300, n_cold=120, dim=8, seed=7):
+    """Synthetic embeddings: one HOT label (0) holding ~70% of vectors —
+    the degenerate k-means cell — plus two small labels; deterministic
+    values with a planted near-dup structure (vectors share a base
+    direction per small group, so thresholded pairs exist)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_hot):
+        base = rng.standard_normal(dim) if i % 3 == 0 else np.array(rows[-1][1])
+        vec = base + 0.05 * rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in vec], 0))
+    for i in range(n_cold):
+        vec = rng.standard_normal(dim)
+        rows.append((10000 + i, [float(x) for x in vec], 1 + i % 2))
+    return spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT"
+    )
+
+
+def test_embed_pair_guard_is_lossless_on_a_planted_hot_cluster(
+    spark, monkeypatch
+):
+    """The hot-cluster guard (VERDICT r13 item 2) is LOSSLESS: with the
+    cap forced tiny, a planted degenerate cluster (one label holding ~70%
+    of vectors) takes the block-decomposed BLAS path, yet the thresholded
+    pair set is IDENTICAL to the plain single-key join — every pair
+    evaluated exactly once, none lost, none doubled."""
+    from pyspark.sql import functions as F
+
+    from iot_data_pipeline_spark.operators import llm
+
+    e = _planted_vectors(spark)
+    v = e.select(
+        "vec_id", "label", F.col("embedding").alias("emb")
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    plain = {
+        (r["vec_a"], r["vec_b"], r["label"], r["cosine"])
+        for r in llm._embed_dup_pairs(v, 0.35).collect()
+    }
+    assert plain, "the planted structure must produce threshold pairs"
+    monkeypatch.setattr(llm, "_EMB_PAIR_CAP", 64)
+    guarded_df = llm._embed_dup_pairs(v, 0.35)
+    guarded = {
+        (r["vec_a"], r["vec_b"], r["label"], r["cosine"])
+        for r in guarded_df.collect()
+    }
+    assert guarded == plain
+    assert guarded_df.count() == len(plain)  # exactly-once, no doubles
+
+
+def test_dedup_embed_and_semdedup_unchanged_under_forced_decomposition(
+    spark, sf_dir, monkeypatch
+):
+    """Forcing the guard ON at fixture scale (cap below every label's
+    size) must leave llm_dedup_embed's pair set — and therefore
+    llm_semdedup's verdicts — identical to the unguarded run: the
+    decomposition is an execution detail, not a semantics change."""
+    from iot_data_pipeline_spark.operators import llm
+
+    baseline = {
+        tuple(r) for r in llm.llm_dedup_embed(spark, sf_dir).collect()
+    }
+    verd_base = {
+        tuple(r) for r in llm.llm_semdedup(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(llm, "_EMB_PAIR_CAP", 16)
+    forced = {
+        tuple(r) for r in llm.llm_dedup_embed(spark, sf_dir).collect()
+    }
+    assert forced == baseline
+    assert verd_base == {
+        tuple(r) for r in llm.llm_semdedup(spark, sf_dir).collect()
+    }

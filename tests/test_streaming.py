@@ -520,3 +520,158 @@ def test_medallion_fold_catches_up_after_silver_crash(spark, sf_dir, tmp_path):
         len(acid_table.history(bronze)),
         len(acid_table.history(silver)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDF source (r14)
+# ---------------------------------------------------------------------------
+
+
+def _cdf_stream_table(spark, sf_dir, tmp_path):
+    from iot_data_pipeline_spark.sources import acid_table
+
+    t = (
+        table(spark, sf_dir, "orders")
+        .limit(600)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    path = str(tmp_path / "t")
+    acid_table.create(t.filter("o_orderkey % 2 = 0"), path, "o_orderkey", 2)
+    acid_table.append(t.filter("o_orderkey % 2 = 1"), path, 2)
+    acid_table.delete(spark, path, "o_orderkey % 5 = 0", cdc=True)
+    return path, t
+
+
+def _consume(spark, path, ckpt, name, sink_dir=None):
+    """Run the CDF source to completion. Memory sink by default; pass
+    ``sink_dir`` for a parquet sink (the memory sink cannot RECOVER from
+    a checkpoint, so restart tests need a fault-tolerant sink)."""
+    from iot_data_pipeline_spark.sources import acid_cdf_stream
+
+    acid_cdf_stream.register(spark)
+    w = (
+        spark.readStream.format("acid_cdf")
+        .load(path)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+    )
+    if sink_dir is not None:
+        q = w.format("parquet").option("path", sink_dir).start()
+        q.awaitTermination()
+        return spark.read.parquet(sink_dir)
+    q = w.format("memory").queryName(name).start()
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_cdf_source_restart_from_checkpoint_zero_duplicates(
+    spark, sf_dir, tmp_path
+):
+    """Exactly-once across restarts rides Spark's offset checkpoint: the
+    first run consumes the whole feed; after NEW commits, a second run
+    from the SAME checkpoint appends only the new commits' deltas — zero
+    duplicates; a third run with nothing new appends nothing."""
+    from iot_data_pipeline_spark.sources import acid_table
+
+    path, t = _cdf_stream_table(spark, sf_dir, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    first = _consume(spark, path, ckpt, "", sink_dir=sink).collect()
+    n_del = t.filter("o_orderkey % 5 = 0").count()
+    assert len(first) == t.count() + n_del  # all inserts + delete images
+    head1 = acid_table.head(path)
+    # new commits: an append and a journaled delete
+    acid_table.append(
+        t.limit(100).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 1_000_000
+        ),
+        path,
+        1,
+    )
+    acid_table.delete(spark, path, "o_orderkey >= 1000050", cdc=True)
+    run2 = _consume(spark, path, ckpt, "", sink_dir=sink)
+    got2 = [
+        r for r in run2.collect() if r["commit_version"] > head1
+    ]
+    # the sink accumulates; everything beyond run1 is exactly the new
+    # commits' deltas — and nothing at or below head1 was re-emitted
+    assert run2.count() == len(first) + len(got2)
+    n_new_del = sum(1 for r in got2 if r["change_type"] == "delete")
+    assert sum(1 for r in got2 if r["change_type"] == "insert") == 100
+    assert n_new_del > 0
+    # nothing new: third run appends zero rows
+    run3 = _consume(spark, path, ckpt, "", sink_dir=sink)
+    assert run3.count() == run2.count()
+
+
+def test_cdf_source_accumulated_feed_equals_batch_journal(
+    spark, sf_dir, tmp_path
+):
+    """The streamed feed (from startingVersion -1) row-multiset-equals the
+    batch journal feed over (-inf, head] — i.e. journal (0, head] plus
+    the create commit's rows as inserts at commit_version 0."""
+    from iot_data_pipeline_spark.sources import acid_table
+
+    path, t = _cdf_stream_table(spark, sf_dir, tmp_path)
+    streamed = _consume(
+        spark, path, str(tmp_path / "ck2"), "cdf_eq"
+    )
+    head = acid_table.head(path)
+    batch = acid_table.table_changes_journal(spark, path, 0, head)
+    v0 = acid_table.snapshot(spark, path, version=0).select(
+        "*",
+        F.lit("insert").alias("change_type"),
+        F.lit(0).cast("bigint").alias("commit_version"),
+    )
+    expected = batch.unionByName(v0).select(*streamed.columns)
+    assert streamed.count() == expected.count()
+    assert streamed.exceptAll(expected).count() == 0
+    assert expected.exceptAll(streamed).count() == 0
+
+
+def test_cdf_source_curated_errors(spark, sf_dir, tmp_path):
+    """An unjournaled delete/merge in the range and a vacuumed journal
+    both surface the curated errors, never a silent skip or a raw
+    path-not-found."""
+    import pytest as _pytest
+
+    from iot_data_pipeline_spark.sources import acid_cdf_stream, acid_table
+
+    path, t = _cdf_stream_table(spark, sf_dir, tmp_path)
+    acid_table.delete(spark, path, "o_orderkey % 7 = 0")  # NOT journaled
+    acid_cdf_stream.register(spark)
+    reader = acid_cdf_stream.AcidCdfStreamReader(
+        acid_cdf_stream._feed_schema(path), {"path": path}
+    )
+    with _pytest.raises(ValueError, match="without cdc=True"):
+        reader.partitions(
+            {"version": -1}, {"version": acid_table.head(path)}
+        )
+    # a widened feed file fails loudly at read (restart to adopt schema)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.datasource import InputPartition
+
+    wide = str(tmp_path / "wide.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1], pa.int64()),
+                "o_orderstatus": pa.array(["O"]),
+                "o_totalprice": pa.array([1.0]),
+                "surprise": pa.array([1]),
+            }
+        ),
+        wide,
+    )
+    part = InputPartition(
+        {
+            "file": wide,
+            "change_type": "insert",
+            "commit_version": 99,
+            "schema_json": acid_cdf_stream._feed_schema(path).json(),
+        }
+    )
+    with _pytest.raises(ValueError, match="widened after"):
+        list(reader.read(part))

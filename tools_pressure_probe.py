@@ -328,6 +328,46 @@ def _llm_hybrid_dir(copies: int) -> str:
     return base
 
 
+def _emb_hybrid_dir(copies: int) -> str:
+    """Staging dir for the embedding-dedup pressure cells (r14 — the
+    hot-cluster guard): ``embeddings`` replicated ``copies``x with
+    copy-shifted vec_ids and RELABELED so ONE degenerate cluster holds 20%
+    of ALL vectors (label 999 — the skewed k-means cell / default-label
+    shape) while the rest scatter across ~500 small labels. This is the
+    exact adversarial input for llm_dedup_embed/llm_semdedup: without the
+    block decomposition the hot cell's |cell|² cross product lands in one
+    join task. Every other table symlinks to the source corpus; dir keyed
+    by (copies, uid, _src_key) like the other stagings."""
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    src_key = _src_key(sf_dir, "embeddings.parquet", scheme="emb_v1")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_emb_hybrid_{copies}x_{os.getuid()}_{src_key}",
+    )
+    os.makedirs(base, exist_ok=True)
+    emb = os.path.join(base, "embeddings.parquet")
+    if not os.path.exists(emb):
+        duckdb.sql(
+            f"""COPY (
+              SELECT v.vec_id + i * 1000000 AS vec_id, v.embedding,
+                     CASE WHEN (v.vec_id * 131 + i * 17) % 5 = 0 THEN 999
+                          ELSE CAST(v.label * 50 + i % 50 AS INTEGER)
+                     END AS label
+              FROM '{sf_dir}/embeddings.parquet' v, range({copies}) t(i)
+            ) TO '{emb}' (FORMAT parquet)"""
+        )
+    for name in os.listdir(sf_dir):
+        if not name.endswith(".parquet") or name == "embeddings.parquet":
+            continue
+        dst = os.path.join(base, name)
+        if os.path.islink(dst) or os.path.exists(dst):
+            os.remove(dst)
+        os.symlink(os.path.join(sf_dir, name), dst)
+    return base
+
+
 def _tpch_hybrid_dir(copies: int) -> str:
     """Staging dir for the TPC-H subquery-decorrelation plans under
     pressure (q18's IN-over-HAVING, q21's stacked semi+anti, q5/q9's wide
@@ -382,6 +422,8 @@ def mem_probe(args) -> None:
 
     if args.registry and args.tpch:
         d = _tpch_hybrid_dir(args.copies)
+    elif args.registry and args.emb:
+        d = _emb_hybrid_dir(args.copies)
     elif args.registry and args.llm:
         d = _llm_hybrid_dir(args.copies)
     elif args.registry:
@@ -566,6 +608,12 @@ def main() -> None:
         "at 25x) instead of the events/orders/customer hybrid",
     )
     ap.add_argument(
+        "--emb", action="store_true",
+        help="mem probe with --registry: stage the embedding hybrid "
+        "(embeddings replicated with one hot cluster holding 20%% of "
+        "vectors) for the dedup-embed hot-cluster guard cells",
+    )
+    ap.add_argument(
         "--tpch", action="store_true",
         help="mem probe with --registry: stage the TPC-H hybrid (lineitem "
         "replicated with order keys matching the scaled orders) for the "
@@ -583,14 +631,14 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--skip-stage", action="store_true")
     args = ap.parse_args()
-    if (args.llm or args.tpch) and not args.registry:
+    if (args.llm or args.tpch or args.emb) and not args.registry:
         # --llm/--tpch only select the staging for REGISTRY cells;
         # accepting them alone would silently sweep the generic skew
         # shapes while the operator believes the named family ran
         # (r10 review).
-        ap.error("--llm/--tpch require --registry <ids>")
-    if args.llm and args.tpch:
-        ap.error("--llm and --tpch are mutually exclusive")
+        ap.error("--llm/--tpch/--emb require --registry <ids>")
+    if sum((args.llm, args.tpch, args.emb)) > 1:
+        ap.error("--llm/--tpch/--emb are mutually exclusive")
     if args.probe == "mem":
         if args.copies is None:
             args.copies = 125
