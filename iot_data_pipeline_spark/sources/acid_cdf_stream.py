@@ -32,12 +32,28 @@ Failure semantics: a commit in the range written without ``cdc=True``
 (unjournaled delete/merge) or whose journal files vacuum already
 reclaimed raises the same curated errors as the batch feed — the source
 never silently skips deltas.
+
+WORKER-PROCESS DELIVERY: Spark's ``PythonStreamingSourceRunner`` (the
+driver-side planner worker that unpickles the DataSource and runs
+initialOffset/latestOffset/partitions) does NOT inherit the session's
+``addPyFile`` includes the way task workers do — so :func:`register`
+registers this module for cloudpickle BY-VALUE serialization, and every
+method that needs the package at runtime first re-inserts the pickled
+repo root into ``sys.path`` (:func:`_ensure_pkg`). That makes the source
+work from any cwd on any shared-filesystem deployment (local mode, the
+target env); a multi-node cluster ships the package with ``--py-files``,
+which puts it on every worker's PYTHONPATH anyway. One consequence of
+the separate planner process: a CUSTOM LogStore bound via
+``set_log_store`` in the driver is not visible there — the source reads
+the log through the default POSIX store; custom-store deployments must
+bind their store in worker processes (e.g. a sitecustomize hook).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -46,6 +62,25 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+# Repo root containing the package — captured at import time (driver),
+# re-inserted into sys.path inside the data-source worker processes.
+_PKG_PARENT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def _ensure_pkg(pkg_parent: str) -> None:
+    """Make the package importable in a data-source worker process (see
+    module docstring: the planner worker lacks the addPyFile includes)."""
+    try:
+        import iot_data_pipeline_spark  # noqa: F401
+
+        return
+    except ModuleNotFoundError:
+        pass
+    if os.path.isdir(pkg_parent) and pkg_parent not in sys.path:
+        sys.path.insert(0, pkg_parent)
 
 
 def _feed_schema(table_path: str) -> StructType:
@@ -80,6 +115,7 @@ class AcidCdfStreamReader(DataSourceStreamReader):
             )
         self._path = path
         self._schema = schema
+        self._pkg_parent = _PKG_PARENT
         # feed window starts AFTER this version ((v, head] ranges);
         # -1 means "from the create commit"
         self._start = int(options.get("startingversion", -1))
@@ -88,6 +124,7 @@ class AcidCdfStreamReader(DataSourceStreamReader):
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
+        _ensure_pkg(self._pkg_parent)
         from iot_data_pipeline_spark.sources import acid_table
 
         try:
@@ -99,12 +136,27 @@ class AcidCdfStreamReader(DataSourceStreamReader):
     def partitions(
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
+        _ensure_pkg(self._pkg_parent)
         from iot_data_pipeline_spark.sources import acid_table
 
         v_from, v_to = int(start["version"]), int(end["version"])
         schema_json = self._schema.json()
         parts: list[InputPartition] = []
         committed, _ = acid_table._list_log(self._path)
+        # every commit in (v_from, v_to] must be visible: v_to came from a
+        # previous latestOffset, but an eventually-consistent listing may
+        # REGRESS between calls — silently iterating what happens to be
+        # listed would drop the hidden commits' deltas from the feed
+        # forever (offsets advance past them). Fail retryably instead.
+        missing = sorted(
+            set(range(v_from + 1, v_to + 1)) - set(committed)
+        )
+        if missing:
+            raise RuntimeError(
+                f"commit(s) {missing} of {self._path} are not visible in "
+                f"the log listing while planning batch ({v_from}, {v_to}]"
+                " — the store listing is lagging; the micro-batch retries"
+            )
         for v in committed:
             if not v_from < v <= v_to:
                 continue
@@ -206,6 +258,7 @@ class AcidCdfDataSource(DataSource):
         return "acid_cdf"
 
     def schema(self) -> StructType:
+        _ensure_pkg(_PKG_PARENT)
         path = self.options.get("path") or self.options.get("tablepath")
         if not path:
             raise ValueError(
@@ -219,8 +272,16 @@ class AcidCdfDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent per-session registration of the source format."""
+    """Idempotent per-session registration of the source format. Also
+    registers this module for cloudpickle BY-VALUE serialization: the
+    planner worker that unpickles the DataSource lacks the addPyFile
+    includes (module docstring), so the class must travel with the
+    pickle, and its methods re-insert the repo root before importing
+    the package at runtime."""
     registered = getattr(spark, "_acid_cdf_registered", False)
     if not registered:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
         spark.dataSource.register(AcidCdfDataSource)
         spark._acid_cdf_registered = True

@@ -479,7 +479,12 @@ def _publish(path: str, manifest: dict) -> None:
 
 
 def _write_data_files(
-    df: DataFrame, path: str, key: str, n_files: int, order_by=None
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_files: int,
+    order_by=None,
+    string_stats: bool = True,
 ) -> list[dict]:
     """Write ``df`` as ≤ n_files parquet files key-range-partitioned on
     ``key`` (so file stats PRUNE under key-predicated rewrites), move them
@@ -529,7 +534,15 @@ def _write_data_files(
     # the scan's own file identity) — a single narrow columnar pass of
     # data this writer just produced, the same moment Delta collects its
     # write-time stats.
-    str_cols = [name for name, t in df.dtypes if t == "string"]
+    # ``string_stats=False`` defers the pass (the per-epoch streaming
+    # append skips it — a bounded-latency hot path; files without
+    # ``scols`` conservatively never skip, and the next OPTIMIZE rewrite
+    # collects them — the standard stats-deferred-to-maintenance trade).
+    str_cols = (
+        [name for name, t in df.dtypes if t == "string"]
+        if string_stats
+        else []
+    )
     str_stats: dict[str, dict[str, list]] = {}
     if str_cols:
         rows = (
@@ -1253,6 +1266,18 @@ def compact(
             raise ValueError(
                 f"zorder_by takes exactly two columns, got {zorder_by}"
             )
+        dtypes = dict(snap.dtypes)
+        bad = [
+            c
+            for c in zorder_by
+            if dtypes.get(c) not in ("tinyint", "smallint", "int", "bigint")
+        ]
+        if bad:
+            raise TypeError(
+                f"zorder_by columns must be integral, got "
+                f"{[(c, dtypes.get(c)) for c in bad]} — derive an integer "
+                "band column first (day number, price band, ...)"
+            )
         from iot_data_pipeline_spark.operators.reshape import zorder_key
 
         # NORMALIZE each dimension to the full 16-bit cell range before
@@ -1341,7 +1366,10 @@ def append_exactly_once(
     if last is not None and last >= txn_version:
         return False
     schema = _evolve_schema(st, df) if st else _schema_json(df)
-    adds = _write_data_files(df, path, key, n_files)
+    # per-epoch hot path: defer string prefix stats to the next OPTIMIZE
+    # (one extra job per micro-batch otherwise; numeric footer stats are
+    # free and still recorded)
+    adds = _write_data_files(df, path, key, n_files, string_stats=False)
     version = st["version"] + 1 if st else 0
     for _ in range(64):
         try:

@@ -1705,3 +1705,42 @@ def test_zorder_compact_prunes_second_dimension_snapshot_unchanged(
     )
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0
+
+
+def test_epoch_appends_defer_string_stats_to_optimize(spark, sf_dir, tmp_path):
+    """The per-epoch streaming append skips the string-stats pass (hot
+    path, one fewer job per micro-batch); its files carry no "scols" and
+    conservatively never skip — the next OPTIMIZE rewrite collects them."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(400)
+    assert (
+        acid_table.append_exactly_once(t, path, 0, "o_orderkey", n_files=2)
+        is True
+    )
+    live = acid_table._state(path)["live"]
+    assert not any("scols" in f for f in live)  # deferred
+    # conservative read: a string skip_where still answers exactly
+    got = acid_table.snapshot(
+        spark, path, skip_where={"o_orderstatus": ("O", "O")}
+    )
+    assert got.count() == t.filter("o_orderstatus = 'O'").count()
+    acid_table.compact(spark, path, n_files=1)
+    live = acid_table._state(path)["live"]
+    assert all("scols" in f and "o_orderstatus" in f["scols"] for f in live)
+
+
+def test_zorder_by_rejects_non_integral_columns(spark, sf_dir, tmp_path):
+    """zorder_by on a double/string column raises the curated TypeError
+    (the 16-bit cell scaling is integer arithmetic; derive a band first)."""
+    path = str(tmp_path / "t")
+    acid_table.create(
+        _target(spark, sf_dir).limit(300), path, "o_orderkey", n_files=2
+    )
+    with pytest.raises(TypeError, match="must be integral"):
+        acid_table.compact(
+            spark, path, zorder_by=["o_orderkey", "o_totalprice"]
+        )
+    with pytest.raises(TypeError, match="must be integral"):
+        acid_table.compact(
+            spark, path, zorder_by=["o_orderstatus", "o_orderkey"]
+        )

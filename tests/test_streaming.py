@@ -675,3 +675,27 @@ def test_cdf_source_curated_errors(spark, sf_dir, tmp_path):
     )
     with _pytest.raises(ValueError, match="widened after"):
         list(reader.read(part))
+
+
+def test_cdf_source_lagging_listing_fails_retryably_never_skips(
+    spark, sf_dir, tmp_path
+):
+    """A commit hidden INSIDE a planned batch range must fail the batch
+    loudly (retryable) — silently iterating the visible listing would
+    drop the hidden commit's deltas from the feed forever (offsets
+    advance past them)."""
+    import pytest as _pytest
+
+    from iot_data_pipeline_spark.sources import acid_cdf_stream, acid_table
+
+    path, t = _cdf_stream_table(spark, sf_dir, tmp_path)
+    head = acid_table.head(path)
+    reader = acid_cdf_stream.AcidCdfStreamReader(
+        acid_cdf_stream._feed_schema(path), {"path": path}
+    )
+    # end beyond the visible head simulates a listing that regressed
+    # after latestOffset resolved it
+    with _pytest.raises(RuntimeError, match="not visible"):
+        reader.partitions({"version": -1}, {"version": head + 2})
+    # sane range still plans
+    assert reader.partitions({"version": -1}, {"version": head})

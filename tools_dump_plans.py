@@ -182,8 +182,22 @@ PICKS = {
     ),
     "llm_semdedup": (
         "per-vector SemDeDup verdict (r13): bucketed same-label cosine"
-        " pair join (never all-pairs across clusters) -> one count"
-        " aggregation -> left join onto the vector spine"
+        " pair join (never all-pairs across clusters; labels over the"
+        " 2048 cap block-decompose into bounded BLAS cells, r14) -> one"
+        " count aggregation -> left join onto the vector spine"
+    ),
+    "acid_deletion_vectors": (
+        "merge-on-read DV snapshot (r14): plain scans for vector-free"
+        " files unioned with a LEFT ANTI join of the dv-carrying files'"
+        " scan (metadata row_index/file identity, evaluated at the scan)"
+        " against the deleted-position sliver — AQE broadcasts the sliver;"
+        " data files byte-untouched, predicate pushdown below the join"
+    ),
+    "acid_zorder_compact": (
+        "Z-order OPTIMIZE read (r14): 2-D box skip_where prunes files"
+        " from manifest stats BEFORE Spark lists them; the rewrite was one"
+        " range-exchange on the Morton key of range-normalized 16-bit"
+        " cells (bounds from manifest stats — no extra scan)"
     ),
 }
 
