@@ -1744,3 +1744,56 @@ def test_zorder_by_rejects_non_integral_columns(spark, sf_dir, tmp_path):
         acid_table.compact(
             spark, path, zorder_by=["o_orderstatus", "o_orderkey"]
         )
+
+
+def test_duckdb_serves_identical_dv_snapshot(spark, sf_dir, tmp_path):
+    """Engine-portability extends to DELETION VECTORS: DuckDB reconstructs
+    the exact DV-applied snapshot from the plain artifacts alone — JSON
+    manifests (live files + dv pointers), parquet sidecars (file_key,
+    pos), and `read_parquet(..., file_row_number=true, filename=true)`
+    for the per-file row positions — no Spark, no private state. This is
+    what makes dv-mode a FORMAT feature, not a Spark-reader trick."""
+    import duckdb
+
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(2000)
+    acid_table.create(t, path, "o_orderkey", n_files=4)
+    acid_table.delete(spark, path, "o_orderkey % 5 = 0", mode="dv")
+    acid_table.delete(spark, path, "o_totalprice > 200000", mode="dv")
+    expected = sorted(
+        tuple(r)
+        for r in acid_table.snapshot(spark, path)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect()
+    )
+    live = acid_table._state(path)["live"]
+    plain = [
+        os.path.join(path, e["path"]) for e in live if not e.get("dv")
+    ]
+    dved = [e for e in live if e.get("dv")]
+    parts = []
+    params: dict = {}
+    if plain:
+        params["plain"] = plain
+        parts.append(
+            "SELECT o_orderkey, o_orderstatus, o_totalprice"
+            " FROM read_parquet($plain)"
+        )
+    for i, e in enumerate(dved):
+        params[f"d{i}"] = os.path.join(path, e["path"])
+        params[f"v{i}"] = os.path.join(path, e["dv"]["path"])
+        params[f"k{i}"] = os.path.basename(e["path"])
+        parts.append(
+            f"SELECT o_orderkey, o_orderstatus, o_totalprice FROM ("
+            f" SELECT t.*, t.file_row_number AS pos FROM"
+            f"  read_parquet($d{i}, file_row_number=true) t"
+            f") WHERE pos NOT IN ("
+            f" SELECT pos FROM read_parquet($v{i})"
+            f" WHERE file_key = $k{i})"
+        )
+    duck = sorted(
+        tuple(r)
+        for r in duckdb.sql(" UNION ALL ".join(parts), params=params)
+        .fetchall()
+    )
+    assert duck == expected
