@@ -415,6 +415,37 @@ def acid_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acid_table.snapshot(spark, path)
 
 
+def acid_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE (r14 — the DV write path for the OTHER half
+    of the r13 verdict's copy-on-write complaint): same fixture as
+    ``acid_merge_snapshot`` but ``merge(mode="dv")`` — matched target
+    rows are DV-deleted in place (hit data files byte-untouched; only
+    files with actual key matches gain a vector), one source row per
+    matched copy plus the unmatched inserts land as new files, and the
+    DV-applied snapshot must hash-equal the logical full-outer MERGE —
+    the same oracle as the copy-on-write id, proving the two write
+    strategies are observationally identical. Byte-untouched files,
+    duplicate-key multiplicity, journal parity, and OPTIMIZE
+    materialization are pinned in tests/test_acid_table.py."""
+    import tempfile
+
+    from iot_data_pipeline_spark.sources import acid_table
+
+    o = table(spark, sf_dir, "orders")
+    target = o.filter(F.pmod("o_orderkey", F.lit(4)) != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="acid_mdv_")
+    acid_table.create(target, path, "o_orderkey", n_files=8)
+    source = o.filter(F.pmod("o_orderkey", F.lit(3)) == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    acid_table.merge(spark, source, path, mode="dv")
+    return acid_table.snapshot(spark, path)
+
+
 def acid_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ORDER OPTIMIZE on the manifest log (r14 stretch — Delta's
     ``OPTIMIZE ... ZORDER BY``, composing the proven sink_zorder_layout
@@ -784,6 +815,7 @@ QUERIES = {
     "acid_column_skipping": acid_column_skipping,
     "acid_string_skipping": acid_string_skipping,
     "acid_deletion_vectors": acid_deletion_vectors,
+    "acid_merge_dv": acid_merge_dv,
     "acid_zorder_compact": acid_zorder_compact,
     "acid_cdf_journal": acid_cdf_journal,
     "acid_incremental_agg": acid_incremental_agg,
@@ -901,6 +933,19 @@ ORACLES = {
         "   AS ok_sband FROM orders"
         " WHERE 'b' || lpad(CAST(o_orderkey // 1024 AS VARCHAR), 6, '0')"
         "   BETWEEN 'b000003' AND 'b000005'"
+    ),
+    # Merge-on-read MERGE must equal the logical full-outer MERGE — the
+    # identical oracle as the copy-on-write acid_merge_snapshot.
+    "acid_merge_dv": (
+        "WITH t AS (SELECT o_orderkey, o_orderstatus AS t_status,"
+        "   o_totalprice AS t_price FROM orders WHERE o_orderkey % 4 <> 0),"
+        " s AS (SELECT o_orderkey, 'U' AS s_status,"
+        "   o_totalprice * 1.1 AS s_price FROM orders"
+        "   WHERE o_orderkey % 3 = 0)"
+        " SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,"
+        " COALESCE(s_status, t_status) AS o_orderstatus,"
+        " COALESCE(s_price, t_price) AS o_totalprice"
+        " FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey"
     ),
     # Z-order OPTIMIZE: the 2-D box read after re-clustering must equal
     # the plain filter — the prune is file-granular, the row filter exact.

@@ -44,6 +44,14 @@ table scan); untouched files are carried by reference into the next
 version. Source keys absent from every hit file are inserts (sound because
 pruning is range-conservative: a key inside ANY file's range marks that
 file hit, so a key missing from all hit files is missing from the table).
+Both DELETE and MERGE also offer ``mode="dv"`` — MERGE-ON-READ via
+deletion vectors (r14): instead of rewriting hit files, the commit writes
+a position sidecar under ``dv/`` and the manifest points each touched
+file at it; snapshots apply vectors with a scan-metadata anti-join and
+OPTIMIZE materializes them away. At 100 TB this turns trickle
+deletes/updates from GB-scale file rewrites into KB-scale sidecar writes
+— the dominant write-amplification fix, exactly Delta's DVs / Iceberg's
+position deletes.
 
 The format is ENGINE-PORTABLE by construction: the manifest is plain JSON
 and the data files plain parquet, so any engine that can read both can
@@ -1406,10 +1414,21 @@ def merge(
     path: str,
     n_files: int = 4,
     cdc: bool = False,
+    mode: str = "cow",
 ) -> dict:
     """Copy-on-write MERGE: matched target rows take the source row,
     unmatched source rows insert, untouched target rows carry over —
     rewriting ONLY the files whose key range intersects the source keys.
+
+    ``mode="dv"`` is merge-on-read MERGE (the same write-amplification
+    fix as ``delete(mode="dv")``, for the other half of the r13 verdict's
+    COW complaint): matched target rows are DV-DELETED in place (hit data
+    files stay byte-untouched; only files with ACTUAL key matches gain a
+    vector — range-conservative prune candidates without matches stay
+    carried clean), and one source row PER MATCHED TARGET COPY plus the
+    unmatched inserts land as NEW files — exactly the copy-on-write
+    result (duplicate-target-key multiplicity included), pinned
+    value-identical in tests. OPTIMIZE materializes the vectors away.
 
     Returns {"rewritten": n, "carried": n} so callers (and tests) can see
     the pruning. Source column names must match the target's; the merge
@@ -1428,6 +1447,8 @@ def merge(
     target keys each matched copy pairs with the source row — exactly
     the committed outcome), unmatched source rows ``insert``. The extra
     cost is one write of the touched sliver's changed rows."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"merge mode must be 'cow' or 'dv', got {mode!r}")
     st = _state(path)
     key, live = st["key"], st["live"]
     stats = spark.createDataFrame(
@@ -1478,6 +1499,10 @@ def merge(
             f" {extra}); append the new columns first, then merge"
         )
     src = source.select(*cols)
+    if mode == "dv":
+        return _merge_dv(
+            spark, st, src, path, key, hit, cols, n_files, cdc
+        )
     t = touched.select(
         F.col(key), F.struct(*cols).alias("__t")
     )
@@ -1530,6 +1555,122 @@ def merge(
         if cdc:
             joined.unpersist()
     return {"rewritten": len(hit), "carried": len(live) - len(hit)}
+
+
+def _merge_dv(
+    spark: SparkSession,
+    st: dict,
+    src: DataFrame,
+    path: str,
+    key: str,
+    hit: list[dict],
+    cols: list[str],
+    n_files: int,
+    cdc: bool,
+) -> dict:
+    """Merge-on-read MERGE body (see :func:`merge`): DV-delete the
+    matched target copies, append one source row per matched copy plus
+    the unmatched inserts. The matched sliver is materialized once
+    (DISK_ONLY) and feeds the per-file counts, the vector write, the
+    replacement rows, and (``cdc``) the journal preimages."""
+    from pyspark.storagelevel import StorageLevel
+
+    live = st["live"]
+    by_key = {_basename(e["path"]): e for e in live}
+    matched = None
+    if hit:
+        touched = _read_live(spark, path, st, entries=hit, keep_pos=True)
+        sk = src.select(F.col(key).alias("__mk"))
+        matched = (
+            touched.join(sk, touched[key] == sk["__mk"])
+            .drop("__mk")
+            .persist(StorageLevel.DISK_ONLY)
+        )
+    try:
+        per_file = (
+            matched.groupBy("__file_key").count().collect()
+            if matched is not None
+            else []
+        )
+        dv_entries = [by_key[r["__file_key"]] for r in per_file]
+        # replacement rows: ONE source row per matched target copy (the
+        # copy-on-write full-outer result keeps duplicate-target-key
+        # multiplicity — so must we) + unmatched source rows as inserts
+        s_off = src.select(
+            F.col(key).alias("__sk2"), F.struct(*cols).alias("__srow")
+        )
+        if matched is not None:
+            post = (
+                matched.select(F.col(key).alias("__tk"))
+                .join(s_off, F.col("__tk") == F.col("__sk2"))
+                .select("__srow.*")
+            )
+            mkeys = matched.select(F.col(key).alias("__mk2")).distinct()
+            ins = src.join(
+                mkeys, src[key] == mkeys["__mk2"], "left_anti"
+            )
+        else:
+            post, ins = src.limit(0), src
+        adds = _write_data_files(
+            post.unionByName(ins), path, key, n_files
+        )
+        manifest = {
+            "version": st["version"] + 1,
+            "op": "merge-dv",
+            "key": key,
+            "schema": st.get("schema"),
+            "add": adds,
+            "remove": [],
+        }
+        if dv_entries:
+            old_map = {
+                e["path"]: e[_DV] for e in dv_entries if e.get(_DV)
+            }
+            new_pos = matched.select(
+                F.col("__file_key").alias("file_key"),
+                F.col("__pos").alias("pos"),
+            )
+            all_pos = (
+                new_pos.unionByName(_dv_positions(spark, path, old_map))
+                if old_map
+                else new_pos
+            )
+            dv_rel = _write_dv_file(all_pos, path)
+            totals = {
+                r["file_key"]: int(r["count"])
+                for r in all_pos.groupBy("file_key").count().collect()
+            }
+            manifest[_DV] = {
+                e["path"]: {
+                    "path": dv_rel,
+                    "rows": totals[_basename(e["path"])],
+                }
+                for e in dv_entries
+            }
+        if cdc:
+            pre = (
+                matched.select(*cols)
+                if matched is not None
+                else src.limit(0)
+            ).withColumn("change_type", F.lit("update_preimage"))
+            changes = pre.unionByName(
+                post.withColumn(
+                    "change_type", F.lit("update_postimage")
+                )
+            ).unionByName(
+                ins.withColumn("change_type", F.lit("insert"))
+            )
+            manifest["cdc"] = _write_cdc_files(changes, path)
+        _publish(path, manifest)
+    finally:
+        if matched is not None:
+            matched.unpersist()
+    return {
+        "rewritten": 0,
+        "carried": len(live),
+        "dv_files": len(dv_entries),
+        "inserted_files": len(adds),
+    }
 
 
 def table_changes(

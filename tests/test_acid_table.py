@@ -1797,3 +1797,91 @@ def test_duckdb_serves_identical_dv_snapshot(spark, sf_dir, tmp_path):
         .fetchall()
     )
     assert duck == expected
+
+
+def test_dv_merge_equals_cow_merge_including_duplicate_keys(
+    spark, sf_dir, tmp_path
+):
+    """merge(mode="dv") must land the EXACT copy-on-write result — on the
+    duplicate-key lineitem fixture (multiple target copies per merge key:
+    each copy becomes one replacement source-row copy) — while every hit
+    data file stays byte-untouched, only files with ACTUAL matches gain a
+    vector, and the journal feed is identical to the COW journal."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter("l_orderkey % 5 = 0")
+        .limit(3000)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+    source = (
+        li.filter("l_orderkey % 3 = 0")
+        .select("l_orderkey")
+        .distinct()
+        .select(
+            "l_orderkey",
+            F.lit(-1).cast("int").alias("l_linenumber"),
+            F.lit(99.0).alias("l_quantity"),
+        )
+    )
+
+    def rows(path):
+        return sorted(
+            tuple(r) for r in acid_table.snapshot(spark, path).collect()
+        )
+
+    pc = str(tmp_path / "cow")
+    acid_table.create(li, pc, "l_orderkey", n_files=4)
+    acid_table.merge(spark, source, pc, cdc=True)
+    pd_ = str(tmp_path / "dv")
+    acid_table.create(li, pd_, "l_orderkey", n_files=4)
+    before = _file_digests(pd_)
+    res = acid_table.merge(spark, source, pd_, cdc=True, mode="dv")
+    assert res["rewritten"] == 0
+    assert res["dv_files"] >= 1
+    assert res["inserted_files"] >= 1
+    # original files byte-untouched; only NEW files appended
+    after = _file_digests(pd_)
+    assert all(after[k] == v for k, v in before.items())
+    assert len(after) > len(before)
+    assert rows(pc) == rows(pd_)
+    # journal parity: same per-commit feed, modulo commit numbering
+    fc = acid_table.table_changes_journal(spark, pc, 0, 1).drop(
+        "commit_version"
+    )
+    fd = acid_table.table_changes_journal(spark, pd_, 0, 1).drop(
+        "commit_version"
+    )
+    assert fc.exceptAll(fd).count() == 0 and fd.exceptAll(fc).count() == 0
+    # file-diff feed across the dv-merge window also serves (dv identity)
+    tc = acid_table.table_changes(spark, pd_, 0, 1)
+    # keys are DUPLICATED in this fixture, so the file-diff feed is
+    # documented-unsupported; just check it doesn't crash structurally
+    assert tc.columns[-1] == "change_type"
+    # OPTIMIZE materializes the merge vectors away, snapshot unchanged
+    want = rows(pd_)
+    acid_table.compact(spark, pd_, n_files=2)
+    assert not any(
+        e.get("dv") for e in acid_table._state(pd_)["live"]
+    )
+    assert rows(pd_) == want
+
+
+def test_dv_merge_without_matches_is_pure_append(spark, sf_dir, tmp_path):
+    """A dv-mode merge whose source hits file RANGES but no actual keys
+    gains NO vectors (range-conservative candidates stay carried clean)
+    and lands pure inserts."""
+    t = _target(spark, sf_dir).limit(1000).filter("o_orderkey % 2 = 0")
+    path = str(tmp_path / "t")
+    acid_table.create(t, path, "o_orderkey", n_files=2)
+    odd = (
+        _target(spark, sf_dir)
+        .limit(1000)
+        .filter("o_orderkey % 2 = 1")  # inside ranges, zero matches
+    )
+    res = acid_table.merge(spark, odd, path, mode="dv")
+    assert res["dv_files"] == 0
+    assert not any(e.get("dv") for e in acid_table._state(path)["live"])
+    assert (
+        acid_table.snapshot(spark, path).count()
+        == t.count() + odd.count()
+    )

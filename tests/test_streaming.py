@@ -699,3 +699,30 @@ def test_cdf_source_lagging_listing_fails_retryably_never_skips(
         reader.partitions({"version": -1}, {"version": head + 2})
     # sane range still plans
     assert reader.partitions({"version": -1}, {"version": head})
+
+
+def test_cdf_source_starting_version_skips_earlier_commits(
+    spark, sf_dir, tmp_path
+):
+    """startingVersion=v consumes only (v, head] — the create and any
+    commits at or below v never enter the feed."""
+    from iot_data_pipeline_spark.sources import acid_cdf_stream
+
+    path, t = _cdf_stream_table(spark, sf_dir, tmp_path)  # head = 2
+    acid_cdf_stream.register(spark)
+    q = (
+        spark.readStream.format("acid_cdf")
+        .option("startingVersion", 1)
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("cdf_sv")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_sv"))
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("cdf_sv").collect()
+    assert got, "the delete commit's journal must flow"
+    assert {r["commit_version"] for r in got} == {2}
+    assert all(r["change_type"] == "delete" for r in got)
