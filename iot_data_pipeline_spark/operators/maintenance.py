@@ -415,6 +415,42 @@ def acid_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acid_table.snapshot(spark, path)
 
 
+def acid_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... VERSION AS OF (r14 — Delta's undo, re-derived as
+    one METADATA-ONLY commit): create → row-level DELETE → pruned MERGE,
+    then ``restore(path, 0)`` rewinds the live set (files, vectors,
+    schema) to version 0 without reading or writing a single data byte —
+    immutable files are re-referenced, newer ones removed, and the
+    restored snapshot must hash-equal the ORIGINAL create selection
+    (plain SQL over orders). History is preserved (the rewind is a
+    forward commit: interim versions stay time-travelable and the undo
+    is undoable) and txn watermarks are NOT rewound (a redelivered epoch
+    after restore still no-ops) — both pinned with vacuum-retention and
+    DV-clearing edges in tests/test_acid_table.py."""
+    import tempfile
+
+    from iot_data_pipeline_spark.sources import acid_table
+
+    o = table(spark, sf_dir, "orders")
+    target = o.filter(F.pmod("o_orderkey", F.lit(4)) != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="acid_rst_")
+    acid_table.create(target, path, "o_orderkey", n_files=8)
+    acid_table.delete(spark, path, "o_orderkey % 5 = 0")
+    acid_table.merge(
+        spark,
+        o.filter(F.pmod("o_orderkey", F.lit(3)) == 0).select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        ),
+        path,
+    )
+    acid_table.restore(path, 0)
+    return acid_table.snapshot(spark, path)
+
+
 def acid_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read MERGE (r14 — the DV write path for the OTHER half
     of the r13 verdict's copy-on-write complaint): same fixture as
@@ -816,6 +852,7 @@ QUERIES = {
     "acid_string_skipping": acid_string_skipping,
     "acid_deletion_vectors": acid_deletion_vectors,
     "acid_merge_dv": acid_merge_dv,
+    "acid_restore": acid_restore,
     "acid_zorder_compact": acid_zorder_compact,
     "acid_cdf_journal": acid_cdf_journal,
     "acid_incremental_agg": acid_incremental_agg,
@@ -933,6 +970,12 @@ ORACLES = {
         "   AS ok_sband FROM orders"
         " WHERE 'b' || lpad(CAST(o_orderkey // 1024 AS VARCHAR), 6, '0')"
         "   BETWEEN 'b000003' AND 'b000005'"
+    ),
+    # RESTORE to v0 after delete+merge: the rewound snapshot IS the
+    # original create selection.
+    "acid_restore": (
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+        " WHERE o_orderkey % 4 <> 0"
     ),
     # Merge-on-read MERGE must equal the logical full-outer MERGE — the
     # identical oracle as the copy-on-write acid_merge_snapshot.

@@ -168,6 +168,14 @@ class AcidCdfStreamReader(DataSourceStreamReader):
                 rels, tag = [a["path"] for a in m["add"]], "insert"
             elif op == "compact":
                 continue  # rewrite-in-place: no logical change
+            elif op == "restore":
+                raise ValueError(
+                    f"commit v{v} of {self._path} is a RESTORE "
+                    "(metadata-only rewind) — its row-level deltas were "
+                    "never journaled; consume the pre/post states via "
+                    "the batch table_changes feed and restart the stream "
+                    "from a startingVersion past the restore"
+                )
             else:
                 raise ValueError(
                     f"commit v{v} ({op}) of {self._path} was written "

@@ -357,9 +357,14 @@ def _state(path: str, version: int | None = None) -> dict:
         for p, info in (m.get(_DV) or {}).items():
             # a deletion-vector commit SUPERSEDES the file's previous
             # vector (the new sidecar holds the union of positions);
-            # rewriting/removing the file drops its vector with it
+            # rewriting/removing the file drops its vector with it.
+            # ``None`` CLEARS the vector (restore rewinding a file to a
+            # pre-delete state).
             if p in live:
-                live[p] = {**live[p], _DV: info}
+                e = {**live[p], _DV: info}
+                if info is None:
+                    e.pop(_DV)
+                live[p] = e
     if key is None:  # version predates every commit: empty live set
         key = _read_manifest(path, mans[0])["key"]
     return {
@@ -957,7 +962,10 @@ def _live_files(ms: list[dict], version: int | None) -> list[dict]:
             live[a["path"]] = a
         for p, info in (m.get(_DV) or {}).items():
             if p in live:
-                live[p] = {**live[p], _DV: info}
+                e = {**live[p], _DV: info}
+                if info is None:
+                    e.pop(_DV)
+                live[p] = e
     return list(live.values())
 
 
@@ -1867,6 +1875,13 @@ def table_changes_journal(
                 )
         elif op in ("compact",):
             continue  # rewrite-in-place: no logical change
+        elif op == "restore":
+            raise ValueError(
+                f"commit v{v} of {path} is a RESTORE (metadata-only "
+                "rewind) — its row-level deltas were never journaled; "
+                "serve the window from table_changes (the file-diff "
+                "feed's (path, dv) identity handles restore naturally)"
+            )
         else:
             raise ValueError(
                 f"commit v{v} ({op}) of {path} was written without "
@@ -1885,6 +1900,92 @@ def table_changes_journal(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def restore(path: str, version: int) -> dict:
+    """RESTORE the table to an earlier committed ``version`` — Delta's
+    ``RESTORE TABLE ... VERSION AS OF`` re-derived: ONE new commit whose
+    live set (files, deletion vectors, schema) equals the target
+    version's. PURE METADATA — no Spark session, no data read, no file
+    copied: data files are immutable, so restoring means re-referencing
+    the old ones (add entries carry their stats and any dv pointer
+    verbatim) and removing the newer ones; a file live in BOTH versions
+    whose VECTOR changed gets the old vector re-pointed (or ``None`` to
+    clear a vector a later delete added — the one dv-replay case only
+    restore produces). History is preserved: this is a forward commit,
+    so time travel to the pre-restore versions keeps working, and the
+    undo is itself undoable.
+
+    ``txn`` watermarks are deliberately NOT rewound (Delta's rule): an
+    exactly-once streaming writer's redelivered epoch must still no-op
+    after a restore, or the restore would cause a double-commit.
+
+    Fails with the curated beyond-retention error when vacuum already
+    reclaimed a data file or dv sidecar the target version references —
+    restore reaches exactly as far back as the retention window, like
+    every other time travel. The journal feed cannot serve a window
+    crossing a restore (its row-level deltas were never journaled — use
+    the file-diff ``table_changes``, whose (path, dv) identity diff
+    handles restore naturally).
+
+    Returns {"restored_version", "new_version", "readded", "removed",
+    "dv_changed"}."""
+    st_now = _state(path)
+    if version == st_now["version"]:
+        return {
+            "restored_version": version,
+            "new_version": st_now["version"],
+            "readded": 0,
+            "removed": 0,
+            "dv_changed": 0,
+        }
+    st_old = _state(path, version)
+    missing = [
+        e["path"]
+        for e in st_old["live"]
+        if not os.path.exists(os.path.join(path, e["path"]))
+    ] + [
+        e[_DV]["path"]
+        for e in st_old["live"]
+        if e.get(_DV)
+        and not os.path.exists(os.path.join(path, e[_DV]["path"]))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot restore {path} to version {version}: file(s) "
+            f"{missing} no longer exist — vacuum reclaimed them (the "
+            "target version is beyond the retention window); restore "
+            "reaches exactly as far back as vacuum retention"
+        )
+    now_by_path = {e["path"]: e for e in st_now["live"]}
+    old_by_path = {e["path"]: e for e in st_old["live"]}
+    adds = [e for p, e in sorted(old_by_path.items()) if p not in now_by_path]
+    removes = sorted(p for p in now_by_path if p not in old_by_path)
+    dv_changes: dict[str, dict | None] = {}
+    for p in sorted(set(now_by_path) & set(old_by_path)):
+        dv_now = now_by_path[p].get(_DV)
+        dv_old = old_by_path[p].get(_DV)
+        if dv_now != dv_old:
+            dv_changes[p] = dv_old  # None clears a later-added vector
+    manifest = {
+        "version": st_now["version"] + 1,
+        "op": "restore",
+        "key": st_old["key"],
+        "schema": st_old.get("schema"),
+        "restored_version": version,
+        "add": adds,
+        "remove": removes,
+    }
+    if dv_changes:
+        manifest[_DV] = dv_changes
+    _publish(path, manifest)
+    return {
+        "restored_version": version,
+        "new_version": manifest["version"],
+        "readded": len(adds),
+        "removed": len(removes),
+        "dv_changed": len(dv_changes),
+    }
 
 
 def vacuum(
@@ -1983,7 +2084,15 @@ def vacuum(
             e[_DV]["path"] for e in _live_files(ms, v) if e.get(_DV)
         }
     dv_referenced = {
-        info["path"] for m in ms for info in (m.get(_DV) or {}).values()
+        info["path"]
+        for m in ms
+        for info in (m.get(_DV) or {}).values()
+        if info  # restore commits may carry None (vector CLEAR)
+    } | {
+        a[_DV]["path"]
+        for m in ms
+        for a in m["add"]
+        if a.get(_DV)  # restore re-adds carry their dv pointer embedded
     }
     dv_dir = os.path.join(path, _DV)
     dv_deleted = 0

@@ -1885,3 +1885,132 @@ def test_dv_merge_without_matches_is_pure_append(spark, sf_dir, tmp_path):
         acid_table.snapshot(spark, path).count()
         == t.count() + odd.count()
     )
+
+
+# ---------------------------------------------------------------------------
+# RESTORE (r14)
+# ---------------------------------------------------------------------------
+
+
+def test_restore_rewinds_data_dvs_and_schema_metadata_only(
+    spark, sf_dir, tmp_path
+):
+    """RESTORE to v0 after append → DV delete → merge → widening append:
+    one metadata-only commit (no data file written or copied — data/
+    digests unchanged except files the interim commits added), the
+    restored snapshot is byte-for-byte v0 (schema included: the widened
+    column is gone), interim versions stay time-travelable, and the
+    restore is itself undoable (restore forward again)."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(1500)
+    acid_table.create(t, path, "o_orderkey", n_files=4)
+    v0_rows = sorted(tuple(r) for r in acid_table.snapshot(spark, path).collect())
+    acid_table.append(
+        t.limit(200).withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000),
+        path,
+        1,
+    )  # v1
+    acid_table.delete(spark, path, "o_orderkey % 5 = 0", mode="dv")  # v2
+    acid_table.merge(
+        spark,
+        t.limit(50).select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        ),
+        path,
+    )  # v3
+    head_rows = sorted(tuple(r) for r in acid_table.snapshot(spark, path).collect())
+    digests_before = _file_digests(path)
+    res = acid_table.restore(path, 0)
+    assert res["new_version"] == 4
+    assert res["readded"] > 0 and res["removed"] > 0
+    # metadata-only: every pre-restore data file byte-identical, none added
+    assert _file_digests(path) == digests_before
+    assert (
+        sorted(tuple(r) for r in acid_table.snapshot(spark, path).collect())
+        == v0_rows
+    )
+    # live set carries no vectors (v0 had none; the merge rewrote the
+    # dv'd files at v3 so no clear was needed — structural sanity)
+    assert not any(e.get("dv") for e in acid_table._state(path)["live"])
+    # history preserved: interim + pre-restore head still readable
+    assert (
+        sorted(
+            tuple(r)
+            for r in acid_table.snapshot(spark, path, version=3).collect()
+        )
+        == head_rows
+    )
+    # undo the undo: restore forward to v3's state
+    acid_table.restore(path, 3)
+    assert (
+        sorted(tuple(r) for r in acid_table.snapshot(spark, path).collect())
+        == head_rows
+    )
+
+
+def test_restore_reattaches_and_clears_deletion_vectors(
+    spark, sf_dir, tmp_path
+):
+    """A file live in BOTH versions whose VECTOR differs: restoring to
+    the pre-delete version CLEARS the vector (dv: None replay); restoring
+    back re-points it — both ways value-exact."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(1000)
+    acid_table.create(t, path, "o_orderkey", n_files=2)  # v0, no dvs
+    acid_table.delete(spark, path, "o_orderkey % 5 = 0", mode="dv")  # v1
+    v1_rows = sorted(tuple(r) for r in acid_table.snapshot(spark, path).collect())
+    res = acid_table.restore(path, 0)  # v2: clears vectors on live files
+    assert res["dv_changed"] >= 1
+    assert not any(e.get("dv") for e in acid_table._state(path)["live"])
+    assert acid_table.snapshot(spark, path).count() == t.count()
+    res = acid_table.restore(path, 1)  # v3: re-points the old vectors
+    assert res["dv_changed"] >= 1
+    assert any(e.get("dv") for e in acid_table._state(path)["live"])
+    assert (
+        sorted(tuple(r) for r in acid_table.snapshot(spark, path).collect())
+        == v1_rows
+    )
+
+
+def test_restore_beyond_vacuum_retention_raises_curated_error(
+    spark, sf_dir, tmp_path
+):
+    """Restore reaches exactly as far back as vacuum retention: a target
+    whose files were reclaimed raises the curated error naming vacuum."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(800)
+    acid_table.create(t, path, "o_orderkey", n_files=2)
+    acid_table.delete(spark, path, "o_orderkey % 2 = 0")  # v1 rewrites all
+    acid_table.compact(spark, path, n_files=1)  # v2
+    acid_table.append(t.limit(10), path, 1)  # v3
+    acid_table.vacuum(path, retain_versions=2, orphan_grace_seconds=0)
+    with pytest.raises(ValueError, match="vacuum reclaimed"):
+        acid_table.restore(path, 0)
+    # inside the window still restores
+    assert acid_table.restore(path, 2)["new_version"] == 4
+
+
+def test_restore_preserves_exactly_once_txn_watermarks(
+    spark, sf_dir, tmp_path
+):
+    """txn watermarks are NOT rewound by restore (Delta's rule): a
+    redelivered epoch after a restore must still no-op — rewinding would
+    double-commit the stream."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(500)
+    assert acid_table.append_exactly_once(t, path, 0, "o_orderkey") is True
+    e1 = t.withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000)
+    assert acid_table.append_exactly_once(e1, path, 1, "o_orderkey") is True
+    acid_table.restore(path, 0)
+    # epoch 1 redelivered after the restore: STILL a no-op
+    assert acid_table.append_exactly_once(e1, path, 1, "o_orderkey") is False
+    assert acid_table.snapshot(spark, path).count() == t.count()
+    # the journal feed refuses across the restore, naming the right tool
+    with pytest.raises(ValueError, match="RESTORE"):
+        acid_table.table_changes_journal(
+            spark, path, 0, acid_table.head(path)
+        )
+    # ...and the file-diff feed nets the append out (v0 -> v2 identical)
+    assert acid_table.table_changes(spark, path, 0, 2).count() == 0
