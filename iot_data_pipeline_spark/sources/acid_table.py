@@ -658,6 +658,28 @@ def _schema_of(st: dict):
     return StructType.fromJson(json.loads(sj)) if sj else None
 
 
+def _check_reserved_columns(df: DataFrame) -> None:
+    """Reserved-name guard at every schema-introducing seam (create and
+    widening appends): ``__file_key``/``__pos`` are the DV machinery's
+    scan-scratch names (a user column of that name would be silently
+    CLOBBERED by the position-carrying read), and ``change_type``/
+    ``commit_version`` are the CDC feeds' tag columns (a user column of
+    that name would duplicate in every feed's output schema — Delta
+    reserves the same names for the same reason)."""
+    clash = {
+        "__file_key",
+        "__pos",
+        "change_type",
+        "commit_version",
+    } & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"column name(s) {sorted(clash)} are reserved by the table "
+            "format (__file_key/__pos: deletion-vector scan scratch; "
+            "change_type/commit_version: CDC feed tags); rename them"
+        )
+
+
 def _evolve_schema(st: dict, df: DataFrame) -> str | None:
     """Widening check for a schema-bearing commit: every recorded column
     must appear in ``df`` with the same type; columns ``df`` adds append
@@ -671,6 +693,9 @@ def _evolve_schema(st: dict, df: DataFrame) -> str | None:
     Legacy tables keep parquet-inference reads forever; schema recording
     — and therefore evolution — starts with tables CREATEd by this code."""
     from pyspark.sql.types import StructField, StructType
+
+    _check_reserved_columns(df)  # widening may ADD columns: same guard
+    # as create (a reserved name arriving via evolution is just as bad)
 
     old = _schema_of(st)
     if old is None:
@@ -861,6 +886,7 @@ def create(
         raise TypeError(
             f"table key must be an integral column, got {key}: {ktype}"
         )
+    _check_reserved_columns(df)
     adds = _write_data_files(df, path, key, n_files)
     if not adds:
         # A zero-file v0 would leave snapshot() with no file to take the

@@ -193,6 +193,12 @@ PICKS = {
         " against the deleted-position sliver — AQE broadcasts the sliver;"
         " data files byte-untouched, predicate pushdown below the join"
     ),
+    "acid_restore": (
+        "RESTORE read (r14): the rewound snapshot is a plain scan of the"
+        " RE-REFERENCED original files — restore wrote only a ~1 KB"
+        " manifest (metadata-only commit), so the plan is identical to"
+        " reading version 0 directly"
+    ),
     "acid_zorder_compact": (
         "Z-order OPTIMIZE read (r14): 2-D box skip_where prunes files"
         " from manifest stats BEFORE Spark lists them; the rewrite was one"
