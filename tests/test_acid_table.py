@@ -2014,3 +2014,27 @@ def test_restore_preserves_exactly_once_txn_watermarks(
         )
     # ...and the file-diff feed nets the append out (v0 -> v2 identical)
     assert acid_table.table_changes(spark, path, 0, 2).count() == 0
+
+
+def test_reserved_column_names_rejected_at_create_and_append(
+    spark, sf_dir, tmp_path
+):
+    """__file_key/__pos (DV scan scratch) and change_type/commit_version
+    (CDC feed tags) are reserved: a user column of those names would be
+    clobbered by the position-carrying read or duplicated in every feed's
+    output — refused at create AND at widening appends."""
+    t = _target(spark, sf_dir).limit(100)
+    for bad in ("__file_key", "__pos", "change_type", "commit_version"):
+        with pytest.raises(ValueError, match="reserved"):
+            acid_table.create(
+                t.withColumn(bad, F.lit(1)),
+                str(tmp_path / f"c_{bad}"),
+                "o_orderkey",
+                n_files=1,
+            )
+    path = str(tmp_path / "t")
+    acid_table.create(t, path, "o_orderkey", n_files=1)
+    with pytest.raises(ValueError, match="reserved"):
+        acid_table.append(
+            t.withColumn("change_type", F.lit("x")), path, 1
+        )
