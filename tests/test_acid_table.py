@@ -2038,3 +2038,112 @@ def test_reserved_column_names_rejected_at_create_and_append(
         acid_table.append(
             t.withColumn("change_type", F.lit("x")), path, 1
         )
+
+
+def test_randomized_trajectory_matches_model(spark, tmp_path):
+    """MODEL-BASED trajectory check over the whole format: three seeded
+    random interleavings of append / DELETE (cow|dv) / MERGE (cow|dv) /
+    OPTIMIZE (plain|zorder) / RESTORE, each step checked against an
+    in-memory dict model, plus time travel back to three random recorded
+    versions at the end. Individual ops are pinned above; this catches
+    INTERACTION bugs between them (the class the r13 review's DELETE
+    NULL-semantics bug lived in)."""
+    import random
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"t{seed}")
+        keyspace = list(range(0, 4000, 4))
+        rng.shuffle(keyspace)
+        fresh = iter(keyspace)
+
+        def batch(n):
+            return [(k, float(k % 97) + 0.25) for k in
+                    (next(fresh) for _ in range(n))]
+
+        rows0 = batch(60)
+        model = {k: v for k, v in rows0}
+        acid_table.create(
+            spark.createDataFrame(rows0, "k LONG, v DOUBLE"),
+            path,
+            "k",
+            n_files=3,
+        )
+        history = {0: dict(model)}
+        version = 0
+        for step in range(10):
+            op = rng.choice(
+                ["append", "delete", "merge", "compact", "restore"]
+            )
+            if op == "append":
+                rows = batch(rng.randint(10, 40))
+                model.update(rows)
+                acid_table.append(
+                    spark.createDataFrame(rows, "k LONG, v DOUBLE"),
+                    path,
+                    rng.randint(1, 3),
+                )
+                version += 1
+            elif op == "delete":
+                m, r = rng.randint(3, 9), rng.randint(0, 2)
+                mode = rng.choice(["cow", "dv"])
+                hit = {k for k in model if k % m == r}
+                res = acid_table.delete(
+                    spark, path, f"k % {m} = {r}", mode=mode,
+                    cdc=rng.random() < 0.5,
+                )
+                if hit:
+                    assert res["deleted_rows"] == len(hit)
+                    for k in hit:
+                        del model[k]
+                    version += 1
+                else:
+                    assert res["deleted_rows"] == 0  # no commit happened
+            elif op == "merge":
+                upd = rng.sample(
+                    sorted(model), min(len(model), rng.randint(5, 25))
+                )
+                ins = batch(rng.randint(0, 15))
+                src = [(k, model[k] + 1000.0) for k in upd] + ins
+                if not src:
+                    continue
+                mode = rng.choice(["cow", "dv"])
+                acid_table.merge(
+                    spark,
+                    spark.createDataFrame(src, "k LONG, v DOUBLE"),
+                    path,
+                    n_files=rng.randint(1, 3),
+                    cdc=rng.random() < 0.5,
+                    mode=mode,
+                )
+                model.update(src)
+                version += 1
+            elif op == "compact":
+                zo = rng.random() < 0.4
+                res = acid_table.compact(
+                    spark,
+                    path,
+                    n_files=rng.randint(1, 3),
+                    zorder_by=["k", "k"] if zo else None,
+                )
+                if res["rewritten"] > 0:
+                    version += 1
+            else:  # restore
+                target = rng.randint(0, version)
+                res = acid_table.restore(path, target)
+                if res["new_version"] != version:
+                    version = res["new_version"]
+                    model = dict(history[target])
+            history[version] = dict(model)
+            got = {
+                r["k"]: r["v"]
+                for r in acid_table.snapshot(spark, path).collect()
+            }
+            assert got == model, f"seed {seed} step {step} op {op}"
+        # time travel: three random recorded versions replay exactly
+        for v in rng.sample(sorted(history), min(3, len(history))):
+            got = {
+                r["k"]: r["v"]
+                for r in acid_table.snapshot(spark, path, version=v).collect()
+            }
+            assert got == history[v], f"seed {seed} time travel v{v}"
