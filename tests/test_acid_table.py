@@ -2147,3 +2147,161 @@ def test_randomized_trajectory_matches_model(spark, tmp_path):
                 for r in acid_table.snapshot(spark, path, version=v).collect()
             }
             assert got == history[v], f"seed {seed} time travel v{v}"
+
+
+def test_randomized_trajectory_with_evolution_and_epochs(spark, tmp_path):
+    """Second model-based trajectory: adds WIDENING SCHEMA EVOLUTION
+    (appends may introduce new nullable columns; older rows NULL-fill),
+    EXACTLY-ONCE epoch appends with random redelivery (must no-op), and
+    RESTORE rewinding the schema along with the data — against a model
+    of per-row column dicts. Pins the format's deepest interaction
+    surface: evolution × DV deletes × restore × txn watermarks."""
+    import random
+
+    for seed in (5, 31):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"t{seed}")
+        keyspace = list(range(0, 6000, 4))
+        rng.shuffle(keyspace)
+        fresh = iter(keyspace)
+        extra_pool = ["w1", "w2", "w3"]
+
+        def frame(rows, cols):
+            ddl = "k LONG, v DOUBLE" + "".join(
+                f", {c} DOUBLE" for c in cols
+            )
+            return spark.createDataFrame(rows, ddl)
+
+        def batch(n, cols):
+            out = []
+            for _ in range(n):
+                k = next(fresh)
+                out.append(
+                    tuple(
+                        [k, float(k % 89)]
+                        + [float(k % (7 + i)) for i in range(len(cols))]
+                    )
+                )
+            return out
+
+        cols: list[str] = []  # extra columns beyond (k, v), in order
+        rows0 = batch(50, cols)
+        model = {
+            r[0]: {"v": r[1]} for r in rows0
+        }  # key -> {col: value}; missing col == NULL
+        acid_table.create(frame(rows0, cols), path, "k", n_files=2)
+        history = {0: ({k: dict(d) for k, d in model.items()}, list(cols))}
+        version = 0
+        epoch = 0
+
+        def record():
+            history[version] = (
+                {k: dict(d) for k, d in model.items()},
+                list(cols),
+            )
+
+        def check(step, op):
+            snap = acid_table.snapshot(spark, path)
+            assert set(snap.columns) == {"k", "v", *cols}, (seed, step, op)
+            got = {r["k"]: r.asDict() for r in snap.collect()}
+            assert set(got) == set(model), (seed, step, op)
+            for k, d in model.items():
+                row = got[k]
+                assert row["v"] == d["v"], (seed, step, op, k)
+                for c in cols:
+                    assert row[c] == d.get(c), (seed, step, op, k, c)
+
+        for step in range(12):
+            op = rng.choice(
+                ["append", "evolve", "epoch", "delete", "merge", "restore"]
+            )
+            if op == "evolve" and len(cols) < len(extra_pool):
+                cols.append(extra_pool[len(cols)])
+                op = "append"  # the widening travels with an append
+            elif op == "evolve":
+                op = "append"
+            if op == "append":
+                rows = batch(rng.randint(8, 25), cols)
+                acid_table.append(frame(rows, cols), path, 1)
+                for r in rows:
+                    model[r[0]] = {"v": r[1]} | {
+                        c: r[2 + i] for i, c in enumerate(cols)
+                    }
+                version += 1
+            elif op == "epoch":
+                rows = batch(rng.randint(5, 15), cols)
+                assert acid_table.append_exactly_once(
+                    frame(rows, cols), path, epoch, "k"
+                )
+                for r in rows:
+                    model[r[0]] = {"v": r[1]} | {
+                        c: r[2 + i] for i, c in enumerate(cols)
+                    }
+                version += 1
+                if rng.random() < 0.6:  # random redelivery: MUST no-op
+                    assert (
+                        acid_table.append_exactly_once(
+                            frame(rows, cols), path, epoch, "k"
+                        )
+                        is False
+                    )
+                epoch += 1
+            elif op == "delete":
+                m, r0 = rng.randint(3, 8), rng.randint(0, 2)
+                hit = {k for k in model if k % m == r0}
+                res = acid_table.delete(
+                    spark,
+                    path,
+                    f"k % {m} = {r0}",
+                    mode=rng.choice(["cow", "dv"]),
+                )
+                assert res["deleted_rows"] == len(hit)
+                if hit:
+                    for k in hit:
+                        del model[k]
+                    version += 1
+            elif op == "merge":
+                upd = rng.sample(
+                    sorted(model), min(len(model), rng.randint(4, 15))
+                )
+                src_rows = [
+                    tuple(
+                        [k, model[k]["v"] + 500.0]
+                        + [float(i) for i in range(len(cols))]
+                    )
+                    for k in upd
+                ]
+                if not src_rows:
+                    continue
+                acid_table.merge(
+                    spark,
+                    frame(src_rows, cols),
+                    path,
+                    n_files=1,
+                    mode=rng.choice(["cow", "dv"]),
+                )
+                for r in src_rows:
+                    model[r[0]] = {"v": r[1]} | {
+                        c: r[2 + i] for i, c in enumerate(cols)
+                    }
+                version += 1
+            else:  # restore
+                target = rng.randint(0, version)
+                res = acid_table.restore(path, target)
+                if res["new_version"] != version:
+                    version = res["new_version"]
+                    snap_model, snap_cols = history[target]
+                    model = {k: dict(d) for k, d in snap_model.items()}
+                    cols = list(snap_cols)
+            record()
+            check(step, op)
+        # epoch watermark survived every restore: replaying ALL epochs no-ops
+        for past in range(epoch):
+            rows = batch(3, cols)
+            assert (
+                acid_table.append_exactly_once(
+                    frame(rows, cols), path, past, "k"
+                )
+                is False
+            )
+        check("final", "epoch-replay")
