@@ -415,6 +415,35 @@ def acid_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acid_table.snapshot(spark, path)
 
 
+def acid_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (r14 — Delta's zero-copy CLONE on the manifest log):
+    create the source, ``clone()`` it (ONE manifest written, zero data
+    bytes — the clone's v0 references the source's immutable files by
+    absolute path), then DIVERGE the clone with a merge-on-read DELETE
+    (a LOCAL vector over the external files) — the clone's snapshot must
+    hash-equal the filtered SQL while the source stays byte-identical
+    (divergence independence, the clone's-vacuum-never-touches-source
+    rule, v0-as-inserts feeds, and fresh txn watermarks are pinned in
+    tests/test_acid_table.py)."""
+    import tempfile
+
+    from iot_data_pipeline_spark.sources import acid_table
+
+    o = table(spark, sf_dir, "orders")
+    base = o.filter(F.pmod("o_orderkey", F.lit(4)) != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src = tempfile.mkdtemp(prefix="acid_clsrc_")
+    acid_table.create(base, src, "o_orderkey", n_files=8)
+    dst = tempfile.mkdtemp(prefix="acid_cldst_")
+    import shutil
+
+    shutil.rmtree(dst)
+    acid_table.clone(src, dst)
+    acid_table.delete(spark, dst, "o_orderkey % 5 = 0", mode="dv")
+    return acid_table.snapshot(spark, dst)
+
+
 def acid_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE TABLE ... VERSION AS OF (r14 — Delta's undo, re-derived as
     one METADATA-ONLY commit): create → row-level DELETE → pruned MERGE,
@@ -852,6 +881,7 @@ QUERIES = {
     "acid_string_skipping": acid_string_skipping,
     "acid_deletion_vectors": acid_deletion_vectors,
     "acid_merge_dv": acid_merge_dv,
+    "acid_clone": acid_clone,
     "acid_restore": acid_restore,
     "acid_zorder_compact": acid_zorder_compact,
     "acid_cdf_journal": acid_cdf_journal,
@@ -970,6 +1000,12 @@ ORACLES = {
         "   AS ok_sband FROM orders"
         " WHERE 'b' || lpad(CAST(o_orderkey // 1024 AS VARCHAR), 6, '0')"
         "   BETWEEN 'b000003' AND 'b000005'"
+    ),
+    # Zero-copy clone diverged by a local DV delete: the clone's snapshot
+    # is the source selection minus the clone-side delete.
+    "acid_clone": (
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+        " WHERE o_orderkey % 4 <> 0 AND NOT (o_orderkey % 5 = 0)"
     ),
     # RESTORE to v0 after delete+merge: the rewound snapshot IS the
     # original create selection.

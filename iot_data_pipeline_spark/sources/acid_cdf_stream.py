@@ -164,7 +164,7 @@ class AcidCdfStreamReader(DataSourceStreamReader):
             op = m["op"]
             if m.get("cdc") is not None:
                 rels, tag = m["cdc"], None  # tag travels inside the file
-            elif op in ("create", "append", "stream-append"):
+            elif op in ("create", "append", "stream-append", "clone"):
                 rels, tag = [a["path"] for a in m["add"]], "insert"
             elif op == "compact":
                 continue  # rewrite-in-place: no logical change

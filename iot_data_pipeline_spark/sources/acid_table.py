@@ -1870,7 +1870,9 @@ def table_changes_journal(
                         "commit_version", F.lit(v).cast("bigint")
                     )
                 )
-        elif op in ("create", "append", "stream-append"):
+        elif op in ("create", "append", "stream-append", "clone"):
+            # a clone's v0 references ARE the table's initial inserts,
+            # exactly like create (dataChange rule)
             if m["add"]:
                 gone = [
                     a["path"]
@@ -1926,6 +1928,63 @@ def table_changes_journal(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def clone(src_path: str, dst_path: str, version: int | None = None) -> dict:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``): a new
+    table at ``dst_path`` whose version-0 manifest REFERENCES the
+    source's data files (and deletion-vector sidecars) by ABSOLUTE path —
+    zero bytes copied, one manifest written. Data files are immutable, so
+    the clone serves the source's snapshot (at ``version``, default
+    latest) byte-for-byte; every reader path resolves absolute references
+    naturally (``os.path.join`` passes them through).
+
+    Divergence after the clone is free in both directions: writes on the
+    clone land LOCAL files under the clone's own ``data/``; writes on the
+    source rewrite the source — the files the clone references stay on
+    disk until the SOURCE's vacuum reclaims them, which is the documented
+    shallow-clone hazard Delta shares (vacuum on the source breaks clones
+    that still reference reclaimed files; deep-copy via
+    ``create(snapshot(...), ...)`` when the source's retention cannot be
+    trusted). The CLONE's own vacuum never touches externally-referenced
+    files — it only ever deletes names listed in the clone's local
+    ``data/``/``dv/`` directories.
+
+    txn watermarks are NOT inherited (a stream writing to the clone is a
+    different table — epoch 0 must commit); history is not inherited
+    either (the clone's log starts at version 0, recording the source
+    path + version for audit)."""
+    if _list_log(dst_path)[0]:
+        raise RuntimeError(f"table already exists at {dst_path}")
+    st = _state(src_path, version)
+    src_abs = os.path.abspath(src_path)
+    adds = []
+    for e in st["live"]:
+        ne = {**e, "path": os.path.join(src_abs, e["path"])}
+        if e.get(_DV):
+            ne[_DV] = {
+                **e[_DV],
+                "path": os.path.join(src_abs, e[_DV]["path"]),
+            }
+        adds.append(ne)
+    _publish(
+        dst_path,
+        {
+            "version": 0,
+            "op": "clone",
+            "key": st["key"],
+            "schema": st.get("schema"),
+            "source": src_abs,
+            "source_version": st["version"],
+            "add": adds,
+            "remove": [],
+        },
+    )
+    return {
+        "source_version": st["version"],
+        "files_referenced": len(adds),
+        "dv_referenced": sum(1 for e in adds if e.get(_DV)),
+    }
 
 
 def restore(path: str, version: int) -> dict:
@@ -2070,7 +2129,11 @@ def vacuum(
     data_dir = os.path.join(path, _DATA)
     now = time.time()
     removed_old = orphans = 0
-    for name in sorted(os.listdir(data_dir)):
+    # a freshly-cloned table has no local data/ yet (its files are
+    # absolute references into the source — which this vacuum must and
+    # does never touch: only names listed LOCALLY are ever candidates)
+    local_data = sorted(os.listdir(data_dir)) if os.path.isdir(data_dir) else []
+    for name in local_data:
         rel = f"{_DATA}/{name}"
         if rel in retained_live:
             continue

@@ -2305,3 +2305,93 @@ def test_randomized_trajectory_with_evolution_and_epochs(spark, tmp_path):
                 is False
             )
         check("final", "epoch-replay")
+
+
+# ---------------------------------------------------------------------------
+# SHALLOW CLONE (r14)
+# ---------------------------------------------------------------------------
+
+
+def test_shallow_clone_is_zero_copy_and_diverges_independently(
+    spark, sf_dir, tmp_path
+):
+    """CLONE writes one manifest and zero data bytes: no local data/ dir,
+    the clone serves the source snapshot exactly (deletion vectors
+    included), and post-clone writes diverge independently — deletes on
+    the clone land local rewrites/vectors without touching the source,
+    and source appends never appear in the clone."""
+    src = str(tmp_path / "src")
+    t = _target(spark, sf_dir).limit(1500)
+    acid_table.create(t, src, "o_orderkey", n_files=4)
+    acid_table.delete(spark, src, "o_orderkey % 7 = 0", mode="dv")
+    src_rows = sorted(
+        tuple(r) for r in acid_table.snapshot(spark, src).collect()
+    )
+    dst = str(tmp_path / "dst")
+    res = acid_table.clone(src, dst)
+    assert res["files_referenced"] == 4
+    assert res["dv_referenced"] >= 1
+    assert not os.path.isdir(os.path.join(dst, "data"))  # zero bytes
+    assert (
+        sorted(tuple(r) for r in acid_table.snapshot(spark, dst).collect())
+        == src_rows
+    )
+    # diverge the clone: a DV delete lands a LOCAL sidecar only
+    acid_table.delete(spark, dst, "o_orderkey % 5 = 0", mode="dv")
+    assert acid_table.snapshot(spark, dst).count() == t.filter(
+        "o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0"
+    ).count()
+    assert (
+        sorted(tuple(r) for r in acid_table.snapshot(spark, src).collect())
+        == src_rows
+    )  # source untouched
+    # diverge the source: the clone never sees it
+    acid_table.append(
+        t.limit(100).withColumn("o_orderkey", F.col("o_orderkey") + 9_000_000),
+        src,
+        1,
+    )
+    assert acid_table.snapshot(spark, dst).filter(
+        "o_orderkey >= 9000000"
+    ).count() == 0
+    # the clone's own vacuum never touches the source's files
+    stats = acid_table.vacuum(dst, retain_versions=1, orphan_grace_seconds=0)
+    assert stats["removed_beyond_retention"] == 0
+    assert acid_table.snapshot(spark, src).count() == src_rows.__len__() + 100
+    # clone OPTIMIZE localizes everything: data copied on rewrite only
+    acid_table.compact(spark, dst, n_files=2)
+    assert os.path.isdir(os.path.join(dst, "data"))
+    live = acid_table._state(dst)["live"]
+    assert all(not os.path.isabs(e["path"]) for e in live)
+
+
+def test_clone_v0_feeds_as_inserts_and_fresh_txn_watermarks(
+    spark, sf_dir, tmp_path
+):
+    """The clone's v0 references ARE its initial inserts for both CDC
+    feeds, and txn watermarks are NOT inherited — a stream writing to
+    the clone starts at epoch 0."""
+    src = str(tmp_path / "src")
+    t = _target(spark, sf_dir).limit(500)
+    assert acid_table.append_exactly_once(t, src, 7, "o_orderkey") is True
+    dst = str(tmp_path / "dst")
+    acid_table.clone(src, dst)
+    # the journal's (v_from, v_to] convention needs v_from committed; the
+    # streaming source's (−1, 0] window is the v0-as-inserts check
+    from iot_data_pipeline_spark.sources import acid_cdf_stream
+
+    reader = acid_cdf_stream.AcidCdfStreamReader(
+        acid_cdf_stream._feed_schema(dst), {"path": dst}
+    )
+    parts = reader.partitions({"version": -1}, {"version": 0})
+    assert parts, "clone v0 must plan insert partitions"
+    # fresh watermarks: epoch 7 (committed on the SOURCE) re-commits here
+    assert (
+        acid_table.append_exactly_once(
+            t.withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000),
+            dst,
+            7,
+            "o_orderkey",
+        )
+        is True
+    )
