@@ -314,9 +314,15 @@ def _embed_dup_pairs(v: DataFrame, threshold: float) -> DataFrame:
       replicated across gy, side 1 across gx — 2·n·B rows), and each
       (label, gx, gy) cell holds ≤ ~cap rows per side, scored by ONE
       numpy matmul inside ``applyInPandas``. Pair (x, y) is evaluated
-      EXACTLY once — in cell (gx(x), gy(y)) — so the pair set is
-      identical to the plain join (hash-green consumers stay hash-green);
-      total pair work is unchanged (exact all-pairs is Ω(pairs)) but the
+      EXACTLY once — in cell (gx(x), gy(y)) — so the CANDIDATE pair set
+      is identical to the plain join. The scored cosine is identical up
+      to FP summation order: BLAS uses pairwise summation while the JVM
+      lambda left-folds, so the two can differ in the last ulp, and a
+      4-decimal half-up cosine sitting EXACTLY on a .00005 or threshold
+      boundary could land on different sides in the >cap regime (ADVICE
+      r14, low — no correctness fixture exercises that regime; the
+      small-scale equality pins hold bit-exactly). Total pair work is
+      unchanged (exact all-pairs is Ω(pairs)) but the
       single-task memory/wall ceiling is gone and the arithmetic runs at
       BLAS throughput instead of per-element codegen lambdas, exactly
       like ``_hnsw_l0_edges``'s bucketed build. Cosines round half-up to

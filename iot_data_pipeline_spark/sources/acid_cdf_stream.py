@@ -127,11 +127,19 @@ class AcidCdfStreamReader(DataSourceStreamReader):
         _ensure_pkg(self._pkg_parent)
         from iot_data_pipeline_spark.sources import acid_table
 
-        try:
-            head = acid_table._state(self._path)["version"]
-        except RuntimeError:  # no table yet: nothing to consume
-            head = self._start
-        return {"version": int(head)}
+        # Only the GENUINE no-table case means "nothing to consume".
+        # _state also raises RuntimeError for torn/lagging listings —
+        # those are retryable store faults; swallowing them here would
+        # return an offset BELOW the checkpointed end, Spark would plan
+        # and commit an empty batch ending at the regressed offset, and
+        # the next batch would replay commits already delivered —
+        # duplicates in an exactly-once feed (ADVICE r14, medium). Let
+        # them propagate so the trigger retries; and belt-and-braces,
+        # never report a head below the configured start.
+        if not acid_table._list_log(self._path)[0]:
+            return {"version": int(self._start)}
+        head = acid_table._state(self._path)["version"]
+        return {"version": int(max(head, self._start))}
 
     def partitions(
         self, start: dict, end: dict

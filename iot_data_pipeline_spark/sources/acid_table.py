@@ -491,6 +491,86 @@ def _publish(path: str, manifest: dict) -> None:
             )
 
 
+def _fused_write_stats_task(staging: str, str_cols: list):
+    """Task body for the FUSED staging-write-plus-string-stats job
+    (VERDICT r14 item 1 — the ``sink_iot_writer`` DataSourceWriter
+    pattern applied to the table format's own write path): each
+    ``mapInArrow`` task streams its partition's Arrow batches into one
+    pyarrow ParquetWriter under ``staging`` while folding per-batch
+    ``pc.min_max`` over the string columns into running FULL-STRING
+    bounds, then emits exactly one (file, json-bounds) row. Bounds ship
+    back truncated to ``_STR_PREFIX + 1`` characters — enough for the
+    driver's :func:`_str_prefix_bounds` to reproduce the exact r14
+    two-pass output (it only inspects the first 32 characters plus the
+    is-longer-than-32 fact), without ever shipping a multi-KB document
+    string in a stats row.
+
+    Batches buffer to ~64 MB before each row-group flush — Spark's Arrow
+    batches default to 10k rows, and writing each as its own row group
+    would shred the file into footer-stat confetti; 64 MB keeps worker
+    memory bounded on wide document tables while preserving scan-friendly
+    row groups. Returned as a CLOSURE so cloudpickle ships it BY VALUE —
+    executors need no importable package (same delivery rule the
+    streaming CDF source pinned). File names are partition-deterministic
+    (``part-{pid:05d}.parquet``) so a task retry overwrites its own
+    partial output."""
+    pfx = _STR_PREFIX + 1
+
+    def _task(batches):
+        import json as _json
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+        from pyspark import TaskContext
+
+        fname = f"part-{TaskContext.get().partitionId():05d}.parquet"
+        writer = None
+        lo: dict = {}
+        hi: dict = {}
+        buf: list = []
+        buf_bytes = 0
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            if writer is None:
+                writer = _pq.ParquetWriter(
+                    _os.path.join(staging, fname), b.schema
+                )
+            buf.append(b)
+            buf_bytes += b.nbytes
+            if buf_bytes >= 64 << 20:
+                writer.write_table(_pa.Table.from_batches(buf))
+                buf, buf_bytes = [], 0
+            for c in str_cols:
+                mm = _pc.min_max(b.column(b.schema.get_field_index(c)))
+                bmin, bmax = mm["min"].as_py(), mm["max"].as_py()
+                if bmin is None:  # all-NULL batch: nothing to fold
+                    continue
+                if c not in lo or bmin < lo[c]:
+                    lo[c] = bmin
+                if bmax > hi.get(c, bmax) or c not in hi:
+                    hi[c] = bmax
+        if writer is None:  # empty partition: no file, no stats row
+            return
+        if buf:
+            writer.write_table(_pa.Table.from_batches(buf))
+        writer.close()
+        yield _pa.RecordBatch.from_pydict(
+            {
+                "file": [fname],
+                "stats": [
+                    _json.dumps(
+                        {c: [lo[c][:pfx], hi[c][:pfx]] for c in lo}
+                    )
+                ],
+            }
+        )
+
+    return _task
+
+
 def _write_data_files(
     df: DataFrame,
     path: str,
@@ -514,11 +594,22 @@ def _write_data_files(
     extra IO. STRING columns get their own stats channel (``"scols"``,
     r14): footer binary min/max may be writer-truncated — a truncated max
     is only a safe upper bound by writer convention this format refuses
-    to lean on — so string bounds are ENGINE-COMPUTED from the staged
-    output (one narrow aggregation) and recorded as Delta-style 32-char
-    prefix bounds: ``[prefix_min, upper, truncated]`` with a
-    successor-incremented EXCLUSIVE upper when truncated (see
-    :func:`_str_prefix_bounds`). A column whose stats are missing or NaN
+    to lean on — so string bounds are ENGINE-COMPUTED and recorded as
+    Delta-style 32-char prefix bounds: ``[prefix_min, upper, truncated]``
+    with a successor-incremented EXCLUSIVE upper when truncated (see
+    :func:`_str_prefix_bounds`). Since r15 (VERDICT r14 item 1) the
+    string bounds are collected TASK-SIDE, FUSED INTO THE STAGING WRITE:
+    a string-bearing frame writes through ``mapInArrow`` — each task
+    streams its Arrow batches into one pyarrow ParquetWriter (64 MB row
+    groups) while folding per-batch ``pc.min_max`` into running full-
+    string bounds, and emits one tiny (file, bounds-prefix) row. ONE job
+    replaces the r14 write-then-re-read; at cluster scale the saved
+    re-read of the string columns grows with the data. UTF-8 byte order
+    equals code-point order, so pyarrow/Python min-max agrees exactly
+    with Spark's default-collation ``F.min``/``F.max`` — the recorded
+    bounds are byte-identical to the two-pass path (pinned). Frames with
+    no string columns (or ``string_stats=False``) keep the plain JVM
+    parquet write untouched. A column whose stats are missing or NaN
     in any row group is simply not recorded for that file, and skipping
     treats absent stats as always-overlapping — conservative, never
     wrong."""
@@ -536,21 +627,11 @@ def _write_data_files(
         if order_by is not None
         else df.repartitionByRange(n_files, key)
     )
-    clustered.write.mode("overwrite").parquet(staging)
-    data_dir = os.path.join(path, _DATA)
-    os.makedirs(data_dir, exist_ok=True)
-    # STRING column stats are ENGINE-COMPUTED over the staged output (r14
-    # — Delta's 32-char prefix bounds): parquet binary min/max may be
-    # writer-truncated, and a truncated footer max is only a safe upper
-    # bound by writer convention this format refuses to lean on. One
-    # per-file min/max aggregation of just the string columns (grouped on
-    # the scan's own file identity) — a single narrow columnar pass of
-    # data this writer just produced, the same moment Delta collects its
-    # write-time stats.
-    # ``string_stats=False`` defers the pass (the per-epoch streaming
-    # append skips it — a bounded-latency hot path; files without
-    # ``scols`` conservatively never skip, and the next OPTIMIZE rewrite
-    # collects them — the standard stats-deferred-to-maintenance trade).
+    # ``string_stats=False`` defers the string pass (the per-epoch
+    # streaming append skips it — a bounded-latency hot path; files
+    # without ``scols`` conservatively never skip, and the next OPTIMIZE
+    # rewrite collects them — the standard stats-deferred-to-maintenance
+    # trade).
     str_cols = (
         [name for name, t in df.dtypes if t == "string"]
         if string_stats
@@ -558,28 +639,22 @@ def _write_data_files(
     )
     str_stats: dict[str, dict[str, list]] = {}
     if str_cols:
-        rows = (
-            df.sparkSession.read.parquet(staging)
-            .groupBy(
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ).alias("__f")
-            )
-            .agg(
-                *[F.min(c).alias(f"__min_{i}") for i, c in enumerate(str_cols)],
-                *[F.max(c).alias(f"__max_{i}") for i, c in enumerate(str_cols)],
-            )
-            .collect()
-        )
+        os.makedirs(staging, exist_ok=True)
+        rows = clustered.mapInArrow(
+            _fused_write_stats_task(staging, str_cols),
+            "file string, stats string",
+        ).collect()
         for r in rows:
-            per_col = {}
-            for i, c in enumerate(str_cols):
-                smin, smax = r[f"__min_{i}"], r[f"__max_{i}"]
-                if smin is None or smax is None:  # all-NULL file: no stats
-                    continue
-                per_col[c] = _str_prefix_bounds(smin, smax)
+            per_col = {
+                c: _str_prefix_bounds(lo, hi)
+                for c, (lo, hi) in json.loads(r["stats"]).items()
+            }
             if per_col:
-                str_stats[r["__f"]] = per_col
+                str_stats[r["file"]] = per_col
+    else:
+        clustered.write.mode("overwrite").parquet(staging)
+    data_dir = os.path.join(path, _DATA)
+    os.makedirs(data_dir, exist_ok=True)
     adds: list[dict] = []
     for part in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
         meta = pq.read_metadata(part)
@@ -1352,8 +1427,12 @@ def compact(
         def _scaled(col: str):
             lo, hi = _bounds(col)
             span = max(1, int(hi) - int(lo))
+            # Widen to LONG BEFORE the *65535: an INT column whose span
+            # exceeds ~32767 would overflow the int*int multiply (silent
+            # wrap in non-ANSI mode, runtime error under ANSI) — ADVICE
+            # r14, low. LONG*65535 is safe for any 32-bit domain.
             return F.expr(
-                f"CAST((({col} - {int(lo)}) * 65535) DIV {span} AS LONG)"
+                f"((CAST({col} AS LONG) - {int(lo)}) * 65535) DIV {span}"
             )
 
         order_by = zorder_key(_scaled(zorder_by[0]), _scaled(zorder_by[1]))
@@ -1407,12 +1486,30 @@ def append_exactly_once(
     last = (st or {}).get("txns", {}).get(app_id)
     if last is not None and last >= txn_version:
         return False
+    if st is None:
+        # The table-creation branch must enforce the same guards as
+        # create() (ADVICE r14, low): a reserved column name arriving via
+        # the first epoch would later be clobbered by DV scans / CDC
+        # feeds, and a non-integral key breaks the manifest stats and
+        # merge's prune join at first use.
+        _check_reserved_columns(df)
+        ktype = dict(df.dtypes).get(key)
+        if ktype not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"table key must be an integral column, got {key}: {ktype}"
+            )
     schema = _evolve_schema(st, df) if st else _schema_json(df)
     # per-epoch hot path: defer string prefix stats to the next OPTIMIZE
     # (one extra job per micro-batch otherwise; numeric footer stats are
     # free and still recorded)
     adds = _write_data_files(df, path, key, n_files, string_stats=False)
     version = st["version"] + 1 if st else 0
+    if not adds and version == 0:
+        # create() refuses a zero-file v0 as unreadable; an EMPTY first
+        # epoch must not sneak one in. Skipping the publish is safe: the
+        # epoch contributes nothing, and a redelivery replays the same
+        # empty frame — idempotence holds vacuously without a watermark.
+        return False
     for _ in range(64):
         try:
             _publish(

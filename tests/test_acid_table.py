@@ -2395,3 +2395,126 @@ def test_clone_v0_feeds_as_inserts_and_fresh_txn_watermarks(
         )
         is True
     )
+
+
+def test_append_exactly_once_create_branch_enforces_create_guards(
+    spark, sf_dir, tmp_path
+):
+    """The first-epoch table-creation branch must enforce the same guards
+    as create() (ADVICE r14): reserved column names raise, a non-integral
+    key raises, and an EMPTY first epoch never commits a zero-file v0
+    (create() refuses those as unreadable)."""
+    t = _target(spark, sf_dir).limit(100)
+    with pytest.raises(ValueError, match="reserved"):
+        acid_table.append_exactly_once(
+            t.withColumn("change_type", F.lit("x")),
+            str(tmp_path / "r"),
+            0,
+            "o_orderkey",
+        )
+    with pytest.raises(TypeError, match="integral"):
+        acid_table.append_exactly_once(
+            t, str(tmp_path / "k"), 0, "o_orderstatus"
+        )
+    empty = str(tmp_path / "e")
+    assert (
+        acid_table.append_exactly_once(
+            t.filter(F.lit(False)), empty, 0, "o_orderkey"
+        )
+        is False
+    )
+    with pytest.raises(RuntimeError, match="no table"):
+        acid_table._state(empty)
+    # ...and the guards did not break the normal create-by-first-epoch
+    assert acid_table.append_exactly_once(
+        t, empty, 0, "o_orderkey"
+    ) is True
+
+
+def test_zorder_normalization_survives_wide_int_domains(spark, tmp_path):
+    """An INT zorder column whose span exceeds ~32767 must not overflow
+    the range normalization (ADVICE r14: the old `(col - lo) * 65535`
+    int multiply wrapped silently non-ANSI / errored under ANSI). The
+    session runs ANSI-on, so pre-fix this compact RAISED."""
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 20000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).cast("int").alias("wide"),
+            F.pmod(F.col("id"), 97).cast("int").alias("narrow"),
+        )
+    )
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    acid_table.create(df, path, "k", n_files=8)
+    before = acid_table.snapshot(spark, path).orderBy("k").collect()
+    acid_table.compact(spark, path, n_files=8, zorder_by=["wide", "narrow"])
+    after = acid_table.snapshot(spark, path).orderBy("k").collect()
+    assert before == after
+    # the wide dimension actually clusters: a 1/8-domain box touches a
+    # strict subset of files (wrapped normalization degenerates this)
+    snap = acid_table.snapshot(
+        spark, path, skip_where={"wide": (0, 24999)}
+    )
+    full = acid_table.snapshot(spark, path)
+    assert len(snap.inputFiles()) < len(full.inputFiles())
+
+
+def test_fused_write_string_stats_identical_to_two_pass(
+    spark, sf_dir, tmp_path
+):
+    """The r15 FUSED write (task-side pyarrow write + pc.min_max string
+    bounds in ONE mapInArrow job) must record byte-identical "scols" to
+    the r14 two-pass path (JVM write, then a Spark min/max re-read of the
+    staged files grouped by file identity) — UTF-8 byte order equals
+    code-point order, so the two collations agree exactly. Recomputed
+    here two-pass-style over the committed data files, including
+    truncation, non-ASCII, and all-NULL-column edges."""
+    d = (
+        _target(spark, sf_dir)
+        .limit(3000)
+        .withColumn(
+            "long_s",
+            F.when(
+                F.col("o_orderkey") % 3 == 0,
+                F.concat(
+                    F.lit("zz-café-" + "x" * 40),
+                    F.col("o_orderkey").cast("string"),
+                ),
+            ).otherwise(
+                F.concat(F.lit("nä-"), F.col("o_orderkey").cast("string"))
+            ),
+        )
+        .withColumn("all_null_s", F.lit(None).cast("string"))
+    )
+    path = str(tmp_path / "t")
+    acid_table.create(d, path, "o_orderkey", n_files=5)
+    live = acid_table._state(path)["live"]
+    assert all("scols" in f for f in live)
+    str_cols = [c for c, t in d.dtypes if t == "string"]
+    two_pass = (
+        spark.read.parquet(os.path.join(path, "data"))
+        .groupBy(
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("f")
+        )
+        .agg(
+            *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(str_cols)],
+            *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(str_cols)],
+        )
+        .collect()
+    )
+    expected = {}
+    for r in two_pass:
+        per_col = {}
+        for i, c in enumerate(str_cols):
+            if r[f"mn_{i}"] is None:
+                continue
+            per_col[c] = acid_table._str_prefix_bounds(
+                r[f"mn_{i}"], r[f"mx_{i}"]
+            )
+        expected[r["f"]] = per_col
+    got = {os.path.basename(f["path"]): f["scols"] for f in live}
+    assert got == expected
+    assert all("all_null_s" not in sc for sc in got.values())

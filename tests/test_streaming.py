@@ -726,3 +726,43 @@ def test_cdf_source_starting_version_skips_earlier_commits(
     assert got, "the delete commit's journal must flow"
     assert {r["commit_version"] for r in got} == {2}
     assert all(r["change_type"] == "delete" for r in got)
+
+
+def test_cdf_latest_offset_propagates_store_faults_never_regresses(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """latestOffset must only treat the GENUINE no-table case as nothing
+    to consume (ADVICE r14, medium): a torn/lagging-listing RuntimeError
+    from _state must PROPAGATE so the trigger retries — swallowing it
+    returned an offset below the checkpointed end, Spark committed an
+    empty batch at the regressed offset, and the next batch replayed
+    already-delivered commits (duplicates in an exactly-once feed)."""
+    import pytest as _pytest
+
+    from iot_data_pipeline_spark.sources import acid_cdf_stream, acid_table
+
+    path, t = _cdf_stream_table(spark, sf_dir, tmp_path)
+    reader = acid_cdf_stream.AcidCdfStreamReader(
+        acid_cdf_stream._feed_schema(path), {"path": path}
+    )
+    head = acid_table.head(path)
+    assert reader.latestOffset() == {"version": head}
+    # genuinely-no-table: start sentinel, no error
+    empty = acid_cdf_stream.AcidCdfStreamReader(
+        acid_cdf_stream._feed_schema(path), {"path": str(tmp_path / "no")}
+    )
+    assert empty.latestOffset() == {"version": -1}
+    # torn listing (non-empty log, _state raises retryably): propagate
+    def torn_state(p, version=None):
+        raise RuntimeError(f"gap in commit log listing of {p}: retry")
+
+    monkeypatch.setattr(acid_table, "_state", torn_state)
+    with _pytest.raises(RuntimeError, match="gap in commit log"):
+        reader.latestOffset()
+    monkeypatch.undo()
+    # belt-and-braces: a head below startingVersion is clamped up
+    late = acid_cdf_stream.AcidCdfStreamReader(
+        acid_cdf_stream._feed_schema(path),
+        {"path": path, "startingversion": str(head + 5)},
+    )
+    assert late.latestOffset() == {"version": head + 5}
