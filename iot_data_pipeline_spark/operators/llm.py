@@ -2398,6 +2398,94 @@ def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ExactSubstr window length (characters). Lee et al. 2022 use 50 BPE
+# tokens; 40 characters is the same order for the synthetic corpus and
+# keeps every fixture scale non-trivially duplicated.
+_SUBSTR_L = 40
+
+
+def _substring_dedup_spans(docs: DataFrame, L: int) -> DataFrame:
+    """Substring-level EXACT dedup (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better", the ExactSubstr pass) —
+    the rung llm_span_dedup's fixed 64/48 stride windows cannot reach:
+    spans duplicated at ARBITRARY alignments. Returns one row per maximal
+    duplicated region: (doc_id, span_start 1-based, span_end exclusive,
+    span_len) — the removal offsets a curation pipeline cuts.
+
+    Semantics (exact, alignment-free): position x of doc d is duplicated
+    iff SOME length-≥L substring covering x occurs at a second (doc, pos)
+    anywhere in the corpus — equivalently, iff some L-gram window
+    [p, p+L) ∋ x occurs twice (a duplicated substring of length M ≥ L
+    contains a duplicated L-gram at every one of its M−L+1 alignments,
+    and conversely each duplicated L-gram IS such a substring). So: every
+    position's L-gram → count ≥ 2 → union the [p, p+L) windows →
+    gaps-and-islands merge per doc. The suffix-array formulation finds
+    the identical position set (pinned by the property test against an
+    SA+LCP reference): maxlcp(p) ≥ L ⟺ the L-gram at p repeats.
+
+    100 TB shape: Ω(corpus positions) rows is INHERENT to exact substring
+    dedup (a suffix array is the same order); everything else is bounded:
+    the gram ships as a fixed 64-byte sha2 digest, never raw text; the
+    duplicate test is one map-side-combinable groupBy(digest) (a
+    pathological billion-fold gram partially aggregates before the
+    shuffle) + one equi-join back (1 dup-key row per occurrence — no
+    blowup, AQE splits residual skew); the merge is one window bounded by
+    single-doc length. No all-pairs stage anywhere."""
+    grams = (
+        docs.filter(F.length("text") >= L)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - (L - 1))
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.col("p").cast("bigint").alias("pos"),
+            F.sha2(F.expr(f"substring(text, p, {L})"), 256).alias("k"),
+        )
+    )
+    dupk = (
+        grams.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("k")
+    )
+    dup = grams.join(dupk, "k").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn(
+        "new_isl",
+        # adjacent-or-overlapping windows (pos ≤ prev + L) fuse into one
+        # continuous duplicated region; lag NULL (first window) opens one
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) <= L, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "island",
+        F.sum("new_isl").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + L).alias("span_end"),
+            (F.max("pos") + L - F.min("pos")).alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_len")
+    )
+
+
+def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered ExactSubstr dedup over ``documents`` at window
+    ``_SUBSTR_L`` — see :func:`_substring_dedup_spans`."""
+    return _substring_dedup_spans(
+        table(spark, sf_dir, "documents"), _SUBSTR_L
+    )
+
+
 def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document: most-frequent-word
     fraction and duplicate-word fraction. ZERO-shuffle formulation: sort
@@ -3713,6 +3801,7 @@ QUERIES = {
     "llm_sim_hnsw": llm_sim_hnsw,
     "llm_chunk_docs": llm_chunk_docs,
     "llm_span_dedup": llm_span_dedup,
+    "llm_substring_dedup": llm_substring_dedup,
     "llm_repetition": llm_repetition,
     "llm_gopher_rules": llm_gopher_rules,
     "llm_unigram_rarity": llm_unigram_rarity,
@@ -4158,6 +4247,30 @@ ORACLES = {
         " FLOOR(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)"
         "       * 1000000.0 / COUNT(*)) / 1000000.0 AS dup_frac"
         " FROM r GROUP BY doc_id"
+    ),
+    # Engine groups on sha2(gram), oracle on the raw gram — identical key
+    # sets (the llm_dedup_exact parity argument); both count EVERY
+    # (doc, pos) occurrence, so within-doc self-repeats duplicate too.
+    "llm_substring_dedup": (
+        "WITH grams AS (SELECT d.doc_id, g.p AS pos,"
+        "   substring(d.text, CAST(g.p AS INT), 40) AS gram"
+        " FROM documents d, LATERAL (SELECT unnest(generate_series(1,"
+        "   length(d.text) - 39)) AS p) g"
+        " WHERE length(d.text) >= 40),"
+        " dupg AS (SELECT gram FROM grams GROUP BY gram"
+        "          HAVING COUNT(*) >= 2),"
+        " dup AS (SELECT g.doc_id, g.pos FROM grams g"
+        "         JOIN dupg USING (gram)),"
+        " lagged AS (SELECT doc_id, pos, lag(pos) OVER"
+        "   (PARTITION BY doc_id ORDER BY pos) AS prev FROM dup),"
+        " isl AS (SELECT doc_id, pos,"
+        "   SUM(CASE WHEN prev IS NULL OR pos - prev > 40 THEN 1 ELSE 0"
+        "       END) OVER (PARTITION BY doc_id ORDER BY pos) AS island"
+        " FROM lagged)"
+        " SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,"
+        " CAST(MAX(pos) + 40 AS BIGINT) AS span_end,"
+        " CAST(MAX(pos) + 40 - MIN(pos) AS BIGINT) AS span_len"
+        " FROM isl GROUP BY doc_id, island"
     ),
     # Oracle uses the explode/group formulation; the engine's sorted-array
     # run-length HOF must agree exactly (max run over sorted == max count).
