@@ -704,6 +704,44 @@ def acid_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acid_table.snapshot(spark, path)
 
 
+def acid_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping on the manifest log (VERDICT r14 item 3 — Delta
+    columnMapping name-mode): create the target with three columns,
+    RENAME o_totalprice→price (one metadata-only commit: the physical
+    name — and every data file — stays byte-untouched), append the
+    complement UNDER THE NEW LOGICAL NAME plus a fourth ``priority``
+    column (the widening records a fresh physical name in the commit's
+    mapping), then DROP o_orderstatus (metadata-only again: readers just
+    stop requesting the dead physical column — the scan prunes it). The
+    final snapshot must hash-equal plain SQL: pre-rename files resolve by
+    PHYSICAL name under the new logical view, NULL-fill the post-rename
+    ``priority`` column, and never resurface the dropped one. Rename/
+    drop/time-travel/restore/feed-refusal semantics are pinned in
+    tests/test_acid_table.py; DuckDB reconstructs the same snapshot from
+    the manifest mapping (interop pin)."""
+    import tempfile
+
+    from iot_data_pipeline_spark.sources import acid_table
+
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    target = o.filter(F.pmod(k, F.lit(4)) != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="acid_cmap_") + "/t"
+    acid_table.create(target, path, "o_orderkey", n_files=8)
+    acid_table.rename_column(path, "o_totalprice", "price")
+    delta = o.filter(F.pmod(k, F.lit(4)) == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    acid_table.append(delta, path)
+    acid_table.drop_column(path, "o_orderstatus")
+    return acid_table.snapshot(spark, path)
+
+
 _PR_SCALE = 1_000_000_000_000  # ranks in integer 1e-12 units
 _PR_ITERS = 3
 
@@ -876,6 +914,7 @@ QUERIES = {
     "acid_time_travel": acid_time_travel,
     "acid_maintenance_snapshot": acid_maintenance_snapshot,
     "acid_schema_evolution": acid_schema_evolution,
+    "acid_column_mapping": acid_column_mapping,
     "acid_table_changes": acid_table_changes,
     "acid_column_skipping": acid_column_skipping,
     "acid_string_skipping": acid_string_skipping,
@@ -1093,6 +1132,19 @@ ORACLES = {
         " UNION ALL"
         " SELECT o_orderkey, o_orderstatus, o_totalprice,"
         " o_orderpriority AS priority FROM orders WHERE o_orderkey % 4 = 0"
+    ),
+    # create -> RENAME o_totalprice->price -> widening append under the
+    # new name (+priority) -> DROP o_orderstatus: old rows NULL-fill
+    # priority, the dropped column never resurfaces, renames are pure
+    # metadata (the data bytes never move).
+    "acid_column_mapping": (
+        "SELECT o_orderkey, o_totalprice AS price,"
+        " CAST(NULL AS VARCHAR) AS priority FROM orders"
+        " WHERE o_orderkey % 4 <> 0"
+        " UNION ALL"
+        " SELECT o_orderkey, o_totalprice AS price,"
+        " o_orderpriority AS priority FROM orders"
+        " WHERE o_orderkey % 4 = 0"
     ),
     # create(16 files) -> DELETE %5 -> OPTIMIZE(2): the surviving rows.
     "acid_maintenance_snapshot": (

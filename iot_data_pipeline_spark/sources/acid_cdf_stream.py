@@ -86,7 +86,9 @@ def _ensure_pkg(pkg_parent: str) -> None:
 def _feed_schema(table_path: str) -> StructType:
     """Declared source schema: the table's RECORDED schema (the format
     records it per commit; tables created by this code always have one)
-    plus the two feed tag columns."""
+    under its LOGICAL column names (column-mapped tables rename at this
+    boundary; feed files stay physical and read() translates), plus the
+    two feed tag columns."""
     from iot_data_pipeline_spark.sources import acid_table
 
     st = acid_table._state(table_path)
@@ -96,8 +98,16 @@ def _feed_schema(table_path: str) -> StructType:
             f"acid_cdf streaming source requires a recorded table schema; "
             f"the table at {table_path} predates schema recording"
         )
+    cm = st.get("colmap")
+    fields = list(sch.fields)
+    if cm:
+        rev = {p: l for l, p in cm.items()}
+        fields = [
+            StructField(rev.get(f.name, f.name), f.dataType, f.nullable)
+            for f in fields
+        ]
     return StructType(
-        list(sch.fields)
+        fields
         + [
             StructField("change_type", StringType(), False),
             StructField("commit_version", LongType(), False),
@@ -150,6 +160,11 @@ class AcidCdfStreamReader(DataSourceStreamReader):
         v_from, v_to = int(start["version"]), int(end["version"])
         schema_json = self._schema.json()
         parts: list[InputPartition] = []
+        # physical→logical rename executors apply to each feed file: the
+        # range is mapping-constant (a rename/drop commit in range raises
+        # below), so the batch-end mapping serves every file in it
+        cm = acid_table._state(self._path, v_to).get("colmap")
+        rename = {p: l for l, p in cm.items()} if cm else None
         committed, _ = acid_table._list_log(self._path)
         # every commit in (v_from, v_to] must be visible: v_to came from a
         # previous latestOffset, but an eventually-consistent listing may
@@ -184,6 +199,14 @@ class AcidCdfStreamReader(DataSourceStreamReader):
                     "the batch table_changes feed and restart the stream "
                     "from a startingVersion past the restore"
                 )
+            elif op in ("rename-column", "drop-column"):
+                raise ValueError(
+                    f"commit v{v} of {self._path} is a column-mapping "
+                    f"change ({op}) — the stream's declared schema no "
+                    "longer matches the table's logical names; restart "
+                    "the stream (startingVersion past the mapping commit)"
+                    " to adopt the new schema"
+                )
             else:
                 raise ValueError(
                     f"commit v{v} ({op}) of {self._path} was written "
@@ -208,6 +231,7 @@ class AcidCdfStreamReader(DataSourceStreamReader):
                             "change_type": tag,
                             "commit_version": v,
                             "schema_json": schema_json,
+                            "rename": rename,
                         }
                     )
                 )
@@ -228,6 +252,14 @@ class AcidCdfStreamReader(DataSourceStreamReader):
         declared = _St.fromJson(json.loads(spec["schema_json"]))
         target = to_arrow_schema(declared)
         t = pq.read_table(spec["file"])
+        rename = spec.get("rename")
+        if rename:
+            # column-mapped table: feed files are physical; translate to
+            # the logical names the declared schema speaks BEFORE the
+            # undeclared-column check and the field alignment below
+            t = t.rename_columns(
+                [rename.get(n, n) for n in t.column_names]
+            )
         data_names = [
             f.name
             for f in declared.fields

@@ -303,6 +303,7 @@ def _state(path: str, version: int | None = None) -> dict:
     live: dict[str, dict] = {}
     key = None
     schema = None
+    colmap = None
     txns: dict[str, int] = {}
     start = -1
     if usable:
@@ -313,6 +314,7 @@ def _state(path: str, version: int | None = None) -> dict:
         )
         key, start = cp["key"], cp["version"]
         schema = cp.get("schema")
+        colmap = cp.get("colmap")
         txns = dict(cp.get("txns", {}))
         live = {a["path"]: a for a in cp["live"]}
     replayed = [v for v in mans if start < v <= target]
@@ -345,6 +347,13 @@ def _state(path: str, version: int | None = None) -> dict:
             key = m["key"]
         if m.get("schema") is not None:
             schema = m["schema"]
+        if "colmap" in m:
+            # replays like the schema: the last colmap-carrying commit ≤
+            # target defines this version's logical→physical name view.
+            # An EXPLICIT null rewinds to identity (RESTORE to a
+            # pre-mapping version); manifests predating the field simply
+            # lack the key and leave the replayed value untouched.
+            colmap = m["colmap"]
         txn = m.get("txn")
         if txn:
             txns[txn["app"]] = max(
@@ -372,6 +381,7 @@ def _state(path: str, version: int | None = None) -> dict:
         "version": target,
         "live": list(live.values()),
         "schema": schema,
+        "colmap": colmap,
         "txns": txns,
     }
 
@@ -392,6 +402,7 @@ def _write_checkpoint(path: str, version: int) -> None:
                 "version": version,
                 "key": st["key"],
                 "schema": st.get("schema"),
+                "colmap": st.get("colmap"),
                 "txns": st.get("txns", {}),
                 "live": sorted(st["live"], key=lambda a: a["path"]),
             },
@@ -733,6 +744,9 @@ def _schema_of(st: dict):
     return StructType.fromJson(json.loads(sj)) if sj else None
 
 
+_RESERVED_NAMES = {"__file_key", "__pos", "change_type", "commit_version"}
+
+
 def _check_reserved_columns(df: DataFrame) -> None:
     """Reserved-name guard at every schema-introducing seam (create and
     widening appends): ``__file_key``/``__pos`` are the DV machinery's
@@ -741,12 +755,7 @@ def _check_reserved_columns(df: DataFrame) -> None:
     ``commit_version`` are the CDC feeds' tag columns (a user column of
     that name would duplicate in every feed's output schema — Delta
     reserves the same names for the same reason)."""
-    clash = {
-        "__file_key",
-        "__pos",
-        "change_type",
-        "commit_version",
-    } & set(df.columns)
+    clash = _RESERVED_NAMES & set(df.columns)
     if clash:
         raise ValueError(
             f"column name(s) {sorted(clash)} are reserved by the table "
@@ -797,6 +806,149 @@ def _evolve_schema(st: dict, df: DataFrame) -> str | None:
         if f.name not in old_names
     ]
     return StructType(list(old.fields) + added).json()
+
+
+def _colmap(st: dict) -> dict | None:
+    """The version's logical→physical COLUMN MAPPING (Delta columnMapping
+    name-mode, VERDICT r14 item 3), or None on identity tables. The
+    recorded manifest ``schema`` always carries PHYSICAL names (what the
+    parquet files contain — physical names NEVER change once assigned),
+    and every internal mechanism (key, file stats, DVs, CDC journals,
+    merges) stays physical; only the user-facing boundary translates:
+    writes physicalize their incoming logical frame, snapshot renames the
+    outgoing frame to the version's logical names. RENAME COLUMN and DROP
+    COLUMN are therefore METADATA-ONLY commits — no data byte moves —
+    and time travel serves each version under its own mapping for free
+    (the mapping replays with the schema)."""
+    return st.get("colmap")
+
+
+def _to_logical(df: DataFrame, st: dict) -> DataFrame:
+    """Rename a PHYSICAL frame's columns to the version's logical names;
+    pass-through columns outside the mapping (scan scratch, feed tags)
+    keep their names. No-op on identity tables."""
+    cm = _colmap(st)
+    if not cm:
+        return df
+    rev = {p: l for l, p in cm.items()}
+    return df.select(
+        *[F.col(c).alias(rev.get(c, c)) for c in df.columns]
+    )
+
+
+def _to_physical(df: DataFrame, st: dict) -> tuple[DataFrame, dict | None]:
+    """Physicalize an incoming LOGICAL frame for a write. Known logical
+    columns alias to their stable physical names; columns the frame ADDS
+    (widening append) get a FRESH physical name ``<name>_<8hex>`` —
+    never a reused one, because a previously-dropped physical still
+    exists inside old data files and reusing its name would alias the
+    dead column's values into the new one on NULL-filling reads (Delta
+    assigns UUID physical names for the same reason). Returns
+    ``(physical_frame, updated_colmap)``; ``(df, None)`` on identity
+    tables — the identity fast path keeps every pre-mapping code path
+    byte-identical."""
+    cm = _colmap(st)
+    if not cm:
+        return df, None
+    out = dict(cm)
+    sel = []
+    for c in df.columns:
+        if c in out:
+            sel.append(F.col(c).alias(out[c]))
+        else:
+            phys = f"{c}_{uuid.uuid4().hex[:8]}"
+            out[c] = phys
+            sel.append(F.col(c).alias(phys))
+    return df.select(*sel), out
+
+
+def rename_column(path: str, old: str, new: str) -> None:
+    """RENAME COLUMN as ONE metadata-only commit (Delta columnMapping
+    name-mode): the logical name moves, the physical name — and every
+    data file, stat, vector, and journal — stays byte-untouched. The
+    first mapping commit on a table activates the mapping with identity
+    entries for all other columns. Blind appends commute with renames
+    (physical schema unchanged), so concurrent appends never conflict
+    with this commit."""
+    st = _state(path)
+    sch = _schema_of(st)
+    if sch is None:
+        raise ValueError(
+            f"column mapping needs a recorded table schema; the table at "
+            f"{path} predates schema recording"
+        )
+    cm = dict(_colmap(st) or {f.name: f.name for f in sch.fields})
+    if old not in cm:
+        raise ValueError(
+            f"no column {old!r} to rename; table columns: {sorted(cm)}"
+        )
+    if new in cm:
+        raise ValueError(f"column {new!r} already exists")
+    if new in _RESERVED_NAMES:
+        raise ValueError(
+            f"column name {new!r} is reserved by the table format"
+        )
+    new_cm = {(new if l == old else l): p for l, p in cm.items()}
+    _publish(
+        path,
+        {
+            "version": st["version"] + 1,
+            "op": "rename-column",
+            "key": st["key"],
+            "schema": st.get("schema"),
+            "colmap": new_cm,
+            "add": [],
+            "remove": [],
+        },
+    )
+
+
+def drop_column(path: str, name: str) -> None:
+    """DROP COLUMN as ONE metadata-only commit: the field leaves the
+    recorded (physical) schema and the mapping — readers simply never
+    request the dead physical column again (``spark.read.schema`` prunes
+    it at the scan), while old data files keep their bytes untouched.
+    Time travel to a pre-drop version still serves the column (its
+    mapping replays with its schema). The table key cannot be dropped —
+    every prune, merge, and manifest stat hangs off it. A later widening
+    append may re-add the same LOGICAL name; it gets a fresh physical
+    name, so the dead column's bytes can never alias into it."""
+    from pyspark.sql.types import StructType
+
+    st = _state(path)
+    sch = _schema_of(st)
+    if sch is None:
+        raise ValueError(
+            f"column mapping needs a recorded table schema; the table at "
+            f"{path} predates schema recording"
+        )
+    cm = dict(_colmap(st) or {f.name: f.name for f in sch.fields})
+    if name not in cm:
+        raise ValueError(
+            f"no column {name!r} to drop; table columns: {sorted(cm)}"
+        )
+    phys = cm[name]
+    if phys == st["key"]:
+        raise ValueError(
+            f"cannot drop {name!r}: it is the table key (physical "
+            f"{phys!r}) — stats, pruning, and MERGE depend on it"
+        )
+    new_schema = StructType(
+        [f for f in sch.fields if f.name != phys]
+    ).json()
+    new_cm = {l: p for l, p in cm.items() if l != name}
+    _publish(
+        path,
+        {
+            "version": st["version"] + 1,
+            "op": "drop-column",
+            "key": st["key"],
+            "schema": new_schema,
+            "colmap": new_cm,
+            "add": [],
+            "remove": [],
+        },
+    )
 
 
 def _read_files(spark: SparkSession, st: dict, files: list[str]) -> DataFrame:
@@ -985,22 +1137,25 @@ def append(df: DataFrame, path: str, n_files: int = 4) -> None:
     """Commit new files; existing files untouched (blind append). The one
     op that may EVOLVE the schema: extra columns in ``df`` widen the table
     (recorded in this commit's manifest; older files NULL-fill on read),
-    while missing columns or type changes raise."""
+    while missing columns or type changes raise. Incoming columns are
+    LOGICAL names; on a column-mapped table they physicalize first (new
+    columns get fresh physical names recorded in this commit's colmap)."""
     st = _state(path)
     key = st["key"]
+    df, cm2 = _to_physical(df, st)
     schema = _evolve_schema(st, df)
     adds = _write_data_files(df, path, key, n_files)
-    _publish(
-        path,
-        {
-            "version": st["version"] + 1,
-            "op": "append",
-            "key": key,
-            "schema": schema,
-            "add": adds,
-            "remove": [],
-        },
-    )
+    manifest = {
+        "version": st["version"] + 1,
+        "op": "append",
+        "key": key,
+        "schema": schema,
+        "add": adds,
+        "remove": [],
+    }
+    if cm2 is not None:
+        manifest["colmap"] = cm2
+    _publish(path, manifest)
 
 
 def append_with_retry(
@@ -1026,25 +1181,39 @@ def append_with_retry(
     operation against fresh state (Delta's rule for the same reason)."""
     st = _state(path)
     key = st["key"]
+    cm0 = _colmap(st)
+    df, cm2 = _to_physical(df, st)
     schema = _evolve_schema(st, df)
     adds = _write_data_files(df, path, key, n_files)
     version = st["version"] + 1
     for _ in range(max_retries + 1):
         try:
-            _publish(
-                path,
-                {
-                    "version": version,
-                    "op": "append",
-                    "key": key,
-                    "schema": schema,
-                    "add": adds,
-                    "remove": [],
-                },
-            )
+            manifest = {
+                "version": version,
+                "op": "append",
+                "key": key,
+                "schema": schema,
+                "add": adds,
+                "remove": [],
+            }
+            if cm2 is not None:
+                manifest["colmap"] = cm2
+            _publish(path, manifest)
             return version
         except RuntimeError:
             st = _state(path)
+            if _colmap(st) != cm0:
+                # a concurrent RENAME commutes with a blind append
+                # (physical schema unchanged) — but our already-written
+                # files and colmap additions were derived under the OLD
+                # mapping; re-publishing them could resurrect a dropped
+                # column or stamp a stale mapping. Metadata conflicts
+                # abort (Delta's rule); the caller re-runs.
+                raise RuntimeError(
+                    f"append at {path} lost a race to a concurrent "
+                    "column-mapping change (rename/drop); re-run the "
+                    "append against the new column names"
+                )
             schema = _evolve_schema(st, df)  # concurrent widening check
             version = st["version"] + 1
     raise RuntimeError(
@@ -1110,6 +1279,19 @@ def snapshot(
     st = _state(path, version)
     live_all = st["live"]
     live = live_all
+    if skip_where and _colmap(st):
+        # callers predicate on LOGICAL names; file stats are keyed by the
+        # stable physical names — translate once, here, then everything
+        # below (stats match + row filter on the physical frame) is the
+        # identity-table code path unchanged
+        cm = _colmap(st)
+        unknown = [c for c in skip_where if c not in cm]
+        if unknown:
+            raise ValueError(
+                f"skip_where column(s) {unknown} not in table columns "
+                f"{sorted(cm)}"
+            )
+        skip_where = {cm[c]: rng for c, rng in skip_where.items()}
     if key_between is not None:
         lo, hi = key_between
         live = [f for f in live if f["max_key"] >= lo and f["min_key"] <= hi]
@@ -1151,7 +1333,7 @@ def snapshot(
         # vacuum); a log with no readable file at all is unreadable.
         sch = _schema_of(st)
         if sch is not None:
-            return spark.createDataFrame([], sch)
+            return _to_logical(spark.createDataFrame([], sch), st)
         candidates = live_all or [
             a
             for m in reversed(_manifests(path))  # degenerate table: full log
@@ -1174,7 +1356,7 @@ def snapshot(
     if skip_where:
         for col, (lo, hi) in skip_where.items():
             df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
-    return df
+    return _to_logical(df, st)
 
 
 _CDC = "cdc"
@@ -1263,8 +1445,12 @@ def delete(
     key, live = st["key"], st["live"]
     by_key = {_basename(e["path"]): e for e in live}
     # one predicate scan over the LOGICAL rows (DV-applied), carrying the
-    # per-row file identity and position from scan metadata
-    logical = _read_live(spark, path, st, keep_pos=True)
+    # per-row file identity and position from scan metadata. On a
+    # column-mapped table the frame renames to LOGICAL column names first
+    # (``cond`` is written against them); the scan-scratch columns pass
+    # through, and the parquet pushdown still sees the physical columns
+    # below the rename projection.
+    logical = _to_logical(_read_live(spark, path, st, keep_pos=True), st)
     hits = logical.filter(f"({cond}) IS TRUE")
     # the hit sliver feeds 2-3 branches in dv/cdc modes (position counts,
     # the sidecar write, the journal); one DISK-backed materialization
@@ -1316,15 +1502,20 @@ def delete(
                 for e in hit_entries
             }
         else:
-            hit_df = _read_live(spark, path, st, entries=hit_entries)
-            kept = hit_df.filter(f"({cond}) IS NOT TRUE")
+            hit_df = _to_logical(
+                _read_live(spark, path, st, entries=hit_entries), st
+            )
+            kept, _ = _to_physical(
+                hit_df.filter(f"({cond}) IS NOT TRUE"), st
+            )
             manifest["add"] = _write_data_files(kept, path, key, n_files)
             manifest["remove"] = sorted(e["path"] for e in hit_entries)
         if cdc:
+            # journal files store PHYSICAL names like the data files do
+            # (the feeds translate once, at their output boundary)
+            journal, _ = _to_physical(hits.select(*data_cols), st)
             manifest["cdc"] = _write_cdc_files(
-                hits.select(*data_cols).withColumn(
-                    "change_type", F.lit("delete")
-                ),
+                journal.withColumn("change_type", F.lit("delete")),
                 path,
             )
         _publish(path, manifest)
@@ -1383,6 +1574,17 @@ def compact(
             raise ValueError(
                 f"zorder_by takes exactly two columns, got {zorder_by}"
             )
+        if _colmap(st):
+            # callers name LOGICAL columns; the physical frame, the
+            # manifest stats, and the rewrite are all physical
+            cm = _colmap(st)
+            unknown = [c for c in zorder_by if c not in cm]
+            if unknown:
+                raise ValueError(
+                    f"zorder_by column(s) {unknown} not in table columns "
+                    f"{sorted(cm)}"
+                )
+            zorder_by = [cm[c] for c in zorder_by]
         dtypes = dict(snap.dtypes)
         bad = [
             c
@@ -1498,6 +1700,10 @@ def append_exactly_once(
             raise TypeError(
                 f"table key must be an integral column, got {key}: {ktype}"
             )
+    cm0 = _colmap(st) if st else None
+    cm2 = None
+    if st:
+        df, cm2 = _to_physical(df, st)
     schema = _evolve_schema(st, df) if st else _schema_json(df)
     # per-epoch hot path: defer string prefix stats to the next OPTIMIZE
     # (one extra job per micro-batch otherwise; numeric footer stats are
@@ -1522,6 +1728,7 @@ def append_exactly_once(
                     "txn": {"app": app_id, "version": int(txn_version)},
                     "add": adds,
                     "remove": [],
+                    **({"colmap": cm2} if cm2 is not None else {}),
                 },
             )
             return True
@@ -1532,6 +1739,12 @@ def append_exactly_once(
                 # a concurrent writer committed this epoch; ours orphans
                 # invisibly (vacuum reclaims it) — idempotent no-op.
                 return False
+            if _colmap(st) != cm0:
+                raise RuntimeError(
+                    f"epoch append at {path} lost a race to a concurrent"
+                    " column-mapping change (rename/drop); re-run against"
+                    " the new column names"
+                )
             schema = _evolve_schema(st, df)
             version = st["version"] + 1
     raise RuntimeError(
@@ -1582,6 +1795,15 @@ def merge(
         raise ValueError(f"merge mode must be 'cow' or 'dv', got {mode!r}")
     st = _state(path)
     key, live = st["key"], st["live"]
+    if _colmap(st):
+        # source arrives under LOGICAL names; everything below — the key,
+        # file stats, the full-outer rewrite, CDC journal files — is
+        # physical. Unknown source columns pass through untranslated and
+        # hit the no-schema-evolution guard below by name.
+        cm = _colmap(st)
+        source = source.select(
+            *[F.col(c).alias(cm.get(c, c)) for c in source.columns]
+        )
     stats = spark.createDataFrame(
         [(f["path"], f["min_key"], f["max_key"]) for f in live],
         "path STRING, min_key LONG, max_key LONG",
@@ -1843,6 +2065,17 @@ def table_changes(
     st_from = _state(path, v_from)
     st_to = _state(path, v_to)
     key = st_to["key"]
+    if _colmap(st_from) != _colmap(st_to):
+        # Physical names are stable, so a feed is well-defined whenever
+        # the two ENDPOINT mappings agree (renames that net out included).
+        # Differing endpoints would force one version's rows under the
+        # other's names — Delta refuses CDF across column-mapping changes
+        # for the same reason.
+        raise ValueError(
+            f"table_changes({v_from}, {v_to}) spans a column-mapping "
+            f"change (rename/drop) of {path}; read each side of the "
+            "mapping commit separately"
+        )
 
     # A file's CHANGE identity is (path, deletion-vector path): a DV
     # commit mutates a file's logical rows without touching its bytes, so
@@ -1860,8 +2093,13 @@ def table_changes(
     def _side(entries: list[dict]) -> DataFrame:
         if entries:
             # each side applies ITS OWN vectors; both read through the
-            # v_to schema (widening feeds NULL-fill, as documented)
+            # v_to schema (widening feeds NULL-fill, as documented).
+            # PHYSICAL frame — the diff below runs physical end to end
+            # and the feed renames once, at the output boundary.
             return _read_live(spark, path, st_to, entries=entries)
+        sch = _schema_of(st_to)
+        if sch is not None:
+            return spark.createDataFrame([], sch)
         return snapshot(spark, path, version=v_to).limit(0)
 
     old_df, new_df = _side(old_only), _side(new_only)
@@ -1890,7 +2128,10 @@ def table_changes(
     post = updated.select(
         "__new.*", F.lit("update_postimage").alias("change_type")
     )
-    return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+    return _to_logical(
+        inserts.unionByName(deletes).unionByName(pre).unionByName(post),
+        st_to,
+    )
 
 
 def table_changes_journal(
@@ -2000,6 +2241,12 @@ def table_changes_journal(
                 )
         elif op in ("compact",):
             continue  # rewrite-in-place: no logical change
+        elif op in ("rename-column", "drop-column"):
+            raise ValueError(
+                f"commit v{v} of {path} is a column-mapping change "
+                f"({op}) — a feed window across it would mix two logical "
+                "schemas; read each side of the mapping commit separately"
+            )
         elif op == "restore":
             raise ValueError(
                 f"commit v{v} of {path} is a RESTORE (metadata-only "
@@ -2024,7 +2271,10 @@ def table_changes_journal(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
-    return out
+    # the window is mapping-constant (mapping commits in range raise
+    # above), so ONE rename at the output boundary serves every commit's
+    # physical journal rows under the window's logical names
+    return _to_logical(out, _state(path, v_to))
 
 
 def clone(src_path: str, dst_path: str, version: int | None = None) -> dict:
@@ -2071,6 +2321,8 @@ def clone(src_path: str, dst_path: str, version: int | None = None) -> dict:
             "op": "clone",
             "key": st["key"],
             "schema": st.get("schema"),
+            # the logical view travels with the files it describes
+            "colmap": st.get("colmap"),
             "source": src_abs,
             "source_version": st["version"],
             "add": adds,
@@ -2154,6 +2406,11 @@ def restore(path: str, version: int) -> dict:
         "op": "restore",
         "key": st_old["key"],
         "schema": st_old.get("schema"),
+        # ALWAYS present, explicitly null when the restored version
+        # predates column mapping: replay honors an explicit null as a
+        # rewind to identity — omitting the key would leave the NEWER
+        # mapping in force and serve restored files under wrong names
+        "colmap": st_old.get("colmap"),
         "restored_version": version,
         "add": adds,
         "remove": removes,

@@ -2518,3 +2518,183 @@ def test_fused_write_string_stats_identical_to_two_pass(
     got = {os.path.basename(f["path"]): f["scols"] for f in live}
     assert got == expected
     assert all("all_null_s" not in sc for sc in got.values())
+
+
+def _digests(path):
+    import hashlib
+
+    out = {}
+    ddir = os.path.join(path, "data")
+    for n in sorted(os.listdir(ddir)):
+        with open(os.path.join(ddir, n), "rb") as fh:
+            out[n] = hashlib.sha1(fh.read()).hexdigest()
+    return out
+
+
+def test_column_mapping_rename_and_drop_are_metadata_only(
+    spark, sf_dir, tmp_path
+):
+    """RENAME and DROP COLUMN must move ZERO data bytes (sha1-pinned),
+    serve the renamed view immediately, time-travel each version under
+    its OWN mapping, and never resurface a dropped column — including
+    after a widening re-add of the same LOGICAL name (which must get a
+    fresh physical name, not the dead column's bytes)."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(400)
+    acid_table.create(t, path, "o_orderkey", n_files=3)
+    before = _digests(path)
+    acid_table.rename_column(path, "o_totalprice", "price")
+    acid_table.drop_column(path, "o_orderstatus")
+    assert _digests(path) == before  # not a byte moved
+    snap = acid_table.snapshot(spark, path)
+    assert snap.columns == ["o_orderkey", "price"]
+    want = {
+        (r["o_orderkey"], r["o_totalprice"]) for r in t.collect()
+    }
+    assert {(r["o_orderkey"], r["price"]) for r in snap.collect()} == want
+    # per-version mappings via time travel
+    v0 = acid_table.snapshot(spark, path, version=0)
+    assert v0.columns == ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    v1 = acid_table.snapshot(spark, path, version=1)
+    assert v1.columns == ["o_orderkey", "o_orderstatus", "price"]
+    # re-adding the dropped LOGICAL name must NOT alias the dead bytes
+    wide = (
+        _target(spark, sf_dir)
+        .filter("o_orderkey > 1000000")  # empty is fine; nonempty better
+        .limit(0)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.lit("NEW").alias("o_orderstatus"),
+        )
+    )
+    delta = spark.createDataFrame(
+        [(9_999_991, 1.0, "NEW")], wide.schema
+    )
+    acid_table.append(delta, path)
+    snap2 = acid_table.snapshot(spark, path)
+    assert set(snap2.columns) == {"o_orderkey", "price", "o_orderstatus"}
+    old_rows = snap2.filter("o_orderkey < 9999991")
+    assert old_rows.count() == 400
+    # dead column's values never alias in: old rows read NULL
+    assert old_rows.filter("o_orderstatus IS NOT NULL").count() == 0
+    cm = acid_table._state(path)["colmap"]
+    assert cm["price"] == "o_totalprice"
+    assert cm["o_orderstatus"] != "o_orderstatus"  # fresh physical
+    # guards
+    with pytest.raises(ValueError, match="already exists"):
+        acid_table.rename_column(path, "price", "o_orderkey")
+    with pytest.raises(ValueError, match="reserved"):
+        acid_table.rename_column(path, "price", "change_type")
+    with pytest.raises(ValueError, match="table key"):
+        acid_table.drop_column(path, "o_orderkey")
+    with pytest.raises(ValueError, match="no column"):
+        acid_table.rename_column(path, "ghost", "g2")
+
+
+def test_column_mapping_restore_rewinds_mapping(spark, sf_dir, tmp_path):
+    """RESTORE to a pre-mapping version must rewind the mapping too (the
+    restore manifest carries an EXPLICIT null; omitting the key would
+    leave the newer mapping in force and serve restored files under wrong
+    names), and restore to a mid-mapping version serves that version's
+    names."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(300)
+    acid_table.create(t, path, "o_orderkey", n_files=2)
+    acid_table.rename_column(path, "o_totalprice", "price")
+    acid_table.drop_column(path, "o_orderstatus")
+    acid_table.restore(path, 0)
+    snap = acid_table.snapshot(spark, path)
+    assert snap.columns == ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    assert acid_table._state(path)["colmap"] is None
+    assert snap.count() == 300
+    # undo the undo: restore to the renamed version
+    acid_table.restore(path, 1)
+    assert acid_table.snapshot(spark, path).columns == [
+        "o_orderkey",
+        "o_orderstatus",
+        "price",
+    ]
+
+
+def test_column_mapping_feeds_refuse_across_mapping_changes(
+    spark, sf_dir, tmp_path
+):
+    """Both CDC feeds refuse windows whose endpoints disagree on the
+    mapping (Delta's rule), serve mapping-constant windows under the
+    LOGICAL names, and the streaming CDF source raises its curated error
+    when a mapping commit enters a planned range."""
+    from iot_data_pipeline_spark.sources import acid_cdf_stream
+
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(200)
+    acid_table.create(t, path, "o_orderkey", n_files=2)          # v0
+    acid_table.rename_column(path, "o_totalprice", "price")      # v1
+    acid_table.delete(
+        spark, path, "o_orderkey % 5 = 0 AND price > 0", cdc=True
+    )                                                            # v2
+    with pytest.raises(ValueError, match="column-mapping"):
+        acid_table.table_changes(spark, path, 0, 2)
+    with pytest.raises(ValueError, match="column-mapping"):
+        acid_table.table_changes_journal(spark, path, 0, 2)
+    # mapping-constant window serves LOGICAL names
+    feed = acid_table.table_changes_journal(spark, path, 1, 2)
+    assert "price" in feed.columns and "o_totalprice" not in feed.columns
+    deleted = t.filter("o_orderkey % 5 = 0 AND o_totalprice > 0").count()
+    assert feed.filter("change_type = 'delete'").count() == deleted
+    ep = acid_table.table_changes(spark, path, 1, 2)
+    assert "price" in ep.columns
+    assert ep.filter("change_type = 'delete'").count() == deleted
+    # streaming source: logical declared schema; mapping commit in range
+    # raises the curated error
+    reader = acid_cdf_stream.AcidCdfStreamReader(
+        acid_cdf_stream._feed_schema(path), {"path": path}
+    )
+    assert "price" in acid_cdf_stream._feed_schema(path).fieldNames()
+    with pytest.raises(ValueError, match="column-mapping"):
+        reader.partitions({"version": 0}, {"version": 2})
+    # a range past the mapping commit plans and reads under logical names
+    parts = reader.partitions({"version": 1}, {"version": 2})
+    assert parts
+    rows = [b for p in parts for b in reader.read(p)]
+    got = sum(b.num_rows for b in rows)
+    assert got == deleted
+    for b in rows:
+        assert "price" in b.schema.names
+
+
+def test_column_mapping_duckdb_interop(spark, sf_dir, tmp_path):
+    """DuckDB — steered only by the manifest's recorded (physical) schema
+    and colmap, both plain JSON — must reconstruct the identical logical
+    snapshot: select physical columns from the live files, alias per the
+    mapping."""
+    import json as _json
+
+    import duckdb
+
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(500)
+    acid_table.create(t, path, "o_orderkey", n_files=3)
+    acid_table.rename_column(path, "o_totalprice", "price")
+    delta = spark.createDataFrame(
+        [(9_999_993, "Z", 5.5, "HI")],
+        "o_orderkey LONG, o_orderstatus STRING, price DOUBLE,"
+        " priority STRING",
+    )
+    acid_table.append(delta, path)
+    acid_table.drop_column(path, "o_orderstatus")
+    st = acid_table._state(path)
+    cm = st["colmap"]
+    phys_fields = [f["name"] for f in _json.loads(st["schema"])["fields"]]
+    rev = {p: l for l, p in cm.items()}
+    sel = ", ".join(f'"{p}" AS "{rev[p]}"' for p in phys_fields)
+    files = [os.path.join(path, f["path"]) for f in st["live"]]
+    duck = duckdb.sql(
+        f"SELECT {sel} FROM read_parquet($files, union_by_name=true)",
+        params={"files": files},
+    ).fetchall()
+    got = sorted(tuple(r) for r in duck)
+    want = sorted(
+        tuple(r) for r in acid_table.snapshot(spark, path).collect()
+    )
+    assert got == want
