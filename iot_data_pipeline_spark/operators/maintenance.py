@@ -742,6 +742,51 @@ def acid_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acid_table.snapshot(spark, path)
 
 
+def acid_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time CHECK constraints (VERDICT r14 item 4 — Delta's
+    invariants): create the target, ADD CONSTRAINT ``price_pos CHECK
+    (o_totalprice > 0)`` (validated against the existing table in one
+    aggregation), then attempt an append whose frame NEGATES half its
+    prices — the commit must be rejected ATOMICALLY (no data file
+    written or linked, no manifest version consumed — both asserted
+    in-query) — and finally append the valid complement. The snapshot
+    must hash-equal plain SQL over exactly the valid rows: one leaked
+    file from the rejected commit anywhere and the hash breaks.
+    Violation atomicity through a racy LogStore, NULL-satisfies
+    semantics, and the rename/drop reference guards are pinned in
+    tests/test_acid_table.py."""
+    import tempfile
+
+    from iot_data_pipeline_spark.sources import acid_table
+
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    target = o.filter(F.pmod(k, F.lit(4)) != 0).select(*cols)
+    path = tempfile.mkdtemp(prefix="acid_cons_") + "/t"
+    acid_table.create(target, path, "o_orderkey", n_files=8)
+    acid_table.add_constraint(
+        spark, path, "price_pos", "o_totalprice > 0"
+    )
+    delta = o.filter(F.pmod(k, F.lit(4)) == 0).select(*cols)
+    bad = delta.withColumn(
+        "o_totalprice",
+        F.when(
+            F.pmod(k, F.lit(8)) == 0, -F.col("o_totalprice")
+        ).otherwise(F.col("o_totalprice")),
+    )
+    head_before = acid_table.head(path)
+    try:
+        acid_table.append(bad, path)
+        raise RuntimeError("violating append must be rejected")
+    except ValueError:
+        pass
+    if acid_table.head(path) != head_before:
+        raise RuntimeError("rejected commit consumed a version")
+    acid_table.append(delta, path)
+    return acid_table.snapshot(spark, path)
+
+
 _PR_SCALE = 1_000_000_000_000  # ranks in integer 1e-12 units
 _PR_ITERS = 3
 
@@ -915,6 +960,7 @@ QUERIES = {
     "acid_maintenance_snapshot": acid_maintenance_snapshot,
     "acid_schema_evolution": acid_schema_evolution,
     "acid_column_mapping": acid_column_mapping,
+    "acid_constraints": acid_constraints,
     "acid_table_changes": acid_table_changes,
     "acid_column_skipping": acid_column_skipping,
     "acid_string_skipping": acid_string_skipping,
@@ -1145,6 +1191,11 @@ ORACLES = {
         " SELECT o_orderkey, o_totalprice AS price,"
         " o_orderpriority AS priority FROM orders"
         " WHERE o_orderkey % 4 = 0"
+    ),
+    # create -> ADD CONSTRAINT -> REJECTED violating append (atomic: no
+    # trace) -> valid append: exactly the full orders projection.
+    "acid_constraints": (
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
     ),
     # create(16 files) -> DELETE %5 -> OPTIMIZE(2): the surviving rows.
     "acid_maintenance_snapshot": (

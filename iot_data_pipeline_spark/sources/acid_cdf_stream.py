@@ -189,8 +189,8 @@ class AcidCdfStreamReader(DataSourceStreamReader):
                 rels, tag = m["cdc"], None  # tag travels inside the file
             elif op in ("create", "append", "stream-append", "clone"):
                 rels, tag = [a["path"] for a in m["add"]], "insert"
-            elif op == "compact":
-                continue  # rewrite-in-place: no logical change
+            elif op in ("compact", "add-constraint", "drop-constraint"):
+                continue  # no logical row change
             elif op == "restore":
                 raise ValueError(
                     f"commit v{v} of {self._path} is a RESTORE "

@@ -304,6 +304,7 @@ def _state(path: str, version: int | None = None) -> dict:
     key = None
     schema = None
     colmap = None
+    constraints = None
     txns: dict[str, int] = {}
     start = -1
     if usable:
@@ -315,6 +316,7 @@ def _state(path: str, version: int | None = None) -> dict:
         key, start = cp["key"], cp["version"]
         schema = cp.get("schema")
         colmap = cp.get("colmap")
+        constraints = cp.get("constraints")
         txns = dict(cp.get("txns", {}))
         live = {a["path"]: a for a in cp["live"]}
     replayed = [v for v in mans if start < v <= target]
@@ -354,6 +356,10 @@ def _state(path: str, version: int | None = None) -> dict:
             # pre-mapping version); manifests predating the field simply
             # lack the key and leave the replayed value untouched.
             colmap = m["colmap"]
+        if "constraints" in m:
+            # same replay rule as colmap: last carrying commit wins,
+            # explicit null rewinds (RESTORE to a pre-constraint version)
+            constraints = m["constraints"]
         txn = m.get("txn")
         if txn:
             txns[txn["app"]] = max(
@@ -382,6 +388,7 @@ def _state(path: str, version: int | None = None) -> dict:
         "live": list(live.values()),
         "schema": schema,
         "colmap": colmap,
+        "constraints": constraints,
         "txns": txns,
     }
 
@@ -403,6 +410,7 @@ def _write_checkpoint(path: str, version: int) -> None:
                 "key": st["key"],
                 "schema": st.get("schema"),
                 "colmap": st.get("colmap"),
+                "constraints": st.get("constraints"),
                 "txns": st.get("txns", {}),
                 "live": sorted(st["live"], key=lambda a: a["path"]),
             },
@@ -888,6 +896,7 @@ def rename_column(path: str, old: str, new: str) -> None:
         raise ValueError(
             f"column name {new!r} is reserved by the table format"
         )
+    _guard_constraint_references(st, old, "rename")
     new_cm = {(new if l == old else l): p for l, p in cm.items()}
     _publish(
         path,
@@ -933,6 +942,7 @@ def drop_column(path: str, name: str) -> None:
             f"cannot drop {name!r}: it is the table key (physical "
             f"{phys!r}) — stats, pruning, and MERGE depend on it"
         )
+    _guard_constraint_references(st, name, "drop")
     new_schema = StructType(
         [f for f in sch.fields if f.name != phys]
     ).json()
@@ -949,6 +959,122 @@ def drop_column(path: str, name: str) -> None:
             "remove": [],
         },
     )
+
+
+def _constraints(st: dict) -> dict:
+    """The version's CHECK constraints ``{name: sql_expr}`` (empty dict
+    when none). Exprs are written against LOGICAL column names and
+    enforced on every incoming frame at commit time (see
+    :func:`_enforce_constraints`); they replay like the schema."""
+    return st.get("constraints") or {}
+
+
+def _enforce_constraints(df: DataFrame, constraints: dict) -> None:
+    """Validate an incoming LOGICAL frame against every CHECK constraint
+    in ONE aggregation job (Delta's write-time invariants): a row
+    violates a constraint iff its expression evaluates to FALSE — NULL
+    satisfies, exactly SQL CHECK semantics (and how ``NOT NULL`` rides
+    in: ``col IS NOT NULL`` is FALSE on the NULL row). Raises before any
+    data file is written or linked, so a rejected commit is ATOMIC: no
+    partial files, no manifest, nothing for vacuum to clean."""
+    if not constraints:
+        return
+    names = list(constraints)
+    row = df.agg(
+        *[
+            F.sum(
+                F.expr(f"({constraints[n]}) IS FALSE").cast("long")
+            ).alias(f"__v{i}")
+            for i, n in enumerate(names)
+        ]
+    ).first()
+    bad = {
+        n: int(row[f"__v{i}"] or 0)
+        for i, n in enumerate(names)
+        if (row[f"__v{i}"] or 0) > 0
+    }
+    if bad:
+        detail = ", ".join(
+            f"{n!r} ({constraints[n]}): {c} row(s)"
+            for n, c in sorted(bad.items())
+        )
+        raise ValueError(
+            f"CHECK constraint violation — the commit was rejected "
+            f"atomically (no files written): {detail}"
+        )
+
+
+def add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> None:
+    """ADD CONSTRAINT ``name`` CHECK ``expr`` as one metadata commit.
+    Like Delta, the EXISTING table must already satisfy the constraint —
+    one aggregation over the current snapshot (NULL satisfies); future
+    appends/merges then validate their incoming frame at commit time and
+    fail atomically on violation. Exprs use LOGICAL column names."""
+    st = _state(path)
+    cons = dict(_constraints(st))
+    if name in cons:
+        raise ValueError(
+            f"constraint {name!r} already exists on {path}: {cons[name]}"
+        )
+    _enforce_constraints(snapshot(spark, path), {name: expr})
+    cons[name] = expr
+    _publish(
+        path,
+        {
+            "version": st["version"] + 1,
+            "op": "add-constraint",
+            "key": st["key"],
+            "schema": st.get("schema"),
+            "constraints": cons,
+            "add": [],
+            "remove": [],
+        },
+    )
+
+
+def drop_constraint(path: str, name: str) -> None:
+    """DROP CONSTRAINT ``name`` — one metadata commit."""
+    st = _state(path)
+    cons = dict(_constraints(st))
+    if name not in cons:
+        raise ValueError(
+            f"no constraint {name!r} on {path}; defined: {sorted(cons)}"
+        )
+    del cons[name]
+    _publish(
+        path,
+        {
+            "version": st["version"] + 1,
+            "op": "drop-constraint",
+            "key": st["key"],
+            "schema": st.get("schema"),
+            "constraints": cons,
+            "add": [],
+            "remove": [],
+        },
+    )
+
+
+def _guard_constraint_references(st: dict, column: str, op: str) -> None:
+    """Refuse renaming/dropping a column a CHECK constraint references
+    (Delta's rule): the expr is recorded verbatim against logical names,
+    so the mutation would silently break enforcement. Word-boundary
+    match — conservative (a false positive forces dropping the
+    constraint first; a miss is impossible for a bare identifier)."""
+    import re
+
+    hit = {
+        n: e
+        for n, e in _constraints(st).items()
+        if re.search(rf"\b{re.escape(column)}\b", e)
+    }
+    if hit:
+        raise ValueError(
+            f"cannot {op} column {column!r}: referenced by CHECK "
+            f"constraint(s) {sorted(hit)} — drop them first"
+        )
 
 
 def _read_files(spark: SparkSession, st: dict, files: list[str]) -> DataFrame:
@@ -1142,6 +1268,7 @@ def append(df: DataFrame, path: str, n_files: int = 4) -> None:
     columns get fresh physical names recorded in this commit's colmap)."""
     st = _state(path)
     key = st["key"]
+    _enforce_constraints(df, _constraints(st))
     df, cm2 = _to_physical(df, st)
     schema = _evolve_schema(st, df)
     adds = _write_data_files(df, path, key, n_files)
@@ -1182,6 +1309,8 @@ def append_with_retry(
     st = _state(path)
     key = st["key"]
     cm0 = _colmap(st)
+    cons0 = _constraints(st)
+    _enforce_constraints(df, cons0)
     df, cm2 = _to_physical(df, st)
     schema = _evolve_schema(st, df)
     adds = _write_data_files(df, path, key, n_files)
@@ -1202,6 +1331,12 @@ def append_with_retry(
             return version
         except RuntimeError:
             st = _state(path)
+            if _constraints(st) != cons0:
+                raise RuntimeError(
+                    f"append at {path} lost a race to a concurrent "
+                    "constraint change; re-run so the new constraints "
+                    "are enforced on this frame"
+                )
             if _colmap(st) != cm0:
                 # a concurrent RENAME commutes with a blind append
                 # (physical schema unchanged) — but our already-written
@@ -1701,6 +1836,9 @@ def append_exactly_once(
                 f"table key must be an integral column, got {key}: {ktype}"
             )
     cm0 = _colmap(st) if st else None
+    cons0 = _constraints(st) if st else {}
+    if st:
+        _enforce_constraints(df, cons0)
     cm2 = None
     if st:
         df, cm2 = _to_physical(df, st)
@@ -1739,11 +1877,11 @@ def append_exactly_once(
                 # a concurrent writer committed this epoch; ours orphans
                 # invisibly (vacuum reclaims it) — idempotent no-op.
                 return False
-            if _colmap(st) != cm0:
+            if _colmap(st) != cm0 or _constraints(st) != cons0:
                 raise RuntimeError(
                     f"epoch append at {path} lost a race to a concurrent"
-                    " column-mapping change (rename/drop); re-run against"
-                    " the new column names"
+                    " column-mapping or constraint change; re-run against"
+                    " the new table metadata"
                 )
             schema = _evolve_schema(st, df)
             version = st["version"] + 1
@@ -1795,6 +1933,9 @@ def merge(
         raise ValueError(f"merge mode must be 'cow' or 'dv', got {mode!r}")
     st = _state(path)
     key, live = st["key"], st["live"]
+    # every row the commit can introduce is a source row (matched
+    # replacements + inserts); carried target rows were already valid
+    _enforce_constraints(source, _constraints(st))
     if _colmap(st):
         # source arrives under LOGICAL names; everything below — the key,
         # file stats, the full-outer rewrite, CDC journal files — is
@@ -2239,8 +2380,8 @@ def table_changes_journal(
                         F.lit(v).cast("bigint").alias("commit_version"),
                     )
                 )
-        elif op in ("compact",):
-            continue  # rewrite-in-place: no logical change
+        elif op in ("compact", "add-constraint", "drop-constraint"):
+            continue  # no logical row change
         elif op in ("rename-column", "drop-column"):
             raise ValueError(
                 f"commit v{v} of {path} is a column-mapping change "
@@ -2321,8 +2462,9 @@ def clone(src_path: str, dst_path: str, version: int | None = None) -> dict:
             "op": "clone",
             "key": st["key"],
             "schema": st.get("schema"),
-            # the logical view travels with the files it describes
+            # the logical view and its invariants travel with the files
             "colmap": st.get("colmap"),
+            "constraints": st.get("constraints"),
             "source": src_abs,
             "source_version": st["version"],
             "add": adds,
@@ -2411,6 +2553,7 @@ def restore(path: str, version: int) -> dict:
         # rewind to identity — omitting the key would leave the NEWER
         # mapping in force and serve restored files under wrong names
         "colmap": st_old.get("colmap"),
+        "constraints": st_old.get("constraints"),
         "restored_version": version,
         "add": adds,
         "remove": removes,

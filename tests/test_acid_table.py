@@ -2698,3 +2698,61 @@ def test_column_mapping_duckdb_interop(spark, sf_dir, tmp_path):
         tuple(r) for r in acid_table.snapshot(spark, path).collect()
     )
     assert got == want
+
+
+def test_check_constraints_semantics_and_guards(spark, sf_dir, tmp_path):
+    """CHECK semantics: NULL satisfies (SQL three-valued logic — NOT
+    NULL rides in as ``col IS NOT NULL``); ADD CONSTRAINT validates the
+    EXISTING table; rename/drop of a referenced column are refused until
+    the constraint drops; epoch appends enforce too; RESTORE rewinds the
+    constraint set; CLONE inherits it."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(200)
+    acid_table.create(t, path, "o_orderkey", n_files=2)          # v0
+    acid_table.add_constraint(spark, path, "pos", "o_totalprice > 0")
+    # NULL satisfies
+    acid_table.append(
+        spark.createDataFrame(
+            [(8_888_881, None, None)],
+            "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE",
+        ),
+        path,
+    )
+    assert (
+        acid_table.snapshot(spark, path)
+        .filter("o_totalprice IS NULL")
+        .count()
+        == 1
+    )
+    # add over violating data rejected; nothing committed
+    head = acid_table.head(path)
+    with pytest.raises(ValueError, match="rejected atomically"):
+        acid_table.add_constraint(
+            spark, path, "impossible", "o_totalprice > 1e18"
+        )
+    assert acid_table.head(path) == head
+    # reference guards
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        acid_table.rename_column(path, "o_totalprice", "price")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        acid_table.drop_column(path, "o_totalprice")
+    # epoch append enforces
+    bad = t.withColumn("o_totalprice", -F.col("o_totalprice")).limit(5)
+    with pytest.raises(ValueError, match="rejected atomically"):
+        acid_table.append_exactly_once(bad, path, 0, "o_orderkey")
+    # clone inherits the constraint
+    dst = str(tmp_path / "c")
+    acid_table.clone(path, dst)
+    with pytest.raises(ValueError, match="rejected atomically"):
+        acid_table.append(bad, dst)
+    # restore to v0 rewinds: the violating frame now commits
+    acid_table.restore(path, 0)
+    assert acid_table._state(path)["constraints"] is None
+    acid_table.append(bad, path)
+    assert acid_table.snapshot(spark, path).count() == 205
+    # duplicate add and missing drop raise curated errors
+    acid_table.add_constraint(spark, path, "k", "o_orderkey IS NOT NULL")
+    with pytest.raises(ValueError, match="already exists"):
+        acid_table.add_constraint(spark, path, "k", "1 = 1")
+    with pytest.raises(ValueError, match="no constraint"):
+        acid_table.drop_constraint(path, "ghost")

@@ -344,3 +344,74 @@ def test_checkpoint_on_lagging_listing_is_skipped_never_stale(
         assert acid_table.snapshot(spark, path).count() == 21 * n0
     finally:
         acid_table.set_log_store(prev)
+
+
+def test_constraint_rejection_is_atomic_through_racy_store(
+    spark, sf_dir, racy_store, tmp_path
+):
+    """A CHECK-violating append through the racy store must leave ZERO
+    trace: no manifest version consumed, no data file moved under data/,
+    and a concurrent valid append landing right after sees a clean
+    table. Also: the constraint-change abort rule — an append that loses
+    its publish race to a concurrent ADD CONSTRAINT must abort rather
+    than commit unvalidated data."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(300)
+    acid_table.create(t, path, "o_orderkey", n_files=2)
+    _settle(path, 0)
+    acid_table.add_constraint(spark, path, "pos", "o_totalprice > 0")
+    _settle(path, 1)
+    n_data = len(os.listdir(os.path.join(path, "data")))
+    bad = t.withColumn("o_totalprice", -F.col("o_totalprice")).limit(10)
+    with pytest.raises(ValueError, match="rejected atomically"):
+        acid_table.append_with_retry(bad, path)
+    assert acid_table.head(path) == 1
+    assert len(os.listdir(os.path.join(path, "data"))) == n_data
+    # valid append still lands through the lagging listing
+    v = acid_table.append_with_retry(
+        t.withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000),
+        path,
+    )
+    assert v == 2
+    _settle(path, 2)
+    assert acid_table.snapshot(spark, path).count() == 600
+    # lost-race-to-constraint-change aborts: simulate by committing an
+    # ADD CONSTRAINT between this append's validation and its publish
+    real_publish = acid_table._publish
+    state = {"fired": False}
+
+    def constraint_then_publish(p, manifest):
+        if not state["fired"] and manifest.get("op") == "append":
+            state["fired"] = True
+            _settle(p, 2)
+            st = acid_table._state(p)
+            real_publish(
+                p,
+                {
+                    "version": st["version"] + 1,
+                    "op": "add-constraint",
+                    "key": st["key"],
+                    "schema": st.get("schema"),
+                    "constraints": {
+                        **(st.get("constraints") or {}),
+                        "tight": "o_totalprice > 1e18",
+                    },
+                    "add": [],
+                    "remove": [],
+                },
+            )
+        return real_publish(p, manifest)
+
+    acid_table.set_log_store(racy_store)  # keep store; patch publish
+    import unittest.mock as _mock
+
+    with _mock.patch.object(
+        acid_table, "_publish", side_effect=constraint_then_publish
+    ):
+        with pytest.raises(RuntimeError, match="constraint change"):
+            acid_table.append_with_retry(
+                t.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + 20_000_000
+                ),
+                path,
+            )
