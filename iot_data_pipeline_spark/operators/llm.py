@@ -864,6 +864,130 @@ def _pq_refine_depth(n: int) -> int:
     return max(_PQ_REFINE, math.ceil(16 * math.log2(max(n, 2))))
 
 
+# k-means training grid: cluster count, fixed Lloyd iterations, and the
+# positive-shift scaled-integer quantization (components are |v| < 1, so
+# +2 makes every quantized value positive: integer division truncates ==
+# floors identically in every engine, and squared-L2 assignment is
+# translation-invariant, so the shift never changes a single assignment).
+_KM_K, _KM_ITERS, _KM_SCALE, _KM_SHIFT = 16, 3, 1_000_000, 2.0
+
+
+def _kmeans_quantized(e: DataFrame) -> DataFrame:
+    """(vec_id, xq array<long>): the exact integer domain every k-means
+    step runs in — ``floor((double(v) + 2) * 1e6)`` per component. The
+    float→double widening and the one double multiply are IEEE-identical
+    in any engine, and everything after is integer arithmetic."""
+    return e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.floor(
+                (v.cast("double") + F.lit(_KM_SHIFT)) * _KM_SCALE
+            ).cast("long"),
+        ).alias("xq"),
+    )
+
+
+def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multi-iteration Lloyd k-means over the embedding
+    corpus (VERDICT r14 item 5 — the trainer the IVF/PQ rungs' one-shot
+    codebooks lacked), EXACT and hash-green by the same fixed-point
+    scaled-integer discipline as ``graph_pagerank``: components quantize
+    once to positive scaled integers (see :func:`_kmeans_quantized`),
+    assignment is integer squared-L2 argmin (ties → lowest cluster id),
+    and the centroid update is the elementwise integer-mean
+    ``SUM(x) DIV COUNT`` — every step bit-identical across engines,
+    partitionings, and aggregation orders, which no floating Lloyd
+    guarantees. Seeds are the ``_KM_K`` lowest-vec_id vectors; an empty
+    cluster keeps its previous centroid. Output after ``_KM_ITERS``
+    assign-update rounds: one row per (cluster_id, dim) with the trained
+    centroid component and the final assignment's member count.
+
+    100 TB shape (the pagerank shape): per iteration ONE mapInPandas
+    pass over the corpus — each task scores its Arrow batches against
+    the broadcast k×dim integer centroid matrix (numpy int64 — exact)
+    and emits ONE partial (cluster, sum-vector, count) row per cluster
+    per batch, so the shuffle carries k·batches rows of k×dim longs,
+    never vectors; the k×dim driver reduce is the correct driver-side
+    object (codebook-sized, like the IVF centroid table). No explode,
+    no per-dim shuffle rows.
+
+    The trained codebook is what ``tools_ann_recall_probe --learned``
+    feeds back into the IVF probe in place of the corpus labels."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings")
+    q = _kmeans_quantized(e)
+    seeds = sorted(
+        q.filter(F.col("vec_id") < _KM_K).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cent = np.array([r["xq"] for r in seeds], dtype=np.int64)
+    dim = cent.shape[1]
+    counts = np.zeros(_KM_K, dtype=np.int64)
+
+    for _ in range(_KM_ITERS):
+        c_b = cent  # closure-broadcast: k×dim ints, tiny
+
+        def partials(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.array(list(pdf["xq"]), dtype=np.int64)
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; the x² term is
+                # constant per row — argmin over (-2x·c + c²) only.
+                # int64 exact: |x·c| ≤ 64·(2.5e6)² ≈ 4e14 ≪ 2⁶³.
+                d2 = (-2 * (x @ c_b.T)) + (c_b * c_b).sum(
+                    axis=1
+                )[None, :]
+                assign = np.argmin(d2, axis=1)  # first min = lowest cid
+                rows = []
+                for cid in np.unique(assign):
+                    m = assign == cid
+                    rows.append(
+                        {
+                            "cluster": int(cid),
+                            "psum": x[m].sum(axis=0).tolist(),
+                            "pcnt": int(m.sum()),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        collected = (
+            q.mapInPandas(
+                partials, "cluster INT, psum ARRAY<LONG>, pcnt LONG"
+            )
+            .groupBy("cluster")
+            .agg(
+                F.aggregate(
+                    F.collect_list("psum"),
+                    F.array(*[F.lit(0).cast("long")] * dim),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+                ).alias("s"),
+                F.sum("pcnt").alias("n"),
+            )
+            .collect()
+        )
+        counts = np.zeros(_KM_K, dtype=np.int64)
+        new_cent = cent.copy()  # empty cluster keeps its centroid
+        for r in collected:
+            cid = r["cluster"]
+            counts[cid] = r["n"]
+            new_cent[cid] = np.array(r["s"], dtype=np.int64) // r["n"]
+        cent = new_cent
+
+    rows = [
+        (int(cid), int(d), int(cent[cid, d]), int(counts[cid]))
+        for cid in range(_KM_K)
+        for d in range(dim)
+    ]
+    return spark.createDataFrame(
+        rows, "cluster_id INT, dim INT, c BIGINT, n_members BIGINT"
+    )
+
+
 def llm_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + product quantization (ADC) + exact re-rank — the third rung of
     the ANN ladder (brute-force ``llm_sim_topk`` → pruned ``llm_sim_ann`` /
@@ -3798,6 +3922,7 @@ QUERIES = {
     "llm_embed_centroids": llm_embed_centroids,
     "llm_sim_ivf": llm_sim_ivf,
     "llm_sim_pq": llm_sim_pq,
+    "llm_kmeans_train": llm_kmeans_train,
     "llm_sim_hnsw": llm_sim_hnsw,
     "llm_chunk_docs": llm_chunk_docs,
     "llm_span_dedup": llm_span_dedup,
@@ -4247,6 +4372,59 @@ ORACLES = {
         " FLOOR(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)"
         "       * 1000000.0 / COUNT(*)) / 1000000.0 AS dup_frac"
         " FROM r GROUP BY doc_id"
+    ),
+    # Three unrolled Lloyd iterations in exact integer arithmetic: the
+    # positive-shift quantization makes // floor==truncate everywhere,
+    # integer squared-L2 argmin breaks ties to the lowest cid in both
+    # engines, and the BIGINT casts keep DuckDB's HUGEINT sums out of
+    # the output (the driver hash is type-sensitive).
+    "llm_kmeans_train": (
+        "WITH qd AS (SELECT vec_id, CAST(i AS INT) AS dim,"
+        "   CAST(floor((CAST(embedding[i + 1] AS DOUBLE) + 2.0)"
+        "        * 1000000) AS BIGINT) AS x"
+        " FROM embeddings, LATERAL (SELECT unnest(range("
+        "   len(embedding))) AS i) t),"
+        " c0 AS (SELECT CAST(vec_id AS INT) AS cid, dim, x AS c"
+        "        FROM qd WHERE vec_id < 16),"
+        " d1 AS (SELECT q.vec_id, c.cid,"
+        "   SUM((q.x - c.c) * (q.x - c.c)) AS dist"
+        "  FROM qd q JOIN c0 c USING (dim) GROUP BY q.vec_id, c.cid),"
+        " a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,"
+        "   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid)"
+        "     AS rn FROM d1) WHERE rn = 1),"
+        " s1 AS (SELECT a.cid, q.dim, CAST(SUM(q.x) AS BIGINT) AS sx,"
+        "   COUNT(*) AS n FROM a1 a JOIN qd q USING (vec_id)"
+        "  GROUP BY a.cid, q.dim),"
+        " c1 AS (SELECT c0.cid, c0.dim,"
+        "   COALESCE(s1.sx // s1.n, c0.c) AS c"
+        "  FROM c0 LEFT JOIN s1 ON s1.cid = c0.cid AND s1.dim = c0.dim),"
+        " d2 AS (SELECT q.vec_id, c.cid,"
+        "   SUM((q.x - c.c) * (q.x - c.c)) AS dist"
+        "  FROM qd q JOIN c1 c USING (dim) GROUP BY q.vec_id, c.cid),"
+        " a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,"
+        "   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid)"
+        "     AS rn FROM d2) WHERE rn = 1),"
+        " s2 AS (SELECT a.cid, q.dim, CAST(SUM(q.x) AS BIGINT) AS sx,"
+        "   COUNT(*) AS n FROM a2 a JOIN qd q USING (vec_id)"
+        "  GROUP BY a.cid, q.dim),"
+        " c2 AS (SELECT c1.cid, c1.dim,"
+        "   COALESCE(s2.sx // s2.n, c1.c) AS c"
+        "  FROM c1 LEFT JOIN s2 ON s2.cid = c1.cid AND s2.dim = c1.dim),"
+        " d3 AS (SELECT q.vec_id, c.cid,"
+        "   SUM((q.x - c.c) * (q.x - c.c)) AS dist"
+        "  FROM qd q JOIN c2 c USING (dim) GROUP BY q.vec_id, c.cid),"
+        " a3 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,"
+        "   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid)"
+        "     AS rn FROM d3) WHERE rn = 1),"
+        " s3 AS (SELECT a.cid, q.dim, CAST(SUM(q.x) AS BIGINT) AS sx,"
+        "   COUNT(*) AS n FROM a3 a JOIN qd q USING (vec_id)"
+        "  GROUP BY a.cid, q.dim),"
+        " c3 AS (SELECT c2.cid, c2.dim,"
+        "   COALESCE(s3.sx // s3.n, c2.c) AS c,"
+        "   COALESCE(s3.n, 0) AS n"
+        "  FROM c2 LEFT JOIN s3 ON s3.cid = c2.cid AND s3.dim = c2.dim)"
+        " SELECT cid AS cluster_id, dim, CAST(c AS BIGINT) AS c,"
+        "   CAST(n AS BIGINT) AS n_members FROM c3"
     ),
     # Engine groups on sha2(gram), oracle on the raw gram — identical key
     # sets (the llm_dedup_exact parity argument); both count EVERY

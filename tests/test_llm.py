@@ -1619,3 +1619,50 @@ def test_substring_dedup_matches_suffix_array_reference(spark):
         assert got == _sa_lcp_dup_spans(corpus, L)
 
     check()
+
+
+def test_kmeans_train_matches_numpy_reference_and_is_deterministic(
+    spark, sf_dir
+):
+    """The distributed integer Lloyd loop must equal a single-process
+    numpy reference on the same quantized integers bit-for-bit (argmin
+    first-occurrence tie-break, SUM DIV COUNT floor means, empty-cluster
+    carry), and two runs must be identical (no partitioning or
+    aggregation-order dependence)."""
+    import numpy as np
+
+    rows = sorted(
+        llm._kmeans_quantized(
+            llm.table(spark, sf_dir, "embeddings")
+        ).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    x = np.array([r["xq"] for r in rows], dtype=np.int64)
+    cent = x[: llm._KM_K].copy()
+    counts = np.zeros(llm._KM_K, dtype=np.int64)
+    for _ in range(llm._KM_ITERS):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        new_cent = cent.copy()
+        counts = np.zeros(llm._KM_K, dtype=np.int64)
+        for cid in range(llm._KM_K):
+            m = assign == cid
+            counts[cid] = m.sum()
+            if counts[cid]:
+                new_cent[cid] = x[m].sum(axis=0) // counts[cid]
+        cent = new_cent
+    want = {
+        (cid, d): (int(cent[cid, d]), int(counts[cid]))
+        for cid in range(llm._KM_K)
+        for d in range(x.shape[1])
+    }
+    got1 = {
+        (r["cluster_id"], r["dim"]): (r["c"], r["n_members"])
+        for r in llm.llm_kmeans_train(spark, sf_dir).collect()
+    }
+    assert got1 == want
+    got2 = {
+        (r["cluster_id"], r["dim"]): (r["c"], r["n_members"])
+        for r in llm.llm_kmeans_train(spark, sf_dir).collect()
+    }
+    assert got2 == got1

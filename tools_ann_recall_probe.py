@@ -100,6 +100,57 @@ def _stage(n_vectors: int) -> str:
     return base
 
 
+def _relabel_learned(spark, base: str, llm) -> str:
+    """Stage <base>_learned/embeddings.parquet with ``label`` REPLACED by
+    the llm_kmeans_train codebook's nearest-centroid assignment (r14
+    verdict item 5's second half: the IVF/PQ coarse quantizer measured
+    with LEARNED centroids instead of the staging's anchor labels).
+    Assignment runs in the trainer's own exact integer domain, so the
+    lists are exactly the trained clusters."""
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F401
+
+    out = base + "_learned"
+    path = os.path.join(out, "embeddings.parquet")
+    if os.path.exists(path):
+        return out
+    cent_rows = llm.llm_kmeans_train(spark, base).collect()
+    k = max(r["cluster_id"] for r in cent_rows) + 1
+    dim = max(r["dim"] for r in cent_rows) + 1
+    cent = np.zeros((k, dim), dtype=np.int64)
+    for r in cent_rows:
+        cent[r["cluster_id"], r["dim"]] = r["c"]
+    emb = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
+    q = llm._kmeans_quantized(emb)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf["xq"]), dtype=np.int64)
+            d2 = (-2 * (x @ cent.T)) + (cent * cent).sum(axis=1)[None, :]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": d2.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    lab = q.mapInPandas(assign, "vec_id LONG, label INT")
+    os.makedirs(out, exist_ok=True)
+    (
+        emb.drop("label")
+        .join(lab, "vec_id")
+        .select("vec_id", "embedding", "label")
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return out
+
+
 def _exact_truth(base: str) -> dict[int, set[int]]:
     """Numpy exact top-10 for queries 0..4, with the instrument checks:
     every exact neighbor must lie in the query's planted cluster, and the
@@ -141,6 +192,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="2000,22000,250000")
     ap.add_argument("--ops", default="hnsw,ivf,pq")
+    ap.add_argument(
+        "--learned",
+        action="store_true",
+        help="relabel the corpus with llm_kmeans_train clusters before "
+        "the IVF/PQ probe (hnsw ignores labels and is unaffected)",
+    )
     args = ap.parse_args()
 
     from iot_data_pipeline_spark import session
@@ -166,8 +223,11 @@ def main() -> None:
         base = _stage(size)
         truth = _exact_truth(base)
         for op in args.ops.split(","):
+            src = base
+            if args.learned and op in ("ivf", "pq"):
+                src = _relabel_learned(spark, base, llm)
             t0 = time.time()
-            got = ops[op](spark, base).collect()
+            got = ops[op](spark, src).collect()
             evict_tracked()
             wall = round(time.time() - t0, 2)
             hits = sum(
@@ -179,6 +239,9 @@ def main() -> None:
                 "probe": "planted_ann_recall",
                 "n_vectors": size // _CLUSTER * _CLUSTER,
                 "op": op,
+                "labels": "learned"
+                if src.endswith("_learned")
+                else "anchor",
                 "recall_at_10": round(hits / 50.0, 3),
                 "wall_sec": wall,
             }
