@@ -787,6 +787,55 @@ def acid_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acid_table.snapshot(spark, path)
 
 
+def acid_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-clause MERGE (r15 beyond-the-list — Delta's full MERGE
+    surface): two merges exercise every clause. Merge 1: conditional
+    WHEN MATCHED UPDATE (only where ``tgt.o_totalprice > 150000``) plus
+    inserts. Merge 2: WHEN MATCHED DELETE gated on the status the FIRST
+    merge wrote, ``insert=False`` (source-only rows do NOT insert), and
+    WHEN NOT MATCHED BY SOURCE DELETE gated on price — the clause that
+    disables file pruning because it can touch any target row. The final
+    snapshot hash-equals a plain-SQL derivation of the same two steps;
+    journal parity and clause guards are pinned in tests."""
+    import tempfile
+
+    from iot_data_pipeline_spark.sources import acid_table
+
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    target = o.filter(F.pmod(k, F.lit(4)) != 0).select(*cols)
+    path = tempfile.mkdtemp(prefix="acid_mc_") + "/t"
+    acid_table.create(target, path, "o_orderkey", n_files=8)
+    s1 = o.filter(F.pmod(k, F.lit(3)) == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    acid_table.merge(
+        spark,
+        s1,
+        path,
+        matched_condition="tgt.o_totalprice > 150000",
+    )
+    s2 = o.filter(F.pmod(k, F.lit(5)) == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    acid_table.merge(
+        spark,
+        s2,
+        path,
+        when_matched="delete",
+        matched_condition="tgt.o_orderstatus = 'U'",
+        insert=False,
+        not_matched_by_source="delete",
+        nmbs_condition="tgt.o_totalprice < 50000",
+    )
+    return acid_table.snapshot(spark, path)
+
+
 _PR_SCALE = 1_000_000_000_000  # ranks in integer 1e-12 units
 _PR_ITERS = 3
 
@@ -961,6 +1010,7 @@ QUERIES = {
     "acid_schema_evolution": acid_schema_evolution,
     "acid_column_mapping": acid_column_mapping,
     "acid_constraints": acid_constraints,
+    "acid_merge_clauses": acid_merge_clauses,
     "acid_table_changes": acid_table_changes,
     "acid_column_skipping": acid_column_skipping,
     "acid_string_skipping": acid_string_skipping,
@@ -1191,6 +1241,21 @@ ORACLES = {
         " SELECT o_orderkey, o_totalprice AS price,"
         " o_orderpriority AS priority FROM orders"
         " WHERE o_orderkey % 4 = 0"
+    ),
+    # Two-step conditional MERGE mirrored in plain SQL: t1 = the
+    # conditional-update+insert state; the final SELECT applies the
+    # matched-delete (status the first merge wrote) and the
+    # not-matched-by-source delete (price gate).
+    "acid_merge_clauses": (
+        "WITH t1 AS (SELECT o_orderkey,"
+        "  CASE WHEN o_orderkey % 3 = 0 AND (o_orderkey % 4 = 0"
+        "            OR o_totalprice > 150000)"
+        "       THEN 'U' ELSE o_orderstatus END AS o_orderstatus,"
+        "  o_totalprice FROM orders"
+        "  WHERE o_orderkey % 4 <> 0 OR o_orderkey % 3 = 0)"
+        " SELECT o_orderkey, o_orderstatus, o_totalprice FROM t1"
+        " WHERE NOT (o_orderkey % 5 = 0 AND o_orderstatus = 'U')"
+        "   AND NOT (o_orderkey % 5 <> 0 AND o_totalprice < 50000)"
     ),
     # create -> ADD CONSTRAINT -> REJECTED violating append (atomic: no
     # trace) -> valid append: exactly the full orders projection.

@@ -1890,6 +1890,25 @@ def append_exactly_once(
     )
 
 
+def _clause_cond(cond: str | None, cm: dict | None):
+    """A MERGE clause condition as a Column over the joined ``__s``/``__t``
+    structs: ``src.<col>`` / ``tgt.<col>`` identifiers rewrite to struct
+    field accesses (through the column mapping on mapped tables), and the
+    whole expression wraps in IS TRUE — SQL clause semantics, a NULL
+    condition never fires a clause. ``None`` → always-true."""
+    if cond is None:
+        return F.lit(True)
+    import re
+
+    def _sub(m):
+        side, col = m.group(1), m.group(2)
+        phys = (cm or {}).get(col, col)
+        return ("__s." if side == "src" else "__t.") + phys
+
+    rewritten = re.sub(r"\b(src|tgt)\.([A-Za-z_][A-Za-z0-9_]*)", _sub, cond)
+    return F.expr(f"({rewritten}) IS TRUE")
+
+
 def merge(
     spark: SparkSession,
     source: DataFrame,
@@ -1897,10 +1916,28 @@ def merge(
     n_files: int = 4,
     cdc: bool = False,
     mode: str = "cow",
+    when_matched: str = "update",
+    matched_condition: str | None = None,
+    insert: bool = True,
+    not_matched_by_source: str | None = None,
+    nmbs_condition: str | None = None,
 ) -> dict:
     """Copy-on-write MERGE: matched target rows take the source row,
     unmatched source rows insert, untouched target rows carry over —
     rewriting ONLY the files whose key range intersects the source keys.
+
+    CONDITIONAL CLAUSES (r15, beyond-the-list — Delta's full MERGE
+    surface): ``when_matched`` is ``"update"`` (default) or ``"delete"``;
+    ``matched_condition`` gates the clause (a matched target row whose
+    condition is not TRUE carries unchanged); ``insert=False`` drops the
+    WHEN NOT MATCHED THEN INSERT clause; ``not_matched_by_source=
+    "delete"`` (with optional ``nmbs_condition``) deletes target rows no
+    source row matches — this clause can touch ANY target row, so it
+    disables file pruning (Delta scans everything for it too). Condition
+    strings reference ``src.<col>`` / ``tgt.<col>`` (logical names on
+    column-mapped tables); three-valued logic applies — a clause fires
+    only where its condition IS TRUE. Clauses require ``mode="cow"``
+    (merge-on-read DV merge keeps the plain upsert shape).
 
     ``mode="dv"`` is merge-on-read MERGE (the same write-amplification
     fix as ``delete(mode="dv")``, for the other half of the r13 verdict's
@@ -1931,6 +1968,26 @@ def merge(
     cost is one write of the touched sliver's changed rows."""
     if mode not in ("cow", "dv"):
         raise ValueError(f"merge mode must be 'cow' or 'dv', got {mode!r}")
+    if when_matched not in ("update", "delete"):
+        raise ValueError(
+            f"when_matched must be 'update' or 'delete', got {when_matched!r}"
+        )
+    if not_matched_by_source not in (None, "delete"):
+        raise ValueError(
+            "not_matched_by_source must be None or 'delete', got "
+            f"{not_matched_by_source!r}"
+        )
+    clauses = (
+        when_matched != "update"
+        or matched_condition is not None
+        or not insert
+        or not_matched_by_source is not None
+    )
+    if clauses and mode == "dv":
+        raise ValueError(
+            "conditional MERGE clauses require mode='cow' (the "
+            "merge-on-read DV merge implements the plain upsert only)"
+        )
     st = _state(path)
     key, live = st["key"], st["live"]
     # every row the commit can introduce is a source row (matched
@@ -1979,12 +2036,21 @@ def merge(
         .collect()
     }
     hit = [f for f in live if f["path"] in hit_paths]
-    touched = (
-        _read_live(spark, path, st, entries=hit)  # DV-aware: rows a
-        # deletion vector removed must not resurface through a rewrite
-        if hit
-        else snapshot(spark, path).limit(0)
-    )
+    if not_matched_by_source is not None:
+        # a WHEN NOT MATCHED BY SOURCE clause can touch ANY target row,
+        # so file pruning is off the table — Delta scans everything too
+        hit = list(live)
+        hit_paths = {f["path"] for f in hit}
+    if hit:
+        # DV-aware: rows a deletion vector removed must not resurface
+        touched = _read_live(spark, path, st, entries=hit)
+    else:
+        sch = _schema_of(st)
+        touched = (
+            spark.createDataFrame([], sch)  # PHYSICAL empty frame
+            if sch is not None
+            else snapshot(spark, path).limit(0)
+        )
     cols = touched.columns
     extra = [c for c in source.columns if c not in cols]
     if extra:
@@ -2011,9 +2077,37 @@ def merge(
 
         joined = joined.persist(StorageLevel.DISK_ONLY)
     try:
-        merged = joined.select(F.coalesce("__s", "__t").alias("__r")).select(
-            "__r.*"
-        )
+        if not clauses:
+            # plain upsert keeps its exact r12 expression (fast path)
+            merged = joined.select(
+                F.coalesce("__s", "__t").alias("__r")
+            ).select("__r.*")
+        else:
+            cm_now = _colmap(st)
+            s_, t_ = F.col("__s"), F.col("__t")
+            mcond = _clause_cond(matched_condition, cm_now)
+            ncond = _clause_cond(nmbs_condition, cm_now)
+            matched_r = (
+                F.when(mcond, s_).otherwise(t_)
+                if when_matched == "update"
+                else F.when(mcond, F.lit(None)).otherwise(t_)
+            )
+            src_only_r = s_ if insert else F.lit(None)
+            tgt_only_r = (
+                F.when(ncond, F.lit(None)).otherwise(t_)
+                if not_matched_by_source == "delete"
+                else t_
+            )
+            merged = (
+                joined.select(
+                    F.when(t_.isNull(), src_only_r)
+                    .when(s_.isNull(), tgt_only_r)
+                    .otherwise(matched_r)
+                    .alias("__r")
+                )
+                .filter(F.col("__r").isNotNull())  # NULL struct = dropped
+                .select("__r.*")
+            )
         adds = _write_data_files(merged, path, key, n_files)
         manifest = {
             "version": st["version"] + 1,
@@ -2024,25 +2118,39 @@ def merge(
             "remove": sorted(hit_paths),
         }
         if cdc:
+            cm_now = _colmap(st)
+            mcond = _clause_cond(matched_condition, cm_now)
+            ncond = _clause_cond(nmbs_condition, cm_now)
             matched = joined.where(
-                F.col("__t").isNotNull() & F.col("__s").isNotNull()
+                F.col("__t").isNotNull()
+                & F.col("__s").isNotNull()
+                & mcond  # an unfired clause journals nothing
             )
-            changes = (
-                matched.select(
+            if when_matched == "update":
+                changes = matched.select(
                     "__t.*", F.lit("update_preimage").alias("change_type")
-                )
-                .unionByName(
+                ).unionByName(
                     matched.select(
                         "__s.*",
                         F.lit("update_postimage").alias("change_type"),
                     )
                 )
-                .unionByName(
+            else:  # matched-delete journals the target image
+                changes = matched.select(
+                    "__t.*", F.lit("delete").alias("change_type")
+                )
+            if insert:
+                changes = changes.unionByName(
                     joined.where(F.col("__t").isNull()).select(
                         "__s.*", F.lit("insert").alias("change_type")
                     )
                 )
-            )
+            if not_matched_by_source == "delete":
+                changes = changes.unionByName(
+                    joined.where(F.col("__s").isNull() & ncond).select(
+                        "__t.*", F.lit("delete").alias("change_type")
+                    )
+                )
             manifest["cdc"] = _write_cdc_files(changes, path)
         _publish(path, manifest)
     finally:

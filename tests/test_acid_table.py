@@ -2756,3 +2756,61 @@ def test_check_constraints_semantics_and_guards(spark, sf_dir, tmp_path):
         acid_table.add_constraint(spark, path, "k", "1 = 1")
     with pytest.raises(ValueError, match="no constraint"):
         acid_table.drop_constraint(path, "ghost")
+
+
+def test_merge_clauses_semantics_and_guards(spark, sf_dir, tmp_path):
+    """Conditional MERGE clauses: matched-delete fires only where its
+    condition IS TRUE (NULL never fires), insert=False drops source-only
+    rows, not-matched-by-source delete disables file pruning (rewritten
+    == all live files), clauses + mode='dv' raise, and the CDC journal
+    records exactly the fired clauses' rows."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(300)
+    acid_table.create(t, path, "o_orderkey", n_files=4)
+    src = t.limit(100).withColumn("o_orderstatus", F.lit("S"))
+    with pytest.raises(ValueError, match="cow"):
+        acid_table.merge(
+            spark, src, path, mode="dv", when_matched="delete"
+        )
+    with pytest.raises(ValueError, match="when_matched"):
+        acid_table.merge(spark, src, path, when_matched="upsert")
+    # conditional matched-delete + no-insert + nmbs delete, journaled
+    n0 = acid_table.snapshot(spark, path).count()
+    med = t.agg(
+        F.expr("percentile_approx(o_totalprice, 0.5)").alias("m")
+    ).first()["m"]
+    r = acid_table.merge(
+        spark,
+        src,
+        path,
+        when_matched="delete",
+        matched_condition=f"tgt.o_totalprice > {med}",
+        insert=False,
+        not_matched_by_source="delete",
+        nmbs_condition=f"tgt.o_totalprice > {med * 2}",
+        cdc=True,
+    )
+    assert r["carried"] == 0  # nmbs clause scanned every file
+    srck = {row["o_orderkey"] for row in src.collect()}
+    exp_del_matched = {
+        row["o_orderkey"]
+        for row in t.collect()
+        if row["o_orderkey"] in srck and row["o_totalprice"] > med
+    }
+    exp_del_nmbs = {
+        row["o_orderkey"]
+        for row in t.collect()
+        if row["o_orderkey"] not in srck
+        and row["o_totalprice"] > med * 2
+    }
+    snap = acid_table.snapshot(spark, path)
+    assert snap.count() == n0 - len(exp_del_matched) - len(exp_del_nmbs)
+    got_keys = {row["o_orderkey"] for row in snap.collect()}
+    assert not (exp_del_matched | exp_del_nmbs) & got_keys
+    feed = acid_table.table_changes_journal(
+        spark, path, acid_table.head(path) - 1, acid_table.head(path)
+    )
+    assert feed.filter("change_type = 'delete'").count() == len(
+        exp_del_matched
+    ) + len(exp_del_nmbs)
+    assert feed.filter("change_type <> 'delete'").count() == 0
