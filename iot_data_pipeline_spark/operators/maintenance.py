@@ -836,6 +836,40 @@ def acid_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acid_table.snapshot(spark, path)
 
 
+def acid_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping (r15 beyond-the-list — Delta's bloom
+    filter index as OPTIMIZE-time maintenance): a sha256 digest column
+    spreads uniformly, so min/max and prefix stats never prune a point
+    lookup on it — the bloom sidecar answers "definitely absent" per
+    file. create → OPTIMIZE(bloom_by=[dig]) → point lookups through
+    ``snapshot(skip_equals=...)`` for five known keys, unioned; each
+    lookup prunes to ~1 file (structurally pinned in tests) and the
+    exact row filter keeps the result exact — hash-equal to the plain
+    SQL digest lookups. Probe hashing runs through the SAME jvm xxhash64
+    pair as the build, never Python hashing."""
+    import tempfile
+
+    from iot_data_pipeline_spark.sources import acid_table
+
+    o = table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.sha2(F.col("o_orderkey").cast("string"), 256).alias("dig"),
+    )
+    path = tempfile.mkdtemp(prefix="acid_bloom_") + "/t"
+    acid_table.create(t, path, "o_orderkey", n_files=8)
+    acid_table.compact(spark, path, n_files=8, bloom_by=["dig"])
+    import hashlib
+
+    out = None
+    for k in (1, 7, 32, 69, 134):
+        probe = hashlib.sha256(str(k).encode()).hexdigest()
+        part = acid_table.snapshot(spark, path, skip_equals={"dig": probe})
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 _PR_SCALE = 1_000_000_000_000  # ranks in integer 1e-12 units
 _PR_ITERS = 3
 
@@ -1011,6 +1045,7 @@ QUERIES = {
     "acid_column_mapping": acid_column_mapping,
     "acid_constraints": acid_constraints,
     "acid_merge_clauses": acid_merge_clauses,
+    "acid_bloom_skipping": acid_bloom_skipping,
     "acid_table_changes": acid_table_changes,
     "acid_column_skipping": acid_column_skipping,
     "acid_string_skipping": acid_string_skipping,
@@ -1241,6 +1276,16 @@ ORACLES = {
         " SELECT o_orderkey, o_totalprice AS price,"
         " o_orderpriority AS priority FROM orders"
         " WHERE o_orderkey % 4 = 0"
+    ),
+    # Five digest point-lookups; DuckDB's sha256() == Spark's sha2(,256)
+    # (lowercase hex). The bloom prune is structural (pinned in tests);
+    # correctness rides the exact row filter.
+    "acid_bloom_skipping": (
+        "SELECT o_orderkey, o_totalprice,"
+        " sha256(CAST(o_orderkey AS VARCHAR)) AS dig FROM orders"
+        " WHERE sha256(CAST(o_orderkey AS VARCHAR)) IN ("
+        "   sha256('1'), sha256('7'), sha256('32'), sha256('69'),"
+        "   sha256('134'))"
     ),
     # Two-step conditional MERGE mirrored in plain SQL: t1 = the
     # conditional-update+insert state; the final SELECT applies the

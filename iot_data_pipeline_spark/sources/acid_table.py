@@ -1200,6 +1200,143 @@ def _read_live(
     return out
 
 
+_BLOOM = "bloom"
+_BLOOM_K = 7  # hash count; with 10 bits/row the fpp is ~1%
+_BLOOM_SEED = 0x9E3779B9  # second-hash salt for double hashing
+
+
+def _write_bloom_sidecar(
+    spark: SparkSession,
+    path: str,
+    sch,
+    adds: list[dict],
+    cols: list[str],
+) -> None:
+    """Per-file BLOOM FILTER index over ``cols`` for the freshly written
+    ``adds`` (Delta's bloom filter index re-derived as OPTIMIZE-time
+    maintenance): min/max skipping is useless for a high-cardinality
+    column whose values spread uniformly — every file's range covers
+    every probe — but a 10-bits/row bloom answers "definitely absent"
+    per file, which is exactly what a point lookup needs. One sidecar
+    parquet per OPTIMIZE under ``bloom/`` holds (file_key, col, m, k,
+    bits) for every (file, column); each add entry gets a ``"bloom"``
+    pointer, carried with the file across later commits like its stats.
+
+    Hash parity build↔probe: h1 = ``xxhash64(col)``, h2 =
+    ``xxhash64(col, SEED)`` — both computed BY SPARK on both sides (the
+    probe hashes its literal through a one-row jvm job), so the bloom
+    never depends on Python hashing; double hashing g_i = h1 + i·h2
+    (mod m, two's-complement uint64 wrap) gives the k positions. m is
+    the next power of two ≥ 10·rows per (file, col), built task-side by
+    one applyInPandas over each file's hash pairs. NULLs are never
+    added: a (file, col) with no sidecar row means every value was NULL
+    — a non-null probe prunes it outright. Files without a bloom
+    pointer are conservatively kept."""
+    import glob as _glob
+    import shutil
+
+    reader = spark.read.schema(sch) if sch is not None else spark.read
+    base = reader.parquet(
+        *[os.path.join(path, a["path"]) for a in adds]
+    ).withColumn("__fk", _file_key_col())
+    parts = []
+
+    def _builder(_c: str):
+        # factory, not a default arg: applyInPandas dispatches on the
+        # function's ARITY (a second parameter would flip it into
+        # (key, pdf) mode)
+        def _build(pdf):
+            import numpy as np
+            import pandas as pd
+
+            n = len(pdf)
+            m = max(64, 1 << int(np.ceil(np.log2(max(10 * n, 2)))))
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            h1 = pdf["h1"].to_numpy().astype(np.uint64)
+            h2 = pdf["h2"].to_numpy().astype(np.uint64)
+            for i in range(_BLOOM_K):
+                idx = (
+                    (h1 + np.uint64(i) * h2) % np.uint64(m)
+                ).astype(np.int64)
+                np.bitwise_or.at(
+                    bits, idx // 8, (1 << (idx % 8)).astype(np.uint8)
+                )
+            return pd.DataFrame(
+                {
+                    "file_key": [pdf["__fk"].iloc[0]],
+                    "col": [_c],
+                    "m": [int(m)],
+                    "k": [_BLOOM_K],
+                    "bits": [bits.tobytes()],
+                }
+            )
+
+        return _build
+
+    for c in cols:
+        parts.append(
+            base.where(F.col(c).isNotNull())
+            .select(
+                "__fk",
+                F.xxhash64(F.col(c)).alias("h1"),
+                F.xxhash64(F.col(c), F.lit(_BLOOM_SEED)).alias("h2"),
+            )
+            .groupBy("__fk")
+            .applyInPandas(
+                _builder(c),
+                "file_key STRING, col STRING, m LONG, k INT, bits BINARY",
+            )
+        )
+    allb = parts[0]
+    for p in parts[1:]:
+        allb = allb.unionByName(p)
+    staging = os.path.join(path, f".bloom-stage-{uuid.uuid4().hex}")
+    allb.coalesce(1).write.mode("overwrite").parquet(staging)
+    bloom_dir = os.path.join(path, _BLOOM)
+    os.makedirs(bloom_dir, exist_ok=True)
+    written = sorted(_glob.glob(os.path.join(staging, "part-*.parquet")))
+    assert len(written) == 1
+    name = f"{uuid.uuid4().hex}.parquet"
+    shutil.move(written[0], os.path.join(bloom_dir, name))
+    shutil.rmtree(staging)
+    rel = f"{_BLOOM}/{name}"
+    for a in adds:
+        a["bloom"] = rel
+
+
+def _bloom_maybe_contains(
+    path: str, rel: str, file_key: str, col: str, h1: int, h2: int
+) -> bool:
+    """Probe one file's bloom for a (col, value-hash) pair. Sidecar reads
+    memoize per (table, sidecar) within the process — file-count-scale
+    metadata, like the manifest itself."""
+    import pyarrow.parquet as pq
+
+    cache = _BLOOM_CACHE.setdefault((path, rel), {})
+    if not cache:
+        t = pq.read_table(os.path.join(path, rel))
+        for r in t.to_pylist():
+            cache[(r["file_key"], r["col"])] = (
+                r["m"],
+                r["k"],
+                r["bits"],
+            )
+    row = cache.get((file_key, col))
+    if row is None:
+        return False  # every value in this (file, col) was NULL
+    m, k, bits = row
+    u1, u2 = h1 & _U64, h2 & _U64
+    for i in range(k):
+        idx = (u1 + i * u2) % m
+        if not bits[idx >> 3] & (1 << (idx & 7)):
+            return False
+    return True
+
+
+_BLOOM_CACHE: dict[tuple, dict] = {}
+_U64 = (1 << 64) - 1
+
+
 def _write_dv_file(pos_df: DataFrame, path: str) -> str:
     """Write a (file_key, pos) position frame as ONE immutable sidecar
     under ``dv/`` and return its relative path. Single-file by design:
@@ -1381,6 +1518,7 @@ def snapshot(
     key_between: tuple[int, int] | None = None,
     timestamp: float | None = None,
     skip_where: dict[str, tuple] | None = None,
+    skip_equals: dict | None = None,
 ) -> DataFrame:
     """Read the table as of ``version`` (latest when None) — time travel
     is just replaying the log to a prefix. ``timestamp`` resolves to a
@@ -1414,6 +1552,15 @@ def snapshot(
     st = _state(path, version)
     live_all = st["live"]
     live = live_all
+    if skip_equals and _colmap(st):
+        cm = _colmap(st)
+        unknown = [c for c in skip_equals if c not in cm]
+        if unknown:
+            raise ValueError(
+                f"skip_equals column(s) {unknown} not in table columns "
+                f"{sorted(cm)}"
+            )
+        skip_equals = {cm[c]: v for c, v in skip_equals.items()}
     if skip_where and _colmap(st):
         # callers predicate on LOGICAL names; file stats are keyed by the
         # stable physical names — translate once, here, then everything
@@ -1455,6 +1602,49 @@ def snapshot(
             return True
 
         live = [f for f in live if _survives(f)]
+    eq_types = {}
+    if skip_equals:
+        # BLOOM skipping (point predicates): hash each probe value with
+        # the SAME jvm xxhash64 pair the build side used (one one-row
+        # job), then drop every file whose bloom says definitely-absent.
+        # Files without a bloom pointer are conservatively kept; the
+        # exact row filter below keeps the result exact either way.
+        sch_eq = _schema_of(st)
+        ftypes = {f.name: f.dataType for f in sch_eq.fields} if sch_eq else {}
+        probes = {}
+        exprs = []
+        cols_eq = list(skip_equals)
+        for i, c in enumerate(cols_eq):
+            v = skip_equals[c]
+            if v is None:
+                raise ValueError(
+                    "skip_equals cannot probe NULL (use an IS NULL row "
+                    "filter; blooms never index NULLs)"
+                )
+            lit = F.lit(v)
+            if c in ftypes:
+                lit = lit.cast(ftypes[c])
+                eq_types[c] = ftypes[c]
+            exprs.append(F.xxhash64(lit).alias(f"h1_{i}"))
+            exprs.append(
+                F.xxhash64(lit, F.lit(_BLOOM_SEED)).alias(f"h2_{i}")
+            )
+        hrow = spark.range(1).select(*exprs).first()
+        for i, c in enumerate(cols_eq):
+            probes[c] = (hrow[f"h1_{i}"], hrow[f"h2_{i}"])
+
+        def _bloom_keeps(f: dict) -> bool:
+            rel = f.get("bloom")
+            if not rel:
+                return True
+            for c, (h1, h2) in probes.items():
+                if not _bloom_maybe_contains(
+                    path, rel, _basename(f["path"]), c, h1, h2
+                ):
+                    return False
+            return True
+
+        live = [f for f in live if _bloom_keeps(f)]
     files = [os.path.join(path, f["path"]) for f in live]
     if not files:
         # Empty-after-prune (or a version whose every row was deleted):
@@ -1491,6 +1681,12 @@ def snapshot(
     if skip_where:
         for col, (lo, hi) in skip_where.items():
             df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    if skip_equals:
+        for col, v in skip_equals.items():
+            lit = F.lit(v)
+            if col in eq_types:
+                lit = lit.cast(eq_types[col])
+            df = df.filter(F.col(col) == lit)
     return _to_logical(df, st)
 
 
@@ -1672,6 +1868,7 @@ def compact(
     path: str,
     n_files: int = 2,
     zorder_by: list[str] | None = None,
+    bloom_by: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE: rewrite the live file set into ``n_files`` key-range
     files (one snapshot-preserving commit — the small-files maintenance
@@ -1697,8 +1894,18 @@ def compact(
         len(live) <= n_files
         and not any(e.get(_DV) for e in live)
         and not zorder_by
+        and not bloom_by
     ):
         return {"rewritten": 0, "files_before": len(live)}
+    if bloom_by and _colmap(st):
+        cm = _colmap(st)
+        unknown = [c for c in bloom_by if c not in cm]
+        if unknown:
+            raise ValueError(
+                f"bloom_by column(s) {unknown} not in table columns "
+                f"{sorted(cm)}"
+            )
+        bloom_by = [cm[c] for c in bloom_by]
     # DV-aware read: the rewrite MATERIALIZES deletion vectors away —
     # rewritten files carry no vector and the old sidecars age out of the
     # live set with the files they described
@@ -1774,6 +1981,13 @@ def compact(
 
         order_by = zorder_key(_scaled(zorder_by[0]), _scaled(zorder_by[1]))
     adds = _write_data_files(snap, path, key, n_files, order_by=order_by)
+    if bloom_by:
+        missing = [c for c in bloom_by if c not in snap.columns]
+        if missing:
+            raise ValueError(
+                f"bloom_by column(s) {missing} not in table columns"
+            )
+        _write_bloom_sidecar(spark, path, _schema_of(st), adds, bloom_by)
     manifest = {
         "version": st["version"] + 1,
         "op": "compact",
@@ -2788,6 +3002,28 @@ def vacuum(
         for a in m["add"]
         if a.get(_DV)  # restore re-adds carry their dv pointer embedded
     }
+    bloom_retained: set[str] = set()
+    for v in retained:
+        bloom_retained |= {
+            e["bloom"] for e in _live_files(ms, v) if e.get("bloom")
+        }
+    bloom_referenced = {
+        a["bloom"] for m in ms for a in m["add"] if a.get("bloom")
+    }
+    bloom_dir = os.path.join(path, _BLOOM)
+    bloom_deleted = 0
+    if os.path.isdir(bloom_dir):
+        for name in sorted(os.listdir(bloom_dir)):
+            rel = f"{_BLOOM}/{name}"
+            if rel in bloom_retained:
+                continue
+            full = os.path.join(bloom_dir, name)
+            if rel in bloom_referenced or (
+                now - os.stat(full).st_mtime >= orphan_grace_seconds
+            ):
+                os.unlink(full)
+                bloom_deleted += 1
+                _BLOOM_CACHE.pop((path, rel), None)
     dv_dir = os.path.join(path, _DV)
     dv_deleted = 0
     if os.path.isdir(dv_dir):
@@ -2823,7 +3059,9 @@ def vacuum(
 
     staging_deleted = 0
     for name in sorted(os.listdir(path)):
-        if name.startswith((".stage-", ".cdc-stage-", ".dv-stage-")):
+        if name.startswith(
+            (".stage-", ".cdc-stage-", ".dv-stage-", ".bloom-stage-")
+        ):
             full = os.path.join(path, name)
             if now - _subtree_mtime(full) >= orphan_grace_seconds:
                 shutil.rmtree(full, ignore_errors=True)
@@ -2833,6 +3071,7 @@ def vacuum(
         "orphans_deleted": orphans,
         "cdc_deleted": cdc_deleted,
         "dv_deleted": dv_deleted,
+        "bloom_deleted": bloom_deleted,
         "staging_deleted": staging_deleted,
         "retained_versions": retained,
     }

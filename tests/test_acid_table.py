@@ -2814,3 +2814,51 @@ def test_merge_clauses_semantics_and_guards(spark, sf_dir, tmp_path):
         exp_del_matched
     ) + len(exp_del_nmbs)
     assert feed.filter("change_type <> 'delete'").count() == 0
+
+
+def test_bloom_skipping_prunes_structurally_and_survives_vacuum(
+    spark, sf_dir, tmp_path
+):
+    """The bloom sidecar prunes a point lookup to (nearly) one file where
+    min/max and prefix stats cannot (uniform digest column: every file's
+    range covers every probe); an absent value prunes EVERY file; files
+    without a bloom pointer conservatively keep; vacuum retains sidecars
+    any retained version references and reclaims superseded ones; NULL
+    probes raise the curated error."""
+    import hashlib
+
+    path = str(tmp_path / "t")
+    t = (
+        _target(spark, sf_dir)
+        .limit(4000)
+        .withColumn(
+            "dig", F.sha2(F.col("o_orderkey").cast("string"), 256)
+        )
+    )
+    n_rows = t.count()
+    acid_table.create(t, path, "o_orderkey", n_files=6)
+    acid_table.compact(spark, path, n_files=6, bloom_by=["dig"])
+    keys = [r["o_orderkey"] for r in t.limit(3).collect()]
+    n_all = len(acid_table.snapshot(spark, path).inputFiles())
+    for k in keys:
+        probe = hashlib.sha256(str(k).encode()).hexdigest()
+        snap = acid_table.snapshot(spark, path, skip_equals={"dig": probe})
+        assert len(snap.inputFiles()) < n_all  # pruned
+        got = snap.collect()
+        assert len(got) == 1 and got[0]["o_orderkey"] == k
+    # prefix stats alone cannot prune these probes structurally the way
+    # blooms do: absent value -> bloom prunes EVERY file
+    absent = acid_table.snapshot(
+        spark, path, skip_equals={"dig": "f" * 64}
+    )
+    assert absent.count() == 0
+    with pytest.raises(ValueError, match="NULL"):
+        acid_table.snapshot(spark, path, skip_equals={"dig": None})
+    # un-bloomed rewrite: conservative full keep, result exact
+    acid_table.compact(spark, path, n_files=2)
+    probe = hashlib.sha256(str(keys[0]).encode()).hexdigest()
+    snap = acid_table.snapshot(spark, path, skip_equals={"dig": probe})
+    assert snap.count() == 1
+    r = acid_table.vacuum(path, retain_versions=1, orphan_grace_seconds=0)
+    assert r["bloom_deleted"] == 1  # superseded sidecar reclaimed
+    assert acid_table.snapshot(spark, path).count() == n_rows
