@@ -2554,7 +2554,11 @@ def _substring_dedup_spans(docs: DataFrame, L: int) -> DataFrame:
     pathological billion-fold gram partially aggregates before the
     shuffle) + one equi-join back (1 dup-key row per occurrence — no
     blowup, AQE splits residual skew); the merge is one window bounded by
-    single-doc length. No all-pairs stage anywhere."""
+    single-doc length. No all-pairs stage anywhere. Shuffle-row diet
+    (r15, after the first 125× cell timed out on the fat rows): the
+    digest ships as 32 RAW BYTES (``unhex(sha2)``) not 64 hex chars, and
+    positions ride as INTs until the output projection — together ~45%
+    fewer shuffle bytes with zero exactness loss."""
     grams = (
         docs.filter(F.length("text") >= L)
         .select(
@@ -2566,8 +2570,10 @@ def _substring_dedup_spans(docs: DataFrame, L: int) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.col("p").cast("bigint").alias("pos"),
-            F.sha2(F.expr(f"substring(text, p, {L})"), 256).alias("k"),
+            F.col("p").alias("pos"),
+            F.unhex(
+                F.sha2(F.expr(f"substring(text, p, {L})"), 256)
+            ).alias("k"),
         )
     )
     dupk = (
@@ -2594,9 +2600,11 @@ def _substring_dedup_spans(docs: DataFrame, L: int) -> DataFrame:
     return (
         isl.groupBy("doc_id", "island")
         .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + L).alias("span_end"),
-            (F.max("pos") + L - F.min("pos")).alias("span_len"),
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + L).cast("bigint").alias("span_end"),
+            (F.max("pos") + L - F.min("pos"))
+            .cast("bigint")
+            .alias("span_len"),
         )
         .select("doc_id", "span_start", "span_end", "span_len")
     )
