@@ -95,6 +95,14 @@ HEADLINE = [
     "llm_quality_classifier",
     "llm_lm_perplexity",
     "stream_acid_cdf_agg",
+    # r15: the two new heaviest shapes — ExactSubstr dedup (the
+    # Ω(corpus-positions) digest shuffle pair + per-doc islands merge;
+    # tracked so the gram-explosion constant can't creep) and the
+    # full-clause MERGE whose not-matched-by-source branch rewrites the
+    # whole table (the unpruned write path, tracked separately from the
+    # pruned acid_merge_snapshot).
+    "llm_substring_dedup",
+    "acid_merge_clauses",
 ]
 
 # Queries whose single-rep time exceeds ~1.5 s at sf0.1 get a third rep:
@@ -111,6 +119,8 @@ BEST_OF_3 = {
     "acid_merge_snapshot",
     "llm_lm_perplexity",
     "stream_acid_cdf_agg",
+    "llm_substring_dedup",
+    "acid_merge_clauses",
 }
 
 

@@ -1302,6 +1302,10 @@ def _write_bloom_sidecar(
     rel = f"{_BLOOM}/{name}"
     for a in adds:
         a["bloom"] = rel
+        # the indexed column list travels with the pointer: an absent
+        # sidecar row is "all values were NULL" ONLY for indexed columns
+        # — for any other probe column the file must conservatively keep
+        a["bloom_cols"] = list(cols)
 
 
 def _bloom_maybe_contains(
@@ -1621,6 +1625,11 @@ def snapshot(
                     "skip_equals cannot probe NULL (use an IS NULL row "
                     "filter; blooms never index NULLs)"
                 )
+            if ftypes and c not in ftypes:
+                raise ValueError(
+                    f"skip_equals column {c!r} not in table columns "
+                    f"{sorted(ftypes)}"
+                )
             lit = F.lit(v)
             if c in ftypes:
                 lit = lit.cast(ftypes[c])
@@ -1629,15 +1638,23 @@ def snapshot(
             exprs.append(
                 F.xxhash64(lit, F.lit(_BLOOM_SEED)).alias(f"h2_{i}")
             )
-        hrow = spark.range(1).select(*exprs).first()
+        # LEGACY (no recorded schema) tables never bloom-prune: the
+        # build side hashed inferred types, and a probe literal of a
+        # different width hashes differently — conservative keep; the
+        # exact row filter below still applies.
+        hrow = spark.range(1).select(*exprs).first() if ftypes else None
         for i, c in enumerate(cols_eq):
-            probes[c] = (hrow[f"h1_{i}"], hrow[f"h2_{i}"])
+            if hrow is not None:
+                probes[c] = (hrow[f"h1_{i}"], hrow[f"h2_{i}"])
 
         def _bloom_keeps(f: dict) -> bool:
             rel = f.get("bloom")
-            if not rel:
+            if not rel or hrow is None:
                 return True
+            indexed = set(f.get("bloom_cols") or [])
             for c, (h1, h2) in probes.items():
+                if c not in indexed:
+                    continue  # not indexed: conservative keep
                 if not _bloom_maybe_contains(
                     path, rel, _basename(f["path"]), c, h1, h2
                 ):
@@ -2205,8 +2222,11 @@ def merge(
     st = _state(path)
     key, live = st["key"], st["live"]
     # every row the commit can introduce is a source row (matched
-    # replacements + inserts); carried target rows were already valid
-    _enforce_constraints(source, _constraints(st))
+    # replacements + inserts); carried target rows were already valid.
+    # A merge whose clauses only DELETE introduces nothing — its source
+    # is a key list, not data — so nothing needs validating.
+    if insert or when_matched == "update":
+        _enforce_constraints(source, _constraints(st))
     if _colmap(st):
         # source arrives under LOGICAL names; everything below — the key,
         # file stats, the full-outer rewrite, CDC journal files — is

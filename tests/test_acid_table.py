@@ -2854,6 +2854,15 @@ def test_bloom_skipping_prunes_structurally_and_survives_vacuum(
     assert absent.count() == 0
     with pytest.raises(ValueError, match="NULL"):
         acid_table.snapshot(spark, path, skip_equals={"dig": None})
+    with pytest.raises(ValueError, match="not in table columns"):
+        acid_table.snapshot(spark, path, skip_equals={"ghost": 1})
+    # probing a column the sidecar does NOT index must keep every file
+    # (an absent sidecar row means all-NULL only for INDEXED columns)
+    probe_status = acid_table.snapshot(
+        spark, path, skip_equals={"o_orderstatus": "O"}
+    )
+    assert len(probe_status.inputFiles()) == n_all
+    assert probe_status.count() == t.filter("o_orderstatus = 'O'").count()
     # un-bloomed rewrite: conservative full keep, result exact
     acid_table.compact(spark, path, n_files=2)
     probe = hashlib.sha256(str(keys[0]).encode()).hexdigest()
