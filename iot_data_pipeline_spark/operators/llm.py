@@ -2618,6 +2618,77 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the ExactSubstr removal offsets (the step after
+    :func:`llm_substring_dedup` finds them): every duplicated region is
+    CUT from its document and the survivors re-concatenate in order —
+    one row per document with (clean_text, n_removed). Documents with no
+    duplicated span (or NULL text) pass through unchanged; a document
+    that is duplicated WALL-TO-WALL cleans to the empty string (the
+    removed-indicator join distinguishes that from "no spans", which a
+    bare left-join COALESCE would silently conflate — pinned).
+
+    Shape: the span set is tiny relative to the corpus, so the rewrite
+    is one doc_id-keyed join of text with its kept segments (gaps
+    between merged spans via lag, plus the tail), substring extraction,
+    and an ORDER-DETERMINISTIC per-doc concat — ``array_sort`` over
+    (seg_start, piece) structs then a fold, never collect_list order
+    (the oracle's ``string_agg(... ORDER BY)`` mirrors it). All JVM
+    built-ins; per-doc work bounded by document length."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = _substring_dedup_spans(
+        d.filter(F.col("text").isNotNull()), _SUBSTR_L
+    )
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    gaps = spans.select(
+        "doc_id",
+        F.coalesce(F.lag("span_end").over(w), F.lit(1).cast("bigint"))
+        .alias("a"),
+        F.col("span_start").alias("b"),
+    )
+    tails = (
+        spans.groupBy("doc_id")
+        .agg(F.max("span_end").alias("a"))
+        .join(d, "doc_id")
+        .select(
+            "doc_id", "a", (F.length("text") + 1).cast("bigint").alias("b")
+        )
+    )
+    segs = gaps.unionByName(tails).filter(F.col("b") > F.col("a"))
+    pieces = segs.join(d, "doc_id").select(
+        "doc_id",
+        "a",
+        F.expr("substring(text, CAST(a AS INT), CAST(b - a AS INT))")
+        .alias("piece"),
+    )
+    cleaned = pieces.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("a", "piece"))),
+            F.lit(""),
+            lambda acc, s: F.concat(acc, s["piece"]),
+        ).alias("ct")
+    )
+    removed = spans.groupBy("doc_id").agg(
+        F.sum("span_len").cast("bigint").alias("n_removed")
+    )
+    return (
+        d.join(removed, "doc_id", "left")
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("n_removed").isNotNull(),
+                F.coalesce(F.col("ct"), F.lit("")),
+            )
+            .otherwise(F.col("text"))
+            .alias("clean_text"),
+            F.coalesce(F.col("n_removed"), F.lit(0).cast("bigint")).alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
 def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document: most-frequent-word
     fraction and duplicate-word fraction. ZERO-shuffle formulation: sort
@@ -3935,6 +4006,7 @@ QUERIES = {
     "llm_chunk_docs": llm_chunk_docs,
     "llm_span_dedup": llm_span_dedup,
     "llm_substring_dedup": llm_substring_dedup,
+    "llm_substring_rewrite": llm_substring_rewrite,
     "llm_repetition": llm_repetition,
     "llm_gopher_rules": llm_gopher_rules,
     "llm_unigram_rarity": llm_unigram_rarity,
@@ -4433,6 +4505,52 @@ ORACLES = {
         "  FROM c2 LEFT JOIN s3 ON s3.cid = c2.cid AND s3.dim = c2.dim)"
         " SELECT cid AS cluster_id, dim, CAST(c AS BIGINT) AS c,"
         "   CAST(n AS BIGINT) AS n_members FROM c3"
+    ),
+    # The dedup's spans applied: kept segments = gaps between merged
+    # spans (lag) + the tail; ordered per-doc concat; the removed-
+    # indicator CASE distinguishes wall-to-wall-duplicated (clean '')
+    # from span-free (clean = original).
+    "llm_substring_rewrite": (
+        "WITH grams AS (SELECT d.doc_id, g.p AS pos,"
+        "   substring(d.text, CAST(g.p AS INT), 40) AS gram"
+        " FROM documents d, LATERAL (SELECT unnest(generate_series(1,"
+        "   length(d.text) - 39)) AS p) g"
+        " WHERE length(d.text) >= 40),"
+        " dupg AS (SELECT gram FROM grams GROUP BY gram"
+        "          HAVING COUNT(*) >= 2),"
+        " dup AS (SELECT g.doc_id, g.pos FROM grams g"
+        "         JOIN dupg USING (gram)),"
+        " lagged AS (SELECT doc_id, pos, lag(pos) OVER"
+        "   (PARTITION BY doc_id ORDER BY pos) AS prev FROM dup),"
+        " isl AS (SELECT doc_id, pos,"
+        "   SUM(CASE WHEN prev IS NULL OR pos - prev > 40 THEN 1 ELSE 0"
+        "       END) OVER (PARTITION BY doc_id ORDER BY pos) AS island"
+        " FROM lagged),"
+        " spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 40 AS e"
+        "   FROM isl GROUP BY doc_id, island),"
+        " tails AS (SELECT doc_id, MAX(e) AS a FROM spans"
+        "   GROUP BY doc_id),"
+        " segs AS (SELECT doc_id, a, b FROM (SELECT doc_id,"
+        "     COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1)"
+        "       AS a, s AS b FROM spans)"
+        "   UNION ALL SELECT t.doc_id, t.a, length(d.text) + 1 AS b"
+        "     FROM tails t JOIN documents d ON d.doc_id = t.doc_id),"
+        " pieces AS (SELECT g.doc_id, g.a,"
+        "   substring(d.text, CAST(g.a AS INT), CAST(g.b - g.a AS INT))"
+        "     AS piece"
+        "   FROM segs g JOIN documents d ON d.doc_id = g.doc_id"
+        "   WHERE g.b > g.a),"
+        " cleaned AS (SELECT doc_id,"
+        "   string_agg(piece, '' ORDER BY a) AS ct FROM pieces"
+        "   GROUP BY doc_id),"
+        " removed AS (SELECT doc_id, CAST(SUM(e - s) AS BIGINT)"
+        "     AS n_removed FROM spans GROUP BY doc_id)"
+        " SELECT d.doc_id,"
+        "   CASE WHEN r.doc_id IS NOT NULL THEN COALESCE(c.ct, '')"
+        "        ELSE d.text END AS clean_text,"
+        "   COALESCE(r.n_removed, 0) AS n_removed"
+        " FROM documents d LEFT JOIN cleaned c ON c.doc_id = d.doc_id"
+        " LEFT JOIN removed r ON r.doc_id = d.doc_id"
     ),
     # Engine groups on sha2(gram), oracle on the raw gram — identical key
     # sets (the llm_dedup_exact parity argument); both count EVERY

@@ -1666,3 +1666,48 @@ def test_kmeans_train_matches_numpy_reference_and_is_deterministic(
         for r in llm.llm_kmeans_train(spark, sf_dir).collect()
     }
     assert got2 == got1
+
+
+def test_substring_rewrite_invariants(spark, sf_dir):
+    """Applying removal offsets: length conservation
+    (len(clean) + n_removed == len(text)) for every doc; span-free and
+    NULL-text docs pass through; a wall-to-wall duplicated doc cleans to
+    the EMPTY string (not the original — the removed-indicator CASE)."""
+    import tempfile
+
+    boiler = "Z" * 50  # > L, duplicated wall-to-wall in docs 1 and 2
+    rows = [
+        Row(doc_id=1, text=boiler),
+        Row(doc_id=2, text=boiler),
+        Row(doc_id=3, text="unique prefix " + boiler + " unique tail 3"),
+        Row(doc_id=4, text="abcdefghijklmnopqrstuvwxyz 0123456789 entirely unique"),
+        Row(doc_id=5, text=None),
+        Row(doc_id=6, text="short"),
+    ]
+    tdir = tempfile.mkdtemp(prefix="rw_")
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING"
+    ).write.mode("overwrite").parquet(tdir + "/documents.parquet")
+    got = {r["doc_id"]: r for r in llm.llm_substring_rewrite(spark, tdir).collect()}
+    assert got[1]["clean_text"] == "" and got[1]["n_removed"] == 50
+    assert got[2]["clean_text"] == ""
+    assert boiler not in got[3]["clean_text"]
+    assert got[3]["clean_text"].startswith("unique prefix")
+    assert got[3]["clean_text"].endswith("unique tail 3")
+    assert got[4]["clean_text"] == rows[3].text
+    assert got[4]["n_removed"] == 0
+    assert got[5]["clean_text"] is None and got[5]["n_removed"] == 0
+    assert got[6]["clean_text"] == "short"
+    orig = {r.doc_id: r.text for r in rows}
+    for d, r in got.items():
+        if orig[d] is not None:
+            assert len(r["clean_text"]) + r["n_removed"] == len(orig[d])
+    # corpus-level conservation on the real table
+    both = llm.llm_substring_rewrite(spark, sf_dir).join(
+        llm.table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+    bad = both.filter(
+        F.length("clean_text") + F.col("n_removed") != F.length("text")
+    )
+    assert bad.count() == 0
