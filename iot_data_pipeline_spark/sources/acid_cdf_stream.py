@@ -129,6 +129,15 @@ class AcidCdfStreamReader(DataSourceStreamReader):
         # feed window starts AFTER this version ((v, head] ranges);
         # -1 means "from the create commit"
         self._start = int(options.get("startingversion", -1))
+        # physical→logical rename map, resolved ONCE per reader: a
+        # mapping change mid-stream ALWAYS surfaces as the curated
+        # rename/drop-commit error in partitions() (restart to adopt),
+        # so the map at first use stays valid for the reader's lifetime.
+        # Re-resolving per batch cost a full _state replay per
+        # micro-batch in the planner worker — a measured 3x wall on the
+        # per-epoch medallion pipeline (r15 bench trip).
+        self._rename_ready = False
+        self._rename = None
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -162,9 +171,14 @@ class AcidCdfStreamReader(DataSourceStreamReader):
         parts: list[InputPartition] = []
         # physical→logical rename executors apply to each feed file: the
         # range is mapping-constant (a rename/drop commit in range raises
-        # below), so the batch-end mapping serves every file in it
-        cm = acid_table._state(self._path, v_to).get("colmap")
-        rename = {p: l for l, p in cm.items()} if cm else None
+        # below), so the once-resolved mapping serves every batch
+        if not self._rename_ready:
+            cm = acid_table._state(self._path, v_to).get("colmap")
+            self._rename = (
+                {p: l for l, p in cm.items()} if cm else None
+            )
+            self._rename_ready = True
+        rename = self._rename
         committed, _ = acid_table._list_log(self._path)
         # every commit in (v_from, v_to] must be visible: v_to came from a
         # previous latestOffset, but an eventually-consistent listing may

@@ -1675,7 +1675,9 @@ def snapshot(
         # vacuum); a log with no readable file at all is unreadable.
         sch = _schema_of(st)
         if sch is not None:
-            return _to_logical(spark.createDataFrame([], sch), st)
+            # .limit(0): fold to LocalRelation so empty-relation
+            # propagation can simplify consumers' joins/unions
+            return _to_logical(spark.createDataFrame([], sch).limit(0), st)
         candidates = live_all or [
             a
             for m in reversed(_manifests(path))  # degenerate table: full log
@@ -2281,7 +2283,8 @@ def merge(
     else:
         sch = _schema_of(st)
         touched = (
-            spark.createDataFrame([], sch)  # PHYSICAL empty frame
+            # PHYSICAL empty frame; .limit(0) folds to LocalRelation
+            spark.createDataFrame([], sch).limit(0)
             if sch is not None
             else snapshot(spark, path).limit(0)
         )
@@ -2582,7 +2585,12 @@ def table_changes(
             return _read_live(spark, path, st_to, entries=entries)
         sch = _schema_of(st_to)
         if sch is not None:
-            return spark.createDataFrame([], sch)
+            # .limit(0) folds the LogicalRDD to an empty LocalRelation,
+            # so PropagateEmptyRelation ELIMINATES the diff join outright
+            # (append-only feeds hit this branch every window; the bare
+            # createDataFrame kept a real per-epoch full-outer join —
+            # measured +7 s on the medallion fold, r15 bench trip)
+            return spark.createDataFrame([], sch).limit(0)
         return snapshot(spark, path, version=v_to).limit(0)
 
     old_df, new_df = _side(old_only), _side(new_only)
