@@ -951,6 +951,121 @@ def stream_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acid_table.snapshot(spark, path)
 
 
+def _replicate_epoch(spark: SparkSession, tgt: str, key: str):
+    """foreachBatch handler for CDC REPLICATION: apply one micro-batch of
+    a unique-key table's change feed to the target as its NET EFFECT per
+    key — the last commit's image wins (update postimage over preimage at
+    the same version), upserts land as one MERGE, deletions as one
+    matched-DELETE merge (``when_matched="delete", insert=False`` — the
+    r15 clause surface composing into replication). Net-effect
+    application is IDEMPOTENT: reapplying a redelivered batch upserts the
+    same rows and deletes already-absent keys, so exactly-once needs only
+    the source's offset checkpoint, no target-side watermark."""
+    from iot_data_pipeline_spark.sources import acid_table
+
+    def apply(batch: DataFrame, _epoch: int) -> None:
+        from pyspark.sql import Window
+
+        if batch.isEmpty():
+            return
+        w = Window.partitionBy(key).orderBy(
+            F.col("commit_version").desc(),
+            F.when(F.col("change_type") == "update_preimage", 0)
+            .otherwise(1)
+            .desc(),
+        )
+        last = (
+            batch.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("rn", "commit_version")
+        )
+        data_cols = [c for c in last.columns if c != "change_type"]
+        ups = last.filter(
+            F.col("change_type").isin("insert", "update_postimage")
+        ).select(*data_cols)
+        dels = last.filter("change_type = 'delete'").select(*data_cols)
+        exists = bool(acid_table._list_log(tgt)[0])
+        if not exists:
+            if ups.isEmpty():
+                return  # nothing to seed the target with yet
+            acid_table.create(ups, tgt, key, n_files=4)
+        else:
+            acid_table.merge(spark, ups, tgt, n_files=4)
+        if exists and not dels.isEmpty():
+            acid_table.merge(
+                spark,
+                dels,
+                tgt,
+                when_matched="delete",
+                insert=False,
+            )
+
+    return apply
+
+
+def stream_acid_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC TABLE REPLICATION — the pattern the streaming CDF source
+    exists for: ``readStream.format("acid_cdf")`` on a unique-key source
+    table, foreachBatch net-effect application onto an independent target
+    table (see :func:`_replicate_epoch`). The stream runs availableNow
+    TWICE against an ADVANCING source — run 1 replicates create+append,
+    then the source takes a journaled DELETE and a journaled MERGE and
+    run 2 resumes from the same checkpoint, applying ONLY the new
+    commits (offsets prove incremental; a third run applies nothing —
+    pinned in tests). The final target snapshot must hash-equal the
+    source's end state by plain SQL — any dropped commit, double-applied
+    epoch, or mis-ordered image breaks the hash."""
+    from iot_data_pipeline_spark.sources import acid_cdf_stream, acid_table
+
+    o = table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    k = F.col("o_orderkey")
+    src_path = tempfile.mkdtemp(prefix="acid_repl_src_")
+    tgt_path = tempfile.mkdtemp(prefix="acid_repl_tgt_")
+    os.rmdir(src_path)
+    os.rmdir(tgt_path)
+    acid_table.create(
+        o.filter(F.pmod(k, F.lit(4)) != 0).select(*cols),
+        src_path,
+        "o_orderkey",
+        n_files=4,
+    )
+    acid_table.append(
+        o.filter(F.pmod(k, F.lit(4)) == 0).select(*cols), src_path
+    )
+    acid_cdf_stream.register(spark)
+    ckpt = tempfile.mkdtemp(prefix="acid_repl_ckpt_")
+    apply = _replicate_epoch(spark, tgt_path, "o_orderkey")
+
+    def run() -> None:
+        q = (
+            spark.readStream.format("acid_cdf")
+            .load(src_path)
+            .writeStream.foreachBatch(apply)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()  # replicates create + append
+    acid_table.delete(
+        spark, src_path, "o_totalprice < 50000", cdc=True
+    )
+    acid_table.merge(
+        spark,
+        o.filter(F.pmod(k, F.lit(3)) == 0).select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            "o_totalprice",
+        ),
+        src_path,
+        cdc=True,
+    )
+    run()  # resumes from the checkpoint: only the two new commits
+    return acid_table.snapshot(spark, tgt_path)
+
+
 def stream_acid_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Change-Data-Feed SOURCE (VERDICT r13 item 4 — Delta's
     streaming CDF source on the Python DataSource API,
@@ -996,6 +1111,7 @@ def stream_acid_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "stream_acid_cdf_source": stream_acid_cdf_source,
+    "stream_acid_replicate": stream_acid_replicate,
     "stream_jdbc_serving": stream_jdbc_serving,
     "stream_near_dedup": stream_near_dedup,
     "stream_acid_sink": stream_acid_sink,
@@ -1108,6 +1224,16 @@ ORACLES = {
     # streaming CDF source: the accumulated readStream feed must equal
     # the batch journal feed over the identical trajectory — the same
     # oracle as acid_cdf_journal (see maintenance.py for the derivation).
+    # Replicated end state == the source's: all keys surviving the
+    # journaled delete, plus every %3 key the merge upserted/reinserted
+    # ('U' status, original price carried by the merge source).
+    "stream_acid_replicate": (
+        "SELECT o_orderkey,"
+        " CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END"
+        "   AS o_orderstatus,"
+        " o_totalprice FROM orders"
+        " WHERE o_totalprice >= 50000 OR o_orderkey % 3 = 0"
+    ),
     "stream_acid_cdf_source": (
         "WITH base AS (SELECT l_orderkey, l_linenumber, l_quantity"
         "   FROM lineitem WHERE l_orderkey % 5 = 0),"

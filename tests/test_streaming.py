@@ -766,3 +766,49 @@ def test_cdf_latest_offset_propagates_store_faults_never_regresses(
         {"path": path, "startingversion": str(head + 5)},
     )
     assert late.latestOffset() == {"version": head + 5}
+
+
+def test_acid_replicate_incremental_and_no_reapply(spark, sf_dir, tmp_path):
+    """CDC replication pins: run 2 applies ONLY the new commits (the
+    target's commit count grows by exactly the net-effect applications),
+    and a third run from the same checkpoint applies NOTHING (no new
+    target commit, snapshot unchanged) — exactly-once rides the source's
+    offset checkpoint; net-effect application is idempotent by design."""
+    from iot_data_pipeline_spark.sources import acid_cdf_stream, acid_table
+    from iot_data_pipeline_spark.streaming import streams
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).limit(400)
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    acid_table.create(o, src, "o_orderkey", n_files=2)
+    acid_cdf_stream.register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    apply = streams._replicate_epoch(spark, tgt, "o_orderkey")
+
+    def run():
+        q = (
+            spark.readStream.format("acid_cdf")
+            .load(src)
+            .writeStream.foreachBatch(apply)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    n1 = acid_table.snapshot(spark, tgt).count()
+    assert n1 == 400
+    h1 = acid_table.head(tgt)
+    acid_table.delete(spark, src, "o_orderkey % 7 = 0", cdc=True)
+    run()
+    want = o.filter("o_orderkey % 7 <> 0").count()
+    assert acid_table.snapshot(spark, tgt).count() == want
+    h2 = acid_table.head(tgt)
+    assert h2 > h1
+    # third run: nothing new — no commit, snapshot identical
+    run()
+    assert acid_table.head(tgt) == h2
+    assert acid_table.snapshot(spark, tgt).count() == want
