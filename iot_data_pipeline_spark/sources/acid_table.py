@@ -2924,6 +2924,7 @@ def vacuum(
     path: str,
     retain_versions: int = 2,
     orphan_grace_seconds: float = 86400.0,
+    dry_run: bool = False,
 ) -> dict:
     """Reclaim storage: delete data files no RETAINED version references.
 
@@ -2939,6 +2940,11 @@ def vacuum(
       visible in data/ before its manifest publishes, and sweeping them
       would corrupt its commit (Delta's retention-period rationale; tests
       pass 0 to sweep immediately).
+
+    ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``): report exactly
+    what a real run would delete — same counts, same decisions — while
+    touching NOTHING on disk (pinned: dry-then-real returns identical
+    counts and the dry pass leaves every byte in place).
 
     Every retained version's snapshot survives byte-for-byte (pinned in
     tests); versions beyond retention become unreadable though their
@@ -2986,10 +2992,12 @@ def vacuum(
             continue
         full = os.path.join(data_dir, name)
         if rel in referenced:
-            os.unlink(full)
+            if not dry_run:
+                os.unlink(full)
             removed_old += 1
         elif now - os.stat(full).st_mtime >= orphan_grace_seconds:
-            os.unlink(full)
+            if not dry_run:
+                os.unlink(full)
             orphans += 1
     # journal files: keep those of retained commits (feed still servable
     # inside the window), delete the rest beyond retention + aged orphans
@@ -3008,7 +3016,8 @@ def vacuum(
             if rel in cdc_referenced or (
                 now - os.stat(full).st_mtime >= orphan_grace_seconds
             ):
-                os.unlink(full)
+                if not dry_run:
+                    os.unlink(full)
                 cdc_deleted += 1
     # deletion-vector sidecars ride the same retention: a sidecar some
     # RETAINED version's live set points at must survive (that version's
@@ -3049,9 +3058,10 @@ def vacuum(
             if rel in bloom_referenced or (
                 now - os.stat(full).st_mtime >= orphan_grace_seconds
             ):
-                os.unlink(full)
+                if not dry_run:
+                    os.unlink(full)
+                    _BLOOM_CACHE.pop((path, rel), None)
                 bloom_deleted += 1
-                _BLOOM_CACHE.pop((path, rel), None)
     dv_dir = os.path.join(path, _DV)
     dv_deleted = 0
     if os.path.isdir(dv_dir):
@@ -3063,7 +3073,8 @@ def vacuum(
             if rel in dv_referenced or (
                 now - os.stat(full).st_mtime >= orphan_grace_seconds
             ):
-                os.unlink(full)
+                if not dry_run:
+                    os.unlink(full)
                 dv_deleted += 1
     # crashed writers' staging dirs under the table root: same grace as
     # orphans — an in-flight writer's staging is never swept. Liveness is
@@ -3092,7 +3103,8 @@ def vacuum(
         ):
             full = os.path.join(path, name)
             if now - _subtree_mtime(full) >= orphan_grace_seconds:
-                shutil.rmtree(full, ignore_errors=True)
+                if not dry_run:
+                    shutil.rmtree(full, ignore_errors=True)
                 staging_deleted += 1
     return {
         "removed_beyond_retention": removed_old,
@@ -3102,4 +3114,5 @@ def vacuum(
         "bloom_deleted": bloom_deleted,
         "staging_deleted": staging_deleted,
         "retained_versions": retained,
+        "dry_run": dry_run,
     }

@@ -2871,3 +2871,39 @@ def test_bloom_skipping_prunes_structurally_and_survives_vacuum(
     r = acid_table.vacuum(path, retain_versions=1, orphan_grace_seconds=0)
     assert r["bloom_deleted"] == 1  # superseded sidecar reclaimed
     assert acid_table.snapshot(spark, path).count() == n_rows
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, sf_dir, tmp_path):
+    """VACUUM DRY RUN: identical counts to the real run, zero bytes
+    touched — every file the dry pass counted still exists, every
+    retained snapshot still reads, and the real run afterwards deletes
+    exactly what the dry run predicted."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(500)
+    acid_table.create(t, path, "o_orderkey", n_files=4)
+    acid_table.delete(spark, path, "o_orderkey % 3 = 0", cdc=True)
+    acid_table.compact(spark, path, n_files=1)
+
+    def listing():
+        out = {}
+        for d in ("data", "cdc", "dv", "bloom"):
+            full = os.path.join(path, d)
+            out[d] = sorted(os.listdir(full)) if os.path.isdir(full) else []
+        return out
+
+    before = listing()
+    dry = acid_table.vacuum(
+        path, retain_versions=1, orphan_grace_seconds=0, dry_run=True
+    )
+    assert dry["dry_run"] is True
+    assert dry["removed_beyond_retention"] > 0
+    assert listing() == before  # nothing touched
+    assert acid_table.snapshot(spark, path).count() > 0
+    real = acid_table.vacuum(
+        path, retain_versions=1, orphan_grace_seconds=0
+    )
+    assert {k: v for k, v in dry.items() if k != "dry_run"} == {
+        k: v for k, v in real.items() if k != "dry_run"
+    }
+    assert listing() != before
+    assert acid_table.snapshot(spark, path).count() > 0
