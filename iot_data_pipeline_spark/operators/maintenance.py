@@ -870,6 +870,46 @@ def acid_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def acid_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening schema evolution (r15 beyond-the-list — Delta type
+    widening on Spark 4's promoting parquet reader): create with INT and
+    FLOAT columns, append the complement under BIGINT/DOUBLE plus one
+    synthetic row whose value genuinely exceeds the int32 range (the
+    point of widening) — ONE metadata-carrying commit, no file
+    rewritten; the old files' narrow pages read through the widened
+    recorded schema natively. A final narrow-typed append proves the
+    recorded wide type STAYS (incoming narrower frames widen on read
+    the same way). Snapshot hash-equals plain SQL with the matching
+    casts; the float→double path relies on both engines' IEEE
+    round-to-nearest REAL cast being identical."""
+    import tempfile
+
+    from iot_data_pipeline_spark.sources import acid_table
+
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="acid_tw_") + "/t"
+    base = o.filter(F.pmod(k, F.lit(4)) != 0).select(
+        "o_orderkey",
+        F.pmod(k, F.lit(100000)).cast("int").alias("cents"),
+        k.cast("float").alias("fl"),
+    )
+    acid_table.create(base, path, "o_orderkey", n_files=4)
+    wide = o.filter((F.pmod(k, F.lit(4)) == 0) & (k % 2 == 0)).select(
+        "o_orderkey",
+        (F.pmod(k, F.lit(100000)) + F.lit(9_000_000_000)).alias("cents"),
+        k.cast("double").alias("fl"),
+    )
+    acid_table.append(wide, path)  # the widening commit
+    narrow = o.filter((F.pmod(k, F.lit(4)) == 0) & (k % 2 == 1)).select(
+        "o_orderkey",
+        F.pmod(k, F.lit(100000)).cast("int").alias("cents"),
+        k.cast("float").alias("fl"),
+    )
+    acid_table.append(narrow, path)  # narrower incoming: wide type stays
+    return acid_table.snapshot(spark, path)
+
+
 _PR_SCALE = 1_000_000_000_000  # ranks in integer 1e-12 units
 _PR_ITERS = 3
 
@@ -1046,6 +1086,7 @@ QUERIES = {
     "acid_constraints": acid_constraints,
     "acid_merge_clauses": acid_merge_clauses,
     "acid_bloom_skipping": acid_bloom_skipping,
+    "acid_type_widening": acid_type_widening,
     "acid_table_changes": acid_table_changes,
     "acid_column_skipping": acid_column_skipping,
     "acid_string_skipping": acid_string_skipping,
@@ -1276,6 +1317,23 @@ ORACLES = {
         " SELECT o_orderkey, o_totalprice AS price,"
         " o_orderpriority AS priority FROM orders"
         " WHERE o_orderkey % 4 = 0"
+    ),
+    # int→bigint / float→double widened mid-log: old files' narrow pages
+    # read through the widened schema; the final narrow append keeps the
+    # wide type. REAL casts are IEEE round-to-nearest in both engines.
+    "acid_type_widening": (
+        "SELECT o_orderkey,"
+        " CAST(o_orderkey % 100000 AS BIGINT) AS cents,"
+        " CAST(CAST(o_orderkey AS REAL) AS DOUBLE) AS fl"
+        " FROM orders WHERE o_orderkey % 4 <> 0"
+        " UNION ALL SELECT o_orderkey,"
+        " o_orderkey % 100000 + 9000000000 AS cents,"
+        " CAST(o_orderkey AS DOUBLE) AS fl"
+        " FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 2 = 0"
+        " UNION ALL SELECT o_orderkey,"
+        " CAST(o_orderkey % 100000 AS BIGINT) AS cents,"
+        " CAST(CAST(o_orderkey AS REAL) AS DOUBLE) AS fl"
+        " FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 2 = 1"
     ),
     # Five digest point-lookups; DuckDB's sha256() == Spark's sha2(,256)
     # (lowercase hex). The bloom prune is structural (pinned in tests);

@@ -772,11 +772,37 @@ def _check_reserved_columns(df: DataFrame) -> None:
         )
 
 
+# TYPE WIDENING lattice (Delta's type widening on the Spark 4 parquet
+# reader, which reads narrow physical types through a wider declared
+# schema — int32 pages as LongType etc., probed and pinned): each type
+# may widen to anything RIGHT of it in its chain. Lossless promotions
+# only — no int→float (precision loss past 2^24/2^53), no
+# string/date/decimal moves.
+_WIDEN_CHAINS = (
+    ["tinyint", "smallint", "int", "bigint"],
+    ["float", "double"],
+)
+
+
+def _widens(frm: str, to: str) -> bool:
+    for chain in _WIDEN_CHAINS:
+        if frm in chain and to in chain:
+            return chain.index(frm) < chain.index(to)
+    return False
+
+
 def _evolve_schema(st: dict, df: DataFrame) -> str | None:
     """Widening check for a schema-bearing commit: every recorded column
-    must appear in ``df`` with the same type; columns ``df`` adds append
-    to the end (nullable — old files NULL-fill them). Returns the schema
-    JSON the new manifest records. Narrowing and type changes raise.
+    must appear in ``df``; columns ``df`` adds append to the end
+    (nullable — old files NULL-fill them); a column whose incoming type
+    is WIDER on the :data:`_WIDEN_CHAINS` lattice widens the recorded
+    schema (r15 — Delta type widening: one metadata-carrying commit, no
+    file rewritten; every file thereafter reads through the wider
+    declared type, which Spark 4's parquet reader promotes natively),
+    while an incoming NARROWER type simply keeps the recorded wide type
+    (the new file's narrow pages widen on read the same way). Returns
+    the schema JSON the new manifest records. Any other type change, or
+    a missing column, raises.
 
     A LEGACY table (manifests predating the schema field) must keep
     returning None: adopting the appended frame's schema here would make
@@ -793,6 +819,7 @@ def _evolve_schema(st: dict, df: DataFrame) -> str | None:
     if old is None:
         return None
     new_by_name = {f.name: f for f in df.schema.fields}
+    out_fields = []
     for f in old.fields:
         nf = new_by_name.get(f.name)
         if nf is None:
@@ -802,18 +829,27 @@ def _evolve_schema(st: dict, df: DataFrame) -> str | None:
                 "not supported)"
             )
         if nf.dataType != f.dataType:
-            raise TypeError(
-                f"schema evolution is widening-only: column {f.name!r} "
-                f"changed type {f.dataType.simpleString()} -> "
-                f"{nf.dataType.simpleString()}"
-            )
+            ot = f.dataType.simpleString()
+            nt = nf.dataType.simpleString()
+            if _widens(ot, nt):
+                # incoming is wider: the recorded schema widens with it
+                f = StructField(f.name, nf.dataType, True)
+            elif _widens(nt, ot):
+                pass  # incoming narrower: recorded wide type stays
+            else:
+                raise TypeError(
+                    f"schema evolution is widening-only: column "
+                    f"{f.name!r} changed type {ot} -> {nt} (supported "
+                    f"promotions: {_WIDEN_CHAINS})"
+                )
+        out_fields.append(f)
     old_names = {f.name for f in old.fields}
     added = [
         StructField(f.name, f.dataType, True)
         for f in df.schema.fields
         if f.name not in old_names
     ]
-    return StructType(list(old.fields) + added).json()
+    return StructType(out_fields + added).json()
 
 
 def _colmap(st: dict) -> dict | None:

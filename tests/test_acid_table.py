@@ -2907,3 +2907,63 @@ def test_vacuum_dry_run_reports_without_deleting(spark, sf_dir, tmp_path):
     }
     assert listing() != before
     assert acid_table.snapshot(spark, path).count() > 0
+
+
+def test_type_widening_semantics(spark, sf_dir, tmp_path):
+    """Type widening: the widening append is metadata-carrying only (no
+    old file rewritten — digest-pinned); old narrow pages read through
+    the widened schema; a later narrower append keeps the wide recorded
+    type; time travel serves the pre-widening version under its ORIGINAL
+    narrow type; unsupported changes (int→string, double→float as a
+    narrowing is allowed as an incoming type — pages widen on read;
+    cross-chain int→float/string raise)."""
+    path = str(tmp_path / "t")
+    t = (
+        _target(spark, sf_dir)
+        .limit(300)
+        .withColumn("c", F.pmod(F.col("o_orderkey"), F.lit(1000)).cast("int"))
+    )
+    acid_table.create(t, path, "o_orderkey", n_files=2)
+    before = _digests(path)
+    wide = (
+        _target(spark, sf_dir)
+        .limit(300)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("c", F.lit(9_000_000_000).cast("bigint"))
+    )
+    acid_table.append(wide, path)
+    assert all(before[k] == v for k, v in _digests(path).items() if k in before)
+    snap = acid_table.snapshot(spark, path)
+    assert dict(snap.dtypes)["c"] == "bigint"
+    assert snap.filter("c = 9000000000").count() == 300
+    assert snap.count() == 600
+    # narrower incoming keeps the wide type
+    acid_table.append(
+        t.withColumn("o_orderkey", F.col("o_orderkey") + 20_000_000), path
+    )
+    assert dict(acid_table.snapshot(spark, path).dtypes)["c"] == "bigint"
+    assert acid_table.snapshot(spark, path).count() == 900
+    # time travel: v0 serves the original narrow type
+    assert dict(acid_table.snapshot(spark, path, version=0).dtypes)["c"] == "int"
+    # unsupported moves still raise
+    with pytest.raises(TypeError, match="widening-only"):
+        acid_table.append(
+            t.withColumn("c", F.col("c").cast("string")), path
+        )
+    with pytest.raises(TypeError, match="widening-only"):
+        # cross-chain moves (int-family -> float-family) are refused:
+        # precision loss past 2^24/2^53 is not a widening
+        acid_table.append(
+            t.withColumn("c", F.col("c").cast("float")), path
+        )
+    # a NARROWER key incoming is fine — its pages widen on read
+    acid_table.append(
+        t.withColumn(
+            "o_orderkey", (F.col("o_orderkey") + 30_000_000).cast("int")
+        ),
+        path,
+    )
+    assert (
+        dict(acid_table.snapshot(spark, path).dtypes)["o_orderkey"]
+        == "bigint"
+    )
