@@ -870,6 +870,42 @@ def acid_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def acid_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared partition columns (r16, r15 verdict item 4 — Delta
+    ``partitionBy``): create PARTITIONED BY (o_orderstatus) — every data
+    file then holds exactly one status and records it as ``pv`` in its
+    add entry — append the complement, DELETE a sliver, then read back
+    through ``snapshot(skip_equals=...)`` (one status) and
+    ``snapshot(skip_where=...)`` (a status range). Partition-value
+    pruning drops files BEFORE any min/max, prefix, or bloom consult —
+    exact metadata-only skipping (files-touched counts pinned in
+    tests) — and the row filter keeps the result exact either way;
+    hash-equal to the plain SQL filters."""
+    import tempfile
+
+    from iot_data_pipeline_spark.sources import acid_table
+
+    o = table(spark, sf_dir, "orders")
+    t = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="acid_pv_") + "/t"
+    acid_table.create(
+        t.filter("o_orderkey % 3 != 0"),
+        path,
+        "o_orderkey",
+        n_files=4,
+        partition_by=["o_orderstatus"],
+    )
+    acid_table.append(t.filter("o_orderkey % 3 = 0"), path, 2)
+    acid_table.delete(spark, path, "o_orderkey % 7 = 0")
+    point = acid_table.snapshot(
+        spark, path, skip_equals={"o_orderstatus": "F"}
+    )
+    rng = acid_table.snapshot(
+        spark, path, skip_where={"o_orderstatus": ("O", "P")}
+    )
+    return point.unionByName(rng)
+
+
 def acid_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-widening schema evolution (r15 beyond-the-list — Delta type
     widening on Spark 4's promoting parquet reader): create with INT and
@@ -1086,6 +1122,7 @@ QUERIES = {
     "acid_constraints": acid_constraints,
     "acid_merge_clauses": acid_merge_clauses,
     "acid_bloom_skipping": acid_bloom_skipping,
+    "acid_partition_pruning": acid_partition_pruning,
     "acid_type_widening": acid_type_widening,
     "acid_table_changes": acid_table_changes,
     "acid_column_skipping": acid_column_skipping,
@@ -1344,6 +1381,18 @@ ORACLES = {
         " WHERE sha256(CAST(o_orderkey AS VARCHAR)) IN ("
         "   sha256('1'), sha256('7'), sha256('32'), sha256('69'),"
         "   sha256('134'))"
+    ),
+    # Partitioned create+append+delete, then a point probe and a range
+    # probe over the partition column, unioned. The pv prune is
+    # structural (files-touched pinned in tests); correctness rides the
+    # exact row filters.
+    "acid_partition_pruning": (
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+        " WHERE o_orderkey % 7 <> 0 AND o_orderstatus = 'F'"
+        " UNION ALL"
+        " SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+        " WHERE o_orderkey % 7 <> 0"
+        "   AND o_orderstatus BETWEEN 'O' AND 'P'"
     ),
     # Two-step conditional MERGE mirrored in plain SQL: t1 = the
     # conditional-update+insert state; the final SELECT applies the

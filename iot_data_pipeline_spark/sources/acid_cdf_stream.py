@@ -28,6 +28,16 @@ the later columns, and a widening DURING the stream surfaces as a loud
 error telling the operator to restart the stream — Delta's streaming
 behavior for additive schema changes.
 
+Admission control (r16): ``.option("maxCommitsPerTrigger", N)`` bounds
+how many commits one micro-batch may span — Delta's
+``maxFilesPerTrigger`` analogue in this source's natural unit — so a
+post-downtime catch-up drains a backlog in bounded batches instead of
+one unbounded batch. See ``AcidCdfStreamReader.__init__`` for the
+anchor protocol (in-memory + a monotone ``_admission/`` sidecar) and
+the availableNow caveat. ``.option("admissionAnchorId", ...)``
+separates sidecar anchors when several rate-limited streams consume
+one table.
+
 Failure semantics: a commit in the range written without ``cdc=True``
 (unjournaled delete/merge) or whose journal files vacuum already
 reclaimed raises the same curated errors as the batch feed — the source
@@ -129,6 +139,46 @@ class AcidCdfStreamReader(DataSourceStreamReader):
         # feed window starts AFTER this version ((v, head] ranges);
         # -1 means "from the create commit"
         self._start = int(options.get("startingversion", -1))
+        # ADMISSION CONTROL (r15 verdict item 3 — Delta's
+        # maxFilesPerTrigger analogue in this source's natural unit):
+        # bound how many COMMITS a single micro-batch may span, so a
+        # stream catching up after downtime drains a backlog in bounded
+        # batches instead of planning one unbounded catch-up batch (at
+        # 100 TB the difference between a restartable drain and an OOM).
+        #
+        # The Python DataSource API's latestOffset() receives no start
+        # offset (unlike Scala's SupportsAdmissionControl), and the
+        # engine calls it BEFORE initialOffset/partitions on a fresh or
+        # cleanly-restarted run (probed empirically), so an in-memory
+        # anchor alone cannot bound the first batch — exactly the
+        # post-downtime batch this feature exists for. The clamp anchor
+        # is therefore (a) in-memory: the max end seen by partitions()
+        # or commit() this run — exact and per-stream; (b) across
+        # process restarts: a tiny MONOTONE sidecar
+        # ``<table>/_admission/<admissionAnchorId>.json`` written
+        # (os.replace-atomic, only-ever-increasing) at every plan and
+        # commit. Safety: a batch can only COMMIT at offset C after
+        # partitions() planned C, which persisted anchor ≥ C first —
+        # so the persisted anchor can never sit below Spark's committed
+        # offset and the clamp can never regress it (the r14 duplicate
+        # hazard). A RECYCLED anchor id (new checkpoint, old table)
+        # merely loosens the clamp until caught up — never regresses.
+        #
+        # Caveat, pinned in tests: Trigger.AvailableNow captures ONE
+        # latestOffset at query start (this API has no
+        # SupportsTriggerAvailableNow), so an availableNow run with
+        # maxCommitsPerTrigger advances at most that many commits and
+        # terminates — loop it to drain a backlog; use a processingTime
+        # trigger for a continuous bounded drain.
+        mct = options.get("maxcommitspertrigger")
+        self._max_commits = int(mct) if mct is not None else None
+        if self._max_commits is not None and self._max_commits < 1:
+            raise ValueError(
+                "maxCommitsPerTrigger must be a positive integer, got "
+                f"{self._max_commits}"
+            )
+        self._anchor_id = options.get("admissionanchorid", "default")
+        self._last_end: int | None = None
         # physical→logical rename map, resolved ONCE per reader: a
         # mapping change mid-stream ALWAYS surfaces as the curated
         # rename/drop-commit error in partitions() (restart to adopt),
@@ -139,7 +189,43 @@ class AcidCdfStreamReader(DataSourceStreamReader):
         self._rename_ready = False
         self._rename = None
 
+    def _anchor_file(self) -> str:
+        return os.path.join(
+            self._path, "_admission", f"{self._anchor_id}.json"
+        )
+
+    def _load_anchor(self) -> int | None:
+        try:
+            with open(self._anchor_file()) as fh:
+                return int(json.load(fh)["anchor"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return None
+
+    def _note_end(self, v: int) -> None:
+        """Re-anchor admission control at a planned/committed batch end:
+        in-memory max, plus the monotone persisted sidecar (atomic
+        replace; never decreases) so a restarted planner process clamps
+        its FIRST batch too."""
+        if self._last_end is None or v > self._last_end:
+            self._last_end = v
+        if self._max_commits is None:
+            return
+        cur = self._load_anchor()
+        if cur is not None and cur >= v:
+            return
+        d = os.path.join(self._path, "_admission")
+        os.makedirs(d, exist_ok=True)
+        tmp = self._anchor_file() + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump({"anchor": int(v)}, fh)
+        os.replace(tmp, self._anchor_file())
+
     def initialOffset(self) -> dict:
+        # a fresh stream anchors admission control at its start (the
+        # engine may still ask latestOffset first — the persisted-anchor
+        # fallback there covers that ordering)
+        if self._last_end is None or self._start > self._last_end:
+            self._last_end = self._start
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
@@ -158,7 +244,22 @@ class AcidCdfStreamReader(DataSourceStreamReader):
         if not acid_table._list_log(self._path)[0]:
             return {"version": int(self._start)}
         head = acid_table._state(self._path)["version"]
-        return {"version": int(max(head, self._start))}
+        head = max(head, self._start)
+        if self._max_commits is not None:
+            anchor = self._last_end
+            if anchor is None:
+                # first call of this planner process (the engine asks
+                # latestOffset before initialOffset/partitions): bridge
+                # through the persisted anchor, falling back to the
+                # configured start for a table never streamed under
+                # this anchor id (a genuinely fresh stream)
+                persisted = self._load_anchor()
+                anchor = persisted if persisted is not None else self._start
+                self._last_end = anchor
+            # the anchor is ≥ the checkpointed end (see __init__), so
+            # the clamp can never regress below Spark's committed offset
+            head = min(head, anchor + self._max_commits)
+        return {"version": int(head)}
 
     def partitions(
         self, start: dict, end: dict
@@ -167,6 +268,11 @@ class AcidCdfStreamReader(DataSourceStreamReader):
         from iot_data_pipeline_spark.sources import acid_table
 
         v_from, v_to = int(start["version"]), int(end["version"])
+        # every planned batch re-anchors admission control — including
+        # the WAL-pending batch a restarted query re-plans before its
+        # first latestOffset, which is how a mid-drain restart resumes
+        # BOUNDED instead of planning the whole remaining backlog
+        self._note_end(v_to)
         schema_json = self._schema.json()
         parts: list[InputPartition] = []
         # physical→logical rename executors apply to each feed file: the
@@ -307,9 +413,12 @@ class AcidCdfStreamReader(DataSourceStreamReader):
         yield from aligned.to_batches()
 
     def commit(self, end: dict) -> None:
-        # offsets live in Spark's own streaming checkpoint; the source
-        # keeps no state of its own (restart-safety is pinned in tests)
-        pass
+        # exactly-once offsets live in Spark's own streaming checkpoint
+        # (restart-safety is pinned in tests); the committed end only
+        # re-anchors admission control — the one sidecar this source
+        # keeps is the monotone clamp anchor, which is advisory for
+        # batch SIZING and never consulted for batch CONTENT
+        self._note_end(int(end["version"]))
 
 
 class AcidCdfDataSource(DataSource):

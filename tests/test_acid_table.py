@@ -2816,6 +2816,71 @@ def test_merge_clauses_semantics_and_guards(spark, sf_dir, tmp_path):
     assert feed.filter("change_type <> 'delete'").count() == 0
 
 
+def test_merge_constraints_validate_only_written_rows(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r15: merge() enforces CHECK constraints on the rows a
+    FIRING clause actually writes — not on every source row. With
+    insert=False an unmatched violating source row commits fine; a
+    matched_condition-gated-out violating row commits fine; a violating
+    row that DOES land still rejects atomically; the plain upsert keeps
+    its validate-all fast path. Clause-condition string literals
+    containing 'src.'/'tgt.' are never rewritten."""
+    path = str(tmp_path / "t")
+    sch = "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE"
+    t = _target(spark, sf_dir).limit(200)
+    acid_table.create(t, path, "o_orderkey", n_files=2)
+    acid_table.add_constraint(spark, path, "pos", "o_totalprice > 0")
+    keys = [r["o_orderkey"] for r in t.limit(2).collect()]
+    # 1) unmatched VIOLATING source row + insert=False: no clause can
+    # write it -> the commit must succeed (pre-fix: false rejection)
+    src = spark.createDataFrame(
+        [(keys[0], "S", 10.0), (8_888_999, "S", -5.0)], sch
+    )
+    acid_table.merge(spark, src, path, insert=False)
+    snap = acid_table.snapshot(spark, path)
+    assert (
+        snap.filter(f"o_orderkey = {keys[0]}").first()["o_totalprice"]
+        == 10.0
+    )
+    assert snap.filter("o_orderkey = 8888999").count() == 0
+    # 2) a matched VIOLATING row gated out by matched_condition commits;
+    # the condition's literal ('src.x') must survive unrewritten — the
+    # clause fires exactly for the source row whose status IS 'src.x'
+    v1 = acid_table.snapshot(spark, path).filter(
+        f"o_orderkey = {keys[1]}"
+    ).first()["o_totalprice"]
+    src2 = spark.createDataFrame(
+        [(keys[0], "src.x", 77.0), (keys[1], "other", -1.0)], sch
+    )
+    acid_table.merge(
+        spark,
+        src2,
+        path,
+        insert=False,
+        matched_condition="src.o_orderstatus = 'src.x'",
+    )
+    snap = acid_table.snapshot(spark, path)
+    assert (
+        snap.filter(f"o_orderkey = {keys[0]}").first()["o_totalprice"]
+        == 77.0  # fired: literal compared intact
+    )
+    assert (
+        snap.filter(f"o_orderkey = {keys[1]}").first()["o_totalprice"]
+        == v1  # gated out: violating source row exempt, target carried
+    )
+    # 3) a violating row that LANDS still rejects atomically
+    head = acid_table.head(path)
+    src3 = spark.createDataFrame([(keys[0], "S", -2.0)], sch)
+    with pytest.raises(ValueError, match="rejected atomically"):
+        acid_table.merge(spark, src3, path, insert=False)
+    assert acid_table.head(path) == head
+    # 4) plain upsert validates every source row (all of them land)
+    with pytest.raises(ValueError, match="rejected atomically"):
+        acid_table.merge(spark, src3, path)
+    assert acid_table.head(path) == head
+
+
 def test_bloom_skipping_prunes_structurally_and_survives_vacuum(
     spark, sf_dir, tmp_path
 ):
@@ -2873,6 +2938,62 @@ def test_bloom_skipping_prunes_structurally_and_survives_vacuum(
     assert acid_table.snapshot(spark, path).count() == n_rows
 
 
+def test_bloom_skipping_survives_type_widening(spark, sf_dir, tmp_path):
+    """ADVICE r15 (medium): Spark's xxhash64 is type-width-sensitive
+    (int and bigint hash the same value differently), so a bloom built
+    while a column was int must not silently FALSE-NEGATIVE after the
+    column widens to bigint. Each file's probe now hashes the literal at
+    the file's recorded BUILD-TIME type; a probe value unrepresentable
+    at that type is definitely absent from the file (every value in a
+    bloomed file was written under the build-time schema) and prunes
+    without consulting the bitset."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(2000).withColumn(
+        "c", F.col("o_orderkey").cast("int")
+    )
+    acid_table.create(t, path, "o_orderkey", n_files=6)
+    acid_table.compact(spark, path, n_files=6, bloom_by=["c"])
+    n_bloomed = len(acid_table.snapshot(spark, path).inputFiles())
+    keys = [r["c"] for r in t.limit(2).collect()]
+    pre = acid_table.snapshot(spark, path, skip_equals={"c": keys[0]})
+    assert pre.count() == 1
+    assert len(pre.inputFiles()) < n_bloomed  # pruned pre-widening
+    # widen c -> bigint via an append whose new files carry no bloom
+    wide = (
+        _target(spark, sf_dir)
+        .limit(100)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("c", F.lit(9_000_000_000).cast("bigint"))
+    )
+    acid_table.append(wide, path)
+    snap_all = acid_table.snapshot(spark, path)
+    assert dict(snap_all.dtypes)["c"] == "bigint"
+    n_all = len(snap_all.inputFiles())
+    n_new = n_all - n_bloomed
+    assert n_new >= 1
+    # THE REGRESSION: values living in old bloomed files must still be
+    # found (pre-fix the probe hashed at bigint and every bloomed file
+    # pruned as a false negative), and pruning must still engage
+    for k in keys:
+        snap = acid_table.snapshot(spark, path, skip_equals={"c": k})
+        got = snap.collect()
+        assert len(got) == 1 and got[0]["c"] == k
+        assert len(snap.inputFiles()) < n_all
+    # a probe only representable at the WIDE type deterministically
+    # prunes every int-built file via the round-trip check (no bloom
+    # fp possible) while keeping the unbloomed new files that hold it
+    big = acid_table.snapshot(
+        spark, path, skip_equals={"c": 9_000_000_000}
+    )
+    assert big.count() == 100
+    assert len(big.inputFiles()) == n_new
+    # absent narrow-representable value: bloomed files prune by bitset,
+    # unbloomed conservatively keep, result exact
+    absent = acid_table.snapshot(spark, path, skip_equals={"c": -12345})
+    assert absent.count() == 0
+    assert len(absent.inputFiles()) < n_all
+
+
 def test_vacuum_dry_run_reports_without_deleting(spark, sf_dir, tmp_path):
     """VACUUM DRY RUN: identical counts to the real run, zero bytes
     touched — every file the dry pass counted still exists, every
@@ -2907,6 +3028,117 @@ def test_vacuum_dry_run_reports_without_deleting(spark, sf_dir, tmp_path):
     }
     assert listing() != before
     assert acid_table.snapshot(spark, path).count() > 0
+
+
+def test_partitioned_table_semantics(spark, sf_dir, tmp_path):
+    """Declared partition columns (r15 verdict item 4): every data file
+    holds exactly ONE partition tuple (pv recorded in its add entry);
+    snapshot prunes on pv FIRST with pinned files-touched counts; writes
+    (create/append/merge/delete-rewrite/compact) all preserve the
+    single-pv invariant; partition evolution is refused loudly (drop of
+    a partition column, frames lacking it, NULL partition values);
+    RESTORE and CLONE carry the layout."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(2000)
+    n_rows = t.count()
+    acid_table.create(
+        t, path, "o_orderkey", n_files=4, partition_by=["o_orderstatus"]
+    )
+    st = acid_table._state(path)
+    assert st["partition_by"] == ["o_orderstatus"]
+    # single-pv invariant: every live file records exactly one tuple
+    assert all(
+        set(f["pv"]) == {"o_orderstatus"} for f in st["live"]
+    )
+    statuses = {r["o_orderstatus"] for r in t.select("o_orderstatus").distinct().collect()}
+    n_all = len(acid_table.snapshot(spark, path).inputFiles())
+    for s in sorted(statuses):
+        snap = acid_table.snapshot(
+            spark, path, skip_equals={"o_orderstatus": s}
+        )
+        want_files = sum(
+            1 for f in st["live"] if f["pv"]["o_orderstatus"] == s
+        )
+        assert len(snap.inputFiles()) == want_files < n_all  # pv-pinned
+        assert snap.count() == t.filter(
+            f"o_orderstatus = '{s}'"
+        ).count()
+    # absent partition value: zero files read, exact empty result
+    absent = acid_table.snapshot(
+        spark, path, skip_equals={"o_orderstatus": "Z"}
+    )
+    assert len(absent.inputFiles()) == 0 and absent.count() == 0
+    # skip_where range over a partition value prunes too
+    rng = acid_table.snapshot(
+        spark, path, skip_where={"o_orderstatus": ("O", "P")}
+    )
+    assert len(rng.inputFiles()) == sum(
+        1 for f in st["live"] if "O" <= f["pv"]["o_orderstatus"] <= "P"
+    )
+    assert rng.count() == t.filter(
+        "o_orderstatus between 'O' and 'P'"
+    ).count()
+    # merge + delete + compact keep the invariant and the data exact
+    src = t.limit(50).withColumn("o_totalprice", F.lit(1.0))
+    acid_table.merge(spark, src, path)
+    acid_table.delete(spark, path, "o_orderkey % 7 = 0")
+    acid_table.compact(spark, path, n_files=2)
+    st2 = acid_table._state(path)
+    assert all(set(f["pv"]) == {"o_orderstatus"} for f in st2["live"])
+    expect = t.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey").isin(
+                [r["o_orderkey"] for r in src.collect()]
+            ),
+            1.0,
+        ).otherwise(F.col("o_totalprice")),
+    ).filter("o_orderkey % 7 != 0")
+    got = acid_table.snapshot(spark, path)
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0
+    # partition evolution refused: dropping the partition column, a
+    # frame lacking it, NULL partition values
+    with pytest.raises(ValueError, match="partition"):
+        acid_table.drop_column(path, "o_orderstatus")
+    with pytest.raises(ValueError, match="missing table column"):
+        # the widening-only schema guard refuses first — same loud
+        # outcome; _require_partition_cols backstops rewrite paths
+        acid_table.append(t.drop("o_orderstatus"), path)
+    with pytest.raises(Exception, match="non-null partition"):
+        acid_table.append(
+            t.limit(5).withColumn(
+                "o_orderstatus", F.lit(None).cast("string")
+            ),
+            path,
+        )
+    with pytest.raises(TypeError, match="JSON-scalar-safe"):
+        acid_table.create(
+            t,
+            str(tmp_path / "bad"),
+            "o_orderkey",
+            partition_by=["o_totalprice"],
+        )
+    with pytest.raises(ValueError, match="not in the frame"):
+        acid_table.create(
+            t, str(tmp_path / "bad2"), "o_orderkey", partition_by=["ghost"]
+        )
+    # RESTORE keeps the layout; CLONE inherits it
+    acid_table.restore(path, 0)
+    assert acid_table._state(path)["partition_by"] == ["o_orderstatus"]
+    assert (
+        acid_table.snapshot(spark, path).count() == n_rows
+    )
+    dst = str(tmp_path / "c")
+    acid_table.clone(path, dst)
+    stc = acid_table._state(dst)
+    assert stc["partition_by"] == ["o_orderstatus"]
+    pruned_clone = acid_table.snapshot(
+        spark, dst, skip_equals={"o_orderstatus": "F"}
+    )
+    assert len(pruned_clone.inputFiles()) < len(
+        acid_table.snapshot(spark, dst).inputFiles()
+    )
 
 
 def test_type_widening_semantics(spark, sf_dir, tmp_path):

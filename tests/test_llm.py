@@ -3,6 +3,8 @@ dedup idempotence, ANN recall floor."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -1666,6 +1668,24 @@ def test_kmeans_train_matches_numpy_reference_and_is_deterministic(
         for r in llm.llm_kmeans_train(spark, sf_dir).collect()
     }
     assert got2 == got1
+
+
+def test_kmeans_train_refuses_noncontiguous_seed_domain(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r15: the seed row's list index is its cluster_id and the
+    oracle labels clusters by vec_id, so a 1-based (or sparse) vec_id
+    domain must raise the curated error instead of IndexError-ing
+    mid-train or silently diverging from the oracle's labels."""
+    doctored = str(tmp_path / "sf")
+    os.makedirs(doctored)
+    (
+        llm.table(spark, sf_dir, "embeddings")
+        .withColumn("vec_id", F.col("vec_id") + 1)
+        .write.parquet(os.path.join(doctored, "embeddings.parquet"))
+    )
+    with pytest.raises(ValueError, match="contiguous"):
+        llm.llm_kmeans_train(spark, doctored)
 
 
 def test_substring_rewrite_invariants(spark, sf_dir):

@@ -195,8 +195,11 @@ def main() -> None:
     ap.add_argument(
         "--learned",
         action="store_true",
-        help="relabel the corpus with llm_kmeans_train clusters before "
-        "the IVF/PQ probe (hnsw ignores labels and is unaffected)",
+        help="(r16: a no-op kept for invocation compatibility — the "
+        "registered IVF/PQ ids now ALWAYS train their coarse quantizer "
+        "via _kmeans_train_core and ignore the staged label column; "
+        "the flag still routes through the relabeled staging to prove "
+        "the label column is dead)",
     )
     args = ap.parse_args()
 
