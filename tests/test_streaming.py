@@ -411,6 +411,17 @@ def test_stream_near_dedup_equals_greedy_batch_reference(spark, sf_dir):
     assert "dup_in_batch" in got.values()
 
 
+def test_near_dedup_driver_pair_budget_raises(spark, sf_dir, monkeypatch):
+    """The greedy admission's driver-side collect is bounded by actual
+    verified duplicate pairs (r15 verdict item 6): with the budget
+    forced to 0, the first epoch that verifies a pair must raise the
+    curated choke-point error naming the knob — never an unbounded
+    collect."""
+    monkeypatch.setattr(streams, "_NEAR_DEDUP_PAIR_BUDGET", 0)
+    with pytest.raises(Exception, match="_NEAR_DEDUP_PAIR_BUDGET"):
+        streams.stream_near_dedup(spark, sf_dir).collect()
+
+
 def test_near_dedup_state_store_file_count_bounded(spark, tmp_path):
     """VERDICT r11 item 4: the near-dedup state stores must not accumulate
     one file set per epoch forever. Eight epoch-appends through the
