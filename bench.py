@@ -103,6 +103,13 @@ HEADLINE = [
     # pruned acid_merge_snapshot).
     "llm_substring_dedup",
     "acid_merge_clauses",
+    # r16: the declared-partition write path (range+sort clustering, pv
+    # run-splitting Arrow writer, pv-first pruning reads — tracked so the
+    # per-file split constant can't creep) and the byte-level BPE trainer
+    # (hex-byte vocabulary is ~3x the char-level symbol stream; tracked
+    # like llm_bpe_train so the per-round constant can't creep).
+    "acid_partition_pruning",
+    "llm_bpe_bytelevel",
 ]
 
 # Queries whose single-rep time exceeds ~1.5 s at sf0.1 get a third rep:
@@ -121,6 +128,8 @@ BEST_OF_3 = {
     "stream_acid_cdf_agg",
     "llm_substring_dedup",
     "acid_merge_clauses",
+    "acid_partition_pruning",
+    "llm_bpe_bytelevel",
 }
 
 

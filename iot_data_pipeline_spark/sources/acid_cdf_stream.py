@@ -30,13 +30,14 @@ behavior for additive schema changes.
 
 Admission control (r16): ``.option("maxCommitsPerTrigger", N)`` bounds
 how many commits one micro-batch may span — Delta's
-``maxFilesPerTrigger`` analogue in this source's natural unit — so a
-post-downtime catch-up drains a backlog in bounded batches instead of
-one unbounded batch. See ``AcidCdfStreamReader.__init__`` for the
-anchor protocol (in-memory + a monotone ``_admission/`` sidecar) and
-the availableNow caveat. ``.option("admissionAnchorId", ...)``
-separates sidecar anchors when several rate-limited streams consume
-one table.
+``maxFilesPerTrigger`` analogue in this source's natural unit — and
+``.option("maxBytesPerTrigger", N)`` soft-caps the feed-file bytes per
+batch (always admits ≥1 commit), so a post-downtime catch-up drains a
+backlog in bounded batches instead of one unbounded batch. See
+``AcidCdfStreamReader.__init__`` for the anchor protocol (in-memory +
+a monotone ``_admission/`` sidecar) and the availableNow caveat.
+``.option("admissionAnchorId", ...)`` separates sidecar anchors when
+several rate-limited streams consume one table.
 
 Failure semantics: a commit in the range written without ``cdc=True``
 (unjournaled delete/merge) or whose journal files vacuum already
@@ -177,6 +178,21 @@ class AcidCdfStreamReader(DataSourceStreamReader):
                 "maxCommitsPerTrigger must be a positive integer, got "
                 f"{self._max_commits}"
             )
+        # maxBytesPerTrigger (Delta's byte-rate analogue): a SOFT cap on
+        # the feed-file bytes one micro-batch spans — the advance always
+        # admits at least one commit (a single oversized commit still
+        # flows; the stream never stalls), then stops before the commit
+        # that would cross the cap. Sizing walks the candidate commits'
+        # manifests and stats their feed files — metadata-scale, bounded
+        # by the commits admitted. Composes with maxCommitsPerTrigger
+        # (both clamps apply; the tighter one wins).
+        mbt = options.get("maxbytespertrigger")
+        self._max_bytes = int(mbt) if mbt is not None else None
+        if self._max_bytes is not None and self._max_bytes < 1:
+            raise ValueError(
+                "maxBytesPerTrigger must be a positive integer, got "
+                f"{self._max_bytes}"
+            )
         self._anchor_id = options.get("admissionanchorid", "default")
         self._last_end: int | None = None
         # physical→logical rename map, resolved ONCE per reader: a
@@ -245,7 +261,7 @@ class AcidCdfStreamReader(DataSourceStreamReader):
             return {"version": int(self._start)}
         head = acid_table._state(self._path)["version"]
         head = max(head, self._start)
-        if self._max_commits is not None:
+        if self._max_commits is not None or self._max_bytes is not None:
             anchor = self._last_end
             if anchor is None:
                 # first call of this planner process (the engine asks
@@ -257,9 +273,45 @@ class AcidCdfStreamReader(DataSourceStreamReader):
                 anchor = persisted if persisted is not None else self._start
                 self._last_end = anchor
             # the anchor is ≥ the checkpointed end (see __init__), so
-            # the clamp can never regress below Spark's committed offset
-            head = min(head, anchor + self._max_commits)
+            # the clamps can never regress below Spark's committed offset
+            if self._max_commits is not None:
+                head = min(head, anchor + self._max_commits)
+            if self._max_bytes is not None and head > anchor:
+                v, total = anchor, 0
+                while v < head:
+                    b = self._commit_feed_bytes(v + 1)
+                    if total > 0 and total + b > self._max_bytes:
+                        break  # soft cap: first commit always admits
+                    total += b
+                    v += 1
+                head = max(v, anchor + 1)
         return {"version": int(head)}
+
+    def _commit_feed_bytes(self, v: int) -> int:
+        """Total on-disk bytes of one commit's feed files (cdc journal
+        slivers, or added data files for appends; metadata-only commits
+        are zero). Sizing only — unreadable ops and vacuumed files are
+        partitions()'s job to refuse with the curated errors; here they
+        count as zero so the advance still reaches them."""
+        from iot_data_pipeline_spark.sources import acid_table
+
+        try:
+            m = acid_table._read_manifest(self._path, v)
+        except Exception:
+            return 0  # lagging listing: partitions() handles visibility
+        if m.get("cdc") is not None:
+            rels = m["cdc"]
+        elif m.get("op") in ("create", "append", "stream-append", "clone"):
+            rels = [a["path"] for a in m["add"]]
+        else:
+            return 0
+        total = 0
+        for rel in rels:
+            try:
+                total += os.path.getsize(os.path.join(self._path, rel))
+            except OSError:
+                pass
+        return total
 
     def partitions(
         self, start: dict, end: dict

@@ -702,6 +702,74 @@ def test_cdf_admission_control_bounded_drain_and_restart(
         )
 
 
+def test_cdf_max_bytes_per_trigger_soft_cap(spark, sf_dir, tmp_path):
+    """maxBytesPerTrigger (Delta's byte-rate analogue): a 1-byte cap
+    still admits one commit per batch (SOFT cap — the stream never
+    stalls on an oversized commit) so the offset log advances exactly
+    one version per batch; a generous cap drains everything at once;
+    the delivered feed is complete and exactly-once either way; the
+    0-value is refused."""
+    from iot_data_pipeline_spark.sources import acid_cdf_stream, acid_table
+
+    t = (
+        table(spark, sf_dir, "orders")
+        .limit(120)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    path = str(tmp_path / "t")
+    acid_table.create(t.filter("o_orderkey % 6 = 0"), path, "o_orderkey", 1)
+    for i in range(1, 6):  # v1..v5
+        acid_table.append(t.filter(f"o_orderkey % 6 = {i}"), path, 1)
+    acid_cdf_stream.register(spark)
+    ckpt, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+    for _ in range(8):
+        q = (
+            spark.readStream.format("acid_cdf")
+            .option("maxBytesPerTrigger", 1)
+            .load(path)
+            .writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+        q.awaitTermination()
+        ends = _offset_log_ends(ckpt)
+        if ends and ends[-1] == 5:
+            break
+    assert _offset_log_ends(ckpt) == [0, 1, 2, 3, 4, 5]  # 1 commit/batch
+    got = spark.read.parquet(sink)
+    assert got.count() == t.count()
+    assert (
+        got.select("o_orderkey", "commit_version").distinct().count()
+        == t.count()
+    )
+    # generous cap: the whole backlog in one batch
+    ckpt2, sink2 = str(tmp_path / "ck2"), str(tmp_path / "sink2")
+    q = (
+        spark.readStream.format("acid_cdf")
+        .option("maxBytesPerTrigger", 10**9)
+        # own sidecar: the first drain's anchor must not mask the cap
+        .option("admissionAnchorId", "generous")
+        .load(path)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt2)
+        .format("parquet")
+        .option("path", sink2)
+        .start()
+    )
+    q.awaitTermination()
+    assert _offset_log_ends(ckpt2) == [5]
+    assert spark.read.parquet(sink2).count() == t.count()
+    with pytest.raises(Exception, match="positive"):
+        acid_cdf_stream.AcidCdfStreamReader(
+            acid_cdf_stream._feed_schema(path),
+            {"path": path, "maxbytespertrigger": "0"},
+        )
+
+
 def test_cdf_source_restart_from_checkpoint_zero_duplicates(
     spark, sf_dir, tmp_path
 ):
