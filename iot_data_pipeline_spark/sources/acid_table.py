@@ -2221,6 +2221,7 @@ def compact(
     n_files: int = 2,
     zorder_by: list[str] | None = None,
     bloom_by: list[str] | None = None,
+    where: dict | None = None,
 ) -> dict:
     """OPTIMIZE: rewrite the live file set into ``n_files`` key-range
     files (one snapshot-preserving commit — the small-files maintenance
@@ -2239,9 +2240,49 @@ def compact(
     the second dimension is what a single-key layout can never give.
     Values quantize to 16 bits per axis (65536 cells — the standard
     lakehouse default; pre-derive a band column for wider domains). The
-    snapshot is byte-for-byte unchanged; only the file layout moves."""
+    snapshot is byte-for-byte unchanged; only the file layout moves.
+
+    ``where={pcol: value}`` (r16 — Delta's ``OPTIMIZE ... WHERE``): scope
+    the rewrite to the matching DECLARED PARTITIONS only; every other
+    file carries by reference, untouched. Predicates must name partition
+    columns (Delta's restriction, for the same reason: only pv-scoped
+    predicates select whole files exactly). At 100 TB this is the
+    difference between maintaining one hot day and rewriting the table —
+    small-file compaction where ingest happens, cold partitions never
+    churn."""
     st = _state(path)
     key, live = st["key"], st["live"]
+    carried_scope: list[dict] = []
+    if where:
+        pb = st.get("partition_by") or []
+        if not pb:
+            raise ValueError(
+                "compact(where=...) requires a table with declared "
+                "partition columns (create(partition_by=[...]))"
+            )
+        if _colmap(st):
+            cm = _colmap(st)
+            unknown = [c for c in where if c not in cm]
+            if unknown:
+                raise ValueError(
+                    f"where column(s) {unknown} not in table columns "
+                    f"{sorted(cm)}"
+                )
+            where = {cm[c]: v for c, v in where.items()}
+        bad = [c for c in where if c not in pb]
+        if bad:
+            raise ValueError(
+                f"OPTIMIZE WHERE predicates must name declared partition "
+                f"columns {pb}; got {bad}"
+            )
+        in_scope = [
+            f
+            for f in live
+            if all((f.get("pv") or {}).get(c) == v for c, v in where.items())
+        ]
+        scope_paths = {f["path"] for f in in_scope}
+        carried_scope = [f for f in live if f["path"] not in scope_paths]
+        live = in_scope
     if (
         len(live) <= n_files
         and not any(e.get(_DV) for e in live)
@@ -2249,6 +2290,8 @@ def compact(
         and not bloom_by
     ):
         return {"rewritten": 0, "files_before": len(live)}
+    if not live:
+        return {"rewritten": 0, "files_before": 0}
     if bloom_by and _colmap(st):
         cm = _colmap(st)
         unknown = [c for c in bloom_by if c not in cm]
@@ -2358,7 +2401,11 @@ def compact(
     if zorder_by:
         manifest["zorder_by"] = list(zorder_by)
     _publish(path, manifest)
-    return {"rewritten": len(live), "files_before": len(live)}
+    return {
+        "rewritten": len(live),
+        "files_before": len(live),
+        "carried": len(carried_scope),
+    }
 
 
 def append_exactly_once(

@@ -3141,6 +3141,96 @@ def test_partitioned_table_semantics(spark, sf_dir, tmp_path):
     )
 
 
+def test_partitioned_epoch_append_keeps_invariant(spark, sf_dir, tmp_path):
+    """The streaming epoch append (string-stats-deferred hot path) must
+    still split by partition value and record pv on a partitioned table;
+    a redelivered epoch stays a no-op."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(400)
+    acid_table.create(
+        t, path, "o_orderkey", n_files=2, partition_by=["o_orderstatus"]
+    )
+    nxt = t.withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000)
+    assert acid_table.append_exactly_once(nxt, path, 1, "o_orderkey")
+    st = acid_table._state(path)
+    assert all(set(f["pv"]) == {"o_orderstatus"} for f in st["live"])
+    assert acid_table.snapshot(spark, path).count() == 2 * t.count()
+    # redelivery no-ops
+    assert not acid_table.append_exactly_once(nxt, path, 1, "o_orderkey")
+    assert acid_table.snapshot(spark, path).count() == 2 * t.count()
+    # pv pruning engages over epoch-appended files too
+    pruned = acid_table.snapshot(
+        spark, path, skip_equals={"o_orderstatus": "F"}
+    )
+    assert len(pruned.inputFiles()) == sum(
+        1 for f in st["live"] if f["pv"]["o_orderstatus"] == "F"
+    )
+
+
+def test_partition_scoped_optimize(spark, sf_dir, tmp_path):
+    """OPTIMIZE ... WHERE (r16): compact(where={pcol: v}) rewrites ONLY
+    the matching partition's files — every other live file carries
+    byte-identical (digest-pinned) — the snapshot is unchanged, and
+    predicates off the partition columns (or on an unpartitioned table)
+    are refused."""
+    import hashlib
+
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(1500)
+    acid_table.create(
+        t, path, "o_orderkey", n_files=2, partition_by=["o_orderstatus"]
+    )
+    # pile small files into ONE partition
+    hot = t.filter("o_orderstatus = 'O'")
+    for i in range(1, 4):
+        acid_table.append(
+            hot.withColumn(
+                "o_orderkey", F.col("o_orderkey") + 1_000_000 * i
+            ),
+            path,
+            2,
+        )
+    st = acid_table._state(path)
+    hot_before = [
+        f for f in st["live"] if f["pv"]["o_orderstatus"] == "O"
+    ]
+    cold_before = [
+        f for f in st["live"] if f["pv"]["o_orderstatus"] != "O"
+    ]
+    assert len(hot_before) >= 4
+
+    def digest(rel):
+        with open(os.path.join(path, rel), "rb") as fh:
+            return hashlib.sha1(fh.read()).hexdigest()
+
+    cold_digests = {f["path"]: digest(f["path"]) for f in cold_before}
+    n_rows = acid_table.snapshot(spark, path).count()
+    r = acid_table.compact(spark, path, n_files=1, where={"o_orderstatus": "O"})
+    assert r["rewritten"] == len(hot_before)
+    assert r["carried"] == len(cold_before)
+    st2 = acid_table._state(path)
+    hot_after = [
+        f for f in st2["live"] if f["pv"]["o_orderstatus"] == "O"
+    ]
+    cold_after = [
+        f for f in st2["live"] if f["pv"]["o_orderstatus"] != "O"
+    ]
+    assert len(hot_after) < len(hot_before)  # compacted
+    # cold partitions carried BYTE-IDENTICAL, same manifest entries
+    assert {f["path"] for f in cold_after} == set(cold_digests)
+    assert all(digest(p) == d for p, d in cold_digests.items())
+    snap = acid_table.snapshot(spark, path)
+    assert snap.count() == n_rows  # snapshot unchanged
+    # pv invariant holds on the rewritten files
+    assert all(set(f["pv"]) == {"o_orderstatus"} for f in st2["live"])
+    with pytest.raises(ValueError, match="partition columns"):
+        acid_table.compact(spark, path, where={"o_totalprice": 1.0})
+    flat = str(tmp_path / "flat")
+    acid_table.create(t, flat, "o_orderkey", n_files=2)
+    with pytest.raises(ValueError, match="declared partition"):
+        acid_table.compact(spark, flat, where={"o_orderstatus": "O"})
+
+
 def test_type_widening_semantics(spark, sf_dir, tmp_path):
     """Type widening: the widening append is metadata-carrying only (no
     old file rewritten — digest-pinned); old narrow pages read through
