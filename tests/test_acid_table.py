@@ -547,8 +547,8 @@ def test_append_with_retry_survives_version_race(
     real_write = acid_table._write_data_files
     state = {"fired": False}
 
-    def racing_write(df, p, key, n):
-        adds = real_write(df, p, key, n)
+    def racing_write(df, p, key, n, **kw):
+        adds = real_write(df, p, key, n, **kw)
         if not state["fired"]:
             state["fired"] = True
             acid_table.append(competitor, path, n_files=1)  # steals v1
@@ -583,8 +583,8 @@ def test_append_with_retry_surfaces_concurrent_widening(
     real_write = acid_table._write_data_files
     state = {"fired": False}
 
-    def racing_write(df, p, key, n):
-        adds = real_write(df, p, key, n)
+    def racing_write(df, p, key, n, **kw):
+        adds = real_write(df, p, key, n, **kw)
         if not state["fired"]:
             state["fired"] = True
             acid_table.append(wide, path, n_files=1)
