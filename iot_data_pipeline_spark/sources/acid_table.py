@@ -1606,7 +1606,11 @@ def create(
     table is the supported migration (refused loudly everywhere else);
     partition values must be non-null integral/string/boolean (the
     manifest stores them as JSON scalars); dropping a partition column
-    is refused like a constraint-referenced column."""
+    is refused like a constraint-referenced column. DATE partitioning —
+    the most common production layout — derives a ``yyyy-MM-dd`` string
+    (``date_format``) or a day-number int first: lexicographic string
+    order equals date order, so ``skip_where`` range pruning works
+    unchanged."""
     if _list_log(path)[0]:
         raise RuntimeError(f"table already exists at {path}")
     # The manifest stats (and merge's prune-join schema) are integral:

@@ -3167,6 +3167,29 @@ def test_partitioned_epoch_append_keeps_invariant(spark, sf_dir, tmp_path):
     )
 
 
+def test_hot_partition_value_splits_across_tasks(spark, sf_dir, tmp_path):
+    """Partition-value SKEW: clustering is (partition cols, KEY), so a
+    hot partition value spreads across range-partitioner tasks — each
+    writes its own single-pv file — instead of serializing the whole hot
+    partition through one task/file. The skew story at 100 TB: ingest
+    parallelism follows the key inside a hot partition."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(2000).withColumn(
+        "part",
+        F.when(F.pmod("o_orderkey", F.lit(10)) == 0, F.lit("cold"))
+        .otherwise(F.lit("hot")),  # ~90% of rows share one pv
+    )
+    acid_table.create(t, path, "o_orderkey", n_files=8, partition_by=["part"])
+    st = acid_table._state(path)
+    hot_files = [f for f in st["live"] if f["pv"]["part"] == "hot"]
+    assert len(hot_files) >= 4  # the hot value parallelized
+    # and files stay single-pv with disjoint-ish key ranges
+    assert all(set(f["pv"]) == {"part"} for f in st["live"])
+    snap = acid_table.snapshot(spark, path, skip_equals={"part": "cold"})
+    assert snap.count() == t.filter("part = 'cold'").count()
+    assert len(snap.inputFiles()) == len(st["live"]) - len(hot_files)
+
+
 def test_partition_scoped_optimize(spark, sf_dir, tmp_path):
     """OPTIMIZE ... WHERE (r16): compact(where={pcol: v}) rewrites ONLY
     the matching partition's files — every other live file carries

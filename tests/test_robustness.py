@@ -89,6 +89,14 @@ QUERIES = {
     # produce an identical on-disk snapshot whatever the physical config —
     # file LAYOUT may differ, values may not
     "acid_merge_snapshot": maintenance.acid_merge_snapshot,
+    # declared partitions (r16): the pv-splitting Arrow writer's file
+    # boundaries move with range-partitioner choices, but the recorded
+    # pv entries, the pv-first pruning, and the read-back rows may not
+    "acid_partition_pruning": maintenance.acid_partition_pruning,
+    # byte-level BPE (r16): hex-byte pair counts are distributed sums —
+    # the learned merge trajectory must be identical under any
+    # partitioning, AQE re-planning, or join strategy
+    "llm_bpe_bytelevel": llm.llm_bpe_bytelevel,
 }
 
 
