@@ -3167,6 +3167,80 @@ def test_partitioned_epoch_append_keeps_invariant(spark, sf_dir, tmp_path):
     )
 
 
+def test_partitioning_composes_with_cdf_zorder_bloom(
+    spark, sf_dir, tmp_path
+):
+    """Partitioning composes with the rest of the format: the streaming
+    CDF source serves a partitioned table's commits unchanged; OPTIMIZE
+    WHERE composes with ZORDER BY and bloom_by (clustering + sidecars
+    scoped to the hot partition); pv pruning and bloom pruning then
+    stack on the same snapshot."""
+    from iot_data_pipeline_spark.sources import acid_cdf_stream
+
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(1200).withColumn(
+        "band", F.pmod("o_orderkey", F.lit(1000)).cast("int")
+    )
+    acid_table.create(
+        t.filter("o_orderkey % 2 = 0"),
+        path,
+        "o_orderkey",
+        n_files=2,
+        partition_by=["o_orderstatus"],
+    )
+    acid_table.append(t.filter("o_orderkey % 2 = 1"), path, 2)
+    # CDF streaming over the partitioned table
+    acid_cdf_stream.register(spark)
+    q = (
+        spark.readStream.format("acid_cdf")
+        .load(path)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(str(tmp_path / "sink"))
+    assert feed.count() == t.count()
+    assert set(feed.select("change_type").distinct().toPandas()["change_type"]) == {
+        "insert"
+    }
+    # scoped OPTIMIZE with zorder + bloom over the hot partition only
+    st0 = acid_table._state(path)
+    cold0 = {
+        f["path"] for f in st0["live"] if f["pv"]["o_orderstatus"] != "O"
+    }
+    acid_table.compact(
+        spark,
+        path,
+        n_files=4,
+        where={"o_orderstatus": "O"},
+        zorder_by=["o_orderkey", "band"],
+        bloom_by=["band"],
+    )
+    st1 = acid_table._state(path)
+    assert {
+        f["path"] for f in st1["live"] if f["pv"]["o_orderstatus"] != "O"
+    } == cold0  # cold untouched
+    hot = [f for f in st1["live"] if f["pv"]["o_orderstatus"] == "O"]
+    assert all(f.get("bloom") for f in hot)  # scoped sidecars
+    assert all(not f.get("bloom") for f in st1["live"] if f not in hot)
+    # pv prune + bloom prune stack: probe a (status, band) point
+    probe_band = t.filter("o_orderstatus = 'O'").first()["band"]
+    snap = acid_table.snapshot(
+        spark,
+        path,
+        skip_equals={"o_orderstatus": "O", "band": probe_band},
+    )
+    assert len(snap.inputFiles()) < len(hot)  # bloom pruned inside pv
+    assert snap.count() == t.filter(
+        f"o_orderstatus = 'O' AND band = {probe_band}"
+    ).count()
+    assert acid_table.snapshot(spark, path).count() == t.count()
+
+
 def test_hot_partition_value_splits_across_tasks(spark, sf_dir, tmp_path):
     """Partition-value SKEW: clustering is (partition cols, KEY), so a
     hot partition value spreads across range-partitioner tasks — each
