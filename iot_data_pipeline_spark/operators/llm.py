@@ -983,13 +983,14 @@ _KMEANS_CODEBOOK_MEMO: dict[tuple, tuple] = {}
 def _kmeans_codebook_for(spark: SparkSession, sf_dir: str):
     import os as _os
 
-    emb = _os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = _os.stat(emb)
-        fp = (st.st_size, st.st_mtime_ns)
-    except OSError:
-        fp = ("missing",)
-    key = (_os.path.realpath(sf_dir), fp)
+    # _corpus_fingerprint handles DIRECTORY-shaped parquet (member-file
+    # recursion — the r11 stale-memo lesson); a bare os.stat on a dir
+    # would serve stale centroids after an in-place regeneration
+    # (review finding, r16)
+    key = (
+        _os.path.realpath(sf_dir),
+        _corpus_fingerprint(sf_dir, "embeddings.parquet"),
+    )
     cached = _KMEANS_CODEBOOK_MEMO.get(key)
     if cached is not None:
         return cached
@@ -3563,10 +3564,10 @@ def clear_bpe_rules_memo() -> None:
     _BPE_RULES_MEMO.clear()
 
 
-def _corpus_fingerprint(sf_dir: str) -> tuple:
+def _corpus_fingerprint(sf_dir: str, name: str = "documents.parquet") -> tuple:
     import os as _os
 
-    doc_path = _os.path.join(sf_dir, "documents.parquet")
+    doc_path = _os.path.join(sf_dir, name)
     # ADVICE r11: os.stat SUCCEEDS on a directory, so a directory-shaped
     # documents.parquet must be detected explicitly — rewriting member
     # files in place changes neither the directory's size nor (reliably)
@@ -3609,7 +3610,14 @@ def _bpe_rules_for(
 # LOSSLESS (concat of pre-tokens == text, pinned in tests) and, with
 # byte-level base symbols, NO out-of-vocabulary input exists. Both
 # engines use leftmost-first alternation, so the split is identical.
-_BPE_BYTE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+# Whitespace is an EXPLICIT class, not \s: Java's \s includes vertical
+# tab U+000B while RE2's does not (review finding, r16 — a '\x0b'
+# adjacent to punctuation tokenized differently per engine); \x0b hex
+# escapes parse identically in both.
+_BPE_WS = r" \t\n\x0b\f\r"
+_BPE_BYTE_PAT = (
+    rf" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9{_BPE_WS}]+|[{_BPE_WS}]+"
+)
 
 
 def _bpe_byte_word_freq(d: DataFrame) -> DataFrame:

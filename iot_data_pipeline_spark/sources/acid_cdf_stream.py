@@ -224,7 +224,9 @@ class AcidCdfStreamReader(DataSourceStreamReader):
         its FIRST batch too."""
         if self._last_end is None or v > self._last_end:
             self._last_end = v
-        if self._max_commits is None:
+        if self._max_commits is None and self._max_bytes is None:
+            # no admission control configured: keep the no-sidecar
+            # contract (the source writes nothing for plain streams)
             return
         cur = self._load_anchor()
         if cur is not None and cur >= v:

@@ -1859,7 +1859,16 @@ def snapshot(
                         return False
             for c, rng in (skip_where or {}).items():
                 if c in pset and c in pv:
-                    if pv[c] is None or not (rng[0] <= pv[c] <= rng[1]):
+                    if pv[c] is None:
+                        return False
+                    try:
+                        inside = rng[0] <= pv[c] <= rng[1]
+                    except TypeError:
+                        # type-mismatched probe (int bounds vs string
+                        # pv, ...): conservative keep — the exact row
+                        # filter below owns the comparison semantics
+                        continue
+                    if not inside:
                         return False
             return True
 
@@ -2293,9 +2302,17 @@ def compact(
         and not zorder_by
         and not bloom_by
     ):
-        return {"rewritten": 0, "files_before": len(live)}
+        return {
+            "rewritten": 0,
+            "files_before": len(live),
+            "carried": len(carried_scope),
+        }
     if not live:
-        return {"rewritten": 0, "files_before": 0}
+        return {
+            "rewritten": 0,
+            "files_before": 0,
+            "carried": len(carried_scope),
+        }
     if bloom_by and _colmap(st):
         cm = _colmap(st)
         unknown = [c for c in bloom_by if c not in cm]
@@ -2542,7 +2559,13 @@ def _clause_cond(cond: str | None, cm: dict | None):
         return ("__s." if side == "src" else "__t.") + phys
 
     pat = r"\b(src|tgt)\.([A-Za-z_][A-Za-z0-9_]*)"
-    parts = re.split(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")", cond)
+    # literal alternatives handle BOTH escape styles Spark SQL accepts:
+    # doubled quotes ('it''s') and backslash escapes ('it\'s') — a
+    # backslash-escaped quote must not end the detected literal (review
+    # finding, r16)
+    parts = re.split(
+        r"('(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\")", cond
+    )
     rewritten = "".join(
         p if i % 2 else re.sub(pat, _sub, p)
         for i, p in enumerate(parts)

@@ -2869,6 +2869,23 @@ def test_merge_constraints_validate_only_written_rows(
         snap.filter(f"o_orderkey = {keys[1]}").first()["o_totalprice"]
         == v1  # gated out: violating source row exempt, target carried
     )
+    # 2b) a BACKSLASH-escaped quote inside the literal must not end the
+    # detected literal (review finding, r16): the clause fires exactly
+    # for the row whose status IS the literal "it's src.x"
+    src2b = spark.createDataFrame([(keys[0], "it's src.x", 88.0)], sch)
+    acid_table.merge(
+        spark,
+        src2b,
+        path,
+        insert=False,
+        matched_condition="src.o_orderstatus = 'it\\'s src.x'",
+    )
+    assert (
+        acid_table.snapshot(spark, path)
+        .filter(f"o_orderkey = {keys[0]}")
+        .first()["o_totalprice"]
+        == 88.0
+    )
     # 3) a violating row that LANDS still rejects atomically
     head = acid_table.head(path)
     src3 = spark.createDataFrame([(keys[0], "S", -2.0)], sch)

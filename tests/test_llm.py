@@ -1670,6 +1670,44 @@ def test_kmeans_train_matches_numpy_reference_and_is_deterministic(
     assert got2 == got1
 
 
+def test_bpe_byte_pretokenizer_engine_parity(spark):
+    """The pre-tokenizer must split IDENTICALLY under Java regex (Spark)
+    and RE2 (DuckDB) — pinned over adversarial inputs including U+000B,
+    which Java's \\s contains and RE2's does not (the whitespace class
+    is spelled out explicitly for exactly this reason — review finding,
+    r16), plus non-ASCII, escapes-adjacent punctuation, and pure
+    whitespace. Losslessness must hold on both engines."""
+    import duckdb
+
+    cases = [
+        "a\x0b\x0b.",
+        " hi 42!!\tx",
+        "héllo wörld",
+        "a\x0c.b\rc\nd",
+        "'s's 's",
+        "  ",
+        "..a..9",
+        "tab\tvt\x0bff\x0ccr\rnl\n end",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text STRING")
+    got_spark = {
+        r["text"]: r["toks"]
+        for r in df.select(
+            "text",
+            F.regexp_extract_all(
+                F.col("text"), F.lit(llm._BPE_BYTE_PAT), F.lit(0)
+            ).alias("toks"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for c in cases:
+        duck = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [c, llm._BPE_BYTE_PAT]
+        ).fetchone()[0]
+        assert got_spark[c] == duck, (c, got_spark[c], duck)
+        assert "".join(duck) == c  # lossless on both engines
+
+
 def test_bpe_bytelevel_lossless_and_roundtrip(spark, sf_dir):
     """Byte-level BPE invariants (r15 verdict item 5): (1) the regex
     pre-tokenization is LOSSLESS — concatenating every doc's pre-tokens
