@@ -906,6 +906,37 @@ def acid_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point.unionByName(rng)
 
 
+def acid_generated_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED columns + derived partitioning (r16 — Delta's
+    ``GENERATED ALWAYS AS`` feeding ``partitionBy``, the classic
+    date-partition pattern): create with ``month`` GENERATED AS
+    ``date_format(o_orderdate, 'yyyy-MM')`` and PARTITIONED BY (month).
+    The create's frame and the append's frame never materialize the
+    column — every write computes it — and the month-range read prunes
+    on partition values before any stats. Hash-equal to plain SQL
+    deriving the same month (Spark's UTC-pinned date_format equals
+    DuckDB's strftime on the naive timestamps)."""
+    import tempfile
+
+    from iot_data_pipeline_spark.sources import acid_table
+
+    o = table(spark, sf_dir, "orders")
+    t = o.select("o_orderkey", "o_orderdate", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="acid_gen_") + "/t"
+    acid_table.create(
+        t.filter("o_orderkey % 3 != 0"),
+        path,
+        "o_orderkey",
+        n_files=2,
+        partition_by=["month"],
+        generated={"month": "date_format(o_orderdate, 'yyyy-MM')"},
+    )
+    acid_table.append(t.filter("o_orderkey % 3 = 0"), path, 2)
+    return acid_table.snapshot(
+        spark, path, skip_where={"month": ("1995-01", "1995-12")}
+    )
+
+
 def acid_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-widening schema evolution (r15 beyond-the-list — Delta type
     widening on Spark 4's promoting parquet reader): create with INT and
@@ -1123,6 +1154,7 @@ QUERIES = {
     "acid_merge_clauses": acid_merge_clauses,
     "acid_bloom_skipping": acid_bloom_skipping,
     "acid_partition_pruning": acid_partition_pruning,
+    "acid_generated_partitions": acid_generated_partitions,
     "acid_type_widening": acid_type_widening,
     "acid_table_changes": acid_table_changes,
     "acid_column_skipping": acid_column_skipping,
@@ -1393,6 +1425,16 @@ ORACLES = {
         " SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
         " WHERE o_orderkey % 7 <> 0"
         "   AND o_orderstatus BETWEEN 'O' AND 'P'"
+    ),
+    # Generated month column + derived partitioning: the engine computes
+    # the column at write time; the oracle derives it inline. Spark's
+    # date_format under the UTC-pinned session equals DuckDB's strftime
+    # over the same naive timestamps.
+    "acid_generated_partitions": (
+        "SELECT o_orderkey, o_orderdate, o_totalprice,"
+        " strftime(o_orderdate, '%Y-%m') AS month FROM orders"
+        " WHERE strftime(o_orderdate, '%Y-%m')"
+        "   BETWEEN '1995-01' AND '1995-12'"
     ),
     # Two-step conditional MERGE mirrored in plain SQL: t1 = the
     # conditional-update+insert state; the final SELECT applies the

@@ -306,6 +306,7 @@ def _state(path: str, version: int | None = None) -> dict:
     colmap = None
     constraints = None
     partition_by = None
+    generated = None
     txns: dict[str, int] = {}
     start = -1
     if usable:
@@ -319,6 +320,7 @@ def _state(path: str, version: int | None = None) -> dict:
         colmap = cp.get("colmap")
         constraints = cp.get("constraints")
         partition_by = cp.get("partition_by")
+        generated = cp.get("generated")
         txns = dict(cp.get("txns", {}))
         live = {a["path"]: a for a in cp["live"]}
     replayed = [v for v in mans if start < v <= target]
@@ -368,6 +370,9 @@ def _state(path: str, version: int | None = None) -> dict:
             # commit carries it — the replay rule is the same for
             # uniformity with the other metadata channels
             partition_by = m["partition_by"]
+        if "generated" in m:
+            # same immutable create-only channel as partition_by
+            generated = m["generated"]
         txn = m.get("txn")
         if txn:
             txns[txn["app"]] = max(
@@ -398,6 +403,7 @@ def _state(path: str, version: int | None = None) -> dict:
         "colmap": colmap,
         "constraints": constraints,
         "partition_by": partition_by,
+        "generated": generated,
         "txns": txns,
     }
 
@@ -421,6 +427,7 @@ def _write_checkpoint(path: str, version: int) -> None:
                 "colmap": st.get("colmap"),
                 "constraints": st.get("constraints"),
                 "partition_by": st.get("partition_by"),
+                "generated": st.get("generated"),
                 "txns": st.get("txns", {}),
                 "live": sorted(st["live"], key=lambda a: a["path"]),
             },
@@ -1098,6 +1105,7 @@ def rename_column(path: str, old: str, new: str) -> None:
             f"column name {new!r} is reserved by the table format"
         )
     _guard_constraint_references(st, old, "rename")
+    _guard_generated_references(st, old, "rename")
     new_cm = {(new if l == old else l): p for l, p in cm.items()}
     _publish(
         path,
@@ -1150,6 +1158,7 @@ def drop_column(path: str, name: str) -> None:
             "re-create the table to repartition"
         )
     _guard_constraint_references(st, name, "drop")
+    _guard_generated_references(st, name, "drop")
     new_schema = StructType(
         [f for f in sch.fields if f.name != phys]
     ).json()
@@ -1262,6 +1271,88 @@ def drop_constraint(path: str, name: str) -> None:
             "remove": [],
         },
     )
+
+
+def _generated(st: dict) -> dict:
+    """The table's GENERATED column definitions ``{name: sql_expr}``
+    (empty when none); recorded at create, immutable, replayed like the
+    schema."""
+    return st.get("generated") or {}
+
+
+def _apply_generated(df: DataFrame, st: dict) -> DataFrame:
+    """Delta's GENERATED ALWAYS AS semantics on an incoming frame: a
+    generated column ABSENT from the frame is computed from its recorded
+    expression; a PRESENT one is VALIDATED in one aggregation (every row
+    must null-safe-equal the expression) and a mismatch rejects the
+    commit atomically, before any file is written. Expressions are
+    recorded verbatim against create-time names, and renaming/dropping a
+    generated column or any column its expression references is refused
+    (:func:`_guard_generated_references`), so the names stay valid for
+    the table's lifetime."""
+    gen = _generated(st)
+    if not gen:
+        return df
+    present = {c: e for c, e in gen.items() if c in df.columns}
+    if present:
+        names = list(present)
+        row = df.agg(
+            *[
+                F.sum(
+                    (~F.expr(present[c]).eqNullSafe(F.col(c))).cast(
+                        "long"
+                    )
+                ).alias(f"__g{i}")
+                for i, c in enumerate(names)
+            ]
+        ).first()
+        bad = {
+            c: int(row[f"__g{i}"] or 0)
+            for i, c in enumerate(names)
+            if (row[f"__g{i}"] or 0) > 0
+        }
+        if bad:
+            detail = ", ".join(
+                f"{c!r} (GENERATED AS {present[c]}): {n} row(s)"
+                for c, n in sorted(bad.items())
+            )
+            raise ValueError(
+                "GENERATED column mismatch — the commit was rejected "
+                f"atomically (no files written): {detail}; omit the "
+                "column to have it computed, or supply the exact "
+                "generated values"
+            )
+    for c, e in gen.items():
+        if c not in df.columns:
+            df = df.withColumn(c, F.expr(e))
+    return df
+
+
+def _guard_generated_references(st: dict, column: str, op: str) -> None:
+    """Refuse renaming/dropping a GENERATED column or any column a
+    generation expression references (Delta's rule, same shape as the
+    CHECK-constraint guard): expressions are recorded verbatim, so the
+    mutation would silently break generation for every later write."""
+    import re
+
+    gen = _generated(st)
+    if column in gen:
+        raise ValueError(
+            f"cannot {op} column {column!r}: it is a GENERATED column "
+            f"(AS {gen[column]}) — re-create the table to change its "
+            "generation"
+        )
+    hit = {
+        c: e
+        for c, e in gen.items()
+        if re.search(rf"\b{re.escape(column)}\b", e)
+    }
+    if hit:
+        raise ValueError(
+            f"cannot {op} column {column!r}: referenced by GENERATED "
+            f"column(s) {sorted(hit)} — re-create the table to change "
+            "their generation"
+        )
 
 
 def _guard_constraint_references(st: dict, column: str, op: str) -> None:
@@ -1592,6 +1683,7 @@ def create(
     key: str,
     n_files: int = 8,
     partition_by: list[str] | None = None,
+    generated: dict[str, str] | None = None,
 ) -> None:
     """Commit version 0 of a new table.
 
@@ -1610,7 +1702,18 @@ def create(
     the most common production layout — derives a ``yyyy-MM-dd`` string
     (``date_format``) or a day-number int first: lexicographic string
     order equals date order, so ``skip_where`` range pruning works
-    unchanged."""
+    unchanged.
+
+    ``generated={col: sql_expr}`` (r16 — Delta's ``GENERATED ALWAYS
+    AS``): declare derived columns at CREATE. Every write computes an
+    ABSENT generated column from its expression and atomically REJECTS a
+    PRESENT one whose values mismatch (one aggregation, before any file
+    lands); renaming/dropping a generated column or a column its
+    expression references is refused. Combine with ``partition_by`` on
+    the generated column for the classic derived-partition pattern
+    (``generated={"month": "date_format(ts, 'yyyy-MM')"},
+    partition_by=["month"]`` — writers never materialize the partition
+    key by hand, and pv pruning works unchanged)."""
     if _list_log(path)[0]:
         raise RuntimeError(f"table already exists at {path}")
     # The manifest stats (and merge's prune-join schema) are integral:
@@ -1620,6 +1723,12 @@ def create(
         raise TypeError(
             f"table key must be an integral column, got {key}: {ktype}"
         )
+    if generated:
+        if key in generated:
+            raise ValueError(
+                f"the table key {key!r} cannot be a generated column"
+            )
+        df = _apply_generated(df, {"generated": dict(generated)})
     if partition_by:
         dtypes = dict(df.dtypes)
         ok = ("tinyint", "smallint", "int", "bigint", "string", "boolean")
@@ -1653,6 +1762,8 @@ def create(
     }
     if partition_by:
         manifest["partition_by"] = list(partition_by)
+    if generated:
+        manifest["generated"] = dict(generated)
     _publish(path, manifest)
 
 
@@ -1665,6 +1776,7 @@ def append(df: DataFrame, path: str, n_files: int = 4) -> None:
     columns get fresh physical names recorded in this commit's colmap)."""
     st = _state(path)
     key = st["key"]
+    df = _apply_generated(df, st)
     _enforce_constraints(df, _constraints(st))
     df, cm2 = _to_physical(df, st)
     schema = _evolve_schema(st, df)
@@ -1709,6 +1821,7 @@ def append_with_retry(
     key = st["key"]
     cm0 = _colmap(st)
     cons0 = _constraints(st)
+    df = _apply_generated(df, st)
     _enforce_constraints(df, cons0)
     df, cm2 = _to_physical(df, st)
     schema = _evolve_schema(st, df)
@@ -2479,6 +2592,7 @@ def append_exactly_once(
     cm0 = _colmap(st) if st else None
     cons0 = _constraints(st) if st else {}
     if st:
+        df = _apply_generated(df, st)
         _enforce_constraints(df, cons0)
     cm2 = None
     if st:
@@ -2663,6 +2777,12 @@ def merge(
     # only — ADVICE r15: with insert=False an unmatched violating source
     # row, or with a false matched_condition a gated-out row, must NOT
     # reject the commit), which needs the join — deferred below.
+    # GENERATED columns compute/validate on the SOURCE (the only rows a
+    # merge can introduce; carried target rows were generated at their
+    # own write time) — before constraints, which may reference them.
+    # A delete-only merge's source is a key list, not data: skip.
+    if insert or when_matched == "update":
+        source = _apply_generated(source, st)
     cons = _constraints(st)
     validate_written = cons and (insert or when_matched == "update")
     if validate_written and not clauses:
@@ -3292,6 +3412,7 @@ def clone(src_path: str, dst_path: str, version: int | None = None) -> dict:
             "colmap": st.get("colmap"),
             "constraints": st.get("constraints"),
             "partition_by": st.get("partition_by"),
+            "generated": st.get("generated"),
             "source": src_abs,
             "source_version": st["version"],
             "add": adds,

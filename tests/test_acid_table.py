@@ -3184,6 +3184,107 @@ def test_partitioned_epoch_append_keeps_invariant(spark, sf_dir, tmp_path):
     )
 
 
+def test_generated_columns_semantics(spark, sf_dir, tmp_path):
+    """GENERATED ALWAYS AS: absent generated columns are computed on
+    every write path (create/append/merge source/epoch append); a
+    present column with mismatched values rejects ATOMICALLY; a present
+    column with exact values is accepted; rename/drop of the generated
+    column or its referenced base columns are refused; CLONE inherits
+    and RESTORE keeps the definitions; generated partition values prune
+    with pinned file counts."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir).limit(600)
+    acid_table.create(
+        t,
+        path,
+        "o_orderkey",
+        n_files=2,
+        partition_by=["band"],
+        generated={"band": "CAST(o_totalprice >= 100000 AS STRING)"},
+    )
+    st = acid_table._state(path)
+    assert st["generated"] == {
+        "band": "CAST(o_totalprice >= 100000 AS STRING)"
+    }
+    snap = acid_table.snapshot(spark, path)
+    assert "band" in snap.columns
+    assert snap.filter(
+        "band <> CAST(o_totalprice >= 100000 AS STRING)"
+    ).count() == 0
+    # append WITHOUT the column: computed
+    acid_table.append(
+        t.withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000), path
+    )
+    # append WITH exact values: accepted
+    acid_table.append(
+        t.withColumn("o_orderkey", F.col("o_orderkey") + 2_000_000)
+        .withColumn(
+            "band", F.expr("CAST(o_totalprice >= 100000 AS STRING)")
+        ),
+        path,
+    )
+    # append WITH wrong values: atomic rejection
+    head = acid_table.head(path)
+    with pytest.raises(ValueError, match="GENERATED column mismatch"):
+        acid_table.append(
+            t.withColumn("o_orderkey", F.col("o_orderkey") + 3_000_000)
+            .withColumn("band", F.lit("nope")),
+            path,
+        )
+    assert acid_table.head(path) == head
+    assert acid_table.snapshot(spark, path).count() == 3 * t.count()
+    # merge source without the column: computed; upsert exact
+    src = t.limit(40).withColumn("o_totalprice", F.lit(250_000.0))
+    acid_table.merge(spark, src, path)
+    got = acid_table.snapshot(spark, path).filter(
+        F.col("o_orderkey").isin(
+            [r["o_orderkey"] for r in src.collect()]
+        )
+    )
+    assert got.count() == 40
+    assert got.filter("band <> 'true'").count() == 0
+    # epoch append computes too
+    acid_table.append_exactly_once(
+        t.withColumn("o_orderkey", F.col("o_orderkey") + 4_000_000),
+        path,
+        1,
+        "o_orderkey",
+    )
+    assert (
+        acid_table.snapshot(spark, path)
+        .filter("band IS NULL")
+        .count()
+        == 0
+    )
+    # guards: generated col and referenced base cols are pinned
+    with pytest.raises(ValueError, match="GENERATED"):
+        acid_table.rename_column(path, "band", "b2")
+    with pytest.raises(ValueError, match="GENERATED"):
+        acid_table.drop_column(path, "o_totalprice")
+    # pv pruning over generated partition values, files pinned
+    st2 = acid_table._state(path)
+    lo = acid_table.snapshot(spark, path, skip_equals={"band": "false"})
+    assert len(lo.inputFiles()) == sum(
+        1 for f in st2["live"] if f["pv"]["band"] == "false"
+    )
+    assert lo.count() == (
+        acid_table.snapshot(spark, path)
+        .filter("o_totalprice < 100000")
+        .count()
+    )
+    # clone inherits, restore keeps
+    dst = str(tmp_path / "c")
+    acid_table.clone(path, dst)
+    with pytest.raises(ValueError, match="GENERATED column mismatch"):
+        acid_table.append(
+            t.withColumn("o_orderkey", F.col("o_orderkey") + 5_000_000)
+            .withColumn("band", F.lit("x")),
+            dst,
+        )
+    acid_table.restore(path, 0)
+    assert acid_table._state(path)["generated"] == st["generated"]
+
+
 def test_partitioning_composes_with_cdf_zorder_bloom(
     spark, sf_dir, tmp_path
 ):
