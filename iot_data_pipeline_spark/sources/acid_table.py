@@ -1958,8 +1958,47 @@ def snapshot(
     # Files without a pv (pre-partitioning commits can't exist on a
     # partitioned table, but conservatism is free) keep; NULL probes
     # fall through to the curated error below.
+    #
+    # DERIVED partition filters (Delta's generated-column partition
+    # filters): a GENERATED partition column of the form
+    # ``date_format(base, 'yyyy[-MM[-dd]]')`` is monotone
+    # non-decreasing in ``base`` (string order == chronological order
+    # for these formats), so a ``skip_where`` range on the BASE
+    # timestamp implies pv ∈ [fmt(lo), fmt(hi)] — callers filter on the
+    # natural column and partition pruning engages without them ever
+    # naming the derived column. Prune-only: the row filter below still
+    # applies the caller's exact base-column predicate.
     pb = st.get("partition_by") or []
-    if pb and (skip_equals or skip_where):
+    derived_pv: dict[str, tuple] = {}
+    if pb and skip_where:
+        import re as _re
+
+        _FMTS = {
+            "yyyy": "%Y",
+            "yyyy-MM": "%Y-%m",
+            "yyyy-MM-dd": "%Y-%m-%d",
+        }
+        for gcol, gexpr in (st.get("generated") or {}).items():
+            if gcol not in pb:
+                continue
+            m = _re.fullmatch(
+                r"date_format\(\s*(\w+)\s*,\s*'(yyyy(?:-MM(?:-dd)?)?)'\s*\)",
+                gexpr.strip(),
+            )
+            if not m:
+                continue
+            base, fmt = m.group(1), _FMTS[m.group(2)]
+            rng = skip_where.get(base)
+            if (
+                rng is not None
+                and hasattr(rng[0], "strftime")
+                and hasattr(rng[1], "strftime")
+            ):
+                derived_pv[gcol] = (
+                    rng[0].strftime(fmt),
+                    rng[1].strftime(fmt),
+                )
+    if pb and (skip_equals or skip_where or derived_pv):
         pset = set(pb)
 
         def _pv_keeps(f: dict) -> bool:
@@ -1970,7 +2009,9 @@ def snapshot(
                 if v is not None and c in pset and c in pv:
                     if pv[c] is None or pv[c] != v:
                         return False
-            for c, rng in (skip_where or {}).items():
+            ranges = dict(skip_where or {})
+            ranges.update(derived_pv)
+            for c, rng in ranges.items():
                 if c in pset and c in pv:
                     if pv[c] is None:
                         return False

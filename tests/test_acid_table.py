@@ -3285,6 +3285,53 @@ def test_generated_columns_semantics(spark, sf_dir, tmp_path):
     assert acid_table._state(path)["generated"] == st["generated"]
 
 
+def test_generated_partition_filters_derive_from_base_column(
+    spark, sf_dir, tmp_path
+):
+    """Delta's generated-column partition filters: a ``skip_where``
+    range on the BASE timestamp prunes month partitions THROUGH the
+    generation expression (date_format is monotone; string order ==
+    chronological for yyyy-MM) — callers never name the derived column;
+    files-touched pinned to the month span; the result equals the plain
+    row filter."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    acid_table.create(
+        o.limit(3000),
+        path,
+        "o_orderkey",
+        n_files=2,
+        partition_by=["month"],
+        generated={"month": "date_format(o_orderdate, 'yyyy-MM')"},
+    )
+    st = acid_table._state(path)
+    n_all = len(st["live"])
+    lo = dt.datetime(1995, 3, 1)
+    hi = dt.datetime(1995, 5, 31, 23, 59, 59)
+    snap = acid_table.snapshot(
+        spark, path, skip_where={"o_orderdate": (lo, hi)}
+    )
+    want_files = sum(
+        1
+        for f in st["live"]
+        if "1995-03" <= f["pv"]["month"] <= "1995-05"
+    )
+    assert len(snap.inputFiles()) == want_files < n_all
+    expect = (
+        acid_table.snapshot(spark, path)
+        .filter(
+            (F.col("o_orderdate") >= F.lit(lo))
+            & (F.col("o_orderdate") <= F.lit(hi))
+        )
+        .count()
+    )
+    assert snap.count() == expect > 0
+
+
 def test_partitioning_composes_with_cdf_zorder_bloom(
     spark, sf_dir, tmp_path
 ):
