@@ -1888,6 +1888,35 @@ def _live_files(ms: list[dict], version: int | None) -> list[dict]:
     return list(live.values())
 
 
+def stats_column_max(path: str, column: str) -> int | float | bool | None:
+    """EXACT max of a numeric ``column`` over the table head, answered
+    from the manifest's per-file footer stats — zero Spark jobs (r16
+    optimization, guide §5: the driver should do metadata work, not data
+    work). Returns ``None`` — caller must fall back to a real scan —
+    whenever exactness cannot be proven from metadata alone: a live file
+    carries a deletion vector (the DV could have deleted the extreme
+    rows, so footer stats bound but no longer equal the live max), a
+    live file lacks usable stats for the column, or the table is empty.
+    Files record stats at write time and are immutable, so when every
+    live file has them the answer equals ``max(column)`` by definition.
+    The per-epoch streaming watermark read (``stream_acid_cdf_agg``'s
+    silver ``max(as_of)``) is the motivating caller: one manifest parse
+    replaces a full snapshot + aggregate job per micro-batch."""
+    st = _state(path)
+    live = st["live"]
+    if not live:
+        return None
+    mx = None
+    for f in live:
+        if f.get(_DV):
+            return None
+        c = (f.get("cols") or {}).get(column)
+        if c is None:
+            return None
+        mx = c[1] if mx is None else max(mx, c[1])
+    return mx
+
+
 def snapshot(
     spark: SparkSession,
     path: str,
@@ -2844,32 +2873,36 @@ def merge(
     # Delta/Iceberg MERGE raise when a target row matches multiple source
     # rows; without this guard the full_outer join below fans out and the
     # committed snapshot silently ends with N rows per duplicated key.
-    dup = (
-        source.groupBy(key)
-        .count()
-        .filter("count > 1")
-        .orderBy(F.col("count").desc())
-        .limit(1)
-        .collect()
+    #
+    # r16 optimization (guide §1.2 — don't compute things twice): the
+    # dup guard and the file-stats prune were TWO collects, each
+    # executing the full source plan. Fused into ONE job: group the
+    # source keys once, range-join the per-key counts against the
+    # broadcast stats (LEFT, so keys missing every file still reach the
+    # dup guard), and aggregate both answers — the worst duplicate as
+    # max(struct(count, key)) and the hit files as collect_set(path)
+    # (collect_set drops the no-file NULLs; the set is file-count-scale,
+    # the same driver footprint the old collect had). Semantics
+    # unchanged: same rejection condition, same hit-file set.
+    key_counts = source.groupBy(key).agg(F.count(F.lit(1)).alias("__c"))
+    probed = key_counts.join(
+        F.broadcast(stats),
+        (F.col(key) >= F.col("min_key"))
+        & (F.col(key) <= F.col("max_key")),
+        "left",
     )
-    if dup:
+    summary = probed.agg(
+        F.max(F.struct(F.col("__c"), F.col(key))).alias("__dup"),
+        F.collect_set("path").alias("__paths"),
+    ).first()
+    worst = summary["__dup"]
+    if worst is not None and worst["__c"] > 1:
         raise ValueError(
-            f"merge source holds {dup[0]['count']} rows for {key}="
-            f"{dup[0][key]}: MERGE requires at most one source row per "
+            f"merge source holds {worst['__c']} rows for {key}="
+            f"{worst[key]}: MERGE requires at most one source row per "
             "merge key (dedup the source first)"
         )
-    src_keys = source.select(F.col(key).alias("__k")).distinct()
-    hit_paths = {
-        r["path"]
-        for r in src_keys.join(
-            F.broadcast(stats),
-            (F.col("__k") >= F.col("min_key"))
-            & (F.col("__k") <= F.col("max_key")),
-        )
-        .select("path")
-        .distinct()
-        .collect()
-    }
+    hit_paths = set(summary["__paths"] or [])
     hit = [f for f in live if f["path"] in hit_paths]
     if not_matched_by_source is not None:
         # a WHEN NOT MATCHED BY SOURCE clause can touch ANY target row,

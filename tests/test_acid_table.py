@@ -3551,3 +3551,29 @@ def test_type_widening_semantics(spark, sf_dir, tmp_path):
         dict(acid_table.snapshot(spark, path).dtypes)["o_orderkey"]
         == "bigint"
     )
+
+
+def test_stats_column_max_exact_and_conservative(spark, sf_dir, tmp_path):
+    """r16 optimization seam: ``stats_column_max`` answers max(column)
+    from manifest footer stats with ZERO Spark jobs — it must equal the
+    real aggregate exactly when metadata proves it, and return None
+    (caller falls back to a scan) whenever it cannot: a DV'd live file,
+    a column without recorded stats, or a string column (stats live in
+    the scols channel, not cols)."""
+    path = str(tmp_path / "t")
+    t = _target(spark, sf_dir)
+    acid_table.create(t, path, "o_orderkey", n_files=4)
+    real = (
+        acid_table.snapshot(spark, path)
+        .agg(F.max("o_totalprice"))
+        .first()[0]
+    )
+    assert acid_table.stats_column_max(path, "o_totalprice") == real
+    # a column nobody recorded stats for -> conservative None
+    assert acid_table.stats_column_max(path, "no_such_column") is None
+    # string columns keep their stats in scols -> None from this helper
+    assert acid_table.stats_column_max(path, "o_orderstatus") is None
+    # a DV on any live file voids metadata exactness (the vector could
+    # have deleted the extreme rows) -> None, never a stale answer
+    acid_table.delete(spark, path, "o_orderkey % 5 = 0", mode="dv")
+    assert acid_table.stats_column_max(path, "o_totalprice") is None
