@@ -156,6 +156,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def spread_input(df: DataFrame, *cols: str) -> DataFrame:
+    """Scale-ADAPTIVE under-split guard for scans feeding expensive
+    narrow stages (r16 optimization, guide §2.5 "input skew: one huge
+    unsplittable file → repartition immediately after the read").
+
+    A small table arriving as fewer splits than cores serializes every
+    downstream narrow operator (explode, per-position hashing, Python
+    decode) onto that many tasks — the sf-scale corpora are single
+    parquet row groups, so whole pipelines ran one-task wide. Repartition
+    to ``defaultParallelism`` ONLY when the frame is under-split; a
+    production-scale scan (thousands of splits) passes through untouched,
+    so this never adds a corpus-wide shuffle where parallelism already
+    exists. Hash-partition on ``cols`` when given (deterministic under
+    retries with no local sort); round-robin otherwise. Values are
+    untouched — plans differ, results cannot."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p, *[F.col(c) for c in cols]) if cols else df.repartition(p)
+
+
 def dsum(col: Column | str, alias: str) -> Column:
     """Exact decimal sum of a ≤4-decimal double column, returned as double."""
     c = F.col(col) if isinstance(col, str) else col

@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 
 from iot_data_pipeline_spark import cache_tracker
 from iot_data_pipeline_spark.cache_tracker import tracked_cache
-from iot_data_pipeline_spark.operators._util import table
+from iot_data_pipeline_spark.operators._util import spread_input, table
 
 log = logging.getLogger(__name__)
 
@@ -96,7 +96,13 @@ def _shingle_cache(df: DataFrame, n: int = 3) -> DataFrame:
     llm_corpus_pipeline (r10 review)."""
     from pyspark.storagelevel import StorageLevel
 
-    return tracked_cache(_word_shingles(df, n), StorageLevel.DISK_ONLY)
+    # r16: spread_input before shingling — a single-split corpus scan
+    # otherwise serializes the shingle explode AND pins the cache at one
+    # partition, making every downstream signature/verify scan one-task.
+    return tracked_cache(
+        _word_shingles(spread_input(df, "doc_id"), n),
+        StorageLevel.DISK_ONLY,
+    )
 
 
 def llm_dedup_ngram(
@@ -2678,7 +2684,10 @@ def _substring_dedup_spans(docs: DataFrame, L: int) -> DataFrame:
     corpus fraction. Measured at sf0.1: 11.36 s → 3.25 s with the
     duplicate-position set bit-identical (118,433 positions equal)."""
     grams = (
-        docs.filter(F.length("text") >= L)
+        # spread_input: the per-position explode+sha2 below is the heavy
+        # stage; on an under-split local corpus it would otherwise run
+        # single-task (scale-adaptive no-op on a well-split scan).
+        spread_input(docs.filter(F.length("text") >= L), "doc_id")
         .select(
             "doc_id",
             "text",
