@@ -96,13 +96,14 @@ def _shingle_cache(df: DataFrame, n: int = 3) -> DataFrame:
     llm_corpus_pipeline (r10 review)."""
     from pyspark.storagelevel import StorageLevel
 
-    # r16: spread_input before shingling — a single-split corpus scan
-    # otherwise serializes the shingle explode AND pins the cache at one
-    # partition, making every downstream signature/verify scan one-task.
-    return tracked_cache(
-        _word_shingles(spread_input(df, "doc_id"), n),
-        StorageLevel.DISK_ONLY,
-    )
+    # r16 note: spread_input before shingling was tried here (the
+    # single-split corpus scan serializes the shingle explode and pins
+    # the cache at one partition) and REVERTED: two full bench runs had
+    # llm_dedup_near consistently +0.5–0.7 s — at this corpus size the
+    # extra exchange plus 32-task stages cost more than the parallel
+    # signature pass saves (the per-row work is narrow string ops, not
+    # the heavy sha2/decode stages where spread_input pays).
+    return tracked_cache(_word_shingles(df, n), StorageLevel.DISK_ONLY)
 
 
 def llm_dedup_ngram(
