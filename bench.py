@@ -170,7 +170,10 @@ def main() -> None:
     # Best-of-2 per query: the host shows heavy transient I/O contention
     # (identical runs vary up to 4×); the faster run is the engine's number.
     from iot_data_pipeline_spark.cache_tracker import evict_tracked
-    from iot_data_pipeline_spark.operators.llm import clear_bpe_rules_memo
+    from iot_data_pipeline_spark.operators.llm import (
+        clear_bpe_rules_memo,
+        clear_kmeans_codebook_memo,
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -181,6 +184,10 @@ def main() -> None:
             # cross-rep or cross-query pinned frames (round-3 ADVICE).
             clear_bpe_rules_memo()  # same rule for the train-once memo:
             # each rep of llm_bpe_train must measure the trainer.
+            clear_kmeans_codebook_memo()  # and for the ANN codebook memo:
+            # each rep of llm_sim_pq must train the coarse quantizer it
+            # probes (r16 verdict item 1 — memo-warm reps were serving a
+            # dict lookup inside the timed region).
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

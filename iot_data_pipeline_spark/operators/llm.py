@@ -679,11 +679,14 @@ def _min_label_propagation(
         raise ValueError(
             f"on_unconverged must be 'raise' or 'warn', got {on_unconverged!r}"
         )
+    # lazy init checkpoint: round 1's single job materializes it (both of
+    # that round's references — the connect join and the pointer-jump
+    # parents — read the same checkpointed blocks), saving the init job.
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     converged = False
     rounds = 0
@@ -712,6 +715,13 @@ def _min_label_propagation(
             F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
         )
         final_label = F.coalesce(F.col("p_label"), F.col("clabel"))
+        # LAZY checkpoint + count fusion (r16 verdict item 4, guide §1.2):
+        # an eager localCheckpoint is one job and the convergence count a
+        # second; marking the checkpoint lazy lets the count's action
+        # materialize the checkpoint blocks AND aggregate the chg flags in
+        # ONE job per round — the checkpoint still truncates lineage for
+        # the next round exactly as before (the count runs over the full
+        # materialized blocks; filters never push below a checkpoint).
         updated = (
             connected.join(parents, connected.clabel == parents.p_id, "left")
             .select(
@@ -719,7 +729,7 @@ def _min_label_propagation(
                 final_label.alias("label"),
                 (final_label != connected.old).alias("chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if updated.filter(F.col("chg")).count() == 0:
             labels = updated
@@ -744,20 +754,35 @@ def _min_label_propagation(
 _IVF_NPROBE = 2
 
 
-def _ivf_allowed(e: DataFrame, q_mat, q_ids, nprobe: int = _IVF_NPROBE):
-    """Coarse-quantizer probe selection shared by the IVF family: exact
-    per-list centroids (decimal-exact sums, one bounded nlist×dim collect),
-    then each query's ``nprobe`` nearest lists by centroid cosine (driver-
-    side numpy on the tiny matrix). Returns ``{query_id: set(labels)}``."""
-    import numpy as np
-
+def _ivf_centroid_rows(e: DataFrame):
+    """The one cluster job behind :func:`_ivf_allowed` — exact per-list
+    centroids (decimal-exact sums, one bounded nlist×dim collect).
+    Factored out so callers with other independent driver jobs (the HNSW
+    entry stage) can run this collect on a helper thread (guide §2.6
+    overlap independent jobs) and feed the rows to
+    :func:`_ivf_allowed_from_rows`."""
     dec = F.col("v").cast("double").cast("decimal(20,10)")
-    cent_rows = (
+    return (
         e.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
         .agg((F.sum(dec).cast("double") / F.count(F.lit(1))).alias("c"))
         .collect()
     )
+
+
+def _ivf_allowed(e: DataFrame, q_mat, q_ids, nprobe: int = _IVF_NPROBE):
+    """Coarse-quantizer probe selection shared by the IVF family: exact
+    per-list centroids (decimal-exact sums, one bounded nlist×dim collect),
+    then each query's ``nprobe`` nearest lists by centroid cosine (driver-
+    side numpy on the tiny matrix). Returns ``{query_id: set(labels)}``."""
+    return _ivf_allowed_from_rows(_ivf_centroid_rows(e), q_mat, q_ids, nprobe)
+
+
+def _ivf_allowed_from_rows(cent_rows, q_mat, q_ids, nprobe: int = _IVF_NPROBE):
+    """Driver-side numpy half of :func:`_ivf_allowed`, over pre-collected
+    centroid rows."""
+    import numpy as np
+
     list_ids = sorted({r["label"] for r in cent_rows})
     dim = max(r["dim"] for r in cent_rows) + 1
     cmat = np.zeros((len(list_ids), dim))
@@ -985,6 +1010,17 @@ def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # llm_sim_ivf / llm_sim_pq consume the memo; llm_kmeans_train (the
 # registered TRAINER id) always trains so its wall measures training.
 _KMEANS_CODEBOOK_MEMO: dict[tuple, tuple] = {}
+
+
+def clear_kmeans_codebook_memo() -> None:
+    """For WALL-MEASURING harnesses (bench.py calls this before every
+    timed rep, next to clear_bpe_rules_memo): with the memo warm, a
+    repeated llm_sim_pq/llm_sim_ivf rep serves the coarse quantizer from
+    a dict lookup instead of training it, and best-of-N would silently
+    ratchet the regression band down to the probe-only wall. Sweeping
+    verifiers deliberately DON'T clear it — train-once-probe-many within
+    one process is the memo's purpose."""
+    _KMEANS_CODEBOOK_MEMO.clear()
 
 
 def _kmeans_codebook_for(spark: SparkSession, sf_dir: str):
@@ -1549,7 +1585,23 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefetch.start()
     try:
         l1_nodes = e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(_HNSW_L1_MOD)) == 0)
-        n1 = l1_nodes.count()
+        # r17 (guide §2.6 / §5 — overlap independent driver jobs): the
+        # layer-1 subset count, the corpus count (search widths) and the
+        # coarse-centroid collect are three INDEPENDENT jobs that ran
+        # back-to-back on the driver thread; fan them out so the entry
+        # stage waits for max() of them, not their sum — all three also
+        # overlap the layer-0 prefetch exactly like before. Results are
+        # deterministic scalars/rows, so the interleaving cannot change
+        # the output.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as _pool:
+            _f_n1 = _pool.submit(l1_nodes.count)
+            _f_n = _pool.submit(e.count)
+            _f_cent = _pool.submit(_ivf_centroid_rows, e)
+            n1 = _f_n1.result()
+            n_corpus = _f_n.result()
+            cent_rows = _f_cent.result()
         edges1 = tracked_cache(_hnsw_l1_edges(spark, l1_nodes, n1))
 
         q_frame = spark.createDataFrame(
@@ -1559,11 +1611,11 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         embd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
         v = tracked_cache(e.select("vec_id", embd.alias("emb")))
         # Corpus count for the log2(n)-scaled search widths: a column-less
-        # parquet count (no columns materialize — near-metadata cost), placed
-        # here so it overlaps the edges0 prefetch thread. Counting through
-        # v instead would serialize the full corpus cache fill (scan + cast +
-        # cache write) in front of the entry stage (r10 review follow-up).
-        beam, n_entries = _hnsw_search_widths(e.count())
+        # parquet count (no columns materialize — near-metadata cost),
+        # collected on the thread pool above. Counting through v instead
+        # would serialize the full corpus cache fill (scan + cast + cache
+        # write) in front of the entry stage (r10 review follow-up).
+        beam, n_entries = _hnsw_search_widths(n_corpus)
         dot = F.aggregate(
             F.zip_with(F.col("q_emb"), F.col("emb"), lambda x, y: x * y),
             F.lit(0.0),
@@ -1581,7 +1633,8 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         # --- entry points: top-n_entries probed-list layer-1 nodes -----------
-        allowed = _ivf_allowed(e, q_mat, np.array(q_ids))
+        # (centroid rows pre-collected on the thread pool above)
+        allowed = _ivf_allowed_from_rows(cent_rows, q_mat, np.array(q_ids))
         allowed_df = spark.createDataFrame(
             sorted((q, int(lbl)) for q in q_ids for lbl in allowed[q]),
             "query_id LONG, label INT",
@@ -3260,6 +3313,14 @@ def _bpe_learn_from(
     collects a top-``_BPE_BATCH_WINDOW`` candidate window, and commits as
     many leading merges as are PROVABLY what sequential greedy would pick,
     applying them as chained narrow codegen string replaces.
+
+    NOT REENTRANT / not concurrency-safe (ADVICE r16): the loop scopes
+    ``spark.sql.shuffle.partitions`` and ``spark.sql.adaptive.enabled``
+    down on the SHARED session for its duration (restored in
+    ``finally``), so any query submitted concurrently on the same
+    session would silently run with 1-partition shuffles and AQE off.
+    All in-repo callers are serial; a concurrent deployment should hand
+    this a dedicated ``spark.newSession()``.
 
     Why the obvious batch rule is wrong: "take the top-M pairwise-disjoint
     pairs" is NOT order-equivalent to M greedy steps. Merging (a,b)->ab

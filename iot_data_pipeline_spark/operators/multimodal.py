@@ -754,9 +754,19 @@ def _spread(df: DataFrame) -> DataFrame:
     exchange is nil next to the decode it parallelizes. Partition count
     is ``defaultParallelism`` — the real core count on any deployment,
     never a local constant. Row contents are untouched, so every oracle
-    hash is unchanged."""
+    hash is unchanged.
+
+    Under-split guard (r16 verdict item 7, mirroring
+    :func:`_util.spread_input`): a frame that ALREADY has at least
+    defaultParallelism partitions passes through untouched — a
+    production-scale scan with thousands of splits must not be coalesced
+    down to core count (that would trade task granularity for one
+    exchange and lose straggler/retry resilience)."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism, "media_id")
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p, "media_id")
 
 
 def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

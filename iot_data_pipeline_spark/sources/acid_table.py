@@ -729,6 +729,105 @@ def _fused_write_stats_task(
     return _task
 
 
+def _murmur3_long(v: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3Hash`` of one LONG column (Murmur3_x86_32
+    ``hashLong``): two 32-bit word mixes + finalization, returned as a
+    SIGNED int32 — bit-identical to ``F.hash(bigint_col)`` (pinned in
+    tests). Pure driver math: lets :func:`_partition_tokens` place rows
+    into exact shuffle partitions with ZERO Spark jobs."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    v &= 0xFFFFFFFFFFFFFFFF
+    h1 = seed & 0xFFFFFFFF
+    for k1 in (v & 0xFFFFFFFF, (v >> 32) & 0xFFFFFFFF):
+        k1 = (k1 * c1) & 0xFFFFFFFF
+        k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+        k1 = (k1 * c2) & 0xFFFFFFFF
+        h1 ^= k1
+        h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+        h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= 8  # total bytes hashed
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - 0x100000000 if h1 >= 0x80000000 else h1
+
+
+# pure math, data-independent (token t such that pmod(hash(t), n) == p for
+# each partition p of an n-way hash exchange) — memoizing it is codegen-style
+# caching, never a result cache.
+_PARTITION_TOKEN_MEMO: dict[int, list[int]] = {}
+
+
+def _partition_tokens(n: int) -> list[int]:
+    """For each partition index p of an n-way ``repartition(n, col)``
+    (HashPartitioning = ``pmod(murmur3(col), n)``), the smallest
+    non-negative LONG token that lands in p. Assigning rows these tokens
+    turns a plain hash exchange into an EXACT manual range partitioner —
+    the sampling pass ``repartitionByRange`` would run over the full
+    child plan (a second execution of the rewrite join, guide §1.2/§2.4)
+    is replaced by driver arithmetic."""
+    toks = _PARTITION_TOKEN_MEMO.get(n)
+    if toks is not None:
+        return toks
+    found: dict[int, int] = {}
+    t = 0
+    while len(found) < n:
+        p = _murmur3_long(t) % n  # Python % == Spark pmod for n > 0
+        if p not in found:
+            found[p] = t
+        t += 1
+    toks = [found[p] for p in range(n)]
+    _PARTITION_TOKEN_MEMO[n] = toks
+    return toks
+
+
+def _mixture_bounds(segments: list[tuple], n: int) -> list[int]:
+    """≤ n-1 INTEGER split points dividing a mixture of uniform integer
+    key segments ``(lo, hi, weight)`` into ~equal-mass buckets — the
+    range boundaries :func:`_write_data_files` needs, derived from
+    MANIFEST STATS (per-file min_key/max_key/rows) plus the merge
+    summary's source min/max/count instead of a data-sampling pass
+    (guide §5/§6: answer from metadata, not a job). Bucket i takes keys
+    ``bounds[i-1] < k <= bounds[i]``; duplicates collapse (fewer, fuller
+    buckets — balance is approximate by design, correctness never
+    depends on it: file stats are re-read from the written footers)."""
+    import math
+
+    segs = [
+        (int(lo), int(hi), float(w))
+        for lo, hi, w in segments
+        if w and w > 0 and lo is not None and hi is not None and lo <= hi
+    ]
+    if n <= 1 or not segs:
+        return []
+    # each integer key occupies the unit cell [k, k+1) so point segments
+    # (lo == hi) still carry their mass
+    events = sorted({e for lo, hi, _ in segs for e in (lo, hi + 1)})
+    total = sum(w for _, _, w in segs)
+    targets = [total * i / n for i in range(1, n)]
+    bounds: list[int] = []
+    acc = 0.0
+    ti = 0
+    for a, b in zip(events, events[1:]):
+        dens = sum(
+            w / (hi + 1 - lo) for lo, hi, w in segs if lo <= a and b <= hi + 1
+        )
+        strip = dens * (b - a)
+        while ti < len(targets) and acc + strip >= targets[ti] and strip > 0:
+            x = a + (targets[ti] - acc) / dens if dens > 0 else a
+            # floor, not int(): keys may be negative (xxhash64 surrogates)
+            bounds.append(min(math.floor(x), b - 1))
+            ti += 1
+        acc += strip
+    out: list[int] = []
+    for bd in bounds:
+        if not out or bd > out[-1]:
+            out.append(bd)
+    return out
+
+
 def _write_data_files(
     df: DataFrame,
     path: str,
@@ -737,6 +836,7 @@ def _write_data_files(
     order_by=None,
     string_stats: bool = True,
     partition_cols: list | None = None,
+    bounds: list[int] | None = None,
 ) -> list[dict]:
     """Write ``df`` as ≤ n_files parquet files key-range-partitioned on
     ``key`` (so file stats PRUNE under key-predicated rewrites), move them
@@ -788,13 +888,36 @@ def _write_data_files(
     pcols = list(partition_cols or [])
     cluster_tail = [order_by] if order_by is not None else [key]
     cluster = [F.col(c) for c in pcols] + cluster_tail
-    clustered = (
-        df.repartitionByRange(n_files, *cluster).sortWithinPartitions(
-            *cluster
+    if bounds is not None and order_by is None and not pcols and n_files > 1:
+        # MANIFEST-DERIVED range layout (r16 verdict item 2, guide §1.2):
+        # ``repartitionByRange`` submits a SAMPLING job that executes the
+        # full child plan once before the exchange executes it again — for
+        # MERGE that is a second run of the whole rewrite join. With split
+        # points already known from metadata, a chained-when maps each key
+        # to its bucket's hash TOKEN (pre-solved so pmod(murmur3(tok),
+        # n) == bucket — :func:`_partition_tokens`), and one plain hash
+        # exchange reproduces the exact range placement in a SINGLE
+        # execution. Key comparisons stay LONG/LONG (no double cast — keys
+        # beyond 2^53 must compare exactly).
+        toks = _partition_tokens(n_files)
+        kc = F.col(key)
+        tok = F.lit(toks[len(bounds)]).cast("bigint")
+        for i in range(len(bounds) - 1, -1, -1):
+            tok = F.when(
+                kc <= F.lit(int(bounds[i])).cast("bigint"),
+                F.lit(toks[i]).cast("bigint"),
+            ).otherwise(tok)
+        clustered = (
+            df.withColumn("__wdf_tok", tok)
+            .repartition(n_files, "__wdf_tok")
+            .drop("__wdf_tok")
         )
-        if (order_by is not None or pcols)
-        else df.repartitionByRange(n_files, key)
-    )
+    elif order_by is not None or pcols:
+        clustered = df.repartitionByRange(
+            n_files, *cluster
+        ).sortWithinPartitions(*cluster)
+    else:
+        clustered = df.repartitionByRange(n_files, key)
     # ``string_stats=False`` defers the string pass (the per-epoch
     # streaming append skips it — a bounded-latency hot path; files
     # without ``scols`` conservatively never skip, and the next OPTIMIZE
@@ -2884,22 +3007,35 @@ def merge(
     # (collect_set drops the no-file NULLs; the set is file-count-scale,
     # the same driver footprint the old collect had). Semantics
     # unchanged: same rejection condition, same hit-file set.
-    key_counts = source.groupBy(key).agg(F.count(F.lit(1)).alias("__c"))
+    # the key is ALIASED to __k so a table whose merge key is literally
+    # named 'path'/'min_key'/'max_key' can't collide with the stats frame
+    # (ADVICE r16); the same summary job also returns the source key
+    # envelope (__kmin/__kmax/__nk) that seeds the manifest-derived range
+    # bounds below — one job answers the dup guard, the file prune AND
+    # the write layout.
+    key_counts = (
+        source.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(F.col(key).alias("__k"), "__c")
+    )
     probed = key_counts.join(
         F.broadcast(stats),
-        (F.col(key) >= F.col("min_key"))
-        & (F.col(key) <= F.col("max_key")),
+        (F.col("__k") >= F.col("min_key"))
+        & (F.col("__k") <= F.col("max_key")),
         "left",
     )
     summary = probed.agg(
-        F.max(F.struct(F.col("__c"), F.col(key))).alias("__dup"),
+        F.max(F.struct(F.col("__c"), F.col("__k"))).alias("__dup"),
         F.collect_set("path").alias("__paths"),
+        F.min("__k").alias("__kmin"),
+        F.max("__k").alias("__kmax"),
+        F.count("__k").alias("__nk"),
     ).first()
     worst = summary["__dup"]
     if worst is not None and worst["__c"] > 1:
         raise ValueError(
             f"merge source holds {worst['__c']} rows for {key}="
-            f"{worst[key]}: MERGE requires at most one source row per "
+            f"{worst['__k']}: MERGE requires at most one source row per "
             "merge key (dedup the source first)"
         )
     hit_paths = set(summary["__paths"] or [])
@@ -2927,10 +3063,24 @@ def merge(
             f"merge cannot evolve the schema (extra source columns"
             f" {extra}); append the new columns first, then merge"
         )
+    # range split points for the rewrite's file layout, derived from the
+    # hit files' MANIFEST stats + the summary job's source-key envelope
+    # (r16 verdict item 2): the rewrite output is ~(hit rows ∪ source
+    # rows), so its key distribution is the mixture of the per-file
+    # [min_key, max_key]×rows segments and the source segment. Replaces
+    # repartitionByRange's sampling pass — which executed the ENTIRE
+    # full-outer rewrite plan once more per MERGE — with driver
+    # arithmetic over metadata the summary already collected.
+    src_seg = (summary["__kmin"], summary["__kmax"], summary["__nk"])
+    w_bounds = _mixture_bounds(
+        [(f["min_key"], f["max_key"], f["rows"]) for f in hit] + [src_seg],
+        n_files,
+    )
     src = source.select(*cols)
     if mode == "dv":
         return _merge_dv(
-            spark, st, src, path, key, hit, cols, n_files, cdc
+            spark, st, src, path, key, hit, cols, n_files, cdc,
+            bounds=_mixture_bounds([src_seg], n_files),
         )
     t = touched.select(
         F.col(key), F.struct(*cols).alias("__t")
@@ -3010,6 +3160,7 @@ def merge(
             key,
             n_files,
             partition_cols=_require_partition_cols(st, merged),
+            bounds=w_bounds,
         )
         manifest = {
             "version": st["version"] + 1,
@@ -3071,6 +3222,7 @@ def _merge_dv(
     cols: list[str],
     n_files: int,
     cdc: bool,
+    bounds: list[int] | None = None,
 ) -> dict:
     """Merge-on-read MERGE body (see :func:`merge`): DV-delete the
     matched target copies, append one source row per matched copy plus
@@ -3122,6 +3274,7 @@ def _merge_dv(
             key,
             n_files,
             partition_cols=_require_partition_cols(st, new_rows),
+            bounds=bounds,
         )
         manifest = {
             "version": st["version"] + 1,

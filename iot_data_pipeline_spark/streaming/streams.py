@@ -859,6 +859,13 @@ def _medallion_fold(spark: SparkSession, bronze: str, silver: str):
         old = acid_table.snapshot(spark, silver).select(
             "key_id", "event_type", "n", "total"
         )
+        # r17: the merge source below is executed TWICE by merge() — once
+        # by the dup-guard/prune/bounds summary job and once by the
+        # rewrite's write — and each execution re-runs the CDF range scan
+        # + delta aggregate + snapshot join. The frame is ≤ |event_types|
+        # rows, so a LAZY localCheckpoint makes the summary job
+        # materialize it once and the rewrite read blocks (same rows —
+        # the checkpoint is a deterministic materialization point).
         touched = (
             delta.alias("d")
             .join(
@@ -879,7 +886,7 @@ def _medallion_fold(spark: SparkSession, bronze: str, silver: str):
                 ),
                 F.lit(head).cast("bigint").alias("as_of"),
             )
-        )
+        ).localCheckpoint(eager=False)
         acid_table.merge(spark, touched, silver)
 
     return fold_epoch
