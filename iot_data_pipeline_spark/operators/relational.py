@@ -401,10 +401,11 @@ def bloom_filter_bits(
     """Bloom bitset over the build side's join keys as a numpy uint64
     array: each key sets ``k`` bits at ``pmod(xxhash64(key, seed), m)``.
 
-    The fold is fully ENGINE-side and CHUNKED: distinct positions →
-    per-word OR (distinct powers of two, so SUM == OR; signed int64 never
-    wraps because bit 63 contributes -2^63 exactly once) → per-chunk
-    fixed-size 16 KB binary blobs (``_BLOOM_CHUNK_WORDS`` words each).
+    The fold is fully ENGINE-side and CHUNKED: per-word BIT_OR of the
+    position bits (OR is idempotent, so duplicate positions need no
+    distinct pass — r17 dropped the distinct shuffle; the word
+    aggregation partial-aggregates map-side) → per-chunk fixed-size
+    16 KB binary blobs (``_BLOOM_CHUNK_WORDS`` words each).
     Blob assembly is LINEAR in the chunk size: the chunk's occupied words
     arrive as a SORTED entry array and gaps are zero-filled by a
     zip-with-previous pass (array_repeat per gap), then one
@@ -437,6 +438,13 @@ def bloom_filter_bits(
         raise ValueError(f"bloom m must be a multiple of 64, got {m}")
     n_words = m // 64
     c = min(_BLOOM_CHUNK_WORDS, n_words)  # last chunk may be partial (clipped below)
+    # r17 (guide §2.3/§2.4): fold duplicate positions with BIT_OR instead
+    # of distinct + SUM-of-distinct-powers — identical bits (OR is
+    # idempotent, so no distinct pass is needed, and bit 63 needs no
+    # signed-overflow argument), one FEWER full shuffle, and the word
+    # aggregation now partial-aggregates map-side, so the one remaining
+    # position exchange carries at most m/64 word rows per mapper instead
+    # of every distinct position.
     pos = build.select(
         F.explode(
             F.array(
@@ -446,7 +454,7 @@ def bloom_filter_bits(
                 ]
             )
         ).alias("pos")
-    ).distinct()
+    )
     # sorted occupied entries + zip-with-previous gap fill: prepend a
     # sentinel at index -1, pair each entry with its predecessor, emit
     # (gap zeros, word) per pair, pad the tail to c words — every step
@@ -469,7 +477,7 @@ def bloom_filter_bits(
     chunk_rows = (
         pos.groupBy(F.floor(F.col("pos") / 64).cast("bigint").alias("w"))
         .agg(
-            F.sum(
+            F.bit_or(
                 F.expr(
                     "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
                 )
