@@ -1550,14 +1550,6 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out_schema = "query_id LONG, vec_id LONG, cosine DOUBLE, rk INT"
     e = table(spark, sf_dir, "embeddings")
-    q_rows = sorted(
-        e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect(),
-        key=lambda r: r["vec_id"],
-    )
-    if not q_rows:
-        return spark.createDataFrame([], out_schema)
-    q_ids = [int(r["vec_id"]) for r in q_rows]
-    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
 
     # Prefetch the layer-0 edge graph on a helper thread: it is first
     # needed only at the SECOND search hop, so BOTH its plan construction
@@ -1586,22 +1578,41 @@ def llm_sim_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         l1_nodes = e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(_HNSW_L1_MOD)) == 0)
         # r17 (guide §2.6 / §5 — overlap independent driver jobs): the
-        # layer-1 subset count, the corpus count (search widths) and the
-        # coarse-centroid collect are three INDEPENDENT jobs that ran
-        # back-to-back on the driver thread; fan them out so the entry
-        # stage waits for max() of them, not their sum — all three also
-        # overlap the layer-0 prefetch exactly like before. Results are
-        # deterministic scalars/rows, so the interleaving cannot change
-        # the output.
+        # query-vector collect, the layer-1 subset count, the corpus
+        # count (search widths) and the coarse-centroid collect are four
+        # INDEPENDENT jobs that ran back-to-back on the driver thread;
+        # fan them out so the entry stage waits for max() of them, not
+        # their sum — all four also overlap the layer-0 prefetch exactly
+        # like before. Results are deterministic scalars/rows, so the
+        # interleaving cannot change the output.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as _pool:
+        with ThreadPoolExecutor(max_workers=4) as _pool:
+            _f_q = _pool.submit(
+                lambda: sorted(
+                    e.filter(F.col("vec_id") < 5)
+                    .select("vec_id", "embedding")
+                    .collect(),
+                    key=lambda r: r["vec_id"],
+                )
+            )
             _f_n1 = _pool.submit(l1_nodes.count)
             _f_n = _pool.submit(e.count)
             _f_cent = _pool.submit(_ivf_centroid_rows, e)
+            q_rows = _f_q.result()
             n1 = _f_n1.result()
             n_corpus = _f_n.result()
             cent_rows = _f_cent.result()
+        if not q_rows:
+            # degenerate corpus: wait out the prefetch (it re-raises any
+            # build failure) before returning the empty frame, exactly
+            # like the gmin fallback below.
+            prefetch.join()
+            if prefetch_err:
+                raise prefetch_err[0]
+            return spark.createDataFrame([], out_schema)
+        q_ids = [int(r["vec_id"]) for r in q_rows]
+        q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
         edges1 = tracked_cache(_hnsw_l1_edges(spark, l1_nodes, n1))
 
         q_frame = spark.createDataFrame(

@@ -137,5 +137,12 @@ def prepare(spark: SparkSession) -> SparkSession:
     # others: pinned here rather than toggled ad hoc by the one entry that
     # needs it, so no query leaks a conf change into the shared session.
     spark.conf.set("spark.sql.scripting.enabled", "true")
+    # Parquet writes default to zstd (guide §6/§9; r16 verdict item 8):
+    # the interleaved codec A/B on a quiet host measured zstd FASTER than
+    # snappy on the ETL write (0.89 vs 0.96 s best-of-4, 167 vs 156 MB/s)
+    # AND 28% smaller output (26.2 vs 36.4 MB) — at 100 TB the size win is
+    # also a read/shuffle-bytes win. Compression changes bytes-on-disk
+    # only, never values, so every oracle is unaffected.
+    spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
     _ship_package_to_workers(spark)
     return spark
