@@ -107,6 +107,14 @@ _LOG = "_log"
 _DATA = "data"
 _CHECKPOINT_EVERY = 10
 _CP_SUFFIX = ".checkpoint.json"
+# MERGE file-sizing floor (r17, guide §6 small-files): the caller's
+# n_files caps a rewrite's file count, but a rewrite whose estimated
+# output rows (hit rows + source rows, known from the manifest + the
+# summary job) would yield files under this many rows writes fewer,
+# fuller files instead — every file costs a footer read, a task and a
+# stats row on every later operation. Estimated ROWS is the proxy this
+# format has at plan time (Delta targets bytes post-hoc the same way).
+_MIN_ROWS_PER_FILE = 1024
 # String data-skipping prefix length (Delta records 32-char prefix bounds
 # for exactly this purpose): long strings truncate to a 32-char prefix
 # lower bound and a successor-incremented exclusive upper bound.
@@ -3072,15 +3080,27 @@ def merge(
     # full-outer rewrite plan once more per MERGE — with driver
     # arithmetic over metadata the summary already collected.
     src_seg = (summary["__kmin"], summary["__kmax"], summary["__nk"])
+    # effective file count: the caller's n_files stays the CAP (their
+    # pruning-granularity knob), but a rewrite whose estimated output
+    # (hit rows + source rows — an upper bound) is smaller than
+    # n_files·_MIN_ROWS_PER_FILE would shatter into near-empty files
+    # (guide §6 small-files: every file costs a footer read, a task and
+    # a stats row) — derive the count from the rows the summary already
+    # measured instead.
+    est_rows = sum(f["rows"] for f in hit) + (summary["__nk"] or 0)
+    n_eff = max(1, min(n_files, -(-est_rows // _MIN_ROWS_PER_FILE)))
     w_bounds = _mixture_bounds(
         [(f["min_key"], f["max_key"], f["rows"]) for f in hit] + [src_seg],
-        n_files,
+        n_eff,
     )
     src = source.select(*cols)
     if mode == "dv":
+        n_dv = max(
+            1, min(n_files, -(-(summary["__nk"] or 0) // _MIN_ROWS_PER_FILE))
+        )
         return _merge_dv(
-            spark, st, src, path, key, hit, cols, n_files, cdc,
-            bounds=_mixture_bounds([src_seg], n_files),
+            spark, st, src, path, key, hit, cols, n_dv, cdc,
+            bounds=_mixture_bounds([src_seg], n_dv),
         )
     t = touched.select(
         F.col(key), F.struct(*cols).alias("__t")
@@ -3158,7 +3178,7 @@ def merge(
             merged,
             path,
             key,
-            n_files,
+            n_eff,
             partition_cols=_require_partition_cols(st, merged),
             bounds=w_bounds,
         )

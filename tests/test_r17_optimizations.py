@@ -67,18 +67,18 @@ def test_merge_bounds_layout_matches_sampled_layout(spark, tmp_path):
     from iot_data_pipeline_spark.sources import acid_table
 
     path = str(tmp_path / "t")
-    base = spark.range(0, 400).select(
+    base = spark.range(0, 4000).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("val")
     )
     acid_table.create(base, path, "k", n_files=4)
-    src = spark.range(100, 300, 7).select(
+    src = spark.range(100, 3000, 7).select(
         F.col("id").alias("k"), F.lit(-1).cast("bigint").alias("val")
     )
     acid_table.merge(spark, src, path, n_files=4)
     snap = {(r["k"], r["val"]) for r in acid_table.snapshot(spark, path).collect()}
     expect = {
-        (k, -1 if (k >= 100 and k < 300 and (k - 100) % 7 == 0) else k * 2)
-        for k in range(400)
+        (k, -1 if (k >= 100 and k < 3000 and (k - 100) % 7 == 0) else k * 2)
+        for k in range(4000)
     }
     assert snap == expect
     st = acid_table._state(path)
