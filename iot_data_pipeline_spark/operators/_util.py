@@ -170,7 +170,13 @@ def spread_input(df: DataFrame, *cols: str) -> DataFrame:
     so this never adds a corpus-wide shuffle where parallelism already
     exists. Hash-partition on ``cols`` when given (deterministic under
     retries with no local sort); round-robin otherwise. Values are
-    untouched — plans differ, results cannot."""
+    untouched — plans differ, results cannot.
+
+    Probe cost (ADVICE r16): ``df.rdd.getNumPartitions()`` forces
+    analysis + a DataFrame→RDD conversion per call, and reads the
+    PRE-AQE partition count. Fine for the current call sites (plain
+    scans, probed once per query); do not reuse on deep plans or in
+    loops — gate on the leaf scan's split count there instead."""
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= p:

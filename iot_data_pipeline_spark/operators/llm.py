@@ -2768,6 +2768,13 @@ def _substring_dedup_spans(docs: DataFrame, L: int) -> DataFrame:
             ).alias("k"),
         )
     )
+    # SKEW WATCH (ADVICE r16): unlike the old groupBy, the window has no
+    # map-side partial aggregation, so a heavy-hitter gram (corpus-wide
+    # boilerplate) ships every occurrence to one window partition —
+    # spillable but an unsplittable straggler, and AQE skew handling does
+    # not apply to windows. Accepted for the broadcast-OOM it removed;
+    # if a skewed corpus surfaces in the bench band, the fallback is a
+    # salted two-phase count (partial count by (k, salt), sum by k).
     wk = Window.partitionBy("k")
     dup = (
         grams.withColumn("c", F.count(F.lit(1)).over(wk))
